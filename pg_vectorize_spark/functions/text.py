@@ -1,0 +1,231 @@
+"""Text column expressions — analyzer, FTS scoring, text analysis.
+
+The reference delegates full-text machinery to Postgres builtins
+(``to_tsvector('english', ...)`` / ``plainto_tsquery`` / ``ts_rank_cd`` —
+core/src/query.rs:184-190, 764-776). Spark has no tsvector, so this module
+DEFINES our analyzer as the spec (SURVEY.md §7 "hard parts"):
+
+- analyzer = lowercase -> split on non-alphanumeric runs -> drop empties ->
+  drop English stop-words -> distinct (tsvector keeps positions; we keep the
+  distinct term set — scores below are defined against that);
+- query analysis (plainto_tsquery + ``&``->``|`` OR-rewrite parity,
+  core/src/query.rs:766-774) = same analyzer on the query string; a document
+  matches when ANY term overlaps (``search_tokens @@ query`` with OR
+  semantics -> ``arrays_overlap``);
+- fts_score = |doc_terms ∩ query_terms| / |query_terms| — a term-overlap
+  analog of ``ts_rank_cd`` cover-density (positional data intentionally not
+  reproduced; divergence documented in SURVEY.md §7). Deterministic, and
+  expressible in both Spark and DuckDB for oracle parity.
+
+Everything is built-in-function only (codegen-friendly); no stemming by
+default — a Porter-stemmer pandas UDF is available in operators/search.py
+as an opt-in analyzer stage (not oracle-checkable, hence off by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
+
+# Minimal English stop-word list — OUR spec (Postgres's english config has 127
+# words; we pin a deterministic subset so the oracle can embed it literally).
+STOP_WORDS = (
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with this these those i you your we they them then there "
+    "or not no but if so do does did done"
+).split()
+
+
+def stop_words_sql_array() -> str:
+    """The stop-word list as a SQL array literal (shared with the oracle)."""
+    inner = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    return f"[{inner}]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Analyzer: lower -> tokenize -> de-empty -> stop-words -> distinct.
+
+    The Spark analog of ``to_tsvector('english', col)`` minus stemming and
+    positions (core/src/init.rs:250-259).
+    """
+    raw = F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+")
+    nonempty = F.filter(raw, lambda t: t != "")
+    kept = F.array_except(nonempty, F.array(*[F.lit(w) for w in STOP_WORDS]))
+    return F.array_distinct(kept)
+
+
+def analyze_query(query: str) -> list[str]:
+    """Driver-side analyzer for query strings (plainto_tsquery + OR-rewrite).
+
+    Must produce exactly what tokens_expr computes on the same string.
+    """
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", (query or "").lower()) if t]
+    kept = [t for t in toks if t not in set(STOP_WORDS)]
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in kept:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def fts_match_expr(doc_tokens: Column, query_terms: list[str]) -> Column:
+    """``search_tokens @@ plainto_tsquery`` with OR semantics
+    (core/src/query.rs:766-774) -> any-term overlap."""
+    if not query_terms:
+        return F.lit(False)
+    return F.arrays_overlap(
+        doc_tokens, F.array(*[F.lit(t) for t in query_terms])
+    )
+
+
+def fts_score_expr(doc_tokens: Column, query_terms: list[str]) -> Column:
+    """Term-overlap score: |doc ∩ query| / |query| (ts_rank_cd analog)."""
+    if not query_terms:
+        return F.lit(0.0)
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    return F.size(F.array_intersect(doc_tokens, qarr)).cast("double") / float(
+        len(query_terms)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (A6 analog — core/src/query.rs:606-615 uses tiktoken; our
+# spec is whitespace+punctuation token count, BPE-ish: alnum runs and each
+# punctuation char count as one token)
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(text: Column) -> Column:
+    """Count alnum-run tokens + standalone punctuation chars."""
+    t = F.coalesce(text, F.lit(""))
+    words = F.size(F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return (words + punct).cast("long")
+
+
+def whitespace_token_count_expr(text: Column) -> Column:
+    """Plain whitespace token count (the reference's trim unit, openai.rs:166)."""
+    return F.size(
+        F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda x: x != "")
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring / language id / fingerprint (training-data-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def quality_metrics_exprs(text: Column) -> dict[str, Column]:
+    """Deterministic quality features: length, word stats, ratios."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t).cast("long")
+    words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
+    n_words = F.size(words).cast("long")
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("long")
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(w) for w in STOP_WORDS])
+        )
+    ).cast("long")
+    stopword_ratio = F.when(
+        n_words > 0, stop_hits.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+    }
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards mid-length docs with words,
+    low punctuation density, and some stop-word presence. Spec, not heuristic
+    fidelity — both engines must agree bit-for-bit."""
+    m = quality_metrics_exprs(text)
+    len_term = F.least(m["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    word_term = F.least(m["n_words"].cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - m["punct_ratio"] * 5.0)
+    stop_term = F.least(m["stopword_ratio"] * 2.0, F.lit(1.0))
+    return (
+        len_term * 0.25 + word_term * 0.25 + punct_term * 0.25 + stop_term * 0.25
+    )
+
+
+# per-language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "den", "mit", "ist", "des", "ein"],
+    "zh": ["de", "shi", "le", "zai", "wo", "you", "he", "ren", "zhe", "ta"],
+}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Argmax over per-language marker-word hits; ties broken by language code
+    order ('unknown' when zero hits everywhere)."""
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+                 lambda x: x != "")
+    )
+    scores = {
+        lang: F.size(
+            F.array_intersect(words, F.array(*[F.lit(w) for w in markers]))
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best_score = F.greatest(*scores.values())
+    result = F.lit("unknown")
+    # reversed so that the FIRST language in sorted order wins ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        result = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint: polynomial rolling hash over all characters
+    (same hash family as the embedder, full-text, not tokenized)."""
+    return F.aggregate(
+        F.split(F.coalesce(text, F.lit("")), ""),
+        F.lit(HASH_SEED).cast("long"),
+        lambda acc, ch: (acc * HASH_MULT + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) for Jaccard/MinHash dedup."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    n = F.size(words)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(shingles)

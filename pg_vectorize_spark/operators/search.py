@@ -1,0 +1,224 @@
+"""Search operators: semantic top-k, full-text, hybrid RRF fusion.
+
+Reproduces the semantics of the reference's generated search SQL:
+
+- semantic search: score every candidate with cosine similarity, join back
+  to the source for return columns, apply typed filters POST-ranking, order
+  by score desc, limit k (core/src/query.rs:653-701);
+- full-text search: OR-semantics term match + rank by overlap score
+  (core/src/query.rs:763-776, extension/src/search.rs:210-225);
+- hybrid search: the server-side single-query RRF shape
+  (core/src/query.rs:705-785): each branch ranks its own top-``window_size``
+  candidates with ROW_NUMBER, FULL OUTER JOIN on the primary key, weighted
+  reciprocal-rank-fusion ``Σ w_i/(k + rank_i)`` with missing ranks
+  contributing 0 (COALESCE form, core/src/query.rs:744-747), join back to
+  source, post-fusion filters, order by rrf desc, limit.
+
+Scale design (100 TB notes):
+- the score+limit stage compiles to TakeOrderedAndProject — no global sort;
+- ranked candidate sets are <= window_size rows, so the join back to the
+  source BROADCASTS the ranked side (never shuffles the big table);
+- ROW_NUMBER windows run on <= window_size rows (post-limit), so the
+  single-partition window is O(window), not O(table);
+- every ordering carries a primary-key tiebreaker: the reference relies on
+  Postgres sort stability (core/src/query.rs:781); distributed sorts have no
+  such stability, so determinism must be explicit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.filters import FilterValue, apply_filters
+from pg_vectorize_spark.functions.text import (
+    analyze_query,
+    fts_match_expr,
+    fts_score_expr,
+    tokens_expr,
+)
+from pg_vectorize_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    query_vector_lit,
+)
+
+DEFAULT_LIMIT = 10
+DEFAULT_RRF_K = 60
+
+
+def _scored_semantic(
+    emb_df: DataFrame,
+    pkey: str,
+    query_vec: Sequence[float],
+    emb_col: str = "embeddings",
+    pre_normalized: bool = False,
+) -> DataFrame:
+    """(pkey, similarity_score) for every candidate vector."""
+    q = query_vector_lit(query_vec)
+    score: Column
+    if pre_normalized:
+        # normalize-at-write parity: cosine == dot product
+        score = dot_product(F.col(emb_col), q)
+    else:
+        score = cosine_similarity(F.col(emb_col), q)
+    return emb_df.select(F.col(pkey), score.alias("similarity_score"))
+
+
+def semantic_search(
+    source_df: DataFrame,
+    emb_df: DataFrame,
+    pkey: str,
+    query_vec: Sequence[float],
+    num_results: int = DEFAULT_LIMIT,
+    return_columns: Sequence[str] | None = None,
+    filters: dict[str, FilterValue] | None = None,
+    where_sql: str | None = None,
+    emb_col: str = "embeddings",
+    pre_normalized: bool = False,
+) -> DataFrame:
+    """Semantic top-k with return-column projection and post-ranking filters."""
+    scored = _scored_semantic(emb_df, pkey, query_vec, emb_col, pre_normalized)
+    joined = source_df.join(scored, pkey, "inner")
+    if filters:
+        joined = apply_filters(joined, filters)
+    if where_sql:
+        joined = joined.filter(F.expr(where_sql))
+    cols = list(return_columns) if return_columns else [c for c in source_df.columns]
+    # order on the pre-projection frame so the pkey tiebreaker survives even
+    # when return_columns drops the key; Catalyst still plans TakeOrdered.
+    ordered = joined.orderBy(F.desc("similarity_score"), F.asc(pkey))
+    return ordered.select(*cols, "similarity_score").limit(num_results)
+
+
+def full_text_search(
+    source_df: DataFrame,
+    pkey: str,
+    query: str,
+    text_cols: Sequence[str],
+    num_results: int = DEFAULT_LIMIT,
+    return_columns: Sequence[str] | None = None,
+    filters: dict[str, FilterValue] | None = None,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """Full-text top-k over an analyzed text column.
+
+    ``tokens_df`` (pkey, search_tokens) is the precomputed _search_tokens
+    dataset; when absent, tokens are derived inline from ``text_cols`` with
+    the NULL-safe space concat (core/src/query.rs:184-190).
+    """
+    terms = analyze_query(query)
+    if tokens_df is not None:
+        toks = tokens_df.select(pkey, "search_tokens")
+        base = source_df.join(toks, pkey, "inner")
+    else:
+        concat = F.concat_ws(
+            " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+        )
+        base = source_df.withColumn("search_tokens", tokens_expr(concat))
+    matched = base.filter(fts_match_expr(F.col("search_tokens"), terms))
+    scored = matched.withColumn(
+        "fts_score", fts_score_expr(F.col("search_tokens"), terms)
+    )
+    if filters:
+        scored = apply_filters(scored, filters)
+    cols = list(return_columns) if return_columns else list(source_df.columns)
+    ordered = scored.orderBy(F.desc("fts_score"), F.asc(pkey))
+    return ordered.select(*cols, "fts_score").limit(num_results)
+
+
+def _ranked(df: DataFrame, order: list[Column], window_size: int, rank_name: str) -> DataFrame:
+    """Top-``window_size`` rows with a dense 1..N ROW_NUMBER rank.
+
+    limit() first bounds the window input, so the single-partition
+    ROW_NUMBER window touches <= window_size rows regardless of table size.
+    """
+    top = df.orderBy(*order).limit(window_size)
+    w = Window.orderBy(*order)
+    return top.withColumn(rank_name, F.row_number().over(w))
+
+
+def hybrid_search(
+    source_df: DataFrame,
+    emb_df: DataFrame,
+    pkey: str,
+    query_vec: Sequence[float],
+    query: str,
+    text_cols: Sequence[str],
+    num_results: int = DEFAULT_LIMIT,
+    window_size: int | None = None,
+    rrf_k: int = DEFAULT_RRF_K,
+    semantic_weight: float = 1.0,
+    fts_weight: float = 1.0,
+    return_columns: Sequence[str] | None = None,
+    filters: dict[str, FilterValue] | None = None,
+    where_sql: str | None = None,
+    emb_col: str = "embeddings",
+    pre_normalized: bool = False,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
+    """Server-side hybrid RRF search (core/src/query.rs:705-785)."""
+    if window_size is None:
+        window_size = 5 * num_results  # server default (routes/search.rs:78-80)
+
+    # --- semantic branch: top-window by similarity -------------------------
+    sem_scored = _scored_semantic(emb_df, pkey, query_vec, emb_col, pre_normalized)
+    sem = _ranked(
+        sem_scored,
+        [F.desc("similarity_score"), F.asc(pkey)],
+        window_size,
+        "semantic_rank",
+    )
+
+    # --- fts branch: top-window by term overlap ----------------------------
+    terms = analyze_query(query)
+    if tokens_df is not None:
+        tok_base = tokens_df.select(pkey, "search_tokens")
+    else:
+        concat = F.concat_ws(
+            " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+        )
+        tok_base = source_df.select(
+            F.col(pkey), tokens_expr(concat).alias("search_tokens")
+        )
+    fts_scored = tok_base.filter(
+        fts_match_expr(F.col("search_tokens"), terms)
+    ).select(
+        pkey, fts_score_expr(F.col("search_tokens"), terms).alias("fts_score")
+    )
+    fts = _ranked(
+        fts_scored, [F.desc("fts_score"), F.asc(pkey)], window_size, "fts_rank"
+    )
+
+    # --- full-outer rank fusion (J3 + A3) ----------------------------------
+    fused = sem.join(fts, pkey, "full_outer").select(
+        F.col(pkey),
+        F.col("similarity_score"),
+        F.col("semantic_rank"),
+        F.col("fts_rank"),
+        (
+            F.coalesce(
+                F.lit(float(semantic_weight))
+                / (F.lit(rrf_k) + F.col("semantic_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(float(fts_weight)) / (F.lit(rrf_k) + F.col("fts_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+
+    # --- join back to source (broadcast the tiny fused side) ---------------
+    joined = source_df.join(F.broadcast(fused), pkey, "inner")
+    if filters:
+        joined = apply_filters(joined, filters)
+    if where_sql:
+        joined = joined.filter(F.expr(where_sql))
+    cols = list(return_columns) if return_columns else list(source_df.columns)
+    ordered = joined.orderBy(F.desc("rrf_score"), F.asc(pkey))
+    return ordered.select(
+        *cols, "rrf_score", "semantic_rank", "fts_rank", "similarity_score"
+    ).limit(num_results)

@@ -1,0 +1,225 @@
+"""DuckDB oracle SQL fragments mirroring the Spark expression library.
+
+The correctness gate runs each Spark query AND an equivalent DuckDB SQL query
+and compares row-count + schema + order-insensitive value hashes. Floating
+point must therefore match bit-for-bit, which these fragments achieve by:
+
+- computing everything in float64;
+- using ``list_reduce`` with a prepended seed so the fold order is identical
+  to Spark's ``aggregate`` (left-to-right, seed first);
+- mirroring tokenization exactly (same regex, same empty-string filtering);
+- rounding only as a final belt-and-braces step where the Spark query also
+  rounds with the same precision.
+
+Every fragment corresponds 1:1 to an expression in functions/vector.py or
+functions/text.py — keep them in sync.
+"""
+
+from __future__ import annotations
+
+from pg_vectorize_spark.functions.text import LANG_MARKERS, STOP_WORDS
+from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
+
+
+def sql_stop_words() -> str:
+    inner = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    return f"[{inner}]"
+
+
+def sql_str_array(items: list[str]) -> str:
+    inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+    return f"[{inner}]"
+
+
+def sql_words(text: str) -> str:
+    """Lowercase word tokens, empties dropped (functions/vector._word_tokens)."""
+    return (
+        f"list_filter(string_split_regex(lower(coalesce({text}, '')), "
+        f"'[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def sql_tokens(text: str) -> str:
+    """Analyzer tokens: words minus stop-words, distinct (text.tokens_expr)."""
+    return (
+        f"list_distinct(list_filter({sql_words(text)}, "
+        f"t -> NOT list_contains({sql_stop_words()}, t)))"
+    )
+
+
+def sql_fts_match(tokens: str, terms: list[str]) -> str:
+    if not terms:
+        return "FALSE"
+    return f"len(list_intersect({tokens}, {sql_str_array(terms)})) > 0"
+
+
+def sql_fts_score(tokens: str, terms: list[str]) -> str:
+    if not terms:
+        return "0.0"
+    return (
+        f"(len(list_intersect({tokens}, {sql_str_array(terms)}))::DOUBLE "
+        f"/ {float(len(terms))!r})"
+    )
+
+
+def sql_poly_hash(expr: str, seed: int = HASH_SEED) -> str:
+    """Polynomial-roll hash over the characters of a string expression."""
+    chars = f"list_transform(range(1, len({expr})+1), i -> ascii(substr({expr}, i::INT, 1))::BIGINT)"
+    return (
+        f"list_reduce(list_prepend({seed}::BIGINT, {chars}), "
+        f"(acc, x) -> (acc*{HASH_MULT} + x) % {HASH_MOD})"
+    )
+
+
+def sql_hash_bucket(expr: str, dim: int) -> str:
+    return f"({sql_poly_hash(expr)} % {dim})"
+
+
+def sql_features(text: str) -> str:
+    """Word tokens + char 3-grams (providers/local.features)."""
+    words = sql_words(text)
+    grams = (
+        f"flatten(list_transform({words}, "
+        f"w -> list_transform(range(0, greatest(len(w)-3, 0)+1), "
+        f"i -> substr(w, (i+1)::INT, 3))))"
+    )
+    return f"list_concat({words}, {grams})"
+
+
+def sql_embed(text: str, dim: int, normalize: bool = True) -> str:
+    """Deterministic hashed-BoW embedding (functions/vector.embed_expr)."""
+    buckets = f"list_transform({sql_features(text)}, f -> {sql_hash_bucket('f', dim)})"
+    counts = (
+        f"list_transform(range(0, {dim}), "
+        f"i -> len(list_filter({buckets}, b -> b = i))::DOUBLE)"
+    )
+    if not normalize:
+        return counts
+    norm = (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({counts}, x -> x*x)), (a, x) -> a + x))"
+    )
+    return (
+        f"(CASE WHEN {norm} > 0 "
+        f"THEN list_transform({counts}, x -> x / {norm}) "
+        f"ELSE {counts} END)"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """Σ a_i*b_i with Spark-identical fold order (vector.dot_product)."""
+    prods = (
+        f"list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i::INT]::DOUBLE * {b}[i::INT]::DOUBLE)"
+    )
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), (acc, x) -> acc + x)"
+
+
+def sql_l2_norm(a: str) -> str:
+    sq = f"list_transform({a}, x -> x::DOUBLE * x::DOUBLE)"
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, {sq}), (acc, x) -> acc + x))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    denom = f"({sql_l2_norm(a)} * {sql_l2_norm(b)})"
+    return (
+        f"(CASE WHEN {denom} > 0 THEN {sql_dot(a, b)} / {denom} ELSE 0.0 END)"
+    )
+
+
+def sql_token_count(text: str) -> str:
+    """functions/text.token_count_expr: alnum-run tokens + punct chars."""
+    words = f"len({sql_words(text)})"
+    punct = (
+        f"len(regexp_replace(coalesce({text}, ''), '[A-Za-z0-9\\s]', '', 'g'))"
+    )
+    return f"({words} + {punct})::BIGINT"
+
+
+def sql_ws_token_count(text: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(coalesce({text}, ''), '\\s+'), "
+        f"x -> x <> ''))::BIGINT"
+    )
+
+
+def sql_fingerprint(text: str) -> str:
+    """functions/text.fingerprint_expr — poly hash over ALL characters."""
+    return sql_poly_hash(f"coalesce({text}, '')")
+
+
+def sql_word_shingles(text: str, k: int = 3) -> str:
+    """Distinct k-word shingles (functions/text.word_shingles_expr)."""
+    words = sql_words(text)
+    joined_parts = " || ' ' || ".join(
+        f"{words}[(i+{j}+1)::INT]" for j in range(k)
+    )
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {k} THEN "
+        f"list_transform(range(0, len({words}) - {k} + 1), i -> {joined_parts}) "
+        f"ELSE [array_to_string({words}, ' ')] END)"
+    )
+
+
+def sql_quality_metrics(text: str) -> dict[str, str]:
+    """functions/text.quality_metrics_exprs, field by field."""
+    t = f"coalesce({text}, '')"
+    words = sql_words(text)
+    n_chars = f"len({t})::BIGINT"
+    n_words = f"len({words})::BIGINT"
+    sum_word_len = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({words}, w -> len(w)::DOUBLE)), (a, x) -> a + x)"
+    )
+    mean_word_len = (
+        f"(CASE WHEN {n_words} > 0 THEN {sum_word_len} / ({n_words})::DOUBLE "
+        f"ELSE 0.0 END)"
+    )
+    n_punct = f"len(regexp_replace({t}, '[A-Za-z0-9\\s]', '', 'g'))::BIGINT"
+    punct_ratio = (
+        f"(CASE WHEN {n_chars} > 0 THEN ({n_punct})::DOUBLE / ({n_chars})::DOUBLE "
+        f"ELSE 0.0 END)"
+    )
+    stop_hits = (
+        f"len(list_intersect(list_distinct({words}), {sql_stop_words()}))::BIGINT"
+    )
+    stopword_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN ({stop_hits})::DOUBLE / ({n_words})::DOUBLE "
+        f"ELSE 0.0 END)"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+    }
+
+
+def sql_quality_score(text: str) -> str:
+    m = sql_quality_metrics(text)
+    len_term = f"least(({m['n_chars']})::DOUBLE / 500.0, 1.0)"
+    word_term = f"least(({m['n_words']})::DOUBLE / 50.0, 1.0)"
+    punct_term = f"greatest(0.0, 1.0 - {m['punct_ratio']} * 5.0)"
+    stop_term = f"least({m['stopword_ratio']} * 2.0, 1.0)"
+    return (
+        f"({len_term} * 0.25 + {word_term} * 0.25 + {punct_term} * 0.25 "
+        f"+ {stop_term} * 0.25)"
+    )
+
+
+def sql_lang_id(text: str) -> str:
+    """functions/text.lang_id_expr — argmax of marker hits, tie -> first code."""
+    words = f"list_distinct({sql_words(text)})"
+    scores = {
+        lang: f"len(list_intersect({words}, {sql_str_array(markers)}))"
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    return f"(CASE {whens} ELSE 'unknown' END)"

@@ -1,0 +1,146 @@
+"""Model-name parsing and provider dispatch.
+
+Mirrors the reference's model registry (core/src/types.rs:233-300,
+core/src/transformers/providers/mod.rs:52-79):
+
+- model names are ``source/namespace/name`` with at most 3 slash-separated
+  parts;
+- a known source prefix (openai, cohere, ollama, portkey, voyage,
+  sentence-transformers, local) selects the provider;
+- an UNKNOWN source defaults to SentenceTransformers (hot-loadable HF model)
+  — here that maps to the OpenAI-schema HTTP provider if an endpoint is
+  configured, else the deterministic local embedder;
+- legacy bare names (no slash) are special-cased to SentenceTransformers
+  (core/src/types.rs:286-300).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from enum import Enum
+
+from pg_vectorize_spark.errors import ModelError
+from pg_vectorize_spark.providers.base import EmbeddingProvider
+from pg_vectorize_spark.providers.local import DEFAULT_DIM, LocalHashEmbedder
+
+# dims the reference hard-codes per provider (openai.rs:131-138, cohere.rs:15-26)
+KNOWN_DIMS = {
+    "openai/text-embedding-ada-002": 1536,
+    "openai/text-embedding-3-small": 1536,
+    "openai/text-embedding-3-large": 3072,
+    "cohere/embed-english-v3.0": 1024,
+    "cohere/embed-english-light-v3.0": 384,
+    "cohere/embed-multilingual-v3.0": 1024,
+    "sentence-transformers/all-MiniLM-L6-v2": 384,
+    "sentence-transformers/all-MiniLM-L12-v2": 384,
+}
+
+
+class ModelSource(str, Enum):
+    OPENAI = "openai"
+    COHERE = "cohere"
+    OLLAMA = "ollama"
+    PORTKEY = "portkey"
+    VOYAGE = "voyage"
+    SENTENCE_TRANSFORMERS = "sentence-transformers"
+    LOCAL = "local"
+
+
+_KNOWN_SOURCES = {s.value for s in ModelSource}
+
+
+@dataclass(frozen=True)
+class Model:
+    source: ModelSource
+    name: str  # namespace/name remainder
+    fullname: str  # original string
+
+    @property
+    def api_name(self) -> str:
+        return self.name
+
+
+def parse_model(model: str) -> Model:
+    """Parse ``source/namespace/name`` (<=3 parts, core/src/types.rs:233-266)."""
+    if not model or not isinstance(model, str):
+        raise ModelError(f"invalid model name: {model!r}")
+    parts = model.split("/")
+    if len(parts) > 3:
+        raise ModelError(f"model name has too many parts (max 3): {model!r}")
+    if len(parts) == 1:
+        # legacy bare name -> sentence-transformers (core/src/types.rs:286-300)
+        return Model(ModelSource.SENTENCE_TRANSFORMERS, parts[0], model)
+    src = parts[0]
+    rest = "/".join(parts[1:])
+    if src in _KNOWN_SOURCES:
+        return Model(ModelSource(src), rest, model)
+    # unknown source defaults to sentence-transformers with the FULL name as
+    # the model id (hot-loadable HF org/model, core/src/types.rs:254-262)
+    return Model(ModelSource.SENTENCE_TRANSFORMERS, model, model)
+
+
+def model_dim(model: Model, probe: EmbeddingProvider | None = None) -> int:
+    """Dimension lookup: static table, local spec, or probe-embedding.
+
+    The probe fallback mirrors Ollama's discover-by-embedding
+    (core/src/transformers/providers/ollama.rs:58-67).
+    """
+    if model.fullname in KNOWN_DIMS:
+        return KNOWN_DIMS[model.fullname]
+    if model.source == ModelSource.LOCAL:
+        return _local_dim(model)
+    if probe is not None:
+        return len(probe.generate_embedding(["dimension probe"])[0])
+    raise ModelError(f"unknown model dimension: {model.fullname}")
+
+
+def _local_dim(model: Model) -> int:
+    # local/hash-embedder-<dim>
+    name = model.name
+    if "-" in name:
+        tail = name.rsplit("-", 1)[1]
+        if tail.isdigit():
+            return int(tail)
+    return DEFAULT_DIM
+
+
+def get_provider(
+    model_name: str,
+    api_key: str | None = None,
+    url: str | None = None,
+) -> EmbeddingProvider:
+    """Dispatch a model name to a provider instance.
+
+    - ``local/...`` -> deterministic hashing embedder;
+    - every HTTP source (openai / cohere / ollama / portkey / voyage /
+      sentence-transformers) -> the OpenAI-schema HTTP client pointed at
+      that source's endpoint (the reference's vector-serve speaks the same
+      schema, vector-serve/app/routes/transform.py:23-77). Falls back to the
+      local embedder when no endpoint is configured — keeps tests hermetic.
+    """
+    model = parse_model(model_name)
+    if model.source == ModelSource.LOCAL:
+        return LocalHashEmbedder(dim=_local_dim(model))
+
+    endpoint = url or _default_endpoint(model.source)
+    if endpoint:
+        from pg_vectorize_spark.providers.http_openai import OpenAISchemaEmbedder
+
+        dim = KNOWN_DIMS.get(model.fullname)
+        return OpenAISchemaEmbedder(
+            endpoint, model.api_name, api_key=api_key, dim=dim
+        )
+    return LocalHashEmbedder()
+
+
+def _default_endpoint(source: ModelSource) -> str | None:
+    env_map = {
+        ModelSource.OPENAI: "OPENAI_BASE_URL",
+        ModelSource.COHERE: "COHERE_BASE_URL",
+        ModelSource.OLLAMA: "OLLAMA_BASE_URL",
+        ModelSource.PORTKEY: "PORTKEY_BASE_URL",
+        ModelSource.VOYAGE: "VOYAGE_BASE_URL",
+        ModelSource.SENTENCE_TRANSFORMERS: "EMBEDDING_SVC_URL",
+    }
+    return os.environ.get(env_map[source])

@@ -1,0 +1,209 @@
+"""Search operator behavior tests on the products fixture (FIXTURES.md §1):
+semantic ordering, filter placement + counts, hybrid RRF math goldens,
+filter-order invariance — mirroring the reference's server test assertions
+(server/tests/tests.rs:105-380, README.md:75-90)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.filters import parse_filters
+from pg_vectorize_spark.functions.vector import l2_normalize
+from pg_vectorize_spark.operators.embed import embed_bulk_exploded
+from pg_vectorize_spark.operators.search import (
+    full_text_search,
+    hybrid_search,
+    semantic_search,
+)
+from pg_vectorize_spark.providers.local import LocalHashEmbedder
+
+DIM = 64
+EMB = LocalHashEmbedder(dim=DIM)
+
+
+def _emb_df(products_df):
+    src = products_df.withColumn(
+        "content",
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("product_name"), F.lit("")),
+            F.coalesce(F.col("description"), F.lit("")),
+        ),
+    )
+    return embed_bulk_exploded(src, "content", "product_id", DIM)
+
+
+def test_semantic_topk_returns_relevant(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("mobile phone charger devices")
+    out = semantic_search(
+        products_df, emb, "product_id", qv, num_results=3, pre_normalized=True
+    ).collect()
+    names = [r["product_name"] for r in out]
+    assert len(out) == 3
+    assert "Phone Charger" in names
+    # scores descending
+    scores = [r["similarity_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_semantic_search_filters_post_ranking(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("anything at all")
+    out = semantic_search(
+        products_df,
+        emb,
+        "product_id",
+        qv,
+        num_results=40,
+        filters=parse_filters({"product_category": "eq.electronics"}),
+        pre_normalized=True,
+    ).collect()
+    assert len(out) == 5  # electronics rows in the fixture
+    assert all(r["product_category"] == "electronics" for r in out)
+
+
+def test_filter_counts_match_reference_shapes(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("q")
+
+    def count_with(filters):
+        return len(
+            semantic_search(
+                products_df,
+                emb,
+                "product_id",
+                qv,
+                num_results=100,
+                filters=parse_filters(filters),
+                pre_normalized=True,
+            ).collect()
+        )
+
+    # price=eq.25 -> {Wireless Mouse, Alarm Clock}
+    assert count_with({"price": "eq.25"}) == 2
+    assert count_with({"price": "gt.20"}) == 6
+    assert count_with({"price": "lte.25"}) == 11
+    assert count_with({"price": "gte.24.5"}) == 6
+
+
+def test_filter_order_invariance(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("gadget")
+    a = semantic_search(
+        products_df, emb, "product_id", qv, num_results=40,
+        filters=parse_filters(
+            {"product_category": "eq.electronics", "price": "lte.25"}
+        ),
+        pre_normalized=True,
+    ).collect()
+    b = semantic_search(
+        products_df, emb, "product_id", qv, num_results=40,
+        filters=parse_filters(
+            {"price": "lte.25", "product_category": "eq.electronics"}
+        ),
+        pre_normalized=True,
+    ).collect()
+    assert [r["product_id"] for r in a] == [r["product_id"] for r in b]
+
+
+def test_where_sql(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("kitchen tools")
+    out = semantic_search(
+        products_df, emb, "product_id", qv, num_results=40,
+        where_sql="price > 5 AND product_category = 'kitchen'",
+        pre_normalized=True,
+    ).collect()
+    assert {r["product_name"] for r in out} == {
+        "Water Bottle", "Coffee Mug", "Pizza Cutter"
+    }
+
+
+def test_return_columns_projection(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("pencil")
+    out = semantic_search(
+        products_df, emb, "product_id", qv, num_results=2,
+        return_columns=["product_name"], pre_normalized=True,
+    )
+    assert out.columns == ["product_name", "similarity_score"]
+
+
+def test_fts_search(products_df):
+    out = full_text_search(
+        products_df,
+        "product_id",
+        "bluetooth speaker",
+        text_cols=["product_name", "description"],
+        num_results=5,
+    ).collect()
+    assert out[0]["product_name"] == "Bluetooth Speaker"
+    assert all(r["fts_score"] > 0 for r in out)
+
+
+def test_fts_or_semantics(products_df):
+    # plainto_tsquery & -> | rewrite: ANY term matches (OR semantics)
+    out = full_text_search(
+        products_df,
+        "product_id",
+        "pizza airplane",
+        text_cols=["product_name", "description"],
+        num_results=10,
+    ).collect()
+    names = {r["product_name"] for r in out}
+    assert "Pizza Cutter" in names and "Airplane Model" in names
+
+
+def test_hybrid_rrf_golden_math(products_df):
+    """A doc ranked #1 in both branches gets rrf = 2/(60+1) (README.md:75-90)."""
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("Portable bluetooth speaker for mobile devices")
+    out = hybrid_search(
+        products_df,
+        emb,
+        "product_id",
+        qv,
+        "portable bluetooth speaker",
+        text_cols=["product_name", "description"],
+        num_results=5,
+        pre_normalized=True,
+    ).collect()
+    top = out[0]
+    assert top["product_name"] == "Bluetooth Speaker"
+    assert top["semantic_rank"] == 1 and top["fts_rank"] == 1
+    assert math.isclose(top["rrf_score"], 2.0 / 61.0, rel_tol=1e-12)
+
+
+def test_hybrid_missing_rank_contributes_zero(products_df):
+    emb = _emb_df(products_df)
+    # query that matches "pizza" lexically; semantic branch still ranks all
+    qv = EMB.embed_one("zzzz qqqq xxxx")
+    out = hybrid_search(
+        products_df, emb, "product_id", qv, "pizza",
+        text_cols=["product_name", "description"], num_results=14,
+        window_size=3,
+    ).collect()
+    by_name = {r["product_name"]: r for r in out}
+    pz = by_name["Pizza Cutter"]
+    if pz["semantic_rank"] is None:
+        expected = 1.0 / (60 + pz["fts_rank"])
+        assert math.isclose(pz["rrf_score"], expected, rel_tol=1e-12)
+
+
+def test_hybrid_weights(products_df):
+    emb = _emb_df(products_df)
+    qv = EMB.embed_one("portable bluetooth speaker")
+    out = hybrid_search(
+        products_df, emb, "product_id", qv, "portable bluetooth speaker",
+        text_cols=["product_name", "description"], num_results=3,
+        semantic_weight=0.0, fts_weight=1.0,
+    ).collect()
+    # with semantic weight 0, rrf must equal fts-only contribution
+    for r in out:
+        if r["fts_rank"] is not None:
+            assert math.isclose(
+                r["rrf_score"], 1.0 / (60 + r["fts_rank"]), rel_tol=1e-12
+            )
