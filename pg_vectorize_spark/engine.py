@@ -1,0 +1,465 @@
+"""VectorizeSession — the engine's user-facing API (parity surface).
+
+One class covering the reference's SQL + HTTP surface (SURVEY.md §2.10):
+
+| reference                           | here                            |
+|-------------------------------------|---------------------------------|
+| vectorize.table() / POST /table     | create_job()                    |
+| vectorize.search() / GET /search    | search()                        |
+| vectorize.hybrid_search()           | hybrid_search()                 |
+| (fts branch of hybrid)              | full_text_search()              |
+| vectorize.rag()                     | rag()                           |
+| vectorize.encode/transform_embeddings | encode()                     |
+| vectorize.generate()                | generate()                      |
+| vectorize.chunk_text/chunk_table    | chunk_text()/chunk_table()      |
+| vectorize.import_embeddings         | import_embeddings()             |
+| vectorize.table_from()              | create_job_from()               |
+| vectorize.job_execute / scan        | scan_job()                      |
+| DELETE /table/{job}                 | delete_job()                    |
+| <job>_view                          | job_view() (temp view)          |
+
+Per-job artifacts live under ``<workspace>/jobs/<job>/``:
+``embeddings/`` and ``search_tokens/`` snapshot datasets — the
+``_embeddings_<job>`` / ``_search_tokens_<job>`` tables
+(core/src/query.rs:322-357).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.catalog import Catalog, JobRecord
+from pg_vectorize_spark.config import DEFAULT_CONFIG, Config
+from pg_vectorize_spark.errors import VectorizeError
+from pg_vectorize_spark.filters import parse_filters
+from pg_vectorize_spark.functions.text import tokens_expr
+from pg_vectorize_spark.operators.change import (
+    concat_source_columns,
+    detect_changes_join,
+    fetch_by_ids,
+)
+from pg_vectorize_spark.operators.chunk import (
+    chunk_table_greedy,
+    chunk_text_greedy,
+)
+from pg_vectorize_spark.operators.embed import embed_bulk_pandas
+from pg_vectorize_spark.operators.search import (
+    full_text_search as _fts_op,
+)
+from pg_vectorize_spark.operators.search import (
+    hybrid_search as _hybrid_op,
+)
+from pg_vectorize_spark.operators.search import (
+    semantic_search as _semantic_op,
+)
+from pg_vectorize_spark.providers.base import ChatProvider
+from pg_vectorize_spark.providers.registry import get_provider, model_dim, parse_model
+from pg_vectorize_spark.rag import RagResult, run_rag
+from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+
+
+class VectorizeSession:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workspace: str | None = None,
+        config: Config | None = None,
+        chat_provider: ChatProvider | None = None,
+    ):
+        self.spark = spark
+        self.config = config or DEFAULT_CONFIG
+        self.workspace = workspace or self.config.workspace_dir
+        self.catalog = Catalog(self.workspace)
+        self._chat = chat_provider
+
+    # ------------------------------------------------------------------ io
+
+    def _job_dir(self, job_name: str, kind: str) -> str:
+        return os.path.join(self.workspace, "jobs", job_name, kind)
+
+    def _emb_ds(self, job_name: str) -> SnapshotDataset:
+        return SnapshotDataset(self.spark, self._job_dir(job_name, "embeddings"))
+
+    def _tok_ds(self, job_name: str) -> SnapshotDataset:
+        return SnapshotDataset(
+            self.spark, self._job_dir(job_name, "search_tokens")
+        )
+
+    def _source_df(self, job: JobRecord) -> DataFrame:
+        if os.path.exists(job.src_path):
+            return self.spark.read.parquet(job.src_path)
+        # else: a registered temp view / table name
+        return self.spark.table(job.src_path)
+
+    # ----------------------------------------------------------- lifecycle
+
+    def create_job(
+        self,
+        job_name: str,
+        src_path: str,
+        columns: Sequence[str],
+        primary_key: str,
+        update_time_col: str | None = None,
+        model: str | None = None,
+        table_method: str = "join",
+        schedule: str = "realtime",
+        api_key: str | None = None,
+        run_initial_load: bool = True,
+    ) -> JobRecord:
+        """vectorize.table(): catalog row + dim discovery + initial load +
+        tokens backfill + view registration (core/src/init.rs:122-269)."""
+        model = model or self.config.default_transformer
+        provider = get_provider(model, api_key=api_key)
+        dim = model_dim(parse_model(model), probe=provider)
+        job = JobRecord(
+            job_name=job_name,
+            src_path=src_path,
+            src_columns=list(columns),
+            primary_key=primary_key,
+            update_time_col=update_time_col,
+            model=model,
+            dim=dim,
+            table_method=table_method,
+            schedule=schedule,
+        )
+        self.catalog.create(job)
+        if run_initial_load:
+            self.scan_job(job_name, api_key=api_key)
+        self.job_view(job_name)
+        return job
+
+    def scan_job(self, job_name: str, api_key: str | None = None) -> int:
+        """vectorize.job_execute(): change detection -> embed -> upsert ->
+        token refresh (core/src/init.rs:272-315). Returns rows embedded."""
+        job = self.catalog.get(job_name)
+        src = self._source_df(job)
+        emb_ds = self._emb_ds(job_name)
+        pkey = job.primary_key
+
+        if emb_ds.exists():
+            changed = detect_changes_join(
+                src, emb_ds.read(), pkey, job.update_time_col
+            )
+        else:
+            changed = src
+        content = concat_source_columns(job.src_columns)
+        work = changed.select(F.col(pkey), content.alias("_content"))
+
+        provider = get_provider(job.model, api_key=api_key)
+        embedded = embed_bulk_pandas(
+            work,
+            "_content",
+            pkey,
+            provider=provider,
+            request_cap=self.config.provider_request_cap,
+        ).withColumn("updated_at", F.current_timestamp())
+
+        n = embedded.count()
+        if n > 0:
+            emb_ds.merge_upsert(embedded, pkey)
+            tokens = changed.select(
+                F.col(pkey),
+                tokens_expr(content).alias("search_tokens"),
+            ).withColumn("updated_at", F.current_timestamp())
+            self._tok_ds(job_name).merge_upsert(tokens, pkey)
+        return n
+
+    def handle_update(
+        self, job_name: str, record_ids: list, api_key: str | None = None
+    ) -> int:
+        """_handle_table_update(): re-embed an explicit id list (S3 path,
+        core/src/query.rs:466-502)."""
+        job = self.catalog.get(job_name)
+        src = self._source_df(job)
+        pkey = job.primary_key
+        rows = fetch_by_ids(src, pkey, record_ids)
+        content = concat_source_columns(job.src_columns)
+        work = rows.select(F.col(pkey), content.alias("_content"))
+        provider = get_provider(job.model, api_key=api_key)
+        embedded = embed_bulk_pandas(
+            work, "_content", pkey, provider=provider
+        ).withColumn("updated_at", F.current_timestamp())
+        n = embedded.count()
+        if n:
+            self._emb_ds(job_name).merge_upsert(embedded, pkey)
+            tokens = rows.select(
+                F.col(pkey), tokens_expr(content).alias("search_tokens")
+            ).withColumn("updated_at", F.current_timestamp())
+            self._tok_ds(job_name).merge_upsert(tokens, pkey)
+        return n
+
+    def delete_job(self, job_name: str) -> bool:
+        """DELETE /table/{job}: drop artifacts + catalog row, idempotent
+        best-effort (core/src/init.rs:317-395)."""
+        self._emb_ds(job_name).drop()
+        self._tok_ds(job_name).drop()
+        try:
+            self.spark.catalog.dropTempView(f"{job_name}_view")
+        except Exception:  # noqa: BLE001 — view may not exist
+            pass
+        return self.catalog.delete(job_name)
+
+    def job_view(self, job_name: str) -> DataFrame:
+        """<job>_view: source ⋈ embeddings (core/src/query.rs:311-320)."""
+        job = self.catalog.get(job_name)
+        src = self._source_df(job)
+        emb = self._emb_ds(job_name)
+        if emb.exists():
+            e = emb.read().withColumnRenamed(
+                "updated_at", "embeddings_updated_at"
+            )
+            view = src.join(e, job.primary_key, "left")
+        else:
+            view = src
+        view.createOrReplaceTempView(f"{job_name}_view")
+        return view
+
+    # ------------------------------------------------------------- queries
+
+    def _query_vec(self, job: JobRecord, query: str, api_key: str | None):
+        provider = get_provider(job.model, api_key=api_key)
+        return provider.generate_embedding([query])[0]
+
+    def search(
+        self,
+        job_name: str,
+        query: str,
+        num_results: int = 10,
+        return_columns: Sequence[str] | None = None,
+        filters: dict[str, str] | None = None,
+        where_sql: str | None = None,
+        api_key: str | None = None,
+    ) -> list[dict]:
+        """vectorize.search(): semantic top-k, JSON-shaped rows."""
+        job = self.catalog.get(job_name)
+        if not self._emb_ds(job_name).exists():
+            raise VectorizeError(f"job {job_name} has no embeddings yet")
+        qv = self._query_vec(job, query, api_key)
+        df = _semantic_op(
+            self._source_df(job),
+            self._emb_ds(job_name).read().select(job.primary_key, "embeddings"),
+            job.primary_key,
+            qv,
+            num_results=num_results,
+            return_columns=return_columns,
+            filters=parse_filters(filters) if filters else None,
+            where_sql=where_sql,
+            pre_normalized=True,
+        )
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    def full_text_search(
+        self,
+        job_name: str,
+        query: str,
+        num_results: int = 10,
+        return_columns: Sequence[str] | None = None,
+        filters: dict[str, str] | None = None,
+    ) -> list[dict]:
+        job = self.catalog.get(job_name)
+        tokens_df = (
+            self._tok_ds(job_name).read()
+            if self._tok_ds(job_name).exists()
+            else None
+        )
+        df = _fts_op(
+            self._source_df(job),
+            job.primary_key,
+            query,
+            text_cols=job.src_columns,
+            num_results=num_results,
+            return_columns=return_columns,
+            filters=parse_filters(filters) if filters else None,
+            tokens_df=tokens_df,
+        )
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    def hybrid_search(
+        self,
+        job_name: str,
+        query: str,
+        num_results: int = 10,
+        window_size: int | None = None,
+        rrf_k: int = 60,
+        semantic_weight: float = 1.0,
+        fts_weight: float = 1.0,
+        return_columns: Sequence[str] | None = None,
+        filters: dict[str, str] | None = None,
+        where_sql: str | None = None,
+        api_key: str | None = None,
+    ) -> list[dict]:
+        """vectorize.hybrid_search() — server-side RRF shape."""
+        job = self.catalog.get(job_name)
+        if not self._emb_ds(job_name).exists():
+            raise VectorizeError(f"job {job_name} has no embeddings yet")
+        qv = self._query_vec(job, query, api_key)
+        tokens_df = (
+            self._tok_ds(job_name).read()
+            if self._tok_ds(job_name).exists()
+            else None
+        )
+        df = _hybrid_op(
+            self._source_df(job),
+            self._emb_ds(job_name).read().select(job.primary_key, "embeddings"),
+            job.primary_key,
+            qv,
+            query,
+            text_cols=job.src_columns,
+            num_results=num_results,
+            window_size=window_size,
+            rrf_k=rrf_k,
+            semantic_weight=semantic_weight,
+            fts_weight=fts_weight,
+            return_columns=return_columns,
+            filters=parse_filters(filters) if filters else None,
+            where_sql=where_sql,
+            pre_normalized=True,
+            tokens_df=tokens_df,
+        )
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    # ----------------------------------------------------------- functions
+
+    def encode(self, text: str, model: str | None = None, api_key: str | None = None):
+        """vectorize.encode()/transform_embeddings(): one string -> vector."""
+        provider = get_provider(model or self.config.default_transformer, api_key)
+        return provider.generate_embedding([text])[0]
+
+    def generate(self, input_text: str, chat: ChatProvider | None = None) -> str:
+        """vectorize.generate(): one-shot chat completion."""
+        chat = chat or self._chat
+        if chat is None:
+            raise VectorizeError("no chat provider configured")
+        return chat.generate_response([{"role": "user", "content": input_text}])
+
+    def chunk_text(self, doc: str, max_chars: int) -> list[str]:
+        return chunk_text_greedy(doc, max_chars)
+
+    def chunk_table(
+        self,
+        src_path: str,
+        column: str,
+        primary_key: str,
+        max_chunk_size: int = 1000,
+        output_view: str = "chunked_data",
+    ) -> DataFrame:
+        """vectorize.chunk_table(): chunk a column table-wide; registers the
+        output as a temp view (the reference writes a table)."""
+        df = (
+            self.spark.read.parquet(src_path)
+            if os.path.exists(src_path)
+            else self.spark.table(src_path)
+        )
+        out = chunk_table_greedy(df, column, primary_key, max_chunk_size)
+        out.createOrReplaceTempView(output_view)
+        return out
+
+    def import_embeddings(
+        self,
+        job_name: str,
+        src_path: str,
+        src_pk: str,
+        src_emb_col: str,
+    ) -> int:
+        """vectorize.import_embeddings(): copy user-supplied vectors into the
+        job's embeddings dataset (extension/src/api.rs:250-326)."""
+        job = self.catalog.get(job_name)
+        src = (
+            self.spark.read.parquet(src_path)
+            if os.path.exists(src_path)
+            else self.spark.table(src_path)
+        )
+        incoming = src.select(
+            F.col(src_pk).alias(job.primary_key),
+            F.transform(F.col(src_emb_col), lambda x: x.cast("double")).alias(
+                "embeddings"
+            ),
+            F.current_timestamp().alias("updated_at"),
+        )
+        n = incoming.count()
+        dims = incoming.select(F.size("embeddings").alias("d")).distinct().collect()
+        if len(dims) > 1 or (dims and dims[0]["d"] != job.dim):
+            raise VectorizeError(
+                f"imported vectors must all have dim {job.dim}, got "
+                f"{sorted(r['d'] for r in dims)}"
+            )
+        self._emb_ds(job_name).merge_upsert(incoming, job.primary_key)
+        return n
+
+    def create_job_from(
+        self,
+        job_name: str,
+        src_path: str,
+        columns: Sequence[str],
+        primary_key: str,
+        emb_src_path: str,
+        emb_src_pk: str,
+        emb_src_col: str,
+        update_time_col: str | None = None,
+        model: str | None = None,
+    ) -> JobRecord:
+        """vectorize.table_from(): create a job seeded from existing
+        embeddings instead of an initial embed run (extension/src/api.rs:328-390)."""
+        job = self.create_job(
+            job_name,
+            src_path,
+            columns,
+            primary_key,
+            update_time_col=update_time_col,
+            model=model,
+            run_initial_load=False,
+        )
+        # dimension comes from the imported table, not the model probe
+        src = (
+            self.spark.read.parquet(emb_src_path)
+            if os.path.exists(emb_src_path)
+            else self.spark.table(emb_src_path)
+        )
+        first = src.select(F.size(F.col(emb_src_col)).alias("d")).head()
+        if first is not None:
+            job.dim = int(first["d"])
+            self.catalog.create(job, replace=True)
+        self.import_embeddings(job_name, emb_src_path, emb_src_pk, emb_src_col)
+        self.job_view(job_name)
+        return job
+
+    def rag(
+        self,
+        job_name: str,
+        query: str,
+        num_context: int = 2,
+        task: str = "question_answer",
+        chat_model: str = "openai/gpt-4o-mini",
+        force_trim: bool = False,
+        chat: ChatProvider | None = None,
+        api_key: str | None = None,
+    ) -> RagResult:
+        """vectorize.rag(): search -> render -> complete (§2.12). Requires a
+        single-column job (extension parity)."""
+        job = self.catalog.get(job_name)
+        if len(job.src_columns) != 1:
+            raise VectorizeError(
+                "rag() requires a job with exactly one source column "
+                f"(got {job.src_columns})"
+            )
+        content_col = job.src_columns[0]
+        results = self.search(
+            job_name, query, num_results=num_context, api_key=api_key
+        )
+        chat = chat or self._chat
+        if chat is None:
+            raise VectorizeError("no chat provider configured")
+        return run_rag(
+            results,
+            query,
+            chat,
+            content_col=content_col,
+            pkey=job.primary_key,
+            task=task,
+            chat_model=chat_model,
+            force_trim=force_trim,
+        )

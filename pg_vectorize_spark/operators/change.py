@@ -1,0 +1,154 @@
+"""Incremental-pipeline operators: change detection, record fetch, batching.
+
+Change detection reproduces the reference's S1/S2 scans
+(core/src/query.rs:556-596; extension/src/executor.rs:98-135):
+
+- join method: rows with NO embedding (left anti) UNION rows whose source
+  ``updated_at`` is newer than the embedding's ``updated_at``
+  (``> COALESCE(emb.updated_at, '-infinity')``);
+- append method: single-table freshness predicate.
+
+Batching reproduces R3/R4:
+
+- ``batch_by_count``: fixed-size record batches (trigger batch_size 1000,
+  core/src/query.rs:466-537);
+- ``pack_by_token_budget``: greedy packing with Σtokens <= budget (10_000,
+  core/src/query.rs:630-651) — sequential by definition, used per
+  partition/driver work-list;
+- ``batch_by_token_budget_distributed``: the SQL-expressible running-sum
+  spec — batch = floor(exclusive_cumsum(tokens) / budget) — used when the
+  work-list itself is huge (documented divergence: batches can overshoot
+  the budget by less than one item).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_TS = "0001-01-01 00:00:00"  # the reference's '0001-01-01' sentinel
+
+
+def detect_changes_join(
+    src: DataFrame,
+    emb: DataFrame,
+    pkey: str,
+    update_time_col: str | None = None,
+    emb_updated_col: str = "updated_at",
+) -> DataFrame:
+    """S1: new rows (anti-join) ∪ stale rows (freshness predicate)."""
+    new_rows = src.join(emb, pkey, "left_anti")
+    if update_time_col is None:
+        return new_rows
+    emb_ts = emb.select(
+        pkey, F.col(emb_updated_col).alias("_emb_updated_at")
+    )
+    stale = (
+        src.join(emb_ts, pkey, "inner")
+        .filter(
+            F.col(update_time_col)
+            > F.coalesce(
+                F.col("_emb_updated_at"), F.lit(MIN_TS).cast("timestamp")
+            )
+        )
+        .drop("_emb_updated_at")
+    )
+    return new_rows.unionByName(stale)
+
+
+def detect_changes_append(
+    src: DataFrame,
+    update_time_col: str,
+    emb_updated_col: str,
+) -> DataFrame:
+    """S2: single-table variant — embedded timestamps live on the source."""
+    return src.filter(
+        F.col(emb_updated_col).isNull()
+        | (
+            F.col(update_time_col)
+            > F.coalesce(F.col(emb_updated_col), F.lit(MIN_TS).cast("timestamp"))
+        )
+    )
+
+
+def fetch_by_ids(src: DataFrame, pkey: str, ids: list) -> DataFrame:
+    """S3: ``pkey = ANY($1)`` — isin for short lists (broadcast literal)."""
+    return src.filter(F.col(pkey).isin(ids))
+
+
+def fetch_by_ids_df(src: DataFrame, ids_df: DataFrame, pkey: str) -> DataFrame:
+    """S3 for large id sets: left-semi join (broadcast decided by AQE)."""
+    return src.join(ids_df.select(pkey), pkey, "left_semi")
+
+
+def concat_source_columns(cols: list[str], style: str = "space") -> Column:
+    """NULL-safe concat of source columns (P6). Styles mirror the three
+    variants: 'space' (core/src/query.rs:184-190), 'comma'
+    (extension/src/executor.rs:179-188), 'prefixed'
+    (worker/src/executor.rs:96-101)."""
+    safe = [F.coalesce(F.col(c), F.lit("")) for c in cols]
+    if style == "space":
+        return F.concat_ws(" ", *safe)
+    if style == "comma":
+        return F.concat_ws(", ", *safe)
+    if style == "prefixed":
+        parts = [
+            F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c), F.lit("")))
+            for c in cols
+        ]
+        return F.concat_ws(" ", *parts)
+    raise ValueError(f"unknown concat style: {style}")
+
+
+def batch_by_count(
+    df: DataFrame, pkey: str, batch_size: int = 1000
+) -> DataFrame:
+    """R3: deterministic fixed-count batches, ordered by pkey.
+
+    Adds ``batch_id``. The global row_number is a single-partition window —
+    fine for work-lists (the queue-message analog); for huge backfills use
+    the token-budget distributed variant or zipWithIndex-style salting.
+    """
+    w = Window.orderBy(pkey)
+    return df.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+
+
+def pack_by_token_budget(
+    items: list[tuple[str, int]], budget: int = 10_000
+) -> list[list[str]]:
+    """R4: greedy packing (reference parity, core/src/query.rs:630-651).
+
+    items = [(record_id, token_count)]; each batch keeps Σtokens <= budget;
+    an item larger than the budget gets its own batch.
+    """
+    batches: list[list[str]] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for rid, toks in items:
+        if cur and cur_tokens + toks > budget:
+            batches.append(cur)
+            cur = []
+            cur_tokens = 0
+        cur.append(rid)
+        cur_tokens += toks
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def batch_by_token_budget_distributed(
+    df: DataFrame, pkey: str, token_col: str, budget: int = 10_000
+) -> DataFrame:
+    """R4 scale spec: batch = floor(exclusive running Σtokens / budget),
+    ordered by pkey. SQL-expressible (oracle-checkable) and shuffle-friendly."""
+    w = Window.orderBy(pkey).rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "batch_id",
+        F.floor(
+            F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("double")
+            / budget
+        ).cast("long"),
+    )
