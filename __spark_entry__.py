@@ -40,6 +40,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    read nanos as long and convert with exact integer division to the same
+    microsecond value DuckDB produces natively."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The query vector: embedding of vec_id 0 (driver-side fetch, mirrors
     the reference's query-embedding-at-driver step)."""
@@ -249,6 +260,222 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs via inverted index."""
+    from pg_vectorize_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4x4 banded LSH candidate pairs."""
+    from pg_vectorize_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3)
+    return minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures themselves (the write-time artifact)."""
+    from pg_vectorize_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3).select(
+        F.col("_id").alias("doc_id"), "signature"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bit SimHash fingerprint per document."""
+    from pg_vectorize_spark.operators.dedup import simhash_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_expr(F.col("text"), bits=20).alias("simhash")
+    )
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 6."""
+    from pg_vectorize_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", bits=20, max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, exact)."""
+    from pg_vectorize_spark.operators.dedup import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold sized to the synthetic corpus (max pairwise cosine ~0.51)
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat: 8 deterministic centroids, probe 2 cells, exact rescore."""
+    from pg_vectorize_spark.operators.ann import default_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("embeddings")
+    )
+    cents = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+    qv = _query_vec(spark, sf_dir)
+    return ivf_topk(
+        emb, cents, "vec_id", "embeddings", qv, k=10, nprobe=2
+    )
+
+
+def q_ann_signbit_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucket pruning + exact rescore."""
+    from pg_vectorize_spark.operators.ann import signbit_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("embeddings")
+    )
+    qv = _query_vec(spark, sf_dir)
+    return signbit_lsh_topk(emb, "vec_id", "embeddings", qv, k=10, nbits=8)
+
+
+def q_batch_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 count batching: batch aggregates over documents (batch_size=100)."""
+    from pg_vectorize_spark.operators.change import batch_by_count
+
+    docs = _t(spark, sf_dir, "documents")
+    batched = batch_by_count(docs, "doc_id", batch_size=100)
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
+def q_token_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 distributed token-budget batching (running-sum spec, budget=5000)."""
+    from pg_vectorize_spark.operators.change import (
+        batch_by_token_budget_distributed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    batched = batch_by_token_budget_distributed(
+        docs, "doc_id", "n_tokens", budget=5000
+    )
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+    )
+
+
+def q_chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 distributed chunking (offset-bucket spec, 200 chars)."""
+    from pg_vectorize_spark.operators.chunk import chunk_table_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_table_distributed(docs, "text", "doc_id", max_chunk_size=200)
+
+
+def q_where_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: raw where_sql filter via F.expr — identical text runs in both."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.expr("n_chars > 200 AND lang = 'en'")
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_typed_filters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 typed filters on the part table (numeric + string ops)."""
+    from pg_vectorize_spark.filters import apply_filters, parse_filters
+
+    part = _t(spark, sf_dir, "part")
+    filters = parse_filters(
+        {"p_retailprice": "gte.950.5", "p_size": "lt.25", "p_type": "eq.PROMO"}
+    )
+    return apply_filters(part, filters).select(
+        "p_partkey", "p_name", "p_type", "p_size", "p_retailprice"
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text -> binary column -> typed metadata."""
+    from pg_vectorize_spark.multimodal.binary import binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return binary_metadata(docs, "content").select(
+        "doc_id", "byte_len", "content_hash"
+    )
+
+
+def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (streaming-shape batch check).
+
+    Sums go through decimal(18,4) so they're order-independent and exact —
+    double sums would be shuffle-order-dependent.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour")["start"].alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_incremental_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness scan with pushdown-friendly predicates (S1-adjacent)."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        (F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        & (F.col("event_type") == "click")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user 30-min-gap sessions via lag + running sum."""
+    ev = _events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    with_prev = ev.withColumn(
+        "_prev_us", F.lag(F.unix_micros(F.col("ts"))).over(w_user)
+    )
+    flagged = with_prev.withColumn(
+        "_new_session",
+        F.when(
+            F.col("_prev_us").isNull()
+            | ((F.unix_micros(F.col("ts")) - F.col("_prev_us")) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("_new_session").over(w_run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -264,6 +491,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "dedup_exact": q_dedup_exact,
     "knn_join": q_knn_join,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
+    "batch_texts": q_batch_texts,
+    "token_budget_batches": q_token_budget_batches,
+    "chunk_table": q_chunk_table,
+    "where_sql_filter": q_where_sql_filter,
+    "typed_filters_part": q_typed_filters_part,
+    "multimodal_meta": q_multimodal_meta,
+    "events_windowed_agg": q_events_windowed_agg,
+    "incremental_scan_events": q_incremental_scan_events,
+    "sessionize_events": q_sessionize_events,
 }
 
 
@@ -451,6 +695,214 @@ SELECT probe_id, vec_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 3
 """
 
 
+def _sql_ws_words(text: str) -> str:
+    """Whitespace word split preserving case/punct (chunking spec)."""
+    return (
+        f"list_filter(string_split_regex(coalesce({text}, ''), '\\s+'), "
+        f"x -> x <> '')"
+    )
+
+
+def _sql_minhash_codes() -> str:
+    return (
+        f"list_transform({O.sql_word_shingles('d.text', 3)}, "
+        f"s -> {O.sql_poly_hash('s')})"
+    )
+
+
+_MINHASH_SIG = (
+    "list_transform(range(0, 16), i -> list_min(list_transform(codes, "
+    f"x -> ((2*i + 3) * x + (5*i + 7)) % 999983)))"
+)
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT d.doc_id, {O.sql_word_shingles('d.text', 3)} AS sh FROM documents d
+),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM s),
+jac AS (
+  SELECT i.a_id, i.b_id,
+         i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)::DOUBLE AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.a_id = sa.doc_id
+  JOIN sizes sb ON i.b_id = sb.doc_id
+)
+SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+
+def _oracle_minhash_signatures() -> str:
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT d.doc_id, {_sql_minhash_codes()} AS codes FROM documents d
+)
+SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT d.doc_id, {_sql_minhash_codes()} AS codes FROM documents d
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+),
+bands AS (
+  SELECT s.doc_id, t.band,
+         array_to_string(
+           list_transform(s.signature[(t.band*4 + 1):(t.band*4 + 4)],
+                          x -> x::VARCHAR), ',') AS band_key
+  FROM sig s, generate_series(0, 3) AS t(band)
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+_SIMHASH_FROM_HASHES = """
+list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 20), j ->
+  CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hashes, hh ->
+         CASE WHEN (floor(hh / power(2, j))::BIGINT % 2) = 1
+              THEN 1::BIGINT ELSE (-1)::BIGINT END)), (a, x) -> a + x) > 0
+       THEN power(2, j)::BIGINT ELSE 0::BIGINT END)), (a, x) -> a + x)
+"""
+
+
+def _oracle_simhash() -> str:
+    words = f"list_distinct({O.sql_words('d.text')})"
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT d.doc_id,
+         list_transform({words}, w -> {O.sql_poly_hash('w')}) AS hashes
+  FROM documents d
+)
+SELECT doc_id, {_SIMHASH_FROM_HASHES} AS simhash FROM h
+"""
+
+
+def _oracle_simhash_pairs() -> str:
+    words = f"list_distinct({O.sql_words('d.text')})"
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT d.doc_id,
+         list_transform({words}, w -> {O.sql_poly_hash('w')}) AS hashes
+  FROM documents d
+),
+s AS MATERIALIZED (
+  SELECT doc_id, {_SIMHASH_FROM_HASHES} AS sh FROM h
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM s a, s b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+def _oracle_embedding_cosine_pairs() -> str:
+    cos = O.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35
+"""
+
+
+def _oracle_ann_ivf() -> str:
+    cos_assign = O.sql_cosine("e.embedding", "c.cvec")
+    cos_probe = O.sql_cosine("c.cvec", "q.qv")
+    cos_final = O.sql_cosine("a.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_assign} DESC, c.centroid_id ASC)
+             AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT cell FROM (
+    SELECT c.centroid_id AS cell, {cos_probe} AS qsim
+    FROM cents c CROSS JOIN q
+  ) ORDER BY qsim DESC, cell ASC LIMIT 2
+)
+SELECT a.vec_id, {cos_final} AS similarity_score
+FROM assign a JOIN probed p ON a.cell = p.cell CROSS JOIN q
+ORDER BY similarity_score DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_ann_signbit() -> str:
+    def bucket(emb: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), "
+            f"j -> CASE WHEN {emb}[(j+1)::INT] > 0 THEN power(2, j)::BIGINT "
+            f"ELSE 0::BIGINT END)), (a, x) -> a + x)"
+        )
+
+    cos = O.sql_cosine("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket('qv')} AS qbucket FROM q),
+cand AS (
+  SELECT e.vec_id, {cos} AS similarity_score
+  FROM embeddings e, qb, q
+  WHERE {bucket('e.embedding')} = qb.qbucket
+)
+SELECT vec_id, similarity_score FROM cand
+ORDER BY similarity_score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_chunk_table() -> str:
+    words = _sql_ws_words("d.text")
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT d.doc_id AS original_id, {words} AS words FROM documents d
+),
+pw AS (
+  SELECT original_id,
+         unnest(list_transform(range(1, len(words)+1),
+                               i -> {{'pos': i, 'word': words[i::INT]}})) AS u
+  FROM w
+),
+px AS (SELECT original_id, u.pos AS pos, u.word AS word FROM pw),
+offs AS (
+  SELECT original_id, pos, word,
+         coalesce(sum(len(word) + 1) OVER (
+           PARTITION BY original_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM px
+)
+SELECT original_id, floor(start / 200)::INT AS chunk_index,
+       string_agg(word, ' ' ORDER BY pos) AS chunk
+FROM offs GROUP BY original_id, floor(start / 200)
+"""
+
+
 ORACLE: dict[str, str] = {
     "semantic_search_topk": _oracle_semantic_topk(),
     "semantic_search_filtered": _oracle_semantic_filtered(),
@@ -489,6 +941,89 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text
 """,
     "knn_join": _oracle_knn_join(),
+    "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+    "dedup_minhash_lsh": _oracle_minhash_lsh(),
+    "minhash_signatures": _oracle_minhash_signatures(),
+    "dedup_simhash": _oracle_simhash(),
+    "simhash_neardup_pairs": _oracle_simhash_pairs(),
+    "dedup_embedding_cosine": _oracle_embedding_cosine_pairs(),
+    "ann_ivf_topk": _oracle_ann_ivf(),
+    "ann_signbit_lsh_topk": _oracle_ann_signbit(),
+    "batch_texts": """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100)::BIGINT
+           AS batch_id
+  FROM documents
+)
+SELECT batch_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM b GROUP BY batch_id
+""",
+    "token_budget_batches": f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {O.sql_token_count('text')} AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         floor(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+           / 5000)::BIGINT AS batch_id
+  FROM tk
+)
+SELECT batch_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS batch_tokens
+FROM b GROUP BY batch_id
+""",
+    "chunk_table": _oracle_chunk_table(),
+    "where_sql_filter": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars > 200 AND lang = 'en'
+""",
+    "typed_filters_part": """
+SELECT p_partkey, p_name, p_type, p_size, p_retailprice FROM part
+WHERE p_retailprice >= 950.5 AND p_size < 25 AND p_type = 'PROMO'
+""",
+    "multimodal_meta": """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+       md5(text) AS content_hash
+FROM documents
+""",
+    "events_windowed_agg": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "incremental_scan_events": """
+SELECT event_id, ts, user_id, value FROM events
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00' AND event_type = 'click'
+""",
+    "sessionize_events": """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_us IS NULL
+                   OR (epoch_us(ts) - prev_us) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM p
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         )::BIGINT AS session_id
+  FROM f
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+""",
 }
 
 

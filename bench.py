@@ -52,6 +52,13 @@ def main() -> None:
         "dedup_exact",
         "token_count",
         "quality_score",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "ann_ivf_topk",
+        "ann_signbit_lsh_topk",
+        "chunk_table",
+        "events_windowed_agg",
+        "sessionize_events",
     ]
 
     timings: dict[str, float] = {}

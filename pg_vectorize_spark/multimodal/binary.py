@@ -1,0 +1,157 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+Training-data pipelines carry media as ``binary`` columns with a typed
+metadata struct; the Spark-side plumbing (schema, partition-friendly ops,
+Arrow batch shapes) is real and tested here, while actual codec work is
+stubbed: the container has no image/audio libraries, so ``decode_media``
+raises ``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic fake decode (byte-derived features) with the same schema the
+real decoder would emit.
+
+Ops:
+- ``with_media_columns`` — attach (media_type, byte_len, content_hash)
+  metadata to a binary column, all JVM-side;
+- ``binary_metadata`` — standalone metadata projection;
+- ``decode_media`` — mapInPandas decode stub -> (pkey, width, height,
+  n_channels, feature array). Batch shape: one Arrow batch in, one out;
+- ``frame_sample`` — sample "frames" every ``stride`` bytes (the video
+  frame-sampling plumbing: posexplode over computed offsets; a real decoder
+  would substitute codec frame boundaries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("content", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("content_hash", StringType()),
+    ]
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("pkey", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def binary_metadata(df: DataFrame, bin_col: str) -> DataFrame:
+    """Typed metadata for a binary column: byte length + content hash prefix
+    (md5 hex) — pure JVM expressions, pushdown/prune friendly."""
+    return df.withColumn(
+        "byte_len", F.length(F.col(bin_col)).cast("long")
+    ).withColumn("content_hash", F.md5(F.col(bin_col)))
+
+
+def with_media_columns(
+    df: DataFrame, bin_col: str, media_type: str
+) -> DataFrame:
+    return binary_metadata(df, bin_col).withColumn(
+        "media_type", F.lit(media_type)
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    bin_col: str,
+    pkey: str,
+    fake: bool = False,
+    n_features: int = 8,
+) -> DataFrame:
+    """Decode stub behind the real Arrow plumbing.
+
+    Real decoders (PIL/torchaudio/pyav) are not in this container —
+    ``fake=False`` raises NotImplementedError inside the workers (surfaced
+    as a task failure); ``fake=True`` emits deterministic byte-derived
+    pseudo-features with the production schema so downstream stages
+    (similarity, dedup, filtering) are testable end-to-end.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires codec libraries not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub"
+                )
+            out = {
+                "pkey": [],
+                "width": [],
+                "height": [],
+                "n_channels": [],
+                "features": [],
+            }
+            for pk, blob in zip(pdf["pkey"], pdf[bin_col]):
+                data = bytes(blob or b"")
+                n = len(data)
+                # deterministic fake: dimensions from length, features from
+                # byte histogram buckets
+                out["pkey"].append(pk)
+                out["width"].append(max(1, n % 640))
+                out["height"].append(max(1, (n * 7) % 480))
+                out["n_channels"].append(3)
+                feats = [0.0] * n_features
+                for i, byte in enumerate(data):
+                    feats[byte % n_features] += 1.0
+                total = sum(feats) or 1.0
+                out["features"].append([v / total for v in feats])
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(pkey).alias("pkey"), F.col(bin_col)
+    ).mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, bin_col: str, pkey: str, stride: int = 1024
+) -> DataFrame:
+    """Frame-sampling plumbing: one row per ``stride``-byte offset.
+
+    (pkey, frame_idx, offset, frame_bytes) — JVM-side: offsets computed with
+    sequence(), frames sliced with substring on binary. A real video path
+    swaps byte offsets for codec keyframe indexes; the explode/partition
+    shape is identical.
+    """
+    n_frames = F.greatest(
+        F.ceil(F.length(F.col(bin_col)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    return df.select(
+        F.col(pkey),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: i * stride,
+            )
+        ).alias("frame_idx", "offset"),
+        F.col(bin_col),
+    ).select(
+        F.col(pkey),
+        F.col("frame_idx"),
+        F.col("offset").cast("long").alias("offset"),
+        F.expr(f"substring({bin_col}, offset + 1, {stride})").alias(
+            "frame_bytes"
+        ),
+    )

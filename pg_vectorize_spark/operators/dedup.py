@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its only dedup is the hybrid-merge HashMap,
+extension/src/search.rs:302-336) — these are first-class engine extensions
+for 100-TB corpus curation:
+
+- ``exact_dedup`` — hash-groupBy on content (or its fingerprint);
+- ``ngram_jaccard_pairs`` — EXACT word-shingle Jaccard via an inverted
+  index: explode shingles -> self-join on shingle -> per-pair intersection
+  counts. Never materializes the n² pair space: only pairs sharing >= 1
+  shingle appear, which is what makes it viable at scale;
+- ``minhash_signatures`` / ``minhash_lsh_candidates`` — MinHash + banded
+  LSH: signature via ``min((a_i * x + b_i) mod P)`` over shingle integer
+  encodings (polynomial-roll hash, same family as the embedder, so the
+  whole chain is SQL-expressible and oracle-checkable). Band keys ->
+  candidate pairs sharing any band;
+- ``simhash_expr`` / ``simhash_pairs`` — bitwise majority fingerprint +
+  hamming-distance pairs via ``bit_count(xor)``;
+- ``cosine_neardup_pairs`` — embedding near-duplicate pairs above a cosine
+  threshold (brute-force; compose with the ANN bucketing in operators/ann.py
+  to prune candidates at scale).
+
+All dimension constants (num_hashes, bands, bit widths) are deterministic;
+hash mixing constants a_i = 2i+3, b_i = 5i+7 over prime P keep every stage
+reproducible in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.text import word_shingles_expr
+from pg_vectorize_spark.functions.vector import cosine_similarity, hash_bucket_expr
+from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
+
+MINHASH_PRIME = 999_983  # largest prime < 1e6; shingle codes are < 1_000_003
+
+
+def poly_hash_expr(s: Column) -> Column:
+    """Polynomial-roll string hash (shared spec with providers/local.bucket)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(HASH_SEED).cast("long"),
+        lambda acc, ch: (acc * HASH_MULT + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, pkey: str) -> DataFrame:
+    """Exact dedup: (keep_id = min pkey, n_copies) per distinct content."""
+    return (
+        df.groupBy(content_col)
+        .agg(
+            F.min(pkey).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def _shingle_sets(df: DataFrame, text_col: str, pkey: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(pkey).alias("_id"),
+        word_shingles_expr(F.col(text_col), k).alias("_shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs >= threshold via inverted index.
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id. Scale shape: the
+    shingle self-join shuffles on the shingle key; hot shingles fan out
+    quadratically, so compose with MinHash-LSH when shingle frequency is
+    skewed (this exact operator is the verifier of that approximation).
+    """
+    sets_ = _shingle_sets(df, text_col, pkey, k)
+    sizes = sets_.select("_id", F.size("_shingles").alias("_size"))
+    inv = sets_.select("_id", F.explode("_shingles").alias("_sh"))
+    a = inv.select(F.col("_id").alias("a_id"), "_sh")
+    b = inv.select(F.col("_id").alias("b_id"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("_size").alias("_sb"))
+    jac = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("a_id", "b_id", F.col("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(pkey, signature array<long>[num_hashes]) — min over shingle codes of
+    (a_i * code + b_i) mod P, a_i = 2i+3, b_i = 5i+7.
+
+    Implemented as explode -> per-hash min aggregation (one shuffle on pkey,
+    map-side partial mins) rather than a per-row higher-order expression:
+    interpreted HOFs would recompute the shingle-code list num_hashes times
+    per row, and the groupBy form is also the one that scales — min() is
+    algebraic, so executors combine locally before the exchange.
+    """
+    codes = df.select(
+        F.col(pkey).alias("_id"),
+        F.explode(word_shingles_expr(F.col(text_col), k)).alias("_sh"),
+    ).select("_id", poly_hash_expr(F.col("_sh")).alias("_code"))
+    mins = codes.groupBy("_id").agg(
+        *[
+            F.min(
+                ((2 * i + 3) * F.col("_code") + (5 * i + 7)) % MINHASH_PRIME
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "_id",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band.
+
+    Band key = (band_index, the band's signature slice rendered as text).
+    Output: distinct (a_id, b_id), a_id < b_id. The band join is the scale
+    mechanism: only same-bucket pairs are generated.
+    """
+    band_rows = signatures.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    a = band_rows.select(
+        F.col("_id").alias("a_id"), "band", "band_key"
+    )
+    b = band_rows.select(
+        F.col("_id").alias("b_id"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_expr(text: Column, bits: int = 20) -> Column:
+    """SimHash fingerprint: bit j set iff Σ_tokens sign((hash(tok)>>j)&1)>0.
+
+    Uses distinct word tokens (weight 1 each) and the polynomial hash; the
+    whole expression is two nested transforms + a fold — SQL-expressible.
+    """
+    words = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    )
+    hashes = F.transform(words, lambda w: poly_hash_expr(w))
+
+    # bit extraction is arithmetic (floor(h / 2^j) % 2) because the shift
+    # builtins take literal shift amounts, not lambda columns; 2^j as double
+    # is exact for j < 53, and h < 2^20 here.
+    def bit_value(j: Column) -> Column:
+        pw = F.pow(F.lit(2.0), j.cast("double"))
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.floor(h.cast("double") / pw).cast("long") % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, pw.cast("long")).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + bit_value(j),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    bits: int = 20,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Brute-force n² compare at test scale; at 100 TB, block on simhash byte
+    prefixes first (same banding idea as LSH) — the comparator stays this.
+    """
+    sh = df.select(
+        F.col(pkey).alias("_id"), simhash_expr(F.col(text_col), bits).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine_neardup_pairs(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, a_id < b_id."""
+    a = emb_df.select(F.col(pkey).alias("a_id"), F.col(emb_col).alias("_va"))
+    b = emb_df.select(F.col(pkey).alias("b_id"), F.col(emb_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_survivors(df: DataFrame, pkey: str, pairs: DataFrame) -> DataFrame:
+    """Resolve pairs to survivors: drop every id that appears as the larger
+    member of a duplicate pair (connected-component-lite: min-id wins per
+    edge; iterate externally for full transitive closure)."""
+    losers = pairs.select(F.col("b_id").alias(pkey)).distinct()
+    return df.join(losers, pkey, "left_anti")
+
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_expr",
+    "simhash_pairs",
+    "cosine_neardup_pairs",
+    "dedup_survivors",
+    "poly_hash_expr",
+    "MINHASH_PRIME",
+]

@@ -1,0 +1,73 @@
+"""ANN operator tests: approximations must return exact scores over their
+candidate sets and achieve sane recall vs brute force on clustered data."""
+
+from __future__ import annotations
+
+from pg_vectorize_spark.operators.ann import (
+    assign_ivf_cells,
+    brute_force_topk,
+    default_centroids,
+    ivf_topk,
+    signbit_lsh_topk,
+)
+from pg_vectorize_spark.providers.local import LocalHashEmbedder
+
+EMB = LocalHashEmbedder(dim=16)
+
+# two lexical clusters -> two embedding clusters
+CORPUS = [
+    (i, f"database query engine optimizer plan number {i}") for i in range(10)
+] + [
+    (i, f"music guitar melody rhythm song track {i}") for i in range(10, 20)
+]
+
+
+def _emb_df(spark):
+    rows = [(i, EMB.embed_one(t)) for i, t in CORPUS]
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def test_brute_force_exact_order(spark):
+    df = _emb_df(spark)
+    q = EMB.embed_one("database query engine optimizer")
+    out = brute_force_topk(df, "id", "vec", q, k=5).collect()
+    assert len(out) == 5
+    scores = [r["similarity_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # all results from the database cluster
+    assert all(r["id"] < 10 for r in out)
+
+
+def test_ivf_recall_on_clusters(spark):
+    df = _emb_df(spark)
+    cents = default_centroids(df, "id", "vec", n_centroids=4)
+    q = EMB.embed_one("music guitar melody rhythm")
+    exact = {r["id"] for r in brute_force_topk(df, "id", "vec", q, k=3).collect()}
+    approx = {
+        r["id"]
+        for r in ivf_topk(df, cents, "id", "vec", q, k=3, nprobe=2).collect()
+    }
+    # probing 2/4 cells on clearly clustered data should recover the top-3
+    assert len(exact & approx) >= 2
+
+
+def test_ivf_assignment_covers_all(spark):
+    df = _emb_df(spark)
+    cents = default_centroids(df, "id", "vec", n_centroids=4)
+    assigned = assign_ivf_cells(df, cents, "id", "vec")
+    assert assigned.count() == 20  # every vector lands in exactly one cell
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {0, 1, 2, 3}
+
+
+def test_signbit_lsh_returns_subset_of_bucket(spark):
+    df = _emb_df(spark)
+    q = EMB.embed_one("database query engine optimizer")
+    out = signbit_lsh_topk(df, "id", "vec", q, k=10, nbits=4).collect()
+    # approximate: results are a subset of the corpus with exact scores
+    exact = {
+        r["id"]: r["similarity_score"]
+        for r in brute_force_topk(df, "id", "vec", q, k=20).collect()
+    }
+    for r in out:
+        assert abs(exact[r["id"]] - r["similarity_score"]) < 1e-12
