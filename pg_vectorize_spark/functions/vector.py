@@ -51,6 +51,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_similarity_to_query(emb: Column, query_vec: Sequence[float]) -> Column:
+    """Cosine similarity against a CONSTANT query vector.
+
+    The query norm is folded on the driver (left-to-right float64, identical
+    bits to the in-plan fold — Python's sum is the same reduction), so each
+    row computes one norm instead of two. At brute-force-scan scale that's
+    a third of the per-row vector math.
+    """
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    q = query_vector_lit(query_vec)
+    denom = l2_norm(emb) * F.lit(qnorm)
+    return F.when(denom > 0, dot_product(emb, q) / denom).otherwise(F.lit(0.0))
+
+
 def l2_normalize(a: Column) -> Column:
     """Normalize at write time (vector-serve ``normalize`` parity) so query-
     time cosine reduces to a dot product."""

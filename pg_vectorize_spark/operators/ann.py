@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from pg_vectorize_spark.functions.vector import (
     cosine_similarity,
-    query_vector_lit,
+    cosine_similarity_to_query,
 )
 
 
@@ -45,7 +45,7 @@ def brute_force_topk(
     """Exact cosine top-k (the reference's ORDER BY <=> LIMIT shape)."""
     scored = emb_df.select(
         F.col(pkey),
-        cosine_similarity(F.col(emb_col), query_vector_lit(query_vec)).alias(
+        cosine_similarity_to_query(F.col(emb_col), query_vec).alias(
             "similarity_score"
         ),
     )
@@ -159,11 +159,12 @@ def ivf_topk(
     """
     if assigned_df is None:
         assigned_df = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
-    qv = query_vector_lit(query_vec)
     probed = (
         centroids_df.select(
             F.col("centroid_id"),
-            cosine_similarity(F.col("centroid_vec"), qv).alias("_qsim"),
+            cosine_similarity_to_query(F.col("centroid_vec"), query_vec).alias(
+                "_qsim"
+            ),
         )
         .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
         .limit(nprobe)

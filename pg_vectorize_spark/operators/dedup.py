@@ -30,8 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pg_vectorize_spark.functions.text import word_shingles_expr
-from pg_vectorize_spark.functions.vector import cosine_similarity, hash_bucket_expr
+from pg_vectorize_spark.functions.vector import cosine_similarity
 from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
 
 MINHASH_PRIME = 999_983  # largest prime < 1e6; shingle codes are < 1_000_003
@@ -58,11 +57,39 @@ def exact_dedup(df: DataFrame, content_col: str, pkey: str) -> DataFrame:
     )
 
 
-def _shingle_sets(df: DataFrame, text_col: str, pkey: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(pkey).alias("_id"),
-        word_shingles_expr(F.col(text_col), k).alias("_shingles"),
+def shingles_exploded(
+    df: DataFrame, text_col: str, pkey: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles as rows: (_id, _sh).
+
+    Same value set as functions/text.word_shingles_expr, built the scalable
+    way: explode words ONCE, then window ``lead`` to stitch k-grams. The
+    array-expression form re-evaluates the tokenizer per element_at (k× per
+    shingle, interpreted) — measured 4x slower at sf0.1 and growing with k.
+    Docs with < k words fall back to one whole-text shingle (spec parity).
+    """
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
     )
+    wdf = df.select(
+        F.col(pkey).alias("_id"), F.posexplode(words).alias("_pos", "_w")
+    )
+    win = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]
+    stitched = wdf.select(
+        "_id",
+        F.concat_ws(" ", *parts).alias("_sh"),
+        F.lead("_w", k - 1).over(win).isNotNull().alias("_full"),
+    )
+    full = stitched.filter(F.col("_full")).select("_id", "_sh")
+    short = (
+        df.select(
+            F.col(pkey).alias("_id"), F.array_join(words, " ").alias("_sh")
+        )
+        .join(full.select("_id").distinct(), "_id", "left_anti")
+    )
+    return full.unionByName(short).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -79,9 +106,8 @@ def ngram_jaccard_pairs(
     quadratically, so compose with MinHash-LSH when shingle frequency is
     skewed (this exact operator is the verifier of that approximation).
     """
-    sets_ = _shingle_sets(df, text_col, pkey, k)
-    sizes = sets_.select("_id", F.size("_shingles").alias("_size"))
-    inv = sets_.select("_id", F.explode("_shingles").alias("_sh"))
+    inv = shingles_exploded(df, text_col, pkey, k)
+    sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
     a = inv.select(F.col("_id").alias("a_id"), "_sh")
     b = inv.select(F.col("_id").alias("b_id"), "_sh")
     inter = (
@@ -124,10 +150,9 @@ def minhash_signatures(
     per row, and the groupBy form is also the one that scales — min() is
     algebraic, so executors combine locally before the exchange.
     """
-    codes = df.select(
-        F.col(pkey).alias("_id"),
-        F.explode(word_shingles_expr(F.col(text_col), k)).alias("_sh"),
-    ).select("_id", poly_hash_expr(F.col("_sh")).alias("_code"))
+    codes = shingles_exploded(df, text_col, pkey, k).select(
+        "_id", poly_hash_expr(F.col("_sh")).alias("_code")
+    )
     mins = codes.groupBy("_id").agg(
         *[
             F.min(

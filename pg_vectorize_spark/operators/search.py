@@ -40,7 +40,7 @@ from pg_vectorize_spark.functions.text import (
     tokens_expr,
 )
 from pg_vectorize_spark.functions.vector import (
-    cosine_similarity,
+    cosine_similarity_to_query,
     dot_product,
     query_vector_lit,
 )
@@ -57,13 +57,12 @@ def _scored_semantic(
     pre_normalized: bool = False,
 ) -> DataFrame:
     """(pkey, similarity_score) for every candidate vector."""
-    q = query_vector_lit(query_vec)
     score: Column
     if pre_normalized:
         # normalize-at-write parity: cosine == dot product
-        score = dot_product(F.col(emb_col), q)
+        score = dot_product(F.col(emb_col), query_vector_lit(query_vec))
     else:
-        score = cosine_similarity(F.col(emb_col), q)
+        score = cosine_similarity_to_query(F.col(emb_col), query_vec)
     return emb_df.select(F.col(pkey), score.alias("similarity_score"))
 
 

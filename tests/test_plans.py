@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: lock in the plan shapes that make the
+headline queries scale (SURVEY.md §4's 'iterate on .explain' discipline)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_vectorize_spark.plans.inspect import plan_report
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as m
+
+    return m
+
+
+def test_semantic_topk_is_take_ordered_no_sort_no_shuffle(spark, entrymod):
+    df = entrymod.queries()["semantic_search_topk"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.has_take_ordered, rep.summary()
+    # scoring scan -> broadcast join -> takeOrdered; no shuffle exchange
+    assert rep.n_exchanges == 0, rep.text
+    assert rep.n_broadcasts >= 1
+
+
+def test_semantic_topk_prunes_columns(spark, entrymod):
+    df = entrymod.queries()["semantic_search_topk"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    # the scoring scan must read only (vec_id, embedding); never label/text
+    assert any(
+        "embedding" in s and "label" not in s for s in rep.read_schemas
+    ), rep.read_schemas
+
+
+def test_pushdown_reaches_scan(spark, entrymod):
+    df = entrymod.queries()["incremental_scan_events"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert any("EqualTo(event_type,click)" in p for p in rep.pushed_filters), (
+        rep.pushed_filters
+    )
+    assert rep.n_exchanges == 0
+
+
+def test_hybrid_broadcasts_candidate_join(spark, entrymod):
+    df = entrymod.queries()["hybrid_rrf_search"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    # fused candidate set (<= window rows) must broadcast against the source
+    assert rep.n_broadcasts >= 1, rep.summary()
+    assert rep.has_take_ordered
+
+
+def test_embed_documents_uses_partial_aggregation(spark, entrymod):
+    df = entrymod.queries()["embed_documents"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    # explode -> partial HashAggregate -> exchange: shuffles bounded
+    assert "HashAggregate" in rep.text
+    assert rep.n_exchanges <= 4, rep.summary()
+
+
+def test_ivf_broadcasts_probe_side(spark, entrymod):
+    df = entrymod.queries()["ann_ivf_topk"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.n_broadcasts >= 1
+    assert rep.has_take_ordered
+
+
+def test_filtered_search_pushes_nothing_extra(spark, entrymod):
+    # post-ranking filter placement keeps ranking over ALL rows; the filter
+    # may push to the label scan but the embedding scan must stay unfiltered
+    df = entrymod.queries()["semantic_search_filtered"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    emb_scans = [
+        (p, s)
+        for p, s in zip(rep.pushed_filters, rep.read_schemas)
+        if "embedding" in s
+    ]
+    assert emb_scans, rep.read_schemas
+    for pushed, _ in emb_scans:
+        assert "label" not in pushed
