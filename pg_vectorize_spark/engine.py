@@ -134,7 +134,13 @@ class VectorizeSession:
 
     def scan_job(self, job_name: str, api_key: str | None = None) -> int:
         """vectorize.job_execute(): change detection -> embed -> upsert ->
-        token refresh (core/src/init.rs:272-315). Returns rows embedded."""
+        token refresh (core/src/init.rs:272-315). Returns rows embedded.
+
+        table_method='join' stores (pkey, embeddings, updated_at) in its own
+        dataset (the _embeddings_<job> table); 'append' stores the full
+        source row + embeddings in one wide snapshot (the add-columns-to-
+        source analog, extension/src/init.rs:148-169).
+        """
         job = self.catalog.get(job_name)
         src = self._source_df(job)
         emb_ds = self._emb_ds(job_name)
@@ -160,7 +166,11 @@ class VectorizeSession:
 
         n = embedded.count()
         if n > 0:
-            emb_ds.merge_upsert(embedded, pkey)
+            if job.table_method == "append":
+                wide = changed.join(embedded, pkey, "inner")
+                emb_ds.merge_upsert(wide, pkey)
+            else:
+                emb_ds.merge_upsert(embedded, pkey)
             tokens = changed.select(
                 F.col(pkey),
                 tokens_expr(content).alias("search_tokens"),
@@ -208,13 +218,18 @@ class VectorizeSession:
         job = self.catalog.get(job_name)
         src = self._source_df(job)
         emb = self._emb_ds(job_name)
-        if emb.exists():
+        if not emb.exists():
+            view = src
+        elif job.table_method == "append":
+            # wide snapshot already carries the source columns
+            view = emb.read().withColumnRenamed(
+                "updated_at", "embeddings_updated_at"
+            )
+        else:
             e = emb.read().withColumnRenamed(
                 "updated_at", "embeddings_updated_at"
             )
             view = src.join(e, job.primary_key, "left")
-        else:
-            view = src
         view.createOrReplaceTempView(f"{job_name}_view")
         return view
 
@@ -322,7 +337,61 @@ class VectorizeSession:
         )
         return [r.asDict(recursive=True) for r in df.collect()]
 
+    # -------------------------------------------------------- SQL surface
+
+    _SQL_FUNCTIONS = {
+        "cosine_sim": """
+CREATE OR REPLACE TEMPORARY FUNCTION cosine_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN CASE
+  WHEN (sqrt(aggregate(a, 0.0D, (acc, x) -> acc + x*x))
+        * sqrt(aggregate(b, 0.0D, (acc, x) -> acc + x*x))) > 0.0D
+  THEN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
+       / (sqrt(aggregate(a, 0.0D, (acc, x) -> acc + x*x))
+          * sqrt(aggregate(b, 0.0D, (acc, x) -> acc + x*x)))
+  ELSE 0.0D END
+""",
+        "dot_sim": """
+CREATE OR REPLACE TEMPORARY FUNCTION dot_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+RETURNS DOUBLE
+RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
+""",
+    }
+
+    def _ensure_sql_functions(self) -> None:
+        if getattr(self, "_sql_fns_ready", False):
+            return
+        for ddl in self._SQL_FUNCTIONS.values():
+            self.spark.sql(ddl)
+        self._sql_fns_ready = True
+
+    def sql(self, query: str) -> DataFrame:
+        """Spark SQL with ``vectorize.embed('q','job')`` rewriting (F7).
+
+        The proxy analog (proxy/src/embeddings.rs:66-182): embed calls are
+        resolved to vector literals BEFORE planning; cosine_sim/dot_sim SQL
+        UDFs (pure SQL-expression functions — still whole-stage codegen) are
+        registered so rewritten queries can score against job views.
+        """
+        from pg_vectorize_spark.sql_rewrite import rewrite_embed_calls
+
+        self._ensure_sql_functions()
+        return self.spark.sql(rewrite_embed_calls(query, self))
+
     # ----------------------------------------------------------- functions
+
+    def mod_info(self, model: str | None = None) -> dict:
+        """vectorize.mod_info(): model metadata — dim + input caps
+        (extension/src/transformers/http_handler.rs:11-58)."""
+        name = model or self.config.default_transformer
+        parsed = parse_model(name)
+        provider = get_provider(name)
+        return {
+            "model": name,
+            "source": parsed.source.value,
+            "dim": model_dim(parsed, probe=provider),
+            "max_seq_len": self.config.input_token_cap,
+        }
 
     def encode(self, text: str, model: str | None = None, api_key: str | None = None):
         """vectorize.encode()/transform_embeddings(): one string -> vector."""

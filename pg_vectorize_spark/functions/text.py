@@ -24,6 +24,7 @@ as an opt-in analyzer stage (not oracle-checkable, hence off by default).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -54,6 +55,63 @@ def tokens_expr(text: Column) -> Column:
     nonempty = F.filter(raw, lambda t: t != "")
     kept = F.array_except(nonempty, F.array(*[F.lit(w) for w in STOP_WORDS]))
     return F.array_distinct(kept)
+
+
+def stemmed_tokens_udf():
+    """Arrow-batched UDF: full analyzer WITH Porter stemming.
+
+    The stemmed variant of tokens_expr — opt-in (analyzer='english_stem')
+    because stemming is procedural (UDF path) and not oracle-expressible.
+    Produces: lower -> tokenize -> stop-words -> stem -> distinct.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from pg_vectorize_spark.functions.stemmer import porter_stem
+
+    stop = set(STOP_WORDS)
+
+    @pandas_udf("array<string>")
+    def _stem_tokens(texts: pd.Series) -> pd.Series:
+        import re
+
+        out = []
+        for t in texts:
+            toks = [
+                x for x in re.split(r"[^a-z0-9]+", (t or "").lower()) if x
+            ]
+            seen: set[str] = set()
+            result = []
+            for tok in toks:
+                if tok in stop:
+                    continue
+                s = porter_stem(tok)
+                if s not in seen:
+                    seen.add(s)
+                    result.append(s)
+            out.append(result)
+        return pd.Series(out)
+
+    return _stem_tokens
+
+
+def analyze_query_stemmed(query: str) -> list[str]:
+    """Driver-side stemmed analyzer (must match stemmed_tokens_udf)."""
+    import re
+
+    from pg_vectorize_spark.functions.stemmer import porter_stem
+
+    stop = set(STOP_WORDS)
+    toks = [t for t in re.split(r"[^a-z0-9]+", (query or "").lower()) if t]
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in toks:
+        if t in stop:
+            continue
+        s = porter_stem(t)
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
 
 
 def analyze_query(query: str) -> list[str]:

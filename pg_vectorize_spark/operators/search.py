@@ -35,10 +35,14 @@ from pyspark.sql import functions as F
 from pg_vectorize_spark.filters import FilterValue, apply_filters
 from pg_vectorize_spark.functions.text import (
     analyze_query,
+    analyze_query_stemmed,
     fts_match_expr,
     fts_score_expr,
+    stemmed_tokens_udf,
     tokens_expr,
 )
+
+
 from pg_vectorize_spark.functions.vector import (
     cosine_similarity_to_query,
     dot_product,
@@ -47,6 +51,18 @@ from pg_vectorize_spark.functions.vector import (
 
 DEFAULT_LIMIT = 10
 DEFAULT_RRF_K = 60
+
+
+def _analyze(query: str, analyzer: str) -> list[str]:
+    if analyzer == "english_stem":
+        return analyze_query_stemmed(query)
+    return analyze_query(query)
+
+
+def _doc_tokens(concat: Column, analyzer: str) -> Column:
+    if analyzer == "english_stem":
+        return stemmed_tokens_udf()(concat)
+    return tokens_expr(concat)
 
 
 def _scored_semantic(
@@ -101,14 +117,17 @@ def full_text_search(
     return_columns: Sequence[str] | None = None,
     filters: dict[str, FilterValue] | None = None,
     tokens_df: DataFrame | None = None,
+    analyzer: str = "english",
 ) -> DataFrame:
     """Full-text top-k over an analyzed text column.
 
     ``tokens_df`` (pkey, search_tokens) is the precomputed _search_tokens
     dataset; when absent, tokens are derived inline from ``text_cols`` with
-    the NULL-safe space concat (core/src/query.rs:184-190).
+    the NULL-safe space concat (core/src/query.rs:184-190). ``analyzer``
+    'english' (default, oracle-expressible) or 'english_stem' (Porter
+    stemming via Arrow UDF — closer to to_tsvector('english')).
     """
-    terms = analyze_query(query)
+    terms = _analyze(query, analyzer)
     if tokens_df is not None:
         toks = tokens_df.select(pkey, "search_tokens")
         base = source_df.join(toks, pkey, "inner")
@@ -116,7 +135,7 @@ def full_text_search(
         concat = F.concat_ws(
             " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
         )
-        base = source_df.withColumn("search_tokens", tokens_expr(concat))
+        base = source_df.withColumn("search_tokens", _doc_tokens(concat, analyzer))
     matched = base.filter(fts_match_expr(F.col("search_tokens"), terms))
     scored = matched.withColumn(
         "fts_score", fts_score_expr(F.col("search_tokens"), terms)
@@ -157,6 +176,7 @@ def hybrid_search(
     emb_col: str = "embeddings",
     pre_normalized: bool = False,
     tokens_df: DataFrame | None = None,
+    analyzer: str = "english",
 ) -> DataFrame:
     """Server-side hybrid RRF search (core/src/query.rs:705-785)."""
     if window_size is None:
@@ -172,7 +192,7 @@ def hybrid_search(
     )
 
     # --- fts branch: top-window by term overlap ----------------------------
-    terms = analyze_query(query)
+    terms = _analyze(query, analyzer)
     if tokens_df is not None:
         tok_base = tokens_df.select(pkey, "search_tokens")
     else:
@@ -180,7 +200,7 @@ def hybrid_search(
             " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
         )
         tok_base = source_df.select(
-            F.col(pkey), tokens_expr(concat).alias("search_tokens")
+            F.col(pkey), _doc_tokens(concat, analyzer).alias("search_tokens")
         )
     fts_scored = tok_base.filter(
         fts_match_expr(F.col("search_tokens"), terms)

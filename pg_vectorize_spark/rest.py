@@ -1,0 +1,170 @@
+"""REST facade — the reference server's HTTP surface on the Spark engine.
+
+Mirrors server/src/server.rs:5-13 + routes:
+
+- ``POST /api/v1/table``            create job   (routes/table.rs:25-110)
+- ``DELETE /api/v1/table/{job}``    delete job
+- ``GET|POST /api/v1/search``       hybrid search (routes/search.rs:110-136)
+- ``GET /health`` ``/health/live`` ``/health/ready``  (routes/health.rs:80-87)
+
+Search params (routes/search.rs:16-84): job_name, query, window_size=5x
+limit, limit=10, rrf_k=60, semantic_wt=1.0, fts_wt=1.0 — and every UNKNOWN
+query parameter flattens into a typed column filter (the ``"op.value"``
+mini-language). stdlib http.server only — a demo/parity surface, not a
+production web stack; run_in_thread() is for tests.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pg_vectorize_spark.engine import VectorizeSession
+from pg_vectorize_spark.errors import (
+    FilterParseError,
+    InvalidIdentifierError,
+    JobAlreadyExistsError,
+    JobNotFoundError,
+    VectorizeError,
+)
+
+_KNOWN_SEARCH_PARAMS = {
+    "job_name", "query", "limit", "window_size", "rrf_k",
+    "semantic_wt", "fts_wt",
+}
+
+
+def _search_args(params: dict[str, str]) -> tuple[dict, dict[str, str]]:
+    limit = int(params.get("limit", 10))
+    window = params.get("window_size")
+    args = {
+        "num_results": limit,
+        "window_size": int(window) if window is not None else 5 * limit,
+        "rrf_k": int(params.get("rrf_k", 60)),
+        "semantic_weight": float(params.get("semantic_wt", 1.0)),
+        "fts_weight": float(params.get("fts_wt", 1.0)),
+    }
+    filters = {
+        k: v for k, v in params.items() if k not in _KNOWN_SEARCH_PARAMS
+    }
+    return args, filters
+
+
+class _Handler(BaseHTTPRequestHandler):
+    session: VectorizeSession  # set by make_server
+
+    # -- helpers -------------------------------------------------------------
+
+    def _send(self, code: int, body: dict | list) -> None:
+        data = json.dumps(body).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        if not length:
+            return {}
+        return json.loads(self.rfile.read(length).decode("utf-8"))
+
+    def log_message(self, *args) -> None:  # silence test output
+        pass
+
+    def _run_search(self, params: dict[str, str]) -> None:
+        job_name = params.get("job_name")
+        query = params.get("query")
+        if not job_name or query is None:
+            self._send(400, {"error": "job_name and query are required"})
+            return
+        args, filters = _search_args(params)
+        try:
+            results = self.session.hybrid_search(
+                job_name, query, filters=filters or None, **args
+            )
+            self._send(200, results)
+        except JobNotFoundError:
+            self._send(404, {"error": f"job not found: {job_name}"})
+        except (FilterParseError, InvalidIdentifierError, ValueError) as e:
+            self._send(400, {"error": str(e)})
+        except VectorizeError as e:
+            self._send(500, {"error": str(e)})
+
+    # -- routes --------------------------------------------------------------
+
+    def do_GET(self) -> None:  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        if url.path in ("/health", "/health/live", "/health/ready"):
+            self._send(200, {"status": "ok"})
+            return
+        if url.path == "/api/v1/search":
+            params = {
+                k: v[-1] for k, v in parse_qs(url.query).items()
+            }
+            self._run_search(params)
+            return
+        self._send(404, {"error": "not found"})
+
+    def do_POST(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        if url.path == "/api/v1/search":
+            try:
+                params = {k: str(v) for k, v in self._body().items()}
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            self._run_search(params)
+            return
+        if url.path == "/api/v1/table":
+            try:
+                body = self._body()
+                job = self.session.create_job(
+                    body["job_name"],
+                    body["src_path"],
+                    columns=body["columns"],
+                    primary_key=body["primary_key"],
+                    update_time_col=body.get("update_time_col"),
+                    model=body.get("model"),
+                    table_method=body.get("table_method", "join"),
+                    schedule=body.get("schedule", "realtime"),
+                )
+                self._send(200, {"id": job.job_name, "dim": job.dim})
+            except KeyError as e:
+                self._send(400, {"error": f"missing field: {e}"})
+            except JobAlreadyExistsError as e:
+                self._send(409, {"error": f"job exists: {e}"})
+            except (InvalidIdentifierError, VectorizeError, ValueError) as e:
+                self._send(400, {"error": str(e)})
+            return
+        self._send(404, {"error": "not found"})
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        url = urlparse(self.path)
+        prefix = "/api/v1/table/"
+        if url.path.startswith(prefix):
+            job_name = unquote(url.path[len(prefix):])
+            if self.session.delete_job(job_name):
+                self._send(200, {"deleted": job_name})
+            else:
+                self._send(404, {"error": f"job not found: {job_name}"})
+            return
+        self._send(404, {"error": "not found"})
+
+
+def make_server(
+    session: VectorizeSession, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (_Handler,), {"session": session})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def run_in_thread(
+    session: VectorizeSession, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    server = make_server(session, host, port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread

@@ -1,0 +1,74 @@
+"""Append table-method + mod_info parity tests
+(extension/tests/integration_tests.rs:154-202 append-method theme)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_vectorize_spark.engine import VectorizeSession
+
+
+@pytest.fixture()
+def sess(spark, tmp_path):
+    return VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+
+
+@pytest.fixture()
+def products_path(spark, products_df, tmp_path):
+    p = str(tmp_path / "products.parquet")
+    products_df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_append_method_search(sess, products_path):
+    sess.create_job(
+        "app",
+        products_path,
+        columns=["product_name", "description"],
+        primary_key="product_id",
+        table_method="append",
+    )
+    out = sess.search("app", "wooden pencil eraser", num_results=1)
+    assert out[0]["product_name"] == "Pencil"
+
+
+def test_append_method_wide_view(sess, spark, products_path):
+    sess.create_job(
+        "app2",
+        products_path,
+        columns=["product_name"],
+        primary_key="product_id",
+        table_method="append",
+    )
+    view = spark.table("app2_view")
+    # wide snapshot: source columns + embeddings, no join needed
+    assert "product_name" in view.columns
+    assert "embeddings" in view.columns
+    assert "embeddings_updated_at" in view.columns
+    assert view.count() == 14
+
+
+def test_append_incremental_noop(sess, products_path):
+    sess.create_job(
+        "app3",
+        products_path,
+        columns=["product_name"],
+        primary_key="product_id",
+        table_method="append",
+    )
+    assert sess.scan_job("app3") == 0
+
+
+def test_mod_info(sess):
+    info = sess.mod_info("local/hash-embedder-64")
+    assert info == {
+        "model": "local/hash-embedder-64",
+        "source": "local",
+        "dim": 64,
+        "max_seq_len": 8192,
+    }
+
+
+def test_mod_info_default_model(sess):
+    info = sess.mod_info()
+    assert info["dim"] == 64

@@ -1,0 +1,159 @@
+"""REST facade tests — the server integration-test themes
+(server/tests/tests.rs:105-380, 501-688): search with flattened filter
+params, error cases (unknown job 404, invalid operator 400), create/delete
+lifecycle, health endpoints."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pg_vectorize_spark.engine import VectorizeSession
+from pg_vectorize_spark.rest import run_in_thread
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rest")
+    rows = [
+        (1, "pizza with cheese and tomato", "food", 12.0),
+        (2, "pencil for writing", "office", 2.0),
+        (3, "airplane model kit", "toys", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, content string, category string, price double"
+    )
+    src = str(tmp / "items.parquet")
+    df.write.parquet(src)
+    sess = VectorizeSession(spark, workspace=str(tmp / "ws"))
+    server, thread = run_in_thread(sess)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, src
+    server.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _delete(url):
+    req = urllib.request.Request(url, method="DELETE")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_endpoints(served):
+    base, _ = served
+    for path in ("/health", "/health/live", "/health/ready"):
+        code, body = _get(base + path)
+        assert code == 200 and body == {"status": "ok"}
+
+
+def test_full_lifecycle(served):
+    base, src = served
+
+    # create job
+    code, body = _post(
+        base + "/api/v1/table",
+        {
+            "job_name": "items",
+            "src_path": src,
+            "columns": ["content"],
+            "primary_key": "id",
+        },
+    )
+    assert code == 200 and body["dim"] == 64
+
+    # duplicate -> 409
+    code, _ = _post(
+        base + "/api/v1/table",
+        {
+            "job_name": "items",
+            "src_path": src,
+            "columns": ["content"],
+            "primary_key": "id",
+        },
+    )
+    assert code == 409
+
+    # GET search
+    code, results = _get(
+        base + "/api/v1/search?job_name=items&query=pizza+cheese&limit=2"
+    )
+    assert code == 200
+    assert results[0]["id"] == 1
+    assert "rrf_score" in results[0]
+
+    # flattened filter param (category=eq.office)
+    code, results = _get(
+        base
+        + "/api/v1/search?job_name=items&query=writing&category=eq.office"
+    )
+    assert code == 200
+    assert {r["id"] for r in results} == {2}
+
+    # numeric comparison filter
+    code, results = _get(
+        base + "/api/v1/search?job_name=items&query=anything&price=gt.10"
+    )
+    assert code == 200
+    assert {r["id"] for r in results} <= {1, 3}
+
+    # invalid operator value -> 400 (server/tests/tests.rs:357-380)
+    code, body = _get(
+        base + "/api/v1/search?job_name=items&query=x&price=gt.abc"
+    )
+    assert code == 400
+
+    # POST search
+    code, results = _post(
+        base + "/api/v1/search",
+        {"job_name": "items", "query": "airplane", "limit": 1},
+    )
+    assert code == 200 and results[0]["id"] == 3
+
+    # delete
+    code, _ = _delete(base + "/api/v1/table/items")
+    assert code == 200
+    code, _ = _delete(base + "/api/v1/table/items")
+    assert code == 404
+    code, _ = _get(base + "/api/v1/search?job_name=items&query=x")
+    assert code == 404
+
+
+def test_missing_params_400(served):
+    base, _ = served
+    code, _ = _get(base + "/api/v1/search?query=no_job")
+    assert code == 400
+    code, _ = _post(base + "/api/v1/table", {"job_name": "x"})
+    assert code == 400
+
+
+def test_unknown_route_404(served):
+    base, _ = served
+    code, _ = _get(base + "/api/v1/nope")
+    assert code == 404
