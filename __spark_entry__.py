@@ -476,6 +476,124 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collect_changed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: trigger-style array_agg of changed pkeys per micro-batch.
+
+    Batches = 100-doc groups; each yields one row with the sorted id array
+    (the JobMessage record_ids payload shape)."""
+    from pg_vectorize_spark.operators.change import batch_by_count
+
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.filter(F.col("n_chars") > 250)
+    batched = batch_by_count(changed, "doc_id", batch_size=100)
+    return batched.groupBy("batch_id").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("record_ids"),
+        F.count(F.lit(1)).alias("n_ids"),
+    )
+
+
+def q_json_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/S9: to_jsonb(t)-style row shaping — results as JSON objects."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "source", "n_chars")).alias(
+            "row_json"
+        ),
+    )
+
+
+def q_append_method_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: append-method freshness scan — single-table predicate
+    (updated > COALESCE(embedded_at, -infinity))."""
+    from pg_vectorize_spark.operators.change import detect_changes_append
+
+    ev = _events(spark, sf_dir)
+    # synthesize the append-method column: every 3rd event already embedded
+    # at its own ts; others pending
+    wide = ev.withColumn(
+        "emb_updated_at",
+        F.when(F.col("event_id") % 3 == 0, F.col("ts")),
+    )
+    changed = detect_changes_append(wide, "ts", "emb_updated_at")
+    return changed.select("event_id", "event_type")
+
+
+def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension-mode weighted fusion + post-fusion filter + where_sql."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("embeddings")
+    )
+    qv = _query_vec(spark, sf_dir)
+    return hybrid_search(
+        docs.select("doc_id", "lang", "n_chars"),
+        emb,
+        "doc_id",
+        qv,
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        window_size=40,
+        rrf_k=60,
+        semantic_weight=0.25,
+        fts_weight=0.75,
+        filters=parse_filters({"lang": "eq.en"}),
+        where_sql="n_chars > 100",
+        tokens_df=docs.select(
+            "doc_id", T.tokens_expr(F.col("text")).alias("search_tokens")
+        ),
+    )
+
+
+def q_fts_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed-analyzer FTS (Porter UDF path) — no SQL oracle by design;
+    the driver records the weaker rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return full_text_search(
+        docs.select("doc_id", "lang", "text"),
+        "doc_id",
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        return_columns=["doc_id", "lang"],
+        analyzer="english_stem",
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup: revenue per region x order priority.
+
+    Exercises the shuffle/broadcast strategy on the TPC-H-ish tables:
+    lineitem ⋈ orders shuffles on the fact keys, the dimension chain
+    (customer, nation, region) broadcasts. Money math in decimal so the
+    result is shuffle-order independent.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.groupBy("r_name", "o_orderpriority").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -508,6 +626,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_agg": q_events_windowed_agg,
     "incremental_scan_events": q_incremental_scan_events,
     "sessionize_events": q_sessionize_events,
+    "collect_changed_ids": q_collect_changed_ids,
+    "json_rows": q_json_rows,
+    "append_method_scan": q_append_method_scan,
+    "hybrid_weighted": q_hybrid_weighted,
+    "fts_stemmed": q_fts_stemmed,
+    "orders_rollup": q_orders_rollup,
 }
 
 
@@ -613,6 +737,50 @@ fused AS (
 SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score, f.semantic_rank, f.fts_rank,
        f.similarity_score
 FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
+ORDER BY f.rrf_score DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_hybrid_weighted() -> str:
+    sim = O.sql_cosine("e.embedding", "q.qv")
+    toks = O.sql_tokens("d.text")
+    match = O.sql_fts_match("search_tokens", QUERY_TERMS)
+    score = O.sql_fts_score("search_tokens", QUERY_TERMS)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS doc_id, similarity_score,
+         ROW_NUMBER() OVER (ORDER BY similarity_score DESC, doc_id ASC)
+           AS semantic_rank
+  FROM (
+    SELECT e.vec_id, {sim} AS similarity_score FROM embeddings e CROSS JOIN q
+  )
+  ORDER BY similarity_score DESC, doc_id ASC
+  LIMIT 40
+),
+ftsb AS (
+  SELECT doc_id, fts_score,
+         ROW_NUMBER() OVER (ORDER BY fts_score DESC, doc_id ASC) AS fts_rank
+  FROM (
+    SELECT doc_id, {score} AS fts_score
+    FROM (SELECT d.doc_id, {toks} AS search_tokens FROM documents d)
+    WHERE {match}
+  )
+  ORDER BY fts_score DESC, doc_id ASC
+  LIMIT 40
+),
+fused AS (
+  SELECT COALESCE(sem.doc_id, ftsb.doc_id) AS doc_id,
+         sem.similarity_score, sem.semantic_rank, ftsb.fts_rank,
+         COALESCE(0.25 / (60 + sem.semantic_rank), 0.0)
+         + COALESCE(0.75 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
+  FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score, f.semantic_rank, f.fts_rank,
+       f.similarity_score
+FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
+WHERE d.lang = 'en' AND d.n_chars > 100
 ORDER BY f.rrf_score DESC, d.doc_id ASC
 LIMIT 10
 """
@@ -1023,6 +1191,47 @@ s AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY 1, 2
+""",
+    "collect_changed_ids": """
+WITH c AS (
+  SELECT doc_id,
+         floor((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 100)::BIGINT
+           AS batch_id
+  FROM documents WHERE n_chars > 250
+)
+SELECT batch_id, list(doc_id ORDER BY doc_id) AS record_ids,
+       count(*) AS n_ids
+FROM c GROUP BY batch_id
+""",
+    "json_rows": """
+SELECT doc_id,
+       to_json({'doc_id': doc_id, 'lang': lang, 'source': source,
+                'n_chars': n_chars})::VARCHAR AS row_json
+FROM documents WHERE doc_id < 50
+""",
+    "append_method_scan": """
+WITH wide AS (
+  SELECT event_id, event_type, ts,
+         CASE WHEN event_id % 3 = 0 THEN ts END AS emb_updated_at
+  FROM events
+)
+SELECT event_id, event_type FROM wide
+WHERE emb_updated_at IS NULL
+   OR ts > COALESCE(emb_updated_at, TIMESTAMP '0001-01-01 00:00:00')
+""",
+    "hybrid_weighted": _oracle_hybrid_weighted(),
+    "orders_rollup": """
+SELECT r.r_name, o.o_orderpriority,
+       sum(l.l_extendedprice::DECIMAL(18,4)
+           * (1::DECIMAL(18,4) - l.l_discount::DECIMAL(18,4)))::DOUBLE
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, o.o_orderpriority
 """,
 }
 

@@ -59,6 +59,8 @@ def main() -> None:
         "chunk_table",
         "events_windowed_agg",
         "sessionize_events",
+        "hybrid_weighted",
+        "orders_rollup",
     ]
 
     timings: dict[str, float] = {}
