@@ -1,0 +1,173 @@
+"""Streaming windowed + stateful operators.
+
+The reference has no stream processor (SURVEY.md §2.9 R9 — its only
+incremental semantics is freshness scanning), so these are Spark-native
+extensions for the training-data/event side of the engine:
+
+- ``windowed_event_counts`` — event-time tumbling windows with a watermark:
+  the canonical late-data-tolerant aggregation. Works on both batch and
+  streaming DataFrames (same code path — run it over ``readStream`` for the
+  realtime counts, over ``read`` for the backfill; results agree, which is
+  what tests assert).
+- ``sessionize_stateful`` — per-key session building with
+  ``applyInPandasWithState``: custom state (open session start/end/count)
+  with a processing-time timeout closing idle sessions. This is the pattern
+  the built-in window functions can't express incrementally (session extent
+  depends on arbitrary gaps), i.e. the documented use-case for stateful
+  custom operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts+sums with late-data watermark.
+
+    On a streaming frame the watermark bounds state (windows older than the
+    mark are finalized and dropped); on a batch frame ``withWatermark`` is a
+    no-op, so the same function serves backfill and verification.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window)["start"].alias("window_start"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_fn(gap_us: int, idle_timeout_ms: int | None):
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((s, e, n))
+                state.remove()
+        else:
+            ts_list: list[int] = []
+            for pdf in pdfs:
+                ts_list.extend(
+                    int(t.value) // 1000  # pandas ns -> us
+                    for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_list.sort()
+            if state.exists:
+                cur_s, cur_e, cur_n = state.get
+            else:
+                cur_s = cur_e = cur_n = None
+            for us in ts_list:
+                if cur_s is None:
+                    cur_s, cur_e, cur_n = us, us, 1
+                elif us - cur_e > gap_us:
+                    closed.append((cur_s, cur_e, cur_n))
+                    cur_s, cur_e, cur_n = us, us, 1
+                else:
+                    cur_e = us
+                    cur_n += 1
+            if cur_s is not None:
+                state.update((cur_s, cur_e, cur_n))
+                if idle_timeout_ms is not None:
+                    state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return update
+
+
+def sessionize_stateful(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState).
+
+    Emits CLOSED sessions: a session closes when a later event for the same
+    user arrives more than ``gap_seconds`` after it, or — when
+    ``idle_timeout_ms`` is set — when the state times out with no new data.
+    The open session per user lives in the state store (bounded by user
+    cardinality, checkpointed, recoverable).
+
+    Leave ``idle_timeout_ms`` unset for Trigger.AvailableNow backfills: with
+    a processing-time timeout registered, an availableNow run keeps cycling
+    micro-batches until every timeout fires (minutes of idle looping for a
+    finite input). Set it on continuous streams so idle sessions flush.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds * 1_000_000, idle_timeout_ms),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

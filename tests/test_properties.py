@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+The reference has no property testing (SURVEY.md §5) — these go beyond its
+suite: invariants that must hold for ALL inputs, not just goldens.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pg_vectorize_spark.filters import (
+    FilterParseError,
+    parse_filter,
+)
+from pg_vectorize_spark.operators.change import pack_by_token_budget
+from pg_vectorize_spark.operators.chunk import chunk_text_greedy
+from pg_vectorize_spark.providers.local import (
+    DEFAULT_DIM,
+    LocalHashEmbedder,
+    bucket,
+    features,
+    tokenize,
+)
+from pg_vectorize_spark.rag import trim_context
+
+
+class TestFilterParserProperties:
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def test_integers_roundtrip(self, n):
+        fv = parse_filter(f"eq.{n}")
+        assert fv.value == n and fv.op == "="
+
+    @given(st.integers(-(2**63), 2**63 - 1), st.sampled_from(["gt", "gte", "lt", "lte"]))
+    def test_comparison_ops_accept_any_int(self, n, op):
+        fv = parse_filter(f"{op}.{n}")
+        assert fv.value == n
+
+    @given(st.floats(allow_nan=False, allow_infinity=False))
+    def test_floats_roundtrip(self, x):
+        fv = parse_filter(f"gte.{x!r}")
+        assert fv.value == x or fv.value == int(x)  # 1.0 prints as '1.0'
+
+    @given(st.text(alphabet=st.characters(exclude_characters="."), max_size=30))
+    def test_never_crashes_on_equality(self, s):
+        # any dot-free string must parse as an equality filter
+        fv = parse_filter(s)
+        assert fv.op == "="
+
+    @given(st.text(max_size=30))
+    def test_parse_total_function(self, s):
+        # parse_filter either returns a FilterValue or raises FilterParseError
+        try:
+            fv = parse_filter(s)
+            assert fv.op in {"=", ">", ">=", "<", "<="}
+        except FilterParseError:
+            pass
+
+
+class TestChunkerProperties:
+    @given(st.text(max_size=300), st.integers(min_value=1, max_value=50))
+    @settings(max_examples=200)
+    def test_chunks_within_limit(self, doc, max_chars):
+        for ch in chunk_text_greedy(doc, max_chars):
+            assert 0 < len(ch) <= max_chars
+
+    @given(st.text(max_size=300), st.integers(min_value=1, max_value=50))
+    @settings(max_examples=200)
+    def test_reassembly_preserves_characters(self, doc, max_chars):
+        # words longer than max_chars are hard-split, so the word list may
+        # change — but the non-whitespace character stream never does
+        chunks = chunk_text_greedy(doc, max_chars)
+        got = "".join("".join(ch.split()) for ch in chunks)
+        expect = "".join(doc.split())
+        assert got == expect
+
+    @given(st.text(max_size=200))
+    def test_no_empty_chunks(self, doc):
+        assert all(ch.strip() for ch in chunk_text_greedy(doc, 10))
+
+
+class TestPackingProperties:
+    @given(
+        st.lists(
+            st.tuples(st.text(max_size=5), st.integers(1, 20_000)), max_size=40
+        ),
+        st.integers(min_value=1, max_value=15_000),
+    )
+    def test_packing_partitions_all_items(self, items, budget):
+        batches = pack_by_token_budget(items, budget)
+        flat = [rid for b in batches for rid in b]
+        assert flat == [rid for rid, _ in items]
+
+    @given(
+        st.lists(
+            st.tuples(st.text(max_size=5), st.integers(1, 5_000)), max_size=40
+        ),
+        st.integers(min_value=5_000, max_value=15_000),
+    )
+    def test_batches_respect_budget_when_items_fit(self, items, budget):
+        # when every item fits the budget, every batch must too
+        tokens = dict()
+        sizes = []
+        batches = pack_by_token_budget(items, budget)
+        i = 0
+        for b in batches:
+            total = 0
+            for _ in b:
+                total += items[i][1]
+                i += 1
+            sizes.append(total)
+        assert all(s <= budget for s in sizes)
+
+
+class TestEmbedderProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=100)
+    def test_unit_norm_or_zero(self, text):
+        e = LocalHashEmbedder(dim=32)
+        v = e.embed_one(text)
+        n = sum(x * x for x in v)
+        assert math.isclose(n, 1.0, rel_tol=1e-9) or n == 0.0
+
+    @given(st.text(max_size=100))
+    def test_deterministic(self, text):
+        e = LocalHashEmbedder(dim=32)
+        assert e.embed_one(text) == e.embed_one(text)
+
+    @given(st.text(max_size=100))
+    def test_tokens_lowercase_alnum(self, text):
+        for t in tokenize(text):
+            assert re.fullmatch(r"[a-z0-9]+", t)
+
+    @given(st.text(alphabet="abc ", max_size=60), st.integers(2, 256))
+    def test_bucket_in_range(self, text, dim):
+        for f in features(text):
+            assert 0 <= bucket(f, dim) < dim
+
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=100))
+    def test_case_insensitive_ascii(self, text):
+        # ASCII only: Unicode case-folding is not involutive ('ß'.upper() ==
+        # 'SS'), and the analyzer is spec'd over [a-z0-9] tokens
+        e = LocalHashEmbedder(dim=DEFAULT_DIM)
+        assert e.embed_one(text.lower()) == e.embed_one(text.upper())
+
+
+class TestTrimProperties:
+    @given(
+        st.lists(st.text(alphabet="ab ", max_size=30), max_size=10),
+        st.integers(min_value=0, max_value=50),
+    )
+    def test_trim_never_exceeds_budget(self, docs, budget):
+        kept, used = trim_context(docs, budget)
+        assert used <= budget
+        assert sum(len(d.split()) for d in kept) == used
+
+    @given(st.lists(st.text(alphabet="xy ", max_size=20), max_size=8))
+    def test_zero_budget_keeps_zero_tokens(self, docs):
+        # zero-token docs legitimately fit a zero budget; nothing else does
+        kept, used = trim_context(docs, 0)
+        assert used == 0
+        assert all(len(d.split()) == 0 for d in kept)

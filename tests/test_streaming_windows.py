@@ -1,0 +1,111 @@
+"""Watermarked windowed aggregation + stateful sessionization tests."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pg_vectorize_spark.streaming.windows import (
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+
+def _events_df(spark):
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + timedelta(minutes=i * 7),
+                i % 5,
+                ["click", "view"][i % 2],
+                float(i % 13) + 0.25,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_windowed_counts_batch_matches_manual(spark):
+    df = _events_df(spark)
+    out = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    # manual: first hour (minutes 0..59 -> i in 0..8)
+    first_hour = datetime(2024, 1, 1, 0, 0, 0)
+    clicks = [i for i in range(9) if i % 2 == 0]
+    n, s = out[(first_hour, "click")]
+    assert n == len(clicks)
+    assert abs(s - sum(float(i % 13) + 0.25 for i in clicks)) < 1e-9
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    df = _events_df(spark)
+    src = str(tmp_path / "ev_src")
+    df.coalesce(2).write.parquet(src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_sessionize_closes_gapped_sessions(spark, tmp_path):
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions separated by a 2-hour gap
+        (1, base),
+        (1, base + timedelta(minutes=10)),
+        (1, base + timedelta(hours=3)),
+        # user 2: one session
+        (2, base + timedelta(minutes=5)),
+        (2, base + timedelta(minutes=20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out").collect()
+    # only CLOSED sessions are emitted: user 1's first session closed by the
+    # 3-hour event; the open sessions stay in state
+    closed = {(r["user_id"], r["n_events"]) for r in got}
+    assert (1, 2) in closed
+    by_key = {
+        (r["user_id"], r["n_events"]): r for r in got
+    }
+    s = by_key[(1, 2)]
+    assert s["session_start"] == base
+    assert s["session_end"] == base + timedelta(minutes=10)
