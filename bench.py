@@ -63,17 +63,24 @@ def main() -> None:
         "orders_rollup",
     ]
 
+    # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the
+    # first timed query measures execution, not session warmup
+    qs["token_count"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in bench_names:
         if name not in qs:
             continue
         fn = qs[name]
-        # warm the reader metadata once so timings measure execution
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink forces FULL materialization of every column — count()
+        # would let Catalyst prune the expensive projections (embeddings,
+        # chunks) and understate the work
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        _ = n
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -59,30 +59,43 @@ def embed_bulk_exploded(
         .groupBy(pkey, "_bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
     )
+    # Σcnt² rides the same aggregation as the sparse map: Aggregate is an
+    # optimizer barrier, so `_n2` is a REAL column — referencing it inside
+    # the dense-building lambda costs a column read, not a re-evaluated
+    # fold per element (expressions referenced inside higher-order lambdas
+    # are re-evaluated per element after projection collapse). The sum of
+    # squares of integer-valued counts is exact in any aggregation order,
+    # so bit-parity with the oracle's left-to-right dense fold holds.
     sparse = bucket_counts.groupBy(pkey).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("_bucket"), F.col("_cnt")))
-        ).alias("_m")
+        ).alias("_m"),
+        F.sum(F.col("_cnt") * F.col("_cnt")).alias("_n2"),
     )
-    dense = F.transform(
+    joined = df.select(pkey).join(sparse, pkey, "left")
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    if not normalize:
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
+            ),
+        )
+        return joined.select(
+            F.col(pkey), F.coalesce(dense, zeros).alias(out_col)
+        )
+    norm = F.sqrt(F.col("_n2"))
+    vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(
             F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
-        ),
+        )
+        / norm,
     )
-    out = df.select(pkey).join(sparse, pkey, "left").select(
+    return joined.select(
         F.col(pkey),
-        F.coalesce(dense, F.array_repeat(F.lit(0.0), dim)).alias("_counts"),
+        F.when(norm > 0, vec).otherwise(zeros).alias(out_col),
     )
-    if not normalize:
-        return out.withColumnRenamed("_counts", out_col)
-    norm = F.sqrt(
-        F.aggregate(F.col("_counts"), F.lit(0.0), lambda a, x: a + x * x)
-    )
-    vec = F.when(
-        norm > 0, F.transform(F.col("_counts"), lambda x: x / norm)
-    ).otherwise(F.col("_counts"))
-    return out.select(F.col(pkey), vec.alias(out_col))
 
 
 def embed_bulk_pandas(

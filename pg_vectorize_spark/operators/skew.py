@@ -1,0 +1,106 @@
+"""Skew-handling utilities: salting for hot keys.
+
+AQE's skew-join rule splits oversized SORT-MERGE join partitions at
+runtime, but two shapes still need explicit salting at 100 TB:
+
+- **aggregations with hot keys** — a groupBy where one key holds 1% of the
+  table puts that 1% on one reducer. ``salted_aggregate`` runs the classic
+  two-stage shape: groupBy(keys + salt) partial -> groupBy(keys) final.
+  Legal only for ALGEBRAIC aggregates (count/sum/min/max — anything with an
+  associative merge), which the helper enforces by construction.
+- **skewed equi-joins against a mid-size build side** (too big to
+  broadcast, too skewed to shuffle cleanly) — ``salted_join`` salts the
+  probe side with a deterministic pseudo-random salt and EXPLODES the build
+  side across all salt values, so each hot key spreads over ``n_salts``
+  reducers.
+
+Salts are deterministic (xxhash64 of the row's key + a disambiguator), so
+runs are reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+
+def with_salt(df: DataFrame, key_cols: Sequence[str], n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from the full row's key
+    columns plus a spread column (xxhash64 over all columns keeps equal keys
+    from landing identical salts)."""
+    return df.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    counts: Sequence[str] = (),
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed grouping keys.
+
+    Output columns: ``<col>_count`` / ``<col>_sum`` / ``<col>_min`` /
+    ``<col>_max`` (counts entries may be '*'). Results are identical to the
+    direct groupBy — only the shuffle layout changes (hot keys fan out over
+    n_salts partial groups before the small final merge).
+    """
+    salted = with_salt(df, keys, n_salts)
+    partial_aggs: list[Column] = []
+    final_aggs: list[Column] = []
+    for c in counts:
+        name = "count" if c == "*" else f"{c}_count"
+        src = F.lit(1) if c == "*" else F.col(c)
+        if c == "*":
+            partial_aggs.append(F.count(src).alias(f"_p_{name}"))
+        else:
+            partial_aggs.append(F.count(src).alias(f"_p_{name}"))
+        final_aggs.append(F.sum(f"_p_{name}").alias(name))
+    for c in sums:
+        partial_aggs.append(F.sum(c).alias(f"_p_{c}_sum"))
+        final_aggs.append(F.sum(f"_p_{c}_sum").alias(f"{c}_sum"))
+    for c in mins:
+        partial_aggs.append(F.min(c).alias(f"_p_{c}_min"))
+        final_aggs.append(F.min(f"_p_{c}_min").alias(f"{c}_min"))
+    for c in maxs:
+        partial_aggs.append(F.max(c).alias(f"_p_{c}_max"))
+        final_aggs.append(F.max(f"_p_{c}_max").alias(f"{c}_max"))
+    if not partial_aggs:
+        raise ValueError("no aggregates requested")
+    partial = salted.groupBy(*keys, _SALT).agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi-join: salt the probe side, explode the build side.
+
+    Build-side rows replicate n_salts times (only viable when the build side
+    is moderate — for truly small sides just broadcast; for two huge skewed
+    sides, isolate the hot keys and union a broadcast sub-join). Supports
+    inner and left joins (probe side preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_probe = with_salt(probe, [key], n_salts)
+    exploded_build = build.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_probe.join(exploded_build, [key, _SALT], how)
+    return out.drop(_SALT)

@@ -1,0 +1,97 @@
+"""Salting utilities: results must equal the unsalted equivalents; the plan
+must show the two-stage shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+    with_salt,
+)
+from pg_vectorize_spark.plans.inspect import plan_report
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    # hot key: 'hot' holds 80% of rows
+    rows = [(i, "hot" if i % 5 != 0 else f"cold{i}", float(i % 7)) for i in range(500)]
+    return spark.createDataFrame(rows, "id long, k string, v double")
+
+
+def test_salt_in_range_and_deterministic(spark, skewed_df):
+    s1 = with_salt(skewed_df, ["k"], 8).select("id", "_salt").collect()
+    s2 = with_salt(skewed_df, ["k"], 8).select("id", "_salt").collect()
+    assert {r["_salt"] for r in s1} <= set(range(8))
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    # the hot key's rows actually spread over multiple salts
+    hot = with_salt(skewed_df.filter(F.col("k") == "hot"), ["k"], 8)
+    assert hot.select("_salt").distinct().count() > 1
+
+
+def test_salted_aggregate_matches_direct(spark, skewed_df):
+    direct = {
+        r["k"]: (r["cnt"], r["s"], r["mn"], r["mx"])
+        for r in skewed_df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["count"], r["v_sum"], r["v_min"], r["v_max"])
+        for r in salted_aggregate(
+            skewed_df, ["k"], counts=["*"], sums=["v"], mins=["v"], maxs=["v"]
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        dc, ds, dmn, dmx = direct[k]
+        sc, ss, smn, smx = salted[k]
+        assert dc == sc and dmn == smn and dmx == smx
+        assert abs(ds - ss) < 1e-9
+
+
+def test_salted_aggregate_two_stage_plan(spark, skewed_df):
+    df = salted_aggregate(skewed_df, ["k"], counts=["*"], n_salts=8)
+    rep = plan_report(df)
+    # two logical aggregations -> at least two exchanges (salted + final)
+    assert rep.text.count("HashAggregate") >= 2
+
+
+def test_salted_join_matches_direct(spark, skewed_df):
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold0", "C0"), ("cold5", "C5")], "k string, label string"
+    )
+    direct = sorted(
+        (r["id"], r["label"])
+        for r in skewed_df.join(dim, "k", "inner").collect()
+    )
+    salted = sorted(
+        (r["id"], r["label"])
+        for r in salted_join(skewed_df, dim, "k", n_salts=4).collect()
+    )
+    assert direct == salted
+
+
+def test_salted_left_join_preserves_probe(spark, skewed_df):
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    out = salted_join(skewed_df, dim, "k", n_salts=4, how="left")
+    assert out.count() == 500
+    assert out.filter(F.col("label").isNull()).count() == 100
+
+
+def test_unsupported_join_type(spark, skewed_df):
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    with pytest.raises(ValueError):
+        salted_join(skewed_df, dim, "k", how="full_outer")
+
+
+def test_no_aggregates_requested(spark, skewed_df):
+    with pytest.raises(ValueError):
+        salted_aggregate(skewed_df, ["k"])
