@@ -594,6 +594,36 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite multimodal flow: binary media -> fake decode (Arrow UDF
+    stub) -> feature near-dup pairs. Rows-only by design (decode is a
+    Python-side stub; see multimodal/binary.py)."""
+    from pg_vectorize_spark.multimodal.binary import decode_media
+    from pg_vectorize_spark.operators.dedup import cosine_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    decoded = decode_media(docs, "content", "doc_id", fake=True, n_features=8)
+    feats = decoded.select(F.col("pkey").alias("doc_id"), "features").filter(
+        F.col("doc_id") < 100
+    )
+    return cosine_neardup_pairs(feats, "doc_id", "features", threshold=0.999)
+
+
+def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup closure over jaccard pairs — iterative label
+    propagation (driver-loop fixpoint; not SQL-expressible -> rows-only)."""
+    from pg_vectorize_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.15)
+    return connected_components(pairs).orderBy("id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -632,6 +662,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_weighted": q_hybrid_weighted,
     "fts_stemmed": q_fts_stemmed,
     "orders_rollup": q_orders_rollup,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "dedup_transitive": q_dedup_transitive,
 }
 
 

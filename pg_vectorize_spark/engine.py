@@ -337,6 +337,32 @@ class VectorizeSession:
         )
         return [r.asDict(recursive=True) for r in df.collect()]
 
+    def hybrid_search_extension_mode(
+        self,
+        job_name: str,
+        query: str,
+        num_results: int = 10,
+        semantic_weight: int = 50,
+        api_key: str | None = None,
+        **kwargs,
+    ) -> list[dict]:
+        """The extension's OLDER client-side fusion algorithm
+        (extension/src/search.rs:279-369): candidate pools of 2x num_results
+        per branch, weights semantic_weight/100 and (100-semantic_weight)/100.
+        Same RRF shape — expressed through the server-side operator with the
+        extension's parameters."""
+        w = semantic_weight / 100.0
+        return self.hybrid_search(
+            job_name,
+            query,
+            num_results=num_results,
+            window_size=2 * num_results,
+            semantic_weight=w,
+            fts_weight=1.0 - w,
+            api_key=api_key,
+            **kwargs,
+        )
+
     # -------------------------------------------------------- SQL surface
 
     _SQL_FUNCTIONS = {

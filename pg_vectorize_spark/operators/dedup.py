@@ -299,6 +299,70 @@ def cosine_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label propagation over duplicate pairs -> (id, component) with
+    component = min id reachable. The transitive-closure step real dedup
+    needs (pairwise survivors under-merge chains A~B~C).
+
+    Iterative min-label propagation: each round joins labels across edges
+    and keeps the per-node minimum; stops when no label changes. Classic
+    Spark iterative-algorithm shape — driver loop over DataFrame ops, with
+    localCheckpoint() each round to truncate the exponentially growing
+    lineage (SQL can't express the fixpoint; pytest verifies against a
+    pure-Python BFS oracle).
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # neighbor labels: for each edge, the src's current label offered to dst
+        offered = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(offered)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors_transitive(
+    df: DataFrame, pkey: str, pairs: DataFrame
+) -> DataFrame:
+    """Full transitive dedup: keep only the min-id member of each duplicate
+    component (plus every row that appears in no pair)."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(pkey)
+    )
+    return df.join(losers, pkey, "left_anti")
+
+
 def dedup_survivors(df: DataFrame, pkey: str, pairs: DataFrame) -> DataFrame:
     """Resolve pairs to survivors: drop every id that appears as the larger
     member of a duplicate pair (connected-component-lite: min-id wins per

@@ -1,0 +1,79 @@
+"""Iterative connected-components dedup vs a pure-Python BFS oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pg_vectorize_spark.operators.dedup import (
+    connected_components,
+    dedup_survivors_transitive,
+)
+
+
+def _bfs_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp: dict[int, int] = {}
+    for start in adj:
+        if start in comp:
+            continue
+        seen = {start}
+        stack = [start]
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        label = min(seen)
+        for n in seen:
+            comp[n] = label
+    return comp
+
+
+def test_chain_merges_transitively(spark):
+    # A~B, B~C, C~D: all one component even though A~D never paired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_random_graph_matches_bfs(spark):
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    expected = _bfs_components(edges)
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_transitive_survivors(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a_id long, b_id long"
+    )
+    surv = dedup_survivors_transitive(df, "doc_id", pairs)
+    assert {r["doc_id"] for r in surv.collect()} == {1, 4, 5}
+
+
+def test_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(pairs).count() == 0
