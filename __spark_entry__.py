@@ -594,6 +594,30 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/S6: the _search_tokens_<job> table itself — analyzer output
+    (sorted for order-insensitive array comparison)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_sort(T.tokens_expr(F.col("text"))).alias("search_tokens"),
+        F.size(T.tokens_expr(F.col("text"))).alias("n_terms"),
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIN-index analog (SURVEY §4): term -> document-frequency +
+    sorted posting list, built by explode + groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(T.tokens_expr(F.col("text"))).alias("term")
+    )
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite multimodal flow: binary media -> fake decode (Arrow UDF
     stub) -> feature near-dup pairs. Rows-only by design (decode is a
@@ -664,6 +688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
+    "search_tokens": q_search_tokens,
+    "inverted_index": q_inverted_index,
 }
 
 
@@ -1252,6 +1278,21 @@ WHERE emb_updated_at IS NULL
    OR ts > COALESCE(emb_updated_at, TIMESTAMP '0001-01-01 00:00:00')
 """,
     "hybrid_weighted": _oracle_hybrid_weighted(),
+    "search_tokens": f"""
+SELECT doc_id,
+       list_sort({O.sql_tokens('text')}) AS search_tokens,
+       len({O.sql_tokens('text')})::INT AS n_terms
+FROM documents
+""",
+    "inverted_index": f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, {O.sql_tokens('text')} AS toks FROM documents
+),
+p AS (SELECT doc_id, unnest(toks) AS term FROM tok)
+SELECT term, count(*) AS doc_freq,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM p GROUP BY term
+""",
     "orders_rollup": """
 SELECT r.r_name, o.o_orderpriority,
        sum(l.l_extendedprice::DECIMAL(18,4)

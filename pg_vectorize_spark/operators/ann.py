@@ -141,6 +141,79 @@ def default_centroids(
     )
 
 
+def train_ivf_centroids_kmeans(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    n_centroids: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """MLlib-trained coarse quantizer: KMeans centroids as the IVF index.
+
+    The production replacement for ``default_centroids`` — the reference's
+    HNSW/DiskANN index-build step re-imagined as a Spark ML fit
+    (core/src/query.rs:359-396 builds the pgvector index; here the "index"
+    is a centroid table + a cell assignment column, both plain DataFrames).
+    Returns (centroid_id, centroid_vec array<double>) ready for
+    assign_ivf_cells/ivf_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    ml_df = emb_df.select(
+        F.col(pkey), array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_features"
+    ).fit(ml_df)
+    spark = emb_df.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    return centers
+
+
+def mllib_lsh_neighbors(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate nearest neighbors via MLlib BucketedRandomProjectionLSH.
+
+    Euclidean-distance LSH (on L2-normalized vectors, euclidean rank order
+    == cosine rank order). Returns (pkey, dist_euclidean) for the approx
+    top-k. Trained hash tables are seeded -> reproducible; still not
+    oracle-expressible (random projections live in the model), so this is a
+    tested operator, not an oracle-gated query.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    ml_df = emb_df.select(
+        F.col(pkey),
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(ml_df)
+    key = Vectors.dense([float(x) for x in query_vec])
+    out = model.approxNearestNeighbors(ml_df, key, k, distCol="dist_euclidean")
+    return out.select(F.col(pkey), F.col("dist_euclidean"))
+
+
 def ivf_topk(
     emb_df: DataFrame,
     centroids_df: DataFrame,
