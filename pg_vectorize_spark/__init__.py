@@ -25,4 +25,23 @@ re-expressed on the Spark DataFrame/SQL stack:
 
 from pg_vectorize_spark.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    # lazy import: keep `import pg_vectorize_spark` cheap (no SparkSession
+    # machinery) while exposing the main entry points at top level
+    if name == "VectorizeSession":
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        return VectorizeSession
+    if name == "Catalog":
+        from pg_vectorize_spark.catalog import Catalog
+
+        return Catalog
+    if name == "JobRecord":
+        from pg_vectorize_spark.catalog import JobRecord
+
+        return JobRecord
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["__version__", "VectorizeSession", "Catalog", "JobRecord"]

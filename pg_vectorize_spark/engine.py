@@ -213,6 +213,35 @@ class VectorizeSession:
             pass
         return self.catalog.delete(job_name)
 
+    def catalog_df(self, register_view: bool = True) -> DataFrame:
+        """The job catalog as a DataFrame (``SELECT * FROM vectorize.job``
+        analog); registered as the ``vectorize_jobs`` temp view."""
+        jobs = [self.catalog.get(name) for name in self.catalog.list_jobs()]
+        rows = [
+            (
+                j.job_name,
+                j.src_path,
+                j.src_columns,
+                j.primary_key,
+                j.update_time_col,
+                j.model,
+                j.dim,
+                j.table_method,
+                j.schedule,
+                j.created_at,
+            )
+            for j in jobs
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "job_name string, src_path string, src_columns array<string>, "
+            "primary_key string, update_time_col string, model string, "
+            "dim int, table_method string, schedule string, created_at string",
+        )
+        if register_view:
+            df.createOrReplaceTempView("vectorize_jobs")
+        return df
+
     def job_view(self, job_name: str) -> DataFrame:
         """<job>_view: source ⋈ embeddings (core/src/query.rs:311-320)."""
         job = self.catalog.get(job_name)

@@ -72,3 +72,39 @@ def test_mod_info(sess):
 def test_mod_info_default_model(sess):
     info = sess.mod_info()
     assert info["dim"] == 64
+
+
+def test_catalog_df_and_view(sess, spark, products_path):
+    sess.create_job(
+        "catjob", products_path, columns=["product_name"],
+        primary_key="product_id",
+    )
+    df = sess.catalog_df()
+    rows = {r["job_name"]: r for r in df.collect()}
+    assert rows["catjob"]["dim"] == 64
+    assert rows["catjob"]["src_columns"] == ["product_name"]
+    # queryable as a view
+    assert (
+        spark.sql(
+            "SELECT model FROM vectorize_jobs WHERE job_name = 'catjob'"
+        ).head()["model"]
+        == "local/hash-embedder-64"
+    )
+
+
+def test_hybrid_extension_mode(sess, products_path):
+    import math
+
+    sess.create_job(
+        "extjob", products_path,
+        columns=["product_name", "description"], primary_key="product_id",
+    )
+    out = sess.hybrid_search_extension_mode(
+        "extjob", "portable bluetooth speaker", num_results=3,
+        semantic_weight=50,
+    )
+    top = out[0]
+    assert top["product_name"] == "Bluetooth Speaker"
+    # weights 0.5/0.5 at ranks 1/1 -> rrf = 0.5/61 + 0.5/61 = 1/61
+    if top["semantic_rank"] == 1 and top["fts_rank"] == 1:
+        assert math.isclose(top["rrf_score"], 1.0 / 61.0, rel_tol=1e-12)
