@@ -594,6 +594,30 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate filtering — the curation step that keeps docs above a
+    composite-score threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score_expr(F.col("text")).alias("quality_score"),
+    ).filter(F.col("quality_score") >= 0.5)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-hop dedup resolution: drop the larger id of every jaccard
+    pair >= threshold, keep everything else."""
+    from pg_vectorize_spark.operators.dedup import (
+        dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+    return dedup_survivors(docs, "doc_id", pairs).select("doc_id", "n_chars")
+
+
 def q_search_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/S6: the _search_tokens_<job> table itself — analyzer output
     (sorted for order-insensitive array comparison)."""
@@ -690,6 +714,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_transitive": q_dedup_transitive,
     "search_tokens": q_search_tokens,
     "inverted_index": q_inverted_index,
+    "quality_filter": q_quality_filter,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 
@@ -1278,6 +1304,34 @@ WHERE emb_updated_at IS NULL
    OR ts > COALESCE(emb_updated_at, TIMESTAMP '0001-01-01 00:00:00')
 """,
     "hybrid_weighted": _oracle_hybrid_weighted(),
+    "quality_filter": f"""
+WITH q AS (
+  SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score
+  FROM documents
+)
+SELECT doc_id, lang, quality_score FROM q WHERE quality_score >= 0.5
+""",
+    "dedup_survivors": f"""
+WITH s AS MATERIALIZED (
+  SELECT d.doc_id, {O.sql_word_shingles('d.text', 3)} AS sh FROM documents d
+),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM s),
+losers AS (
+  SELECT DISTINCT i.b_id AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.a_id = sa.doc_id
+  JOIN sizes sb ON i.b_id = sb.doc_id
+  WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)::DOUBLE >= 0.2
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+""",
     "search_tokens": f"""
 SELECT doc_id,
        list_sort({O.sql_tokens('text')}) AS search_tokens,

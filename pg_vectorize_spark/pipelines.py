@@ -1,0 +1,234 @@
+"""CorpusPipeline — the training-data-curation API over one document table.
+
+The vectorize-parity surface (VectorizeSession) covers search jobs; this
+class is the ergonomic front door for the corpus-curation extensions: a
+fluent pipeline over a (pkey, text) table that composes the operators in
+operators/dedup, operators/ann, operators/chunk, and functions/text.
+
+    pipe = CorpusPipeline(spark, docs_df, pkey="doc_id", text_col="text")
+    clean = (
+        pipe.with_quality()
+            .filter_quality(min_score=0.5)
+            .dedup("exact")
+            .dedup("minhash", threshold_bands=True)
+            .df()
+    )
+    emb = pipe.embed(dim=64)
+    idx = pipe.ann_index(emb, n_centroids=64)
+
+Every step is lazy DataFrame composition — nothing executes until an action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    quality_metrics_exprs,
+    quality_score_expr,
+    token_count_expr,
+    tokens_expr,
+)
+from pg_vectorize_spark.operators.ann import (
+    assign_ivf_cells,
+    ivf_topk,
+    train_ivf_centroids_kmeans,
+)
+from pg_vectorize_spark.operators.chunk import chunk_table_distributed
+from pg_vectorize_spark.operators.dedup import (
+    cosine_neardup_pairs,
+    dedup_survivors,
+    dedup_survivors_transitive,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from pg_vectorize_spark.operators.embed import embed_bulk_exploded
+
+
+class CorpusPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        pkey: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self._df = df
+        self.pkey = pkey
+        self.text_col = text_col
+
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _derive(self, df: DataFrame) -> "CorpusPipeline":
+        return CorpusPipeline(self.spark, df, self.pkey, self.text_col)
+
+    # ------------------------------------------------------------ analysis
+
+    def with_tokens(self) -> "CorpusPipeline":
+        return self._derive(
+            self._df.withColumn(
+                "search_tokens", tokens_expr(F.col(self.text_col))
+            )
+        )
+
+    def with_quality(self) -> "CorpusPipeline":
+        m = quality_metrics_exprs(F.col(self.text_col))
+        df = self._df
+        for name, expr in m.items():
+            out_name = name if name not in df.columns else f"q_{name}"
+            df = df.withColumn(out_name, expr)
+        return self._derive(
+            df.withColumn(
+                "quality_score", quality_score_expr(F.col(self.text_col))
+            )
+        )
+
+    def with_lang(self) -> "CorpusPipeline":
+        return self._derive(
+            self._df.withColumn("lang_pred", lang_id_expr(F.col(self.text_col)))
+        )
+
+    def with_token_count(self) -> "CorpusPipeline":
+        return self._derive(
+            self._df.withColumn(
+                "n_tokens", token_count_expr(F.col(self.text_col))
+            )
+        )
+
+    def with_fingerprint(self) -> "CorpusPipeline":
+        return self._derive(
+            self._df.withColumn(
+                "fingerprint", fingerprint_expr(F.col(self.text_col))
+            )
+        )
+
+    # ------------------------------------------------------------ filtering
+
+    def filter_quality(self, min_score: float = 0.5) -> "CorpusPipeline":
+        df = self._df
+        if "quality_score" not in df.columns:
+            df = df.withColumn(
+                "quality_score", quality_score_expr(F.col(self.text_col))
+            )
+        return self._derive(df.filter(F.col("quality_score") >= min_score))
+
+    def filter_lang(self, lang: str) -> "CorpusPipeline":
+        df = self._df
+        if "lang_pred" not in df.columns:
+            df = df.withColumn("lang_pred", lang_id_expr(F.col(self.text_col)))
+        return self._derive(df.filter(F.col("lang_pred") == lang))
+
+    # ------------------------------------------------------------ dedup
+
+    def duplicate_pairs(
+        self,
+        method: str = "jaccard",
+        threshold: float = 0.8,
+        embeddings: DataFrame | None = None,
+        emb_col: str = "embeddings",
+    ) -> DataFrame:
+        """(a_id, b_id [, score]) candidate/verified duplicate pairs."""
+        if method == "jaccard":
+            return ngram_jaccard_pairs(
+                self._df, self.text_col, self.pkey, threshold=threshold
+            )
+        if method == "minhash":
+            sigs = minhash_signatures(self._df, self.text_col, self.pkey)
+            return minhash_lsh_candidates(sigs)
+        if method == "simhash":
+            return simhash_pairs(self._df, self.text_col, self.pkey)
+        if method == "embedding":
+            if embeddings is None:
+                embeddings = self.embed()
+            return cosine_neardup_pairs(
+                embeddings, self.pkey, emb_col, threshold=threshold
+            )
+        raise ValueError(f"unknown dedup method: {method}")
+
+    def dedup(
+        self,
+        method: str = "exact",
+        threshold: float = 0.8,
+        transitive: bool = False,
+    ) -> "CorpusPipeline":
+        """Drop duplicates, keeping the min-pkey member of each group."""
+        if method == "exact":
+            keep = exact_dedup(self._df, self.text_col, self.pkey).select(
+                F.col("keep_id").alias(self.pkey)
+            )
+            return self._derive(self._df.join(keep, self.pkey, "left_semi"))
+        pairs = self.duplicate_pairs(method, threshold)
+        if transitive:
+            return self._derive(
+                dedup_survivors_transitive(self._df, self.pkey, pairs)
+            )
+        return self._derive(dedup_survivors(self._df, self.pkey, pairs))
+
+    # ------------------------------------------------------------ chunking
+
+    def chunk(self, max_chunk_size: int = 1000) -> DataFrame:
+        return chunk_table_distributed(
+            self._df, self.text_col, self.pkey, max_chunk_size
+        )
+
+    # ------------------------------------------------------------ vectors
+
+    def embed(self, dim: int = 64) -> DataFrame:
+        """(pkey, embeddings) via the JVM bulk path."""
+        return embed_bulk_exploded(self._df, self.text_col, self.pkey, dim)
+
+    def ann_index(
+        self,
+        embeddings: DataFrame | None = None,
+        n_centroids: int = 8,
+        emb_col: str = "embeddings",
+        use_kmeans: bool = True,
+        seed: int = 42,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Build the IVF index: (centroids, assignments)."""
+        if embeddings is None:
+            embeddings = self.embed()
+        if use_kmeans:
+            cents = train_ivf_centroids_kmeans(
+                embeddings, self.pkey, emb_col, n_centroids, seed=seed
+            )
+        else:
+            from pg_vectorize_spark.operators.ann import default_centroids
+
+            cents = default_centroids(
+                embeddings, self.pkey, emb_col, n_centroids
+            )
+        assigned = assign_ivf_cells(embeddings, cents, self.pkey, emb_col)
+        return cents, assigned
+
+    def ann_search(
+        self,
+        query_text: str,
+        centroids: DataFrame,
+        assigned: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        dim: int = 64,
+        emb_col: str = "embeddings",
+    ) -> DataFrame:
+        from pg_vectorize_spark.providers.local import LocalHashEmbedder
+
+        qv = LocalHashEmbedder(dim=dim).embed_one(query_text)
+        return ivf_topk(
+            assigned,
+            centroids,
+            self.pkey,
+            emb_col,
+            qv,
+            k=k,
+            nprobe=nprobe,
+            assigned_df=assigned,
+        )

@@ -1,0 +1,91 @@
+"""CorpusPipeline end-to-end: analysis columns, filtering, dedup flavors,
+chunking, embedding, IVF index + search."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_vectorize_spark.pipelines import CorpusPipeline
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (4, "spark query engines optimize logical plans with catalyst rules ok"),
+    (5, "short"),
+    (6, "guitar melodies and rhythm sections in recorded music tracks"),
+]
+
+
+@pytest.fixture()
+def pipe(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return CorpusPipeline(spark, df)
+
+
+def test_analysis_columns(pipe):
+    out = (
+        pipe.with_tokens()
+        .with_quality()
+        .with_lang()
+        .with_token_count()
+        .with_fingerprint()
+        .df()
+    )
+    cols = set(out.columns)
+    assert {
+        "search_tokens", "quality_score", "lang_pred", "n_tokens",
+        "fingerprint", "n_chars", "n_words",
+    } <= cols
+    assert out.count() == 6
+
+
+def test_filter_quality_drops_short(pipe):
+    ids = {r["doc_id"] for r in pipe.filter_quality(0.3).df().collect()}
+    assert 5 not in ids
+    assert 1 in ids
+
+
+def test_dedup_exact(pipe):
+    ids = {r["doc_id"] for r in pipe.dedup("exact").df().collect()}
+    assert ids == {1, 3, 4, 5, 6}
+
+
+def test_dedup_jaccard_transitive(pipe):
+    ids = {
+        r["doc_id"]
+        for r in pipe.dedup("jaccard", threshold=0.5, transitive=True)
+        .df()
+        .collect()
+    }
+    # 2 (exact dup) and 3 (near dup) both fold into 1
+    assert ids == {1, 4, 5, 6}
+
+
+def test_dedup_minhash(pipe):
+    ids = {r["doc_id"] for r in pipe.dedup("minhash").df().collect()}
+    assert 2 not in ids  # identical doc always caught by LSH
+
+
+def test_chunking(pipe):
+    chunks = pipe.chunk(max_chunk_size=20).collect()
+    assert all(r["chunk"] for r in chunks)
+    doc1 = [r for r in chunks if r["original_id"] == 1]
+    assert len(doc1) > 1
+
+
+def test_embed_and_ann_roundtrip(spark, pipe):
+    emb = pipe.embed(dim=32)
+    assert emb.count() == 6
+    cents, assigned = pipe.ann_index(emb, n_centroids=2, seed=42)
+    assert cents.count() == 2
+    assert assigned.count() == 6
+    hits = pipe.ann_search(
+        "quick brown fox river", cents, assigned, k=2, nprobe=2, dim=32
+    ).collect()
+    assert hits[0]["doc_id"] in {1, 2, 3}
+
+
+def test_unknown_dedup_method(pipe):
+    with pytest.raises(ValueError):
+        pipe.dedup("nope")
