@@ -67,6 +67,45 @@ def test_diff_guard_skips_unchanged(spark, sess, tmp_path):
     assert sess._emb_ds("dg").current_version() > v1
 
 
+def test_continuous_trigger_freshness(spark, sess, tmp_path):
+    """The reference's realtime SLO pattern (server/tests/tests.rs:74-103):
+    insert a row while the stream runs continuously, poll search until it
+    becomes visible (bounded wait)."""
+    src = str(tmp_path / "cont_src")
+    _write_batch(spark, src, [(1, "pizza with cheese"), (2, "pencil case")])
+    sess.create_job(
+        "cont", src, columns=["content"], primary_key="id",
+        run_initial_load=False,
+    )
+    pipe = RealtimePipeline(sess, "cont")
+    q = pipe.start()  # default continuous micro-batch trigger
+    try:
+        deadline = time.time() + 90
+        seen_initial = False
+        while time.time() < deadline and not seen_initial:
+            try:
+                out = sess.search("cont", "pizza cheese", num_results=1)
+                seen_initial = bool(out) and out[0]["id"] == 1
+            except Exception:
+                pass
+            if not seen_initial:
+                time.sleep(1)
+        assert seen_initial, "initial rows never became searchable"
+
+        # live insert -> must become searchable while the stream runs
+        _write_batch(spark, src, [(3, "airplane jet engine wings")])
+        found = False
+        deadline = time.time() + 90
+        while time.time() < deadline and not found:
+            out = sess.search("cont", "airplane jet engine", num_results=1)
+            found = bool(out) and out[0]["id"] == 3
+            if not found:
+                time.sleep(1)
+        assert found, "inserted row never became searchable"
+    finally:
+        q.stop()
+
+
 def test_deleted_job_drops_batch(spark, sess, tmp_path):
     src = str(tmp_path / "del_src")
     _write_batch(spark, src, [(1, "hello")])
