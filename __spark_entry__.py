@@ -818,7 +818,8 @@ fused AS (
          + COALESCE(1.0 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
   FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
 )
-SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score, f.semantic_rank, f.fts_rank,
+SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score,
+       f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
        f.similarity_score
 FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
 ORDER BY f.rrf_score DESC, d.doc_id ASC
@@ -861,7 +862,8 @@ fused AS (
          + COALESCE(0.75 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
   FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
 )
-SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score, f.semantic_rank, f.fts_rank,
+SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score,
+       f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
        f.similarity_score
 FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
 WHERE d.lang = 'en' AND d.n_chars > 100

@@ -60,6 +60,29 @@ def compare_frames(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]
             f"row count differs: spark={len(spark_df)} oracle={len(oracle_df)}"
         )
         return problems
+    # dtype strictness: int-width or numeric-kind mismatches mean the Spark
+    # and oracle schemas disagree (e.g. row_number INT vs BIGINT) — flag
+    # them even though value comparison would coerce
+    for c in spark_df.columns:
+        a_dt, b_dt = spark_df[c].dtype, oracle_df[c].dtype
+        if a_dt != b_dt:
+            # allow object-vs-object containers and NaN-induced float64
+            # upcasts of integer columns with NULLs
+            a_k = getattr(a_dt, "kind", "O")
+            b_k = getattr(b_dt, "kind", "O")
+            benign = (
+                # NaN-induced float64 upcast of a nullable int column
+                {a_k, b_k} <= {"f", "i", "O"}
+                and (spark_df[c].isna().any() or oracle_df[c].isna().any())
+            ) or (
+                # datetime resolution artifact: Spark->pandas is always ns,
+                # DuckDB->pandas is us; engine types are both TIMESTAMP(us)
+                a_k == "M" and b_k == "M"
+            )
+            if not benign:
+                problems.append(
+                    f"col {c!r}: dtype mismatch spark={a_dt} oracle={b_dt}"
+                )
     a = _sorted_frame(spark_df)
     b = _sorted_frame(oracle_df)
     for c in a.columns:
