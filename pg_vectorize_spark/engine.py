@@ -264,8 +264,21 @@ class VectorizeSession:
 
     # ------------------------------------------------------------- queries
 
+    @staticmethod
+    def _resolve_api_key(job: JobRecord, arg: str | None) -> str | None:
+        """api-key resolution chain: call arg -> job params -> environment
+        (extension/src/search.rs:387-392's arg -> params -> GUC order)."""
+        if arg:
+            return arg
+        from_params = job.params.get("api_key") if job.params else None
+        if from_params:
+            return str(from_params)
+        return os.environ.get("VECTORIZE_API_KEY")
+
     def _query_vec(self, job: JobRecord, query: str, api_key: str | None):
-        provider = get_provider(job.model, api_key=api_key)
+        provider = get_provider(
+            job.model, api_key=self._resolve_api_key(job, api_key)
+        )
         return provider.generate_embedding([query])[0]
 
     def search(
