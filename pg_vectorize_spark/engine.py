@@ -36,7 +36,7 @@ from pg_vectorize_spark.catalog import Catalog, JobRecord
 from pg_vectorize_spark.config import DEFAULT_CONFIG, Config
 from pg_vectorize_spark.errors import VectorizeError
 from pg_vectorize_spark.filters import parse_filters
-from pg_vectorize_spark.functions.text import tokens_expr
+from pg_vectorize_spark.functions.text import fingerprint_expr, tokens_expr
 from pg_vectorize_spark.operators.change import (
     concat_source_columns,
     detect_changes_join,
@@ -125,6 +125,10 @@ class VectorizeSession:
             dim=dim,
             table_method=table_method,
             schedule=schedule,
+            # persisted like the reference's JobParams.api_key
+            # (core/src/types.rs:118-131) so scheduled scans resolve it via
+            # the arg -> params -> env chain
+            params={"api_key": api_key} if api_key else {},
         )
         self.catalog.create(job)
         if run_initial_load:
@@ -153,16 +157,34 @@ class VectorizeSession:
         else:
             changed = src
         content = concat_source_columns(job.src_columns)
-        work = changed.select(F.col(pkey), content.alias("_content"))
+        work = changed.select(
+            F.col(pkey),
+            content.alias("_content"),
+            fingerprint_expr(content).alias("_content_fp"),
+        )
 
-        provider = get_provider(job.model, api_key=api_key)
-        embedded = embed_bulk_pandas(
-            work,
-            "_content",
-            pkey,
-            provider=provider,
-            request_cap=self.config.provider_request_cap,
-        ).withColumn("updated_at", F.current_timestamp())
+        provider = get_provider(
+            job.model, api_key=self._resolve_api_key(job, api_key)
+        )
+        embedded = (
+            embed_bulk_pandas(
+                work,
+                "_content",
+                pkey,
+                provider=provider,
+                request_cap=self.config.provider_request_cap,
+            )
+            .join(work.select(pkey, "_content_fp"), pkey)
+            .select(
+                F.col(pkey),
+                F.col("embeddings"),
+                F.col("_content_fp").alias("content_fp"),
+                F.current_timestamp().alias("updated_at"),
+            )
+        )
+        # materialize ONCE: count() and the merge below (whose plan reads
+        # new_df twice) must not re-run the provider calls
+        embedded = embedded.localCheckpoint()
 
         n = embedded.count()
         if n > 0:
@@ -188,11 +210,24 @@ class VectorizeSession:
         pkey = job.primary_key
         rows = fetch_by_ids(src, pkey, record_ids)
         content = concat_source_columns(job.src_columns)
-        work = rows.select(F.col(pkey), content.alias("_content"))
-        provider = get_provider(job.model, api_key=api_key)
-        embedded = embed_bulk_pandas(
-            work, "_content", pkey, provider=provider
-        ).withColumn("updated_at", F.current_timestamp())
+        work = rows.select(
+            F.col(pkey),
+            content.alias("_content"),
+            fingerprint_expr(content).alias("_content_fp"),
+        )
+        provider = get_provider(
+            job.model, api_key=self._resolve_api_key(job, api_key)
+        )
+        embedded = (
+            embed_bulk_pandas(work, "_content", pkey, provider=provider)
+            .join(work.select(pkey, "_content_fp"), pkey)
+            .select(
+                F.col(pkey),
+                F.col("embeddings"),
+                F.col("_content_fp").alias("content_fp"),
+                F.current_timestamp().alias("updated_at"),
+            )
+        ).localCheckpoint()
         n = embedded.count()
         if n:
             self._emb_ds(job_name).merge_upsert(embedded, pkey)
@@ -510,11 +545,15 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
             if os.path.exists(src_path)
             else self.spark.table(src_path)
         )
+        from pg_vectorize_spark.functions.vector import l2_normalize
+
+        # normalize at import: the engine scores with pre_normalized dot
+        # products, so imported vectors must be unit-length for cosine
+        # semantics (the reference's <=> operator normalizes implicitly)
         incoming = src.select(
             F.col(src_pk).alias(job.primary_key),
-            F.transform(F.col(src_emb_col), lambda x: x.cast("double")).alias(
-                "embeddings"
-            ),
+            l2_normalize(F.col(src_emb_col)).alias("embeddings"),
+            F.lit(None).cast("long").alias("content_fp"),
             F.current_timestamp().alias("updated_at"),
         )
         n = incoming.count()

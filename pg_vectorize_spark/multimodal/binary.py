@@ -46,15 +46,20 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-DECODE_SCHEMA = StructType(
-    [
-        StructField("pkey", LongType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("n_channels", IntegerType()),
-        StructField("features", ArrayType(DoubleType())),
-    ]
-)
+def decode_schema(pkey_type=None) -> StructType:
+    """Decode output schema; the key type follows the source table."""
+    return StructType(
+        [
+            StructField("pkey", pkey_type or LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+
+DECODE_SCHEMA = decode_schema()
 
 
 def binary_metadata(df: DataFrame, bin_col: str) -> DataFrame:
@@ -120,9 +125,10 @@ def decode_media(
                 out["features"].append([v / total for v in feats])
             yield pd.DataFrame(out)
 
+    schema = decode_schema(df.schema[pkey].dataType)
     return df.select(
         F.col(pkey).alias("pkey"), F.col(bin_col)
-    ).mapInPandas(decode, schema=DECODE_SCHEMA)
+    ).mapInPandas(decode, schema=schema)
 
 
 def frame_sample(

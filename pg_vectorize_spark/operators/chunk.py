@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 def chunk_text_greedy(doc: str, max_chars: int) -> list[str]:
     """Greedy word-boundary chunker (reference F4 semantics)."""
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
     if doc is None:
         return []
     words = doc.split()
@@ -71,7 +73,8 @@ def chunk_table_greedy(
 
     Output: (original_id, chunk_index, chunk) — extension/src/api.rs:17-78.
     """
-    schema = "original_id long, chunk_index int, chunk string"
+    pkey_type = df.schema[pkey].dataType.simpleString()
+    schema = f"original_id {pkey_type}, chunk_index int, chunk string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

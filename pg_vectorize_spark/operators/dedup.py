@@ -301,7 +301,8 @@ def cosine_neardup_pairs(
 
 def connected_components(
     pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Label propagation over duplicate pairs -> (id, component) with
     component = min id reachable. The transitive-closure step real dedup
@@ -326,6 +327,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         # neighbor labels: for each edge, the src's current label offered to dst
         offered = (
@@ -347,7 +349,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        # silent non-convergence would under-deduplicate (labels not yet the
+        # component minimum); iterations needed == graph diameter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (duplicate-chain diameter exceeds the cap); raise "
+            "max_iterations or pass strict=False to accept partial labels"
+        )
     return labels
 
 

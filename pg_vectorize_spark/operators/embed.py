@@ -119,7 +119,10 @@ def embed_bulk_pandas(
         provider = LocalHashEmbedder(dim=dim or 64, normalize=normalize)
     vec_dim = provider.model_dim()
 
-    schema = f"{pkey} long, {out_col} array<double>"
+    # derive the key's type from the input — jobs keyed by string/uuid pkeys
+    # must round-trip through Arrow unchanged
+    pkey_type = df.schema[pkey].dataType.simpleString()
+    schema = f"{pkey} {pkey_type}, {out_col} array<double>"
 
     def embed_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

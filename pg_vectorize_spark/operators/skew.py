@@ -14,8 +14,8 @@ runtime, but two shapes still need explicit salting at 100 TB:
   side across all salt values, so each hot key spreads over ``n_salts``
   reducers.
 
-Salts are deterministic (xxhash64 of the row's key + a disambiguator), so
-runs are reproducible.
+Salts are deterministic (xxhash64 over the full row), so runs are
+reproducible.
 """
 
 from __future__ import annotations
@@ -28,10 +28,12 @@ from pyspark.sql import functions as F
 _SALT = "_salt"
 
 
-def with_salt(df: DataFrame, key_cols: Sequence[str], n_salts: int) -> DataFrame:
-    """Deterministic salt in [0, n_salts) derived from the full row's key
-    columns plus a spread column (xxhash64 over all columns keeps equal keys
-    from landing identical salts)."""
+def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts): xxhash64 over ALL columns, so
+    rows sharing a hot key still spread across salts. Caveat: fully
+    identical rows land on the same salt (they hash identically) — for
+    exact-duplicate-heavy data add a disambiguating column (e.g. a row id)
+    before salting."""
     return df.withColumn(
         _SALT,
         F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast(
@@ -56,7 +58,7 @@ def salted_aggregate(
     direct groupBy — only the shuffle layout changes (hot keys fan out over
     n_salts partial groups before the small final merge).
     """
-    salted = with_salt(df, keys, n_salts)
+    salted = with_salt(df, n_salts)
     partial_aggs: list[Column] = []
     final_aggs: list[Column] = []
     for c in counts:
@@ -98,7 +100,7 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salted_probe = with_salt(probe, [key], n_salts)
+    salted_probe = with_salt(probe, n_salts)
     exploded_build = build.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

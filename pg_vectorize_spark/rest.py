@@ -80,7 +80,11 @@ class _Handler(BaseHTTPRequestHandler):
         if not job_name or query is None:
             self._send(400, {"error": "job_name and query are required"})
             return
-        args, filters = _search_args(params)
+        try:
+            args, filters = _search_args(params)
+        except ValueError as e:
+            self._send(400, {"error": f"invalid parameter: {e}"})
+            return
         try:
             results = self.session.hybrid_search(
                 job_name, query, filters=filters or None, **args

@@ -69,7 +69,9 @@ def rewrite_embed_calls(sql: str, session: "VectorizeSession") -> str:
         job = session.catalog.get(job_name)
         from pg_vectorize_spark.providers.registry import get_provider
 
-        provider = get_provider(job.model)
+        provider = get_provider(
+            job.model, api_key=session._resolve_api_key(job, None)
+        )
         vec = provider.generate_embedding([query])[0]
         return vector_sql_literal(vec)
 

@@ -94,7 +94,7 @@ class RealtimePipeline:
                 F.col("_content_fp").alias("content_fp"),
                 F.current_timestamp().alias("updated_at"),
             )
-        )
+        ).localCheckpoint()  # merge plans read new_df twice; embed once
         emb_ds.merge_upsert(embedded, pkey)
         tokens = batch_df.select(
             F.col(pkey), tokens_expr(content).alias("search_tokens")

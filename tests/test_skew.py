@@ -22,12 +22,12 @@ def skewed_df(spark):
 
 
 def test_salt_in_range_and_deterministic(spark, skewed_df):
-    s1 = with_salt(skewed_df, ["k"], 8).select("id", "_salt").collect()
-    s2 = with_salt(skewed_df, ["k"], 8).select("id", "_salt").collect()
+    s1 = with_salt(skewed_df, 8).select("id", "_salt").collect()
+    s2 = with_salt(skewed_df, 8).select("id", "_salt").collect()
     assert {r["_salt"] for r in s1} <= set(range(8))
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
     # the hot key's rows actually spread over multiple salts
-    hot = with_salt(skewed_df.filter(F.col("k") == "hot"), ["k"], 8)
+    hot = with_salt(skewed_df.filter(F.col("k") == "hot"), 8)
     assert hot.select("_salt").distinct().count() > 1
 
 
