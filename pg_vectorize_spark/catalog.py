@@ -78,6 +78,9 @@ class Catalog:
             json.dump(
                 {k: asdict(v) for k, v in self._load().items()}, f, indent=1
             )
+        # params may carry provider api keys (JobParams.api_key parity) —
+        # owner-only like the mkstemp default; don't widen it
+        os.chmod(tmp, 0o600)
         os.replace(tmp, self._path)
 
     def create(self, job: JobRecord, replace: bool = False) -> None:

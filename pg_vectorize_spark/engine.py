@@ -97,6 +97,35 @@ class VectorizeSession:
 
     # ----------------------------------------------------------- lifecycle
 
+    def _embed_changed(
+        self, job: JobRecord, changed: DataFrame, api_key: str | None
+    ) -> DataFrame:
+        """Shared embed stage for batch scan / id-update / streaming paths:
+        concat content + fingerprint -> provider embedding (fingerprint
+        rides the Arrow batch, no join-back) -> localCheckpoint so the
+        count + merge (whose plan reads new_df twice) never re-run the
+        provider calls. Output: (pkey, embeddings, content_fp, updated_at).
+        """
+        pkey = job.primary_key
+        content = concat_source_columns(job.src_columns)
+        work = changed.select(
+            F.col(pkey),
+            content.alias("_content"),
+            fingerprint_expr(content).alias("content_fp"),
+        )
+        provider = get_provider(
+            job.model, api_key=self._resolve_api_key(job, api_key)
+        )
+        embedded = embed_bulk_pandas(
+            work,
+            "_content",
+            pkey,
+            provider=provider,
+            request_cap=self.config.provider_request_cap,
+            passthrough_cols=["content_fp"],
+        ).withColumn("updated_at", F.current_timestamp())
+        return embedded.localCheckpoint()
+
     def create_job(
         self,
         job_name: str,
@@ -113,7 +142,10 @@ class VectorizeSession:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269)."""
         model = model or self.config.default_transformer
-        provider = get_provider(model, api_key=api_key)
+        # env fallback applies to the dim probe too (there is no job record
+        # yet, so resolve arg -> env directly)
+        probe_key = api_key or os.environ.get("VECTORIZE_API_KEY")
+        provider = get_provider(model, api_key=probe_key)
         dim = model_dim(parse_model(model), probe=provider)
         job = JobRecord(
             job_name=job_name,
@@ -156,35 +188,7 @@ class VectorizeSession:
             )
         else:
             changed = src
-        content = concat_source_columns(job.src_columns)
-        work = changed.select(
-            F.col(pkey),
-            content.alias("_content"),
-            fingerprint_expr(content).alias("_content_fp"),
-        )
-
-        provider = get_provider(
-            job.model, api_key=self._resolve_api_key(job, api_key)
-        )
-        embedded = (
-            embed_bulk_pandas(
-                work,
-                "_content",
-                pkey,
-                provider=provider,
-                request_cap=self.config.provider_request_cap,
-            )
-            .join(work.select(pkey, "_content_fp"), pkey)
-            .select(
-                F.col(pkey),
-                F.col("embeddings"),
-                F.col("_content_fp").alias("content_fp"),
-                F.current_timestamp().alias("updated_at"),
-            )
-        )
-        # materialize ONCE: count() and the merge below (whose plan reads
-        # new_df twice) must not re-run the provider calls
-        embedded = embedded.localCheckpoint()
+        embedded = self._embed_changed(job, changed, api_key)
 
         n = embedded.count()
         if n > 0:
@@ -193,6 +197,7 @@ class VectorizeSession:
                 emb_ds.merge_upsert(wide, pkey)
             else:
                 emb_ds.merge_upsert(embedded, pkey)
+            content = concat_source_columns(job.src_columns)
             tokens = changed.select(
                 F.col(pkey),
                 tokens_expr(content).alias("search_tokens"),
@@ -209,28 +214,11 @@ class VectorizeSession:
         src = self._source_df(job)
         pkey = job.primary_key
         rows = fetch_by_ids(src, pkey, record_ids)
-        content = concat_source_columns(job.src_columns)
-        work = rows.select(
-            F.col(pkey),
-            content.alias("_content"),
-            fingerprint_expr(content).alias("_content_fp"),
-        )
-        provider = get_provider(
-            job.model, api_key=self._resolve_api_key(job, api_key)
-        )
-        embedded = (
-            embed_bulk_pandas(work, "_content", pkey, provider=provider)
-            .join(work.select(pkey, "_content_fp"), pkey)
-            .select(
-                F.col(pkey),
-                F.col("embeddings"),
-                F.col("_content_fp").alias("content_fp"),
-                F.current_timestamp().alias("updated_at"),
-            )
-        ).localCheckpoint()
+        embedded = self._embed_changed(job, rows, api_key)
         n = embedded.count()
         if n:
             self._emb_ds(job_name).merge_upsert(embedded, pkey)
+            content = concat_source_columns(job.src_columns)
             tokens = rows.select(
                 F.col(pkey), tokens_expr(content).alias("search_tokens")
             ).withColumn("updated_at", F.current_timestamp())

@@ -73,6 +73,10 @@ def chunk_table_greedy(
 
     Output: (original_id, chunk_index, chunk) — extension/src/api.rs:17-78.
     """
+    if max_chunk_size < 1:
+        # validate at the driver; otherwise the ValueError only surfaces
+        # wrapped in task failures at action time
+        raise ValueError(f"max_chunk_size must be >= 1, got {max_chunk_size}")
     pkey_type = df.schema[pkey].dataType.simpleString()
     schema = f"original_id {pkey_type}, chunk_index int, chunk string"
 

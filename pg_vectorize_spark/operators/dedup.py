@@ -363,11 +363,17 @@ def connected_components(
 
 
 def dedup_survivors_transitive(
-    df: DataFrame, pkey: str, pairs: DataFrame
+    df: DataFrame,
+    pkey: str,
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Full transitive dedup: keep only the min-id member of each duplicate
-    component (plus every row that appears in no pair)."""
-    comps = connected_components(pairs)
+    component (plus every row that appears in no pair). max_iterations /
+    strict pass through to connected_components (the escape hatch for
+    duplicate chains deeper than the iteration cap)."""
+    comps = connected_components(pairs, max_iterations, strict)
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(pkey)
     )

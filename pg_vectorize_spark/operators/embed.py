@@ -107,6 +107,7 @@ def embed_bulk_pandas(
     normalize: bool = True,
     out_col: str = "embeddings",
     request_cap: int = 2_048,
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Arrow-batched bulk embedding through an EmbeddingProvider.
 
@@ -114,15 +115,23 @@ def embed_bulk_pandas(
     <= ``request_cap`` chunks per provider call (the reference's 2048-input
     HTTP cap, openai.rs:88-100). With the default LocalHashEmbedder this is
     the fast local path (~100x quicker than interpreted array expressions).
+
+    ``passthrough_cols`` ride through the Arrow batch unchanged (keeping
+    e.g. a content fingerprint avoids re-evaluating the upstream plan with
+    a join-back).
     """
     if provider is None:
         provider = LocalHashEmbedder(dim=dim or 64, normalize=normalize)
     vec_dim = provider.model_dim()
 
-    # derive the key's type from the input — jobs keyed by string/uuid pkeys
-    # must round-trip through Arrow unchanged
-    pkey_type = df.schema[pkey].dataType.simpleString()
-    schema = f"{pkey} {pkey_type}, {out_col} array<double>"
+    # derive key/passthrough types from the input — jobs keyed by
+    # string/uuid pkeys must round-trip through Arrow unchanged
+    def _t(c: str) -> str:
+        return df.schema[c].dataType.simpleString()
+
+    schema_parts = [f"{pkey} {_t(pkey)}", f"{out_col} array<double>"]
+    schema_parts += [f"{c} {_t(c)}" for c in passthrough_cols]
+    schema = ", ".join(schema_parts)
 
     def embed_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,7 +139,11 @@ def embed_bulk_pandas(
             vecs: list[list[float]] = []
             for i in range(0, len(texts), request_cap):
                 vecs.extend(provider.generate_embedding(texts[i : i + request_cap]))
-            yield pd.DataFrame({pkey: pdf[pkey].values, out_col: vecs})
+            out = {pkey: pdf[pkey].values, out_col: vecs}
+            for c in passthrough_cols:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
     _ = vec_dim  # dimension check is the provider's contract
-    return df.select(pkey, text_col).mapInPandas(embed_partition, schema=schema)
+    cols = [pkey, text_col, *passthrough_cols]
+    return df.select(*cols).mapInPandas(embed_partition, schema=schema)

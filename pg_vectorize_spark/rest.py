@@ -46,6 +46,10 @@ def _search_args(params: dict[str, str]) -> tuple[dict, dict[str, str]]:
         "semantic_weight": float(params.get("semantic_wt", 1.0)),
         "fts_weight": float(params.get("fts_wt", 1.0)),
     }
+    if args["num_results"] < 1 or args["window_size"] < 1 or args["rrf_k"] < 0:
+        raise ValueError(
+            "limit and window_size must be >= 1, rrf_k must be >= 0"
+        )
     filters = {
         k: v for k, v in params.items() if k not in _KNOWN_SEARCH_PARAMS
     }
@@ -134,6 +138,7 @@ class _Handler(BaseHTTPRequestHandler):
                     model=body.get("model"),
                     table_method=body.get("table_method", "join"),
                     schedule=body.get("schedule", "realtime"),
+                    api_key=body.get("api_key"),
                 )
                 self._send(200, {"id": job.job_name, "dim": job.dim})
             except KeyError as e:

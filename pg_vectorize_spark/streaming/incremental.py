@@ -34,8 +34,6 @@ from pyspark.sql.streaming import StreamingQuery
 from pg_vectorize_spark.engine import VectorizeSession
 from pg_vectorize_spark.functions.text import fingerprint_expr, tokens_expr
 from pg_vectorize_spark.operators.change import concat_source_columns
-from pg_vectorize_spark.operators.embed import embed_bulk_pandas
-from pg_vectorize_spark.providers.registry import get_provider
 
 
 class RealtimePipeline:
@@ -64,37 +62,26 @@ class RealtimePipeline:
         job = sess.catalog.get(self.job_name)
         pkey = job.primary_key
         content = concat_source_columns(job.src_columns)
-        work = batch_df.select(
-            F.col(pkey),
-            content.alias("_content"),
-            fingerprint_expr(content).alias("_content_fp"),
-        )
 
         # R2 diff guard: skip rows whose content fingerprint is unchanged
+        changed = batch_df
         emb_ds = sess._emb_ds(self.job_name)
         if emb_ds.exists():
             cur = emb_ds.read()
             if "content_fp" in cur.columns:
-                unchanged = cur.select(
-                    F.col(pkey), F.col("content_fp").alias("_content_fp")
-                )
-                work = work.join(
-                    unchanged, [pkey, "_content_fp"], "left_anti"
+                unchanged = cur.select(F.col(pkey), F.col("content_fp"))
+                changed = (
+                    batch_df.withColumn(
+                        "content_fp", fingerprint_expr(content)
+                    )
+                    .join(unchanged, [pkey, "content_fp"], "left_anti")
+                    .drop("content_fp")
                 )
 
-        if work.isEmpty():
+        if changed.isEmpty():
             return
-        provider = get_provider(job.model)
-        embedded = (
-            embed_bulk_pandas(work, "_content", pkey, provider=provider)
-            .join(work.select(pkey, "_content_fp"), pkey)
-            .select(
-                F.col(pkey),
-                F.col("embeddings"),
-                F.col("_content_fp").alias("content_fp"),
-                F.current_timestamp().alias("updated_at"),
-            )
-        ).localCheckpoint()  # merge plans read new_df twice; embed once
+        # shared embed stage (api-key chain + request cap + checkpoint)
+        embedded = sess._embed_changed(job, changed, api_key=None)
         emb_ds.merge_upsert(embedded, pkey)
         tokens = batch_df.select(
             F.col(pkey), tokens_expr(content).alias("search_tokens")
