@@ -178,24 +178,30 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (hermetic): deterministic hashed-BoW embedding, fully JVM-side via
-    the explode -> hash -> partial-agg groupBy scale path."""
+    the explode -> hash -> partial-agg groupBy scale path.
+
+    Output is scalar-only (position-weighted checksum + nonzero count) so the
+    driver's pandas canonicalizer can hash it; the raw vector is exercised by
+    pytest and by every similarity query that consumes embeddings."""
     from pg_vectorize_spark.operators.embed import embed_bulk_exploded
 
     docs = _t(spark, sf_dir, "documents")
     emb = embed_bulk_exploded(docs, "text", "doc_id", EMBED_DIM)
     checksum = F.aggregate(
         F.zip_with(
-            F.col("embedding"),
+            F.col("embeddings"),
             F.sequence(F.lit(1), F.lit(EMBED_DIM)),
             lambda x, i: x * i.cast("double"),
         ),
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    nnz = F.size(F.filter(F.col("embeddings"), lambda x: x != F.lit(0.0)))
     return emb.select(
         "doc_id",
-        F.col("embeddings").alias("embedding"),
-    ).withColumn("checksum", checksum)
+        checksum.alias("checksum"),
+        nnz.alias("nnz"),
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,8 +291,13 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_vectorize_spark.operators.dedup import minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3).select(
-        F.col("_id").alias("doc_id"), "signature"
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3)
+    # CSV-serialize the signature so the oracle harness can hash the column
+    return sigs.select(
+        F.col("_id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.col("signature"), lambda x: x.cast("string")), ","
+        ).alias("signature"),
     )
 
 
@@ -486,8 +497,14 @@ def q_collect_changed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     changed = docs.filter(F.col("n_chars") > 250)
     batched = batch_by_count(changed, "doc_id", batch_size=100)
+    record_ids = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return batched.groupBy("batch_id").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("record_ids"),
+        record_ids.alias("record_ids"),
         F.count(F.lit(1)).alias("n_ids"),
     )
 
@@ -624,7 +641,9 @@ def q_search_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.array_sort(T.tokens_expr(F.col("text"))).alias("search_tokens"),
+        F.array_join(F.array_sort(T.tokens_expr(F.col("text"))), " ").alias(
+            "search_tokens"
+        ),
         F.size(T.tokens_expr(F.col("text"))).alias("n_terms"),
     )
 
@@ -636,9 +655,15 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = docs.select(
         "doc_id", F.explode(T.tokens_expr(F.col("text"))).alias("term")
     )
+    postings_csv = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        postings_csv.alias("postings"),
     )
 
 
@@ -882,6 +907,7 @@ def _oracle_embed_documents() -> str:
         f"list_transform(range(1, {dim}+1), "
         f"i -> embedding[i::INT] * i::DOUBLE)), (a, x) -> a + x)"
     )
+    nnz = "len(list_filter(embedding, x -> x <> 0.0))::INT"
     return f"""
 WITH b AS MATERIALIZED (
   SELECT d.doc_id,
@@ -902,13 +928,13 @@ n AS MATERIALIZED (
               list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
   FROM c
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
               ELSE counts END AS embedding
   FROM n
 )
-SELECT doc_id, embedding, {checksum} AS checksum FROM e
+SELECT doc_id, {checksum} AS checksum, {nnz} AS nnz FROM e
 """
 
 
@@ -998,7 +1024,10 @@ def _oracle_minhash_signatures() -> str:
 WITH c AS MATERIALIZED (
   SELECT d.doc_id, {_sql_minhash_codes()} AS codes FROM documents d
 )
-SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+SELECT doc_id,
+       array_to_string(list_transform({_MINHASH_SIG}, x -> x::VARCHAR), ',')
+         AS signature
+FROM c WHERE len(codes) > 0
 """
 
 
@@ -1285,7 +1314,7 @@ WITH c AS (
            AS batch_id
   FROM documents WHERE n_chars > 250
 )
-SELECT batch_id, list(doc_id ORDER BY doc_id) AS record_ids,
+SELECT batch_id, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS record_ids,
        count(*) AS n_ids
 FROM c GROUP BY batch_id
 """,
@@ -1336,7 +1365,7 @@ WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
 """,
     "search_tokens": f"""
 SELECT doc_id,
-       list_sort({O.sql_tokens('text')}) AS search_tokens,
+       array_to_string(list_sort({O.sql_tokens('text')}), ' ') AS search_tokens,
        len({O.sql_tokens('text')})::INT AS n_terms
 FROM documents
 """,
@@ -1346,7 +1375,7 @@ WITH tok AS MATERIALIZED (
 ),
 p AS (SELECT doc_id, unnest(toks) AS term FROM tok)
 SELECT term, count(*) AS doc_freq,
-       list(doc_id ORDER BY doc_id) AS postings
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
 FROM p GROUP BY term
 """,
     "orders_rollup": """
