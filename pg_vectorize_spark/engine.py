@@ -60,6 +60,7 @@ from pg_vectorize_spark.providers.base import ChatProvider
 from pg_vectorize_spark.providers.registry import get_provider, model_dim, parse_model
 from pg_vectorize_spark.rag import RagResult, run_rag
 from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+from pg_vectorize_spark.validate import check_input
 
 
 class VectorizeSession:
@@ -227,7 +228,13 @@ class VectorizeSession:
 
     def delete_job(self, job_name: str) -> bool:
         """DELETE /table/{job}: drop artifacts + catalog row, idempotent
-        best-effort (core/src/init.rs:317-395)."""
+        best-effort (core/src/init.rs:317-395).
+
+        Validates the identifier BEFORE any path construction — job_name
+        reaches rmtree'd filesystem paths, so an unchecked '../..' segment
+        would escape the workspace (validate.py invariant).
+        """
+        check_input(job_name)
         self._emb_ds(job_name).drop()
         self._tok_ds(job_name).drop()
         try:
@@ -528,6 +535,14 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
         """vectorize.import_embeddings(): copy user-supplied vectors into the
         job's embeddings dataset (extension/src/api.rs:250-326)."""
         job = self.catalog.get(job_name)
+        if job.table_method == "append":
+            # an append job's snapshot is the WIDE source row; upserting the
+            # narrow (pkey, embeddings, ...) shape would break the next
+            # append-mode merge on the missing source columns
+            raise VectorizeError(
+                "import_embeddings is not supported for table_method='append' "
+                "jobs — import into a 'join' job or re-embed via scan_job"
+            )
         src = (
             self.spark.read.parquet(src_path)
             if os.path.exists(src_path)
@@ -543,7 +558,7 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
             l2_normalize(F.col(src_emb_col)).alias("embeddings"),
             F.lit(None).cast("long").alias("content_fp"),
             F.current_timestamp().alias("updated_at"),
-        )
+        ).localCheckpoint()  # count + dim-check + merge read this plan 3x
         n = incoming.count()
         dims = incoming.select(F.size("embeddings").alias("d")).distinct().collect()
         if len(dims) > 1 or (dims and dims[0]["d"] != job.dim):

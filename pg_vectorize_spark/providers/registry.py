@@ -84,8 +84,13 @@ def model_dim(model: Model, probe: EmbeddingProvider | None = None) -> int:
     """Dimension lookup: static table, local spec, or probe-embedding.
 
     The probe fallback mirrors Ollama's discover-by-embedding
-    (core/src/transformers/providers/ollama.rs:58-67).
+    (core/src/transformers/providers/ollama.rs:58-67). A provider marked
+    ``is_fallback`` (hermetic local stand-in for an unconfigured HTTP
+    source) takes priority over KNOWN_DIMS — the job must record the dim
+    of the vectors actually stored, not the real service's dim.
     """
+    if probe is not None and getattr(probe, "is_fallback", False):
+        return probe.model_dim()
     if model.fullname in KNOWN_DIMS:
         return KNOWN_DIMS[model.fullname]
     if model.source == ModelSource.LOCAL:
@@ -131,16 +136,33 @@ def get_provider(
         return OpenAISchemaEmbedder(
             endpoint, model.api_name, api_key=api_key, dim=dim
         )
-    return LocalHashEmbedder()
+    if api_key is not None:
+        # a supplied key signals intent to reach the real service; a silent
+        # 64-dim local fallback would store vectors the job's recorded dim
+        # doesn't match. The reference always has a default endpoint
+        # (openai.rs:15); this engine requires one explicitly.
+        raise ModelError(
+            f"api_key supplied for {model_name!r} but no endpoint is "
+            f"configured (set {_endpoint_env(model.source)} or pass url=)"
+        )
+    fallback = LocalHashEmbedder()
+    fallback.is_fallback = True
+    return fallback
+
+
+_ENDPOINT_ENV = {
+    ModelSource.OPENAI: "OPENAI_BASE_URL",
+    ModelSource.COHERE: "COHERE_BASE_URL",
+    ModelSource.OLLAMA: "OLLAMA_BASE_URL",
+    ModelSource.PORTKEY: "PORTKEY_BASE_URL",
+    ModelSource.VOYAGE: "VOYAGE_BASE_URL",
+    ModelSource.SENTENCE_TRANSFORMERS: "EMBEDDING_SVC_URL",
+}
+
+
+def _endpoint_env(source: ModelSource) -> str:
+    return _ENDPOINT_ENV[source]
 
 
 def _default_endpoint(source: ModelSource) -> str | None:
-    env_map = {
-        ModelSource.OPENAI: "OPENAI_BASE_URL",
-        ModelSource.COHERE: "COHERE_BASE_URL",
-        ModelSource.OLLAMA: "OLLAMA_BASE_URL",
-        ModelSource.PORTKEY: "PORTKEY_BASE_URL",
-        ModelSource.VOYAGE: "VOYAGE_BASE_URL",
-        ModelSource.SENTENCE_TRANSFORMERS: "EMBEDDING_SVC_URL",
-    }
-    return os.environ.get(env_map[source])
+    return os.environ.get(_ENDPOINT_ENV[source])

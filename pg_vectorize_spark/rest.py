@@ -120,7 +120,16 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         if url.path == "/api/v1/search":
             try:
-                params = {k: str(v) for k, v in self._body().items()}
+                # JSON-aware coercion: bools must become the lowercase
+                # 'true'/'false' the filter parser types as boolean (str()
+                # would yield 'True'), and nulls are dropped rather than
+                # round-tripping as the string 'None'
+                params = {
+                    k: ("true" if v else "false") if isinstance(v, bool)
+                    else str(v)
+                    for k, v in self._body().items()
+                    if v is not None
+                }
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid JSON body"})
                 return
@@ -155,7 +164,12 @@ class _Handler(BaseHTTPRequestHandler):
         prefix = "/api/v1/table/"
         if url.path.startswith(prefix):
             job_name = unquote(url.path[len(prefix):])
-            if self.session.delete_job(job_name):
+            try:
+                deleted = self.session.delete_job(job_name)
+            except InvalidIdentifierError as e:
+                self._send(400, {"error": str(e)})
+                return
+            if deleted:
                 self._send(200, {"deleted": job_name})
             else:
                 self._send(404, {"error": f"job not found: {job_name}"})
