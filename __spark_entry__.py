@@ -267,11 +267,15 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard near-dup pairs via inverted index."""
+    """3-word-shingle Jaccard near-dup pairs via inverted index, with the
+    stop-shingle frequency cap that bounds reducer fan-out on hot shingles
+    (df > 50 shingles are boilerplate, not dedup signal)."""
     from pg_vectorize_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.2, max_shingle_df=50
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,12 +324,18 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force, exact)."""
-    from pg_vectorize_spark.operators.dedup import cosine_neardup_pairs
+    """Embedding-cosine near-dup pairs, sign-bit-LSH bucketed: candidates
+    are pairs whose 8-bit sign buckets differ in <= 1 bit (hash equi-join,
+    no CartesianProduct), exact cosine rescore. The oracle mirrors the
+    bucket prefilter, so this checks the bucketed semantics bit-for-bit;
+    recall vs the exact crossJoin is calibrated in tests/test_dedup.py."""
+    from pg_vectorize_spark.operators.dedup import cosine_neardup_pairs_bucketed
 
     emb = _t(spark, sf_dir, "embeddings")
     # threshold sized to the synthetic corpus (max pairwise cosine ~0.51)
-    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return cosine_neardup_pairs_bucketed(
+        emb, "vec_id", "embedding", threshold=0.35, nbits=8, probe_hamming=1
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,17 +1007,25 @@ _MINHASH_SIG = (
 
 
 def _oracle_ngram_jaccard() -> str:
+    # mirrors max_shingle_df=50: shingles with document frequency > 50 are
+    # dropped before sizes/intersections (capped Jaccard over reduced sets)
     return f"""
 WITH s AS MATERIALIZED (
   SELECT d.doc_id, {O.sql_word_shingles('d.text', 3)} AS sh FROM documents d
 ),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
+inv AS (
+  SELECT i.doc_id, i.shingle FROM inv0 i
+  JOIN freq f ON i.shingle = f.shingle
+  WHERE f.df <= 50
+),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, len(sh) AS sz FROM s),
+sizes AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id),
 jac AS (
   SELECT i.a_id, i.b_id,
          i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)::DOUBLE AS jaccard
@@ -1093,12 +1111,22 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
 
 
 def _oracle_embedding_cosine_pairs() -> str:
+    # mirrors cosine_neardup_pairs_bucketed: 8-bit sign bucket, candidates
+    # within bucket-hamming <= 1, exact cosine rescore
+    bucket = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), "
+        "j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN power(2, j)::BIGINT "
+        "ELSE 0::BIGINT END)), (a, x) -> a + x)"
+    )
     cos = O.sql_cosine("a.embedding", "b.embedding")
     return f"""
-WITH p AS (
+WITH bk AS MATERIALIZED (
+  SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings
+),
+p AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id
+  FROM bk a JOIN bk b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bkt, b.bkt)) <= 1
 )
 SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.35
 """

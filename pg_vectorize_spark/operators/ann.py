@@ -128,12 +128,20 @@ def default_centroids(
 
     A stand-in for KMeans that keeps every stage reproducible; at real scale
     train centroids with MLlib KMeans on a sample and persist them.
+
+    ``orderBy().limit(n)`` plans as TakeOrdered (per-partition top-n then a
+    driver-side merge of n-row heads) — the global row_number window it
+    replaces pulled the whole table through one partition. The residual
+    window for centroid ids runs over the n-row result only.
     """
+    small = (
+        emb_df.select(F.col(pkey), F.col(emb_col))
+        .orderBy(F.asc(pkey))
+        .limit(n_centroids)
+    )
     w = Window.orderBy(F.asc(pkey))
     return (
-        emb_df.select(F.col(pkey), F.col(emb_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
+        small.withColumn("_rn", F.row_number().over(w))
         .select(
             (F.col("_rn") - 1).alias("centroid_id"),
             F.col(emb_col).alias("centroid_vec"),

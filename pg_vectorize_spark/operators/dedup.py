@@ -98,15 +98,31 @@ def ngram_jaccard_pairs(
     pkey: str,
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs >= threshold via inverted index.
+    """Shingle-Jaccard pairs >= threshold via inverted index.
 
     Output: (a_id, b_id, jaccard) with a_id < b_id. Scale shape: the
-    shingle self-join shuffles on the shingle key; hot shingles fan out
-    quadratically, so compose with MinHash-LSH when shingle frequency is
-    skewed (this exact operator is the verifier of that approximation).
+    shingle self-join shuffles on the shingle key; a hot shingle
+    (boilerplate text) fans out quadratically in one reducer, so
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap BEFORE the join — the standard stop-shingle treatment (bounds the
+    worst reducer at max_shingle_df², and near-ubiquitous shingles carry
+    no dedup signal anyway). The capped Jaccard is computed over the
+    filtered shingle sets on BOTH the numerator and denominator, so it
+    remains a true Jaccard of the reduced sets. ``None`` = exact.
     """
     inv = shingles_exploded(df, text_col, pkey, k)
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
+        )
+        # the hot list is tiny by construction -> broadcast anti-join,
+        # no extra shuffle of the full inverted index
+        inv = inv.join(F.broadcast(hot), "_sh", "left_anti")
     sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
     a = inv.select(F.col("_id").alias("a_id"), "_sh")
     b = inv.select(F.col("_id").alias("b_id"), "_sh")
@@ -256,18 +272,42 @@ def simhash_pairs(
     bits: int = 20,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+    """Near-dup pairs with hamming(simhash) <= max_hamming — EXACT, banded.
 
-    Brute-force n² compare at test scale; at 100 TB, block on simhash byte
-    prefixes first (same banding idea as LSH) — the comparator stays this.
+    Pigeonhole banding: the fingerprint is split into ``max_hamming + 1``
+    contiguous bit bands; two fingerprints within hamming distance
+    ``max_hamming`` must agree EXACTLY on at least one band, so an
+    equi-join on (band_index, band_value) generates every qualifying pair
+    (plus false candidates the exact hamming re-check drops). Same result
+    set as the n² compare, but the shuffle is a hash join on band keys —
+    the 100-TB shape. Candidate fan-out is bounded by per-band bucket
+    sizes (2^(bits/(max_hamming+1)) buckets per band).
     """
+    n_bands = max_hamming + 1
     sh = df.select(
         F.col(pkey).alias("_id"), simhash_expr(F.col(text_col), bits).alias("_sh")
     )
-    a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
-    b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
+    base_w, rem = divmod(bits, n_bands)
+    band_exprs = []
+    lo = 0
+    for i in range(n_bands):
+        width = base_w + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        band_exprs.append(
+            F.shiftright(F.col("_sh"), lo).bitwiseAND(F.lit(mask))
+        )
+        lo += width
+    banded = sh.select(
+        "_id", "_sh", F.posexplode(F.array(*band_exprs)).alias("_band", "_bval")
+    )
+    a = banded.select(
+        F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"), "_band", "_bval"
+    )
+    b = banded.select(
+        F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"), "_band", "_bval"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["_band", "_bval"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
@@ -275,6 +315,9 @@ def simhash_pairs(
             F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # a pair may agree on several bands -> one row per (a,b); hamming is
+        # functionally dependent on the pair so distinct is exact
+        .distinct()
     )
 
 
@@ -284,11 +327,79 @@ def cosine_neardup_pairs(
     emb_col: str,
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, a_id < b_id."""
+    """Embedding near-duplicate pairs: cosine >= threshold, a_id < b_id.
+
+    EXACT n² compare — the verification baseline for the bucketed variant
+    below. Only viable on small candidate sets (a single IVF cell, a
+    post-LSH bucket); at corpus scale use ``cosine_neardup_pairs_bucketed``.
+    """
     a = emb_df.select(F.col(pkey).alias("a_id"), F.col(emb_col).alias("_va"))
     b = emb_df.select(F.col(pkey).alias("b_id"), F.col(emb_col).alias("_vb"))
     return (
         a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_bucketed(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    threshold: float = 0.9,
+    nbits: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-bit LSH candidate pruning.
+
+    Candidates are pairs whose sign-bit buckets (operators/ann.py
+    ``signbit_bucket_expr`` over the first ``nbits`` coordinates) differ in
+    at most ``probe_hamming`` bits; each candidate is re-scored with the
+    exact cosine. Implemented as an equi-join: the b side explodes its
+    bucket into the bucket itself plus every <=probe_hamming-bit flip, so
+    the join is a plain hash join on the bucket value — no CartesianProduct.
+
+    RECALL is approximate: a true pair with cosine >= threshold whose sign
+    bits differ in more than probe_hamming of the first nbits dims is
+    missed. For near-duplicates (cosine -> 1) sign patterns agree with high
+    probability per dim, and raising probe_hamming trades cost for recall;
+    the exact ``cosine_neardup_pairs`` is the ground truth to calibrate
+    against on a sample.
+    """
+    if probe_hamming > 1:
+        raise ValueError(
+            "probe_hamming > 1 not implemented (variant explosion grows "
+            "as C(nbits, r); compose with IVF cells instead)"
+        )
+    from pg_vectorize_spark.operators.ann import signbit_bucket_expr
+
+    base = emb_df.select(
+        F.col(pkey).alias("_id"),
+        F.col(emb_col).alias("_v"),
+        signbit_bucket_expr(F.col(emb_col), nbits).alias("_bkt"),
+    )
+    a = base.select(
+        F.col("_id").alias("a_id"), F.col("_v").alias("_va"), F.col("_bkt")
+    )
+    variants = [F.col("_bkt")]
+    if probe_hamming >= 1:
+        variants += [
+            F.col("_bkt").bitwiseXOR(F.lit(1 << j)) for j in range(nbits)
+        ]
+    b = base.select(
+        F.col("_id").alias("b_id"),
+        F.col("_v").alias("_vb"),
+        F.explode(F.array(*variants)).alias("_bkt"),
+    )
+    # a's real bucket equals exactly one b-variant per (a,b), so the join
+    # emits each candidate pair once — no dedup shuffle needed
+    return (
+        a.join(b, "_bkt")
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
@@ -396,6 +507,7 @@ __all__ = [
     "simhash_expr",
     "simhash_pairs",
     "cosine_neardup_pairs",
+    "cosine_neardup_pairs_bucketed",
     "dedup_survivors",
     "poly_hash_expr",
     "MINHASH_PRIME",

@@ -3,13 +3,17 @@ candidates must cover true high-Jaccard pairs, survivors resolve correctly."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pg_vectorize_spark.operators.dedup import (
     cosine_neardup_pairs,
+    cosine_neardup_pairs_bucketed,
     dedup_survivors,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_expr,
     simhash_pairs,
 )
 
@@ -83,6 +87,100 @@ def test_cosine_neardup(spark):
     )
     pairs = cosine_neardup_pairs(emb, "id", "vec", threshold=0.95).collect()
     assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_banded_equals_bruteforce(spark):
+    """The banded equi-join must return EXACTLY the n²-compare result
+    (pigeonhole: hamming <= h implies >= 1 of h+1 bands equal)."""
+    df = _df(spark)
+    banded = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_pairs(df, "text", "doc_id", bits=20, max_hamming=3).collect()
+    }
+    sh = df.select(
+        F.col("doc_id").alias("_id"), simhash_expr(F.col("text"), 20).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
+    brute = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("_sha").bitwiseXOR(F.col("_shb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_cosine_bucketed_subset_and_recall(spark):
+    """Bucketed pairs ⊆ exact pairs, and true near-duplicates (cosine -> 1,
+    sign patterns agree) are recalled."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.2, 0.1, -0.3]),
+            (2, [0.99, 0.21, 0.1, -0.29]),  # near-dup of 1, same signs
+            (3, [-1.0, 0.2, 0.1, -0.3]),  # sign-flipped dim 0
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "id long, vec array<double>",
+    )
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_neardup_pairs(emb, "id", "vec", threshold=0.9).collect()
+    }
+    bucketed = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_neardup_pairs_bucketed(
+            emb, "id", "vec", threshold=0.9, nbits=4, probe_hamming=1
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert (1, 2) in bucketed  # identical sign pattern -> bucket-hamming 0
+
+
+def test_cosine_bucketed_no_duplicate_pairs(spark):
+    emb = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(6)],
+        "id long, vec array<double>",
+    )
+    rows = cosine_neardup_pairs_bucketed(
+        emb, "id", "vec", threshold=0.5, nbits=4, probe_hamming=1
+    ).collect()
+    pairs = [(r["a_id"], r["b_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 15  # C(6,2), each exactly once
+
+
+def test_ngram_frequency_cap_drops_hot_shingles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.2
+        ).collect()
+    }
+    # 'alpha beta gamma' (df=3) links 1-3 without the cap
+    assert (1, 3) in uncapped
+    capped = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.2, max_shingle_df=2
+        ).collect()
+    }
+    # the hot shingle is dropped: 1-3 share nothing else; 1-2 still exact
+    assert (1, 3) not in capped
+    assert capped[(1, 2)] == 1.0
 
 
 def test_dedup_survivors(spark):

@@ -66,6 +66,36 @@ def test_ivf_broadcasts_probe_side(spark, entrymod):
     assert rep.has_take_ordered
 
 
+def test_simhash_pairs_no_cartesian(spark, entrymod):
+    """Banded simhash pairs must plan as a hash join on band keys — never
+    CartesianProduct / BroadcastNestedLoopJoin (the n² shapes)."""
+    df = entrymod.queries()["simhash_neardup_pairs"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text, rep.summary()
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.summary()
+
+
+def test_cosine_neardup_no_cartesian(spark, entrymod):
+    df = entrymod.queries()["dedup_embedding_cosine"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text, rep.summary()
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.summary()
+
+
+def test_default_centroids_take_ordered_not_global_window(spark):
+    from pg_vectorize_spark.operators.ann import default_centroids
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("embeddings")
+    )
+    df = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+    rep = plan_report(df)
+    # the table-wide scan must reduce via TakeOrdered; the only window runs
+    # over the 8-row result
+    assert rep.has_take_ordered, rep.summary()
+
+
 def test_filtered_search_pushes_nothing_extra(spark, entrymod):
     # post-ranking filter placement keeps ranking over ALL rows; the filter
     # may push to the label scan but the embedding scan must stay unfiltered
