@@ -696,7 +696,8 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure over jaccard pairs — iterative label
-    propagation (driver-loop fixpoint; not SQL-expressible -> rows-only)."""
+    propagation on the Spark side, oracled by a DuckDB recursive CTE
+    computing the same min-reachable-id fixpoint."""
     from pg_vectorize_spark.operators.dedup import (
         connected_components,
         ngram_jaccard_pairs,
@@ -1006,20 +1007,29 @@ _MINHASH_SIG = (
 )
 
 
-def _oracle_ngram_jaccard() -> str:
-    # mirrors max_shingle_df=50: shingles with document frequency > 50 are
-    # dropped before sizes/intersections (capped Jaccard over reduced sets)
-    return f"""
-WITH s AS MATERIALIZED (
-  SELECT d.doc_id, {O.sql_word_shingles('d.text', 3)} AS sh FROM documents d
-),
-inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+def _sql_jaccard_ctes(threshold: float, max_df: int | None = None) -> str:
+    """Shared CTE chain ending in ``jac(a_id, b_id, jaccard)`` >= threshold.
+
+    ``max_df`` mirrors ngram_jaccard_pairs(max_shingle_df=...): shingles
+    with document frequency above the cap are dropped before sizes and
+    intersections (capped Jaccard over the reduced sets).
+    """
+    cap_ctes = (
+        f"""
 freq AS (SELECT shingle, count(*) AS df FROM inv0 GROUP BY shingle),
 inv AS (
   SELECT i.doc_id, i.shingle FROM inv0 i
   JOIN freq f ON i.shingle = f.shingle
-  WHERE f.df <= 50
+  WHERE f.df <= {max_df}
+),"""
+        if max_df is not None
+        else """
+inv AS (SELECT doc_id, shingle FROM inv0),"""
+    )
+    return f"""s AS MATERIALIZED (
+  SELECT d.doc_id, {O.sql_word_shingles('d.text', 3)} AS sh FROM documents d
 ),
+inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),{cap_ctes}
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1032,8 +1042,35 @@ jac AS (
   FROM inter i
   JOIN sizes sa ON i.a_id = sa.doc_id
   JOIN sizes sb ON i.b_id = sb.doc_id
+  WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)::DOUBLE >= {threshold}
+)"""
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH {_sql_jaccard_ctes(0.2, max_df=50)}
+SELECT a_id, b_id, jaccard FROM jac
+"""
+
+
+def _oracle_dedup_transitive() -> str:
+    """Min-label connected components as a recursive CTE: comp reaches id
+    via edges -> component(id) = min reachable id (same fixpoint the Spark
+    label-propagation loop computes)."""
+    return f"""
+WITH RECURSIVE {_sql_jaccard_ctes(0.15)},
+edges AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM jac
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM jac
+),
+reach AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp AS comp
+  FROM reach r JOIN edges e ON e.src = r.id
 )
-SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2
+SELECT id, min(comp) AS component FROM reach GROUP BY id
 """
 
 
@@ -1371,26 +1408,12 @@ WITH q AS (
 SELECT doc_id, lang, quality_score FROM q WHERE quality_score >= 0.5
 """,
     "dedup_survivors": f"""
-WITH s AS MATERIALIZED (
-  SELECT d.doc_id, {O.sql_word_shingles('d.text', 3)} AS sh FROM documents d
-),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, len(sh) AS sz FROM s),
-losers AS (
-  SELECT DISTINCT i.b_id AS doc_id
-  FROM inter i
-  JOIN sizes sa ON i.a_id = sa.doc_id
-  JOIN sizes sb ON i.b_id = sb.doc_id
-  WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter)::DOUBLE >= 0.2
-)
+WITH {_sql_jaccard_ctes(0.2)},
+losers AS (SELECT DISTINCT b_id AS doc_id FROM jac)
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
 """,
+    "dedup_transitive": _oracle_dedup_transitive(),
     "search_tokens": f"""
 SELECT doc_id,
        array_to_string(list_sort({O.sql_tokens('text')}), ' ') AS search_tokens,
