@@ -31,7 +31,10 @@ from pg_vectorize_spark.operators.search import (
 # fixed, deterministic query constants
 # --------------------------------------------------------------------------
 QUERY_TEXT = "spark window merge batch data"
-QUERY_TERMS = T.analyze_query(QUERY_TEXT)  # == [spark, window, merge, batch, data]
+# light-stemmed analyzer output == [spark, window, merg, batch, data]
+QUERY_TERMS = T.analyze_query(QUERY_TEXT)
+# inflected-forms query for the stemming-semantics check
+STEM_QUERY_TEXT = "running merged windows batched"
 FETCH_IDS = [3, 14, 159, 265, 358]
 EMBED_DIM = 64
 
@@ -574,17 +577,19 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fts_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stemmed-analyzer FTS (Porter UDF path) — no SQL oracle by design;
-    the driver records the weaker rows-only check."""
+    """Stemmed FTS via the default 'english' analyzer and the INLINE
+    tokens path (no precomputed tokens_df) — "running" matches "run".
+    Fully oracle-checked now that the light stemmer is SQL-expressible;
+    the Porter UDF variant ('english_porter') stays pytest-golden-tested."""
     docs = _t(spark, sf_dir, "documents")
     return full_text_search(
         docs.select("doc_id", "lang", "text"),
         "doc_id",
-        QUERY_TEXT,
+        STEM_QUERY_TEXT,  # inflected forms only
         text_cols=["text"],
         num_results=10,
         return_columns=["doc_id", "lang"],
-        analyzer="english_stem",
+        analyzer="english",
     )
 
 
@@ -946,6 +951,23 @@ e AS MATERIALIZED (
   FROM n
 )
 SELECT doc_id, {checksum} AS checksum, {nnz} AS nnz FROM e
+"""
+
+
+def _oracle_fts_stemmed() -> str:
+    terms = T.analyze_query(STEM_QUERY_TEXT)  # [run, merg, window, batch]
+    toks = O.sql_tokens("d.text")
+    match = O.sql_fts_match("search_tokens", terms)
+    score = O.sql_fts_score("search_tokens", terms)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, d.lang, {toks} AS search_tokens FROM documents d
+)
+SELECT doc_id, lang, {score} AS fts_score
+FROM tok
+WHERE {match}
+ORDER BY fts_score DESC, doc_id ASC
+LIMIT 10
 """
 
 
@@ -1400,6 +1422,7 @@ WHERE emb_updated_at IS NULL
    OR ts > COALESCE(emb_updated_at, TIMESTAMP '0001-01-01 00:00:00')
 """,
     "hybrid_weighted": _oracle_hybrid_weighted(),
+    "fts_stemmed": _oracle_fts_stemmed(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

@@ -17,12 +17,23 @@ DEFINES our analyzer as the spec (SURVEY.md §7 "hard parts"):
   reproduced; divergence documented in SURVEY.md §7). Deterministic, and
   expressible in both Spark and DuckDB for oracle parity.
 
-Everything is built-in-function only (codegen-friendly); no stemming by
-default — a Porter-stemmer pandas UDF is available in operators/search.py
-as an opt-in analyzer stage (not oracle-checkable, hence off by default).
+STEMMING IS THE DEFAULT, as in ``to_tsvector('english')``
+(core/src/init.rs:250-259): the analyzer applies a deterministic LIGHT
+STEMMER — an ordered list of anchored regex rewrite rules (plural
+stripping, -ed/-ing stripping, consonant undoubling, final-e removal)
+chosen so the EXACT same rules run as Spark ``regexp_replace`` chains
+(JVM, codegen), DuckDB ``regexp_replace`` chains (the oracle), and Python
+``re.sub`` (driver-side query analysis). Full Snowball is procedural and
+not SQL-expressible; this spec trades linguistic fidelity ("ponies"->
+"poni" like Porter, but "ages"->"ag") for bit-identical three-engine
+parity — "running" matches "run", which is the user-visible behavior the
+reference provides. The heavier Porter UDF remains available as
+analyzer='english_porter'. analyzer='simple' disables stemming.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -38,6 +49,38 @@ STOP_WORDS = (
     "or not no but if so do does did done"
 ).split()
 
+# Light-stemmer spec: ordered (pattern, replacement) rewrite rules, applied
+# top to bottom, each anchored at end-of-token so it fires at most once.
+# Replacements use backslash group syntax (RE2/Python); Spark's Java engine
+# gets them converted to $N by stem_token_expr. Only constructs with
+# identical semantics in Java regex, RE2 (DuckDB), and Python re are allowed
+# here: character classes, anchors, bounded repetition, capture groups.
+LIGHT_STEM_RULES: list[tuple[str, str]] = [
+    (r"(ss)es$", r"\1"),          # dresses -> dress
+    (r"ies$", "i"),               # ponies -> poni (Porter step-1a parity)
+    (r"([a-z]{2}[^s])s$", r"\1"), # windows -> window; keeps 'ss', short words
+    (r"([a-z]{2})ed$", r"\1"),    # wanted -> want, fitted -> fitt
+    (r"([a-z]{2})ing$", r"\1"),   # running -> runn, working -> work
+    *[(f"{c}{c}$", c) for c in "bdfgmnprt"],  # undouble: runn -> run
+    (r"([a-z]{2})e$", r"\1"),     # merge -> merg, batche -> batch
+]
+
+
+def light_stem(token: str) -> str:
+    """Python form of the light stemmer (must match stem_token_expr /
+    oracle.sql_stem rule for rule)."""
+    for pat, repl in LIGHT_STEM_RULES:
+        token = _re.sub(pat, repl, token)
+    return token
+
+
+def stem_token_expr(tok: Column) -> Column:
+    """Spark form: the same rule chain as nested regexp_replace (pure JVM)."""
+    out = tok
+    for pat, repl in LIGHT_STEM_RULES:
+        out = F.regexp_replace(out, pat, repl.replace("\\", "$"))
+    return out
+
 
 def stop_words_sql_array() -> str:
     """The stop-word list as a SQL array literal (shared with the oracle)."""
@@ -45,15 +88,19 @@ def stop_words_sql_array() -> str:
     return f"[{inner}]"
 
 
-def tokens_expr(text: Column) -> Column:
-    """Analyzer: lower -> tokenize -> de-empty -> stop-words -> distinct.
+def tokens_expr(text: Column, stem: bool = True) -> Column:
+    """Analyzer: lower -> tokenize -> de-empty -> stop-words -> stem ->
+    distinct.
 
-    The Spark analog of ``to_tsvector('english', col)`` minus stemming and
-    positions (core/src/init.rs:250-259).
+    The Spark analog of ``to_tsvector('english', col)`` minus positions
+    (core/src/init.rs:250-259); stemming uses the light-stemmer spec above.
+    ``stem=False`` is the 'simple' analyzer (tsvector's 'simple' config).
     """
     raw = F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+")
     nonempty = F.filter(raw, lambda t: t != "")
     kept = F.array_except(nonempty, F.array(*[F.lit(w) for w in STOP_WORDS]))
+    if stem:
+        kept = F.transform(kept, stem_token_expr)
     return F.array_distinct(kept)
 
 
@@ -114,20 +161,30 @@ def analyze_query_stemmed(query: str) -> list[str]:
     return out
 
 
-def analyze_query(query: str) -> list[str]:
+def analyze_query(query: str, stem: bool = True) -> list[str]:
     """Driver-side analyzer for query strings (plainto_tsquery + OR-rewrite).
 
-    Must produce exactly what tokens_expr computes on the same string.
+    Must produce exactly what tokens_expr computes on the same string:
+    tokenize -> stop-words -> dedupe -> stem -> dedupe (array_except
+    dedupes before the stem transform, array_distinct after).
     """
     import re
 
     toks = [t for t in re.split(r"[^a-z0-9]+", (query or "").lower()) if t]
     kept = [t for t in toks if t not in set(STOP_WORDS)]
     seen: set[str] = set()
-    out: list[str] = []
+    deduped: list[str] = []
     for t in kept:
         if t not in seen:
             seen.add(t)
+            deduped.append(t)
+    if stem:
+        deduped = [light_stem(t) for t in deduped]
+    seen2: set[str] = set()
+    out: list[str] = []
+    for t in deduped:
+        if t not in seen2:
+            seen2.add(t)
             out.append(t)
     return out
 

@@ -112,7 +112,10 @@ def ngram_jaccard_pairs(
     filtered shingle sets on BOTH the numerator and denominator, so it
     remains a true Jaccard of the reduced sets. ``None`` = exact.
     """
-    inv = shingles_exploded(df, text_col, pkey, k)
+    # the inverted index is read 3-4x downstream (df-count, both join sides,
+    # sizes); it is itself a windowed explode, so materialize it once with a
+    # lazy local checkpoint instead of recomputing per consumer
+    inv = shingles_exploded(df, text_col, pkey, k).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("_sh")

@@ -54,14 +54,20 @@ DEFAULT_RRF_K = 60
 
 
 def _analyze(query: str, analyzer: str) -> list[str]:
-    if analyzer == "english_stem":
+    """'english' (default): light-stemmed, oracle-expressible; 'simple':
+    unstemmed; 'english_porter' (alias 'english_stem'): Porter UDF path."""
+    if analyzer in ("english_porter", "english_stem"):
         return analyze_query_stemmed(query)
+    if analyzer == "simple":
+        return analyze_query(query, stem=False)
     return analyze_query(query)
 
 
 def _doc_tokens(concat: Column, analyzer: str) -> Column:
-    if analyzer == "english_stem":
+    if analyzer in ("english_porter", "english_stem"):
         return stemmed_tokens_udf()(concat)
+    if analyzer == "simple":
+        return tokens_expr(concat, stem=False)
     return tokens_expr(concat)
 
 

@@ -17,7 +17,11 @@ functions/text.py — keep them in sync.
 
 from __future__ import annotations
 
-from pg_vectorize_spark.functions.text import LANG_MARKERS, STOP_WORDS
+from pg_vectorize_spark.functions.text import (
+    LANG_MARKERS,
+    LIGHT_STEM_RULES,
+    STOP_WORDS,
+)
 from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
 
 
@@ -39,12 +43,26 @@ def sql_words(text: str) -> str:
     )
 
 
-def sql_tokens(text: str) -> str:
-    """Analyzer tokens: words minus stop-words, distinct (text.tokens_expr)."""
-    return (
-        f"list_distinct(list_filter({sql_words(text)}, "
-        f"t -> NOT list_contains({sql_stop_words()}, t)))"
+def sql_stem(tok: str) -> str:
+    """The light-stemmer rule chain (text.LIGHT_STEM_RULES) as nested
+    regexp_replace; DuckDB's RE2 engine uses backslash group refs, which is
+    the canonical form the rules are stored in."""
+    out = tok
+    for pat, repl in LIGHT_STEM_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}')"
+    return out
+
+
+def sql_tokens(text: str, stem: bool = True) -> str:
+    """Analyzer tokens: words minus stop-words, stemmed, distinct
+    (text.tokens_expr)."""
+    kept = (
+        f"list_filter({sql_words(text)}, "
+        f"t -> NOT list_contains({sql_stop_words()}, t))"
     )
+    if stem:
+        kept = f"list_transform(list_distinct({kept}), t -> {sql_stem('t')})"
+    return f"list_distinct({kept})"
 
 
 def sql_fts_match(tokens: str, terms: list[str]) -> str:

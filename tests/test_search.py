@@ -207,3 +207,57 @@ def test_hybrid_weights(products_df):
             assert math.isclose(
                 r["rrf_score"], 1.0 / (60 + r["fts_rank"]), rel_tol=1e-12
             )
+
+
+def test_stemming_default_matches_inflected_forms(spark):
+    """to_tsvector('english') parity: 'running' must match 'run' out of the
+    box (default analyzer), in both directions."""
+    docs = spark.createDataFrame(
+        [
+            (1, "I was running the spark job yesterday"),
+            (2, "please run the job again"),
+            (3, "completely unrelated content here"),
+        ],
+        "doc_id long, body string",
+    )
+    hits_run = full_text_search(
+        docs, "doc_id", "run", text_cols=["body"], num_results=10
+    ).collect()
+    assert {r["doc_id"] for r in hits_run} == {1, 2}
+    hits_running = full_text_search(
+        docs, "doc_id", "running", text_cols=["body"], num_results=10
+    ).collect()
+    assert {r["doc_id"] for r in hits_running} == {1, 2}
+    # 'simple' analyzer keeps the literal-token behavior
+    hits_simple = full_text_search(
+        docs, "doc_id", "running", text_cols=["body"], num_results=10,
+        analyzer="simple",
+    ).collect()
+    assert {r["doc_id"] for r in hits_simple} == {1}
+
+
+def test_light_stemmer_three_engine_parity(spark):
+    """The Spark expression chain and the DuckDB SQL chain must reproduce
+    the Python light_stem outputs token for token."""
+    import duckdb
+
+    from pg_vectorize_spark.functions.text import light_stem, stem_token_expr
+    from pg_vectorize_spark.oracle import sql_stem
+
+    words = [
+        "running", "merged", "windows", "batched", "dresses", "ponies",
+        "classes", "fitted", "seeing", "king", "data", "spark", "queries",
+        "analyzes", "stopped", "hoping", "files", "uses", "used", "using",
+    ]
+    expected = [light_stem(w) for w in words]
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    spark_out = [
+        r["s"] for r in wdf.select(stem_token_expr(F.col("w")).alias("s")).collect()
+    ]
+    assert spark_out == expected
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(f"SELECT {sql_stem(repr(w))} AS s").fetchone()[0]
+        for w in words
+    ]
+    assert duck_out == expected
