@@ -593,6 +593,23 @@ def q_fts_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fts_cover_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ts_rank_cd analog: overlap score + positional cover-density bonus
+    (min-gap 1/distance over matched term pairs, deterministic sorted fold).
+    Re-ranks multi-term queries by proximity, like the reference's
+    ts_rank_cd (core/src/query.rs:764-776)."""
+    docs = _t(spark, sf_dir, "documents")
+    return full_text_search(
+        docs.select("doc_id", "lang", "text"),
+        "doc_id",
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        return_columns=["doc_id", "lang"],
+        rank="cover_density",
+    )
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-join rollup: revenue per region x order priority.
 
@@ -750,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "append_method_scan": q_append_method_scan,
     "hybrid_weighted": q_hybrid_weighted,
     "fts_stemmed": q_fts_stemmed,
+    "fts_cover_density": q_fts_cover_density,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
@@ -967,6 +985,60 @@ SELECT doc_id, lang, {score} AS fts_score
 FROM tok
 WHERE {match}
 ORDER BY fts_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_fts_cover_density() -> str:
+    terms = QUERY_TERMS
+    n_pairs = len(terms) * (len(terms) - 1) // 2
+    words = O.sql_words("d.text")
+    toks = O.sql_tokens("d.text")
+    match = O.sql_fts_match("search_tokens", terms)
+    score = O.sql_fts_score("search_tokens", terms)
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT d.doc_id, {words} AS ws FROM documents d
+),
+pw AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+                        i -> {{'pos': i, 'w': ws[i::INT]}})) AS u
+  FROM w
+),
+px AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM pw),
+m AS MATERIALIZED (
+  SELECT doc_id, pos, {O.sql_stem('w')} AS t
+  FROM px
+  WHERE NOT list_contains({O.sql_stop_words()}, w)
+),
+mt AS (
+  SELECT doc_id, pos, t FROM m
+  WHERE list_contains({O.sql_str_array(terms)}, t)
+),
+g AS (
+  SELECT a.doc_id, a.t AS ta, b.t AS tb, min(abs(a.pos - b.pos)) AS gap
+  FROM mt a JOIN mt b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 3
+),
+cdagg AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list(gap ORDER BY ta, tb), x -> 1.0 / x)),
+           (acc, y) -> acc + y) / {float(n_pairs)!r} AS cd_score
+  FROM g GROUP BY doc_id
+),
+tok AS (
+  SELECT d.doc_id, d.lang, {toks} AS search_tokens FROM documents d
+),
+sc AS (
+  SELECT t.doc_id, t.lang, {score} AS fts_score,
+         coalesce(c.cd_score, 0.0) AS cd_score
+  FROM tok t LEFT JOIN cdagg c ON t.doc_id = c.doc_id
+  WHERE {match}
+)
+SELECT doc_id, lang, fts_score, cd_score, fts_score + cd_score AS rank_cd
+FROM sc
+ORDER BY rank_cd DESC, doc_id ASC
 LIMIT 10
 """
 
@@ -1423,6 +1495,7 @@ WHERE emb_updated_at IS NULL
 """,
     "hybrid_weighted": _oracle_hybrid_weighted(),
     "fts_stemmed": _oracle_fts_stemmed(),
+    "fts_cover_density": _oracle_fts_cover_density(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

@@ -34,10 +34,12 @@ from pyspark.sql import functions as F
 
 from pg_vectorize_spark.filters import FilterValue, apply_filters
 from pg_vectorize_spark.functions.text import (
+    STOP_WORDS,
     analyze_query,
     analyze_query_stemmed,
     fts_match_expr,
     fts_score_expr,
+    stem_token_expr,
     stemmed_tokens_udf,
     tokens_expr,
 )
@@ -124,14 +126,20 @@ def full_text_search(
     filters: dict[str, FilterValue] | None = None,
     tokens_df: DataFrame | None = None,
     analyzer: str = "english",
+    rank: str = "overlap",
 ) -> DataFrame:
     """Full-text top-k over an analyzed text column.
 
     ``tokens_df`` (pkey, search_tokens) is the precomputed _search_tokens
     dataset; when absent, tokens are derived inline from ``text_cols`` with
     the NULL-safe space concat (core/src/query.rs:184-190). ``analyzer``
-    'english' (default, oracle-expressible) or 'english_stem' (Porter
-    stemming via Arrow UDF — closer to to_tsvector('english')).
+    'english' (default: light stemming, oracle-expressible), 'simple'
+    (unstemmed), or 'english_porter' (Porter via Arrow UDF).
+
+    ``rank='overlap'`` orders by the term-overlap score; 'cover_density'
+    adds the positional proximity bonus (``cover_density_scores``, the
+    ts_rank_cd analog) and orders by ``rank_cd = fts_score + cd_score``,
+    appending both columns to the output.
     """
     terms = _analyze(query, analyzer)
     if tokens_df is not None:
@@ -149,8 +157,96 @@ def full_text_search(
     if filters:
         scored = apply_filters(scored, filters)
     cols = list(return_columns) if return_columns else list(source_df.columns)
+    if rank == "cover_density":
+        cd = cover_density_scores(source_df, pkey, query, text_cols, analyzer)
+        scored = scored.join(cd, pkey, "left").withColumn(
+            "cd_score", F.coalesce(F.col("cd_score"), F.lit(0.0))
+        )
+        scored = scored.withColumn(
+            "rank_cd", F.col("fts_score") + F.col("cd_score")
+        )
+        ordered = scored.orderBy(F.desc("rank_cd"), F.asc(pkey))
+        return ordered.select(
+            *cols, "fts_score", "cd_score", "rank_cd"
+        ).limit(num_results)
     ordered = scored.orderBy(F.desc("fts_score"), F.asc(pkey))
     return ordered.select(*cols, "fts_score").limit(num_results)
+
+
+def cover_density_scores(
+    source_df: DataFrame,
+    pkey: str,
+    query: str,
+    text_cols: Sequence[str],
+    analyzer: str = "english",
+) -> DataFrame:
+    """Positional cover-density bonus per document — the ts_rank_cd analog
+    (core/src/query.rs:764-776 ranks with ts_rank_cd; the overlap score
+    alone ignores proximity).
+
+    Spec: positions are 1-based indices into the non-empty lowercase word
+    stream (stop-words hold positions but never match, like tsvector).
+    For every unordered pair of DISTINCT matched query terms, take the
+    minimum positional gap between any of their occurrences and contribute
+    ``1/gap``; the per-document score is the sum over pairs divided by
+    C(|terms|, 2) (0 when fewer than 2 terms). Adjacent full-phrase
+    matches approach 1.0; scattered terms decay hyperbolically.
+
+    Float parity: the pair contributions are summed by a left-to-right
+    fold over the (term_a, term_b)-sorted pair list — never a
+    shuffle-order-dependent SUM — so DuckDB's list_reduce reproduces the
+    double bit-for-bit. Output: (pkey, cd_score). Only expression-based
+    analyzers ('english', 'simple') are supported.
+    """
+    if analyzer not in ("english", "simple"):
+        raise ValueError(
+            f"cover_density_scores requires an expression analyzer, got "
+            f"{analyzer!r}"
+        )
+    terms = _analyze(query, analyzer)
+    n_pairs = len(terms) * (len(terms) - 1) // 2
+    if n_pairs == 0:
+        return source_df.select(
+            F.col(pkey), F.lit(0.0).alias("cd_score")
+        ).limit(0)
+    concat = F.concat_ws(
+        " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+    )
+    words = F.filter(
+        F.split(F.lower(concat), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    pos_words = source_df.select(
+        F.col(pkey), F.posexplode(words).alias("_pos", "_w")
+    ).filter(~F.col("_w").isin(*STOP_WORDS))
+    term_col = (
+        stem_token_expr(F.col("_w")) if analyzer == "english" else F.col("_w")
+    )
+    matched = pos_words.select(
+        F.col(pkey), F.col("_pos"), term_col.alias("_t")
+    ).filter(F.col("_t").isin(*terms))
+    a = matched.select(
+        F.col(pkey), F.col("_t").alias("_ta"), F.col("_pos").alias("_pa")
+    )
+    b = matched.select(
+        F.col(pkey), F.col("_t").alias("_tb"), F.col("_pos").alias("_pb")
+    )
+    gaps = (
+        a.join(b, pkey)
+        .filter(F.col("_ta") < F.col("_tb"))
+        .groupBy(pkey, "_ta", "_tb")
+        .agg(F.min(F.abs(F.col("_pa") - F.col("_pb"))).alias("_gap"))
+    )
+    pairs = gaps.groupBy(pkey).agg(
+        F.sort_array(
+            F.collect_list(F.struct("_ta", "_tb", "_gap"))
+        ).alias("_pairs")
+    )
+    cd = F.aggregate(
+        F.col("_pairs"),
+        F.lit(0.0),
+        lambda acc, p: acc + F.lit(1.0) / p["_gap"].cast("double"),
+    ) / F.lit(float(n_pairs))
+    return pairs.select(F.col(pkey), cd.alias("cd_score"))
 
 
 def _ranked(df: DataFrame, order: list[Column], window_size: int, rank_name: str) -> DataFrame:

@@ -261,3 +261,28 @@ def test_light_stemmer_three_engine_parity(spark):
         for w in words
     ]
     assert duck_out == expected
+
+
+def test_cover_density_ranks_proximity(spark):
+    """Same term overlap, different proximity: the doc where the query terms
+    are adjacent must out-rank the doc where they are scattered."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma filler filler filler filler filler"),
+            (2, "alpha filler filler filler beta filler filler gamma"),
+            (3, "alpha only here nothing else matches more terms"),
+        ],
+        "doc_id long, body string",
+    )
+    out = full_text_search(
+        docs, "doc_id", "alpha beta gamma", text_cols=["body"],
+        num_results=10, rank="cover_density",
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # identical overlap for 1 and 2...
+    assert by_id[1]["fts_score"] == by_id[2]["fts_score"]
+    # ...but adjacency wins on cover density
+    assert by_id[1]["cd_score"] > by_id[2]["cd_score"]
+    assert [r["doc_id"] for r in out][0] == 1
+    # single-term doc has no pairs -> zero bonus
+    assert by_id[3]["cd_score"] == 0.0
