@@ -32,6 +32,10 @@ KNOWN_DIMS = {
     "cohere/embed-english-v3.0": 1024,
     "cohere/embed-english-light-v3.0": 384,
     "cohere/embed-multilingual-v3.0": 1024,
+    "cohere/embed-multilingual-light-v3.0": 384,
+    "cohere/embed-english-v2.0": 4096,
+    "cohere/embed-english-light-v2.0": 1024,
+    "cohere/embed-multilingual-v2.0": 768,
     "sentence-transformers/all-MiniLM-L6-v2": 384,
     "sentence-transformers/all-MiniLM-L12-v2": 384,
 }
@@ -118,11 +122,17 @@ def get_provider(
     """Dispatch a model name to a provider instance.
 
     - ``local/...`` -> deterministic hashing embedder;
-    - every HTTP source (openai / cohere / ollama / portkey / voyage /
-      sentence-transformers) -> the OpenAI-schema HTTP client pointed at
-      that source's endpoint (the reference's vector-serve speaks the same
-      schema, vector-serve/app/routes/transform.py:23-77). Falls back to the
-      local embedder when no endpoint is configured — keeps tests hermetic.
+    - each HTTP source gets its NATIVE wire client: Cohere ``/embed``
+      (cohere.rs:33-99), Ollama ``/api/embed`` (ollama.rs:36-55), Voyage
+      ``/embeddings`` (voyage.rs:17-103), Portkey gateway headers
+      (portkey.rs:46-89); OpenAI and sentence-transformers speak the
+      OpenAI schema (the reference's vector-serve does too,
+      vector-serve/app/routes/transform.py:23-77).
+    - api_key resolution: explicit arg, else the source's own env var
+      (OPENAI_API_KEY, CO_API_KEY, VOYAGE_API_KEY, PORTKEY_API_KEY,
+      EMBEDDING_SVC_API_KEY — matching the reference's lookup chain).
+    Falls back to the local embedder when no endpoint is configured and no
+    key was supplied — keeps tests hermetic.
     """
     model = parse_model(model_name)
     if model.source == ModelSource.LOCAL:
@@ -130,11 +140,31 @@ def get_provider(
 
     endpoint = url or _default_endpoint(model.source)
     if endpoint:
+        from pg_vectorize_spark.providers import http_native
         from pg_vectorize_spark.providers.http_openai import OpenAISchemaEmbedder
 
         dim = KNOWN_DIMS.get(model.fullname)
+        key = api_key or _default_api_key(model.source)
+        if model.source == ModelSource.COHERE:
+            return http_native.CohereEmbedder(
+                endpoint, model.api_name, api_key=key, dim=dim
+            )
+        if model.source == ModelSource.OLLAMA:
+            return http_native.OllamaEmbedder(endpoint, model.api_name, dim=dim)
+        if model.source == ModelSource.VOYAGE:
+            return http_native.VoyageEmbedder(
+                endpoint, model.api_name, api_key=key, dim=dim
+            )
+        if model.source == ModelSource.PORTKEY:
+            return http_native.PortkeyEmbedder(
+                endpoint,
+                model.api_name,
+                api_key=key,
+                dim=dim,
+                virtual_key=os.environ.get("PORTKEY_VIRTUAL_KEY"),
+            )
         return OpenAISchemaEmbedder(
-            endpoint, model.api_name, api_key=api_key, dim=dim
+            endpoint, model.api_name, api_key=key, dim=dim
         )
     if api_key is not None:
         # a supplied key signals intent to reach the real service; a silent
@@ -158,6 +188,21 @@ _ENDPOINT_ENV = {
     ModelSource.VOYAGE: "VOYAGE_BASE_URL",
     ModelSource.SENTENCE_TRANSFORMERS: "EMBEDDING_SVC_URL",
 }
+
+
+_API_KEY_ENV = {
+    ModelSource.OPENAI: "OPENAI_API_KEY",         # openai.rs:66
+    ModelSource.COHERE: "CO_API_KEY",             # cohere.rs:60
+    ModelSource.OLLAMA: None,                     # ollama has no auth
+    ModelSource.PORTKEY: "PORTKEY_API_KEY",       # portkey.rs:31
+    ModelSource.VOYAGE: "VOYAGE_API_KEY",         # voyage.rs:60
+    ModelSource.SENTENCE_TRANSFORMERS: "EMBEDDING_SVC_API_KEY",  # vector_serve.rs:36
+}
+
+
+def _default_api_key(source: ModelSource) -> str | None:
+    env = _API_KEY_ENV.get(source)
+    return os.environ.get(env) if env else None
 
 
 def _endpoint_env(source: ModelSource) -> str:
