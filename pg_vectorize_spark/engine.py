@@ -58,6 +58,7 @@ from pg_vectorize_spark.operators.search import (
 )
 from pg_vectorize_spark.providers.base import ChatProvider
 from pg_vectorize_spark.providers.registry import get_provider, model_dim, parse_model
+from pg_vectorize_spark.prompts import PromptRegistry
 from pg_vectorize_spark.rag import RagResult, run_rag
 from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
 from pg_vectorize_spark.validate import check_input
@@ -75,6 +76,7 @@ class VectorizeSession:
         self.config = config or DEFAULT_CONFIG
         self.workspace = workspace or self.config.workspace_dir
         self.catalog = Catalog(self.workspace)
+        self.prompts = PromptRegistry(self.workspace)
         self._chat = chat_provider
 
     # ------------------------------------------------------------------ io
@@ -618,7 +620,10 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
         api_key: str | None = None,
     ) -> RagResult:
         """vectorize.rag(): search -> render -> complete (§2.12). Requires a
-        single-column job (extension parity)."""
+        single-column job (extension parity). ``task`` resolves through the
+        workspace PromptRegistry, so user-registered templates
+        (``sess.add_prompt(...)``, the vectorize.prompts INSERT analog) are
+        first-class alongside the seeded question_answer."""
         job = self.catalog.get(job_name)
         if len(job.src_columns) != 1:
             raise VectorizeError(
@@ -641,4 +646,16 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
             task=task,
             chat_model=chat_model,
             force_trim=force_trim,
+            prompts=self.prompts.all(),
         )
+
+    def add_prompt(
+        self,
+        task: str,
+        sys_prompt: str,
+        user_prompt: str,
+        replace: bool = False,
+    ) -> None:
+        """Register a prompt template — INSERT INTO vectorize.prompts parity
+        (extension/sql/meta.sql:9-13)."""
+        self.prompts.add(task, sys_prompt, user_prompt, replace=replace)
