@@ -57,7 +57,12 @@ from pg_vectorize_spark.operators.search import (
     semantic_search as _semantic_op,
 )
 from pg_vectorize_spark.providers.base import ChatProvider
-from pg_vectorize_spark.providers.registry import get_provider, model_dim, parse_model
+from pg_vectorize_spark.providers.registry import (
+    get_chat_provider,
+    get_provider,
+    model_dim,
+    parse_model,
+)
 from pg_vectorize_spark.prompts import PromptRegistry
 from pg_vectorize_spark.rag import RagResult, run_rag
 from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
@@ -498,8 +503,19 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
         provider = get_provider(model or self.config.default_transformer, api_key)
         return provider.generate_embedding([text])[0]
 
-    def generate(self, input_text: str, chat: ChatProvider | None = None) -> str:
-        """vectorize.generate(): one-shot chat completion."""
+    def generate(
+        self,
+        input_text: str,
+        chat: ChatProvider | None = None,
+        chat_model: str | None = None,
+        api_key: str | None = None,
+    ) -> str:
+        """vectorize.generate(): one-shot chat completion. ``chat_model``
+        dispatches per-source (OpenAI schema / Ollama /api/generate /
+        Portkey gateway), matching call_chat_completions
+        (extension/src/chat/ops.rs:138-192)."""
+        if chat is None and chat_model is not None:
+            chat = get_chat_provider(chat_model, api_key=api_key)
         chat = chat or self._chat
         if chat is None:
             raise VectorizeError("no chat provider configured")
@@ -636,7 +652,9 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
         )
         chat = chat or self._chat
         if chat is None:
-            raise VectorizeError("no chat provider configured")
+            # per-source dispatch on the requested chat model
+            # (extension/src/chat/ops.rs:138-192)
+            chat = get_chat_provider(chat_model, api_key=api_key)
         return run_rag(
             results,
             query,

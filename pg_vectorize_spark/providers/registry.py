@@ -180,6 +180,53 @@ def get_provider(
     return fallback
 
 
+def get_chat_provider(
+    model_name: str,
+    api_key: str | None = None,
+    url: str | None = None,
+):
+    """Dispatch a chat model name to a chat provider, matching the
+    reference's call_chat_completions source switch
+    (extension/src/chat/ops.rs:138-192): OpenAI and sentence-transformers
+    speak the OpenAI chat schema, Ollama uses /api/generate, Portkey the
+    gateway headers; Cohere/Voyage are not chat providers (reference
+    errors likewise). ``local/...`` returns the deterministic EchoChat so
+    hermetic tests and offline RAG keep working.
+    """
+    model = parse_model(model_name)
+    if model.source == ModelSource.LOCAL:
+        from pg_vectorize_spark.providers.http_openai import EchoChat
+
+        return EchoChat()
+    if model.source in (ModelSource.COHERE, ModelSource.VOYAGE):
+        raise ModelError(
+            f"{model.source.value} is not supported for chat completions"
+        )
+    endpoint = url or _default_endpoint(model.source)
+    if not endpoint:
+        raise ModelError(
+            f"no chat endpoint configured for {model_name!r} "
+            f"(set {_endpoint_env(model.source)} or pass url=)"
+        )
+    key = api_key or _default_api_key(model.source)
+    if model.source == ModelSource.OLLAMA:
+        from pg_vectorize_spark.providers.http_native import OllamaChat
+
+        return OllamaChat(endpoint, model.api_name)
+    if model.source == ModelSource.PORTKEY:
+        from pg_vectorize_spark.providers.http_native import PortkeyChat
+
+        return PortkeyChat(
+            endpoint,
+            model.api_name,
+            api_key=key,
+            virtual_key=os.environ.get("PORTKEY_VIRTUAL_KEY"),
+        )
+    from pg_vectorize_spark.providers.http_openai import OpenAISchemaChat
+
+    return OpenAISchemaChat(endpoint, model.api_name, api_key=key)
+
+
 _ENDPOINT_ENV = {
     ModelSource.OPENAI: "OPENAI_BASE_URL",
     ModelSource.COHERE: "COHERE_BASE_URL",

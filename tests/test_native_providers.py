@@ -237,3 +237,50 @@ def test_registry_known_dim_used_without_probe(stub, monkeypatch):
     assert model_dim(parse_model("cohere/embed-multilingual-v2.0"), probe=p) == 768
     # no HTTP call was needed for the dim
     assert _SchemaStrictHandler.calls == []
+
+
+class TestChatDispatch:
+    """call_chat_completions source switch parity (ops.rs:138-192)."""
+
+    def test_ollama_chat_dispatch(self, stub, monkeypatch):
+        from pg_vectorize_spark.providers.registry import get_chat_provider
+
+        monkeypatch.setenv("OLLAMA_BASE_URL", f"{stub}/ollama")
+        chat = get_chat_provider("ollama/llama2")
+        assert isinstance(chat, OllamaChat)
+        assert chat.generate_response(
+            [{"role": "user", "content": "hi"}]
+        ) == "gen: hi"
+
+    def test_portkey_chat_dispatch(self, stub, monkeypatch):
+        from pg_vectorize_spark.providers.registry import get_chat_provider
+
+        monkeypatch.setenv("PORTKEY_BASE_URL", f"{stub}/portkey")
+        monkeypatch.setenv("PORTKEY_API_KEY", "k")
+        monkeypatch.setenv("PORTKEY_VIRTUAL_KEY", "v")
+        chat = get_chat_provider("portkey/gpt-x")
+        assert isinstance(chat, PortkeyChat)
+        assert chat.generate_response(
+            [{"role": "user", "content": "yo"}]
+        ) == "pk: yo"
+
+    def test_cohere_chat_rejected(self):
+        from pg_vectorize_spark.errors import ModelError
+        from pg_vectorize_spark.providers.registry import get_chat_provider
+
+        with pytest.raises(ModelError, match="not supported for chat"):
+            get_chat_provider("cohere/command-r")
+
+    def test_unconfigured_endpoint_raises(self, monkeypatch):
+        from pg_vectorize_spark.errors import ModelError
+        from pg_vectorize_spark.providers.registry import get_chat_provider
+
+        monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+        with pytest.raises(ModelError, match="no chat endpoint"):
+            get_chat_provider("openai/gpt-4o-mini")
+
+    def test_local_echo_chat(self):
+        from pg_vectorize_spark.providers.http_openai import EchoChat
+        from pg_vectorize_spark.providers.registry import get_chat_provider
+
+        assert isinstance(get_chat_provider("local/echo"), EchoChat)
