@@ -700,19 +700,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite multimodal flow: binary media -> fake decode (Arrow UDF
-    stub) -> feature near-dup pairs. Rows-only by design (decode is a
-    Python-side stub; see multimodal/binary.py)."""
+    """Composite multimodal flow: binary media -> fake decode (Arrow
+    mapInPandas stub) -> feature near-dup pairs. The deterministic fake
+    decode (byte-histogram features) is mirrored in DuckDB over the
+    ASCII corpus, so the whole Arrow pipeline is hash-verified. The
+    filter precedes the decode — mapInPandas is a pushdown barrier."""
     from pg_vectorize_spark.multimodal.binary import decode_media
     from pg_vectorize_spark.operators.dedup import cosine_neardup_pairs
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     )
     decoded = decode_media(docs, "content", "doc_id", fake=True, n_features=8)
-    feats = decoded.select(F.col("pkey").alias("doc_id"), "features").filter(
-        F.col("doc_id") < 100
-    )
+    feats = decoded.select(F.col("pkey").alias("doc_id"), "features")
     return cosine_neardup_pairs(feats, "doc_id", "features", threshold=0.999)
 
 
@@ -1510,6 +1512,35 @@ SELECT d.doc_id, d.n_chars FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
 """,
     "dedup_transitive": _oracle_dedup_transitive(),
+    # mirrors decode_media(fake=True): features = normalized histogram of
+    # (byte % 8) over the utf-8 bytes; the corpus is ASCII so byte values
+    # equal ascii codes (verified), making the Arrow stub SQL-expressible
+    "multimodal_pipeline": f"""
+WITH c AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(1, len(text)+1),
+                        i -> ascii(substr(text, i::INT, 1))) AS codes
+  FROM documents WHERE doc_id < 100
+),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+                        k -> len(list_filter(codes, b -> (b % 8) = k))::DOUBLE)
+           AS hist,
+         CASE WHEN len(codes) > 0 THEN len(codes)::DOUBLE ELSE 1.0 END AS total
+  FROM c
+),
+f AS MATERIALIZED (
+  SELECT doc_id, list_transform(hist, v -> v / total) AS features FROM h
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         {O.sql_cosine('a.features', 'b.features')} AS cosine
+  FROM f a, f b
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.999
+""",
     "search_tokens": f"""
 SELECT doc_id,
        array_to_string(list_sort({O.sql_tokens('text')}), ' ') AS search_tokens,
