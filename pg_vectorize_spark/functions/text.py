@@ -74,11 +74,29 @@ def light_stem(token: str) -> str:
     return token
 
 
+# Spark/Java form of the rule list: Java regex supports backreferences in
+# patterns, so the nine enumerated undoubling rules collapse to one
+# ([bdfgmnprt])\1$ rule — halving the regexp_replace calls per token (HOF
+# lambdas
+# are interpreted per element, so chain length is the hot cost). RE2
+# (DuckDB) has no pattern backrefs, hence the enumerated canonical form
+# above; tests/test_search.py locks the two forms to identical outputs.
+_JAVA_STEM_RULES: list[tuple[str, str]] = [
+    (r"(ss)es$", "$1"),
+    (r"ies$", "i"),
+    (r"([a-z]{2}[^s])s$", "$1"),
+    (r"([a-z]{2})ed$", "$1"),
+    (r"([a-z]{2})ing$", "$1"),
+    (r"([bdfgmnprt])\1$", "$1"),
+    (r"([a-z]{2})e$", "$1"),
+]
+
+
 def stem_token_expr(tok: Column) -> Column:
     """Spark form: the same rule chain as nested regexp_replace (pure JVM)."""
     out = tok
-    for pat, repl in LIGHT_STEM_RULES:
-        out = F.regexp_replace(out, pat, repl.replace("\\", "$"))
+    for pat, repl in _JAVA_STEM_RULES:
+        out = F.regexp_replace(out, pat, repl)
     return out
 
 
