@@ -222,6 +222,55 @@ def mllib_lsh_neighbors(
     return out.select(F.col(pkey), F.col("dist_euclidean"))
 
 
+def build_ivf_index(
+    emb_df: DataFrame,
+    centroids_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    index_path: str,
+) -> None:
+    """Write-time IVF index build: cell assignment persisted as parquet
+    PARTITIONED BY cell — the pgvector index-build analog
+    (core/src/query.rs:359-396) in Spark's storage model.
+
+    At query time a probed cell becomes a PARTITION FILTER: the scan reads
+    only nprobe/n_centroids of the data from disk (PartitionFilters in the
+    plan, verified in tests/test_ann.py), which is what makes IVF the
+    100-TB search path rather than a full-scan rescore.
+    """
+    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search over a persisted index: probe centroids driver-side (the
+    centroid table is tiny and already local), then scan ONLY the probed
+    cell partitions via an IN filter that prunes at the parquet source."""
+    probed_rows = (
+        centroids_df.select(
+            F.col("centroid_id"),
+            cosine_similarity_to_query(F.col("centroid_vec"), query_vec).alias(
+                "_qsim"
+            ),
+        )
+        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    cells = [int(r["centroid_id"]) for r in probed_rows]
+    candidates = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return brute_force_topk(candidates, pkey, emb_col, query_vec, k)
+
+
 def ivf_topk(
     emb_df: DataFrame,
     centroids_df: DataFrame,

@@ -71,3 +71,47 @@ def test_signbit_lsh_returns_subset_of_bucket(spark):
     }
     for r in out:
         assert abs(exact[r["id"]] - r["similarity_score"]) < 1e-12
+
+
+class TestPersistedIvfIndex:
+    """Write-time partitioned IVF index: probing must become partition
+    pruning at the parquet scan, and results must equal the on-the-fly
+    ivf_topk."""
+
+    def test_indexed_matches_inline_and_prunes(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            build_ivf_index,
+            default_centroids,
+            ivf_topk,
+            ivf_topk_indexed,
+        )
+        from pg_vectorize_spark.plans.inspect import plan_report
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", F.col("embedding").alias("embeddings")
+        )
+        cents = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+        idx = str(tmp_path / "ivf_index")
+        build_ivf_index(emb, cents, "vec_id", "embeddings", idx)
+
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embeddings"]
+        ]
+        inline = ivf_topk(emb, cents, "vec_id", "embeddings", qv, k=10, nprobe=2)
+        indexed = ivf_topk_indexed(
+            spark, idx, cents, "vec_id", "embeddings", qv, k=10, nprobe=2
+        )
+        a = [(r["vec_id"], r["similarity_score"]) for r in inline.collect()]
+        b = [(r["vec_id"], r["similarity_score"]) for r in indexed.collect()]
+        assert a == b
+
+        import re
+
+        rep = plan_report(indexed)
+        # the cell IN-filter must prune partitions at the source, not scan
+        # all cells and filter rows
+        pfs = re.findall(r"PartitionFilters: \[(.*?)\]", rep.text)
+        assert any("cell" in pf for pf in pfs), rep.text
