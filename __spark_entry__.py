@@ -308,6 +308,22 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH verify stage: estimated Jaccard (agreeing-component fraction)
+    for every banded candidate pair — precision filter over the
+    recall-oriented candidates, touching only fixed-size signatures."""
+    from pg_vectorize_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3)
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    return minhash_jaccard_estimate(sigs, cands, num_hashes=16)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-bit SimHash fingerprint per document."""
     from pg_vectorize_spark.operators.dedup import simhash_expr
@@ -750,6 +766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "dedup_simhash": q_dedup_simhash,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1182,9 +1199,7 @@ FROM c WHERE len(codes) > 0
 """
 
 
-def _oracle_minhash_lsh() -> str:
-    return f"""
-WITH c AS MATERIALIZED (
+_MINHASH_SIG_BANDS_CTES = f"""c AS MATERIALIZED (
   SELECT d.doc_id, {_sql_minhash_codes()} AS codes FROM documents d
 ),
 sig AS MATERIALIZED (
@@ -1196,11 +1211,32 @@ bands AS (
            list_transform(s.signature[(t.band*4 + 1):(t.band*4 + 4)],
                           x -> x::VARCHAR), ',') AS band_key
   FROM sig s, generate_series(0, 3) AS t(band)
-)
-SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-            AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+WITH {_MINHASH_SIG_BANDS_CTES}
+SELECT a_id, b_id FROM cand
+"""
+
+
+def _oracle_minhash_jaccard_estimate() -> str:
+    return f"""
+WITH {_MINHASH_SIG_BANDS_CTES}
+SELECT cand.a_id, cand.b_id,
+       len(list_filter(range(1, 17),
+           i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16.0
+         AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.a_id = sa.doc_id
+JOIN sig sb ON cand.b_id = sb.doc_id
 """
 
 
@@ -1388,6 +1424,7 @@ FROM documents GROUP BY text
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
     "minhash_signatures": _oracle_minhash_signatures(),
+    "minhash_jaccard_estimate": _oracle_minhash_jaccard_estimate(),
     "dedup_simhash": _oracle_simhash(),
     "simhash_neardup_pairs": _oracle_simhash_pairs(),
     "dedup_embedding_cosine": _oracle_embedding_cosine_pairs(),

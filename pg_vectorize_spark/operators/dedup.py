@@ -232,6 +232,44 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: the fraction of agreeing
+    signature components (the MinHash estimator E[agree/k] = J).
+
+    This is the VERIFY stage of the LSH pipeline: band candidates are
+    recall-oriented; thresholding on the estimate gives precision without
+    ever touching the raw shingle sets — at scale the signatures are
+    k*8 bytes per doc vs unbounded shingle lists, so the verify join
+    moves tiny rows. Input: signatures (_id, signature), pairs
+    (a_id, b_id). Output: (a_id, b_id, est_jaccard).
+    """
+    sa = signatures.select(
+        F.col("_id").alias("a_id"), F.col("signature").alias("_siga")
+    )
+    sb = signatures.select(
+        F.col("_id").alias("b_id"), F.col("signature").alias("_sigb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_siga"), F.col("_sigb"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (agree.cast("double") / float(num_hashes)).alias("est_jaccard"),
+        )
+    )
+
+
 def simhash_expr(text: Column, bits: int = 20) -> Column:
     """SimHash fingerprint: bit j set iff Σ_tokens sign((hash(tok)>>j)&1)>0.
 
@@ -507,6 +545,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "minhash_jaccard_estimate",
     "simhash_expr",
     "simhash_pairs",
     "cosine_neardup_pairs",

@@ -190,3 +190,18 @@ def test_dedup_survivors(spark):
     ids = {r["doc_id"] for r in surv.collect()}
     # 2 and 3 lose to 1
     assert ids == {1, 4, 5}
+
+
+def test_minhash_jaccard_estimate(spark):
+    from pg_vectorize_spark.operators.dedup import minhash_jaccard_estimate
+
+    sigs = minhash_signatures(_df(spark), "text", "doc_id", num_hashes=16)
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    est = {
+        (r["a_id"], r["b_id"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(sigs, cands, num_hashes=16).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical docs agree on every component
+    if (1, 3) in est:  # near-dup: high but below identical
+        assert 0.5 <= est[(1, 3)] <= 1.0
+    assert all(0.0 <= v <= 1.0 for v in est.values())
