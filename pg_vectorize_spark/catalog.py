@@ -40,6 +40,7 @@ class JobRecord:
     dim: int = 64
     table_method: str = "join"  # join | append (core/src/types.rs:109-115)
     schedule: str = "realtime"  # realtime | cron expr (core/src/types.rs:133-135)
+    source_format: str = "auto"  # auto | parquet | csv | json | table
     index_dist_type: str = "cosine"
     params: dict = field(default_factory=dict)
     created_at: str = field(

@@ -66,6 +66,7 @@ from pg_vectorize_spark.providers.registry import (
 from pg_vectorize_spark.prompts import PromptRegistry
 from pg_vectorize_spark.rag import RagResult, run_rag
 from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+from pg_vectorize_spark.sources.reader import read_source
 from pg_vectorize_spark.validate import check_input
 
 
@@ -98,10 +99,9 @@ class VectorizeSession:
         )
 
     def _source_df(self, job: JobRecord) -> DataFrame:
-        if os.path.exists(job.src_path):
-            return self.spark.read.parquet(job.src_path)
-        # else: a registered temp view / table name
-        return self.spark.table(job.src_path)
+        return read_source(
+            self.spark, job.src_path, getattr(job, "source_format", "auto")
+        )
 
     # ----------------------------------------------------------- lifecycle
 
@@ -146,6 +146,7 @@ class VectorizeSession:
         schedule: str = "realtime",
         api_key: str | None = None,
         run_initial_load: bool = True,
+        source_format: str = "auto",
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269)."""
@@ -165,6 +166,7 @@ class VectorizeSession:
             dim=dim,
             table_method=table_method,
             schedule=schedule,
+            source_format=source_format,
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain
@@ -534,11 +536,7 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
     ) -> DataFrame:
         """vectorize.chunk_table(): chunk a column table-wide; registers the
         output as a temp view (the reference writes a table)."""
-        df = (
-            self.spark.read.parquet(src_path)
-            if os.path.exists(src_path)
-            else self.spark.table(src_path)
-        )
+        df = read_source(self.spark, src_path)
         out = chunk_table_greedy(df, column, primary_key, max_chunk_size)
         out.createOrReplaceTempView(output_view)
         return out
@@ -561,11 +559,7 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
                 "import_embeddings is not supported for table_method='append' "
                 "jobs — import into a 'join' job or re-embed via scan_job"
             )
-        src = (
-            self.spark.read.parquet(src_path)
-            if os.path.exists(src_path)
-            else self.spark.table(src_path)
-        )
+        src = read_source(self.spark, src_path)
         from pg_vectorize_spark.functions.vector import l2_normalize
 
         # normalize at import: the engine scores with pre_normalized dot
@@ -611,11 +605,7 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
             run_initial_load=False,
         )
         # dimension comes from the imported table, not the model probe
-        src = (
-            self.spark.read.parquet(emb_src_path)
-            if os.path.exists(emb_src_path)
-            else self.spark.table(emb_src_path)
-        )
+        src = read_source(self.spark, emb_src_path)
         first = src.select(F.size(F.col(emb_src_col)).alias("d")).head()
         if first is not None:
             job.dim = int(first["d"])

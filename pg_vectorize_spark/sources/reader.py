@@ -1,0 +1,55 @@
+"""Source reader — file-format dispatch for job source tables.
+
+The reference's sources are Postgres relations (core/src/query.rs source
+SQL); the Spark analog is any path the DataFrame reader understands, or a
+registered table/view name. ``read_source`` dispatches:
+
+- ``format='auto'`` (default): a registered table name if the path does
+  not exist on disk; otherwise by extension — .csv -> csv (header +
+  schema inference), .json/.jsonl/.ndjson -> json lines, anything else
+  (including directories) -> parquet;
+- explicit ``format='parquet'|'csv'|'json'|'table'`` overrides inference.
+
+CSV/JSON inference runs an extra pass at read time; production jobs over
+big data should land parquet (columnar pruning + pushdown) — the text
+formats exist for ingestion parity, and every downstream operator is
+format-agnostic once the DataFrame exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pg_vectorize_spark.errors import VectorizeError
+
+_TEXT_JSON_EXTS = (".json", ".jsonl", ".ndjson")
+
+
+def read_source(
+    spark: SparkSession, path: str, source_format: str = "auto"
+) -> DataFrame:
+    fmt = (source_format or "auto").lower()
+    if fmt == "table":
+        return spark.table(path)
+    if fmt == "auto":
+        if not os.path.exists(path):
+            return spark.table(path)
+        lower = path.lower()
+        if lower.endswith(".csv"):
+            fmt = "csv"
+        elif lower.endswith(_TEXT_JSON_EXTS):
+            fmt = "json"
+        else:
+            fmt = "parquet"
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        return spark.read.csv(path, header=True, inferSchema=True)
+    if fmt == "json":
+        return spark.read.json(path)
+    raise VectorizeError(
+        f"unknown source format {source_format!r} "
+        "(expected auto|parquet|csv|json|table)"
+    )
