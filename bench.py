@@ -61,6 +61,8 @@ def main() -> None:
         "sessionize_events",
         "hybrid_weighted",
         "orders_rollup",
+        "fts_cover_density",
+        "minhash_jaccard_estimate",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the
@@ -69,18 +71,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # best-of-2 per query: single-shot timings on a shared box swing ±20%
+    # from transient load; the min measures the engine, not the neighbors
     timings: dict[str, float] = {}
     for name in bench_names:
         if name not in qs:
             continue
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink forces FULL materialization of every column — count()
-        # would let Catalyst prune the expensive projections (embeddings,
-        # chunks) and understate the work
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink forces FULL materialization of every column —
+            # count() would let Catalyst prune the expensive projections
+            # (embeddings, chunks) and understate the work
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
