@@ -163,3 +163,44 @@ class TestTrimProperties:
         kept, used = trim_context(docs, 0)
         assert used == 0
         assert all(len(d.split()) == 0 for d in kept)
+
+
+class TestStemmerParity:
+    """The light-stemmer spec must behave identically under Python re and
+    DuckDB's RE2 for any analyzer token ([a-z0-9]+) — regex dialect
+    differences here would silently break oracle parity."""
+
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_python_duckdb_stem_agree(self, token):
+        import duckdb
+
+        from pg_vectorize_spark.functions.text import light_stem
+        from pg_vectorize_spark.oracle import sql_stem
+
+        con = duckdb.connect()
+        duck = con.execute(f"SELECT {sql_stem(repr(token))} AS s").fetchone()[0]
+        con.close()
+        assert duck == light_stem(token), token
+
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=ord("0"), max_codepoint=ord("z")),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_stem_total_and_nonempty_on_long_tokens(self, token):
+        from pg_vectorize_spark.functions.text import light_stem
+
+        out = light_stem(token)
+        assert isinstance(out, str)
+        if len(token) >= 5:
+            assert out, token  # stemming never erases a full-length token
