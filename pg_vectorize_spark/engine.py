@@ -355,11 +355,15 @@ class VectorizeSession:
         num_results: int = 10,
         return_columns: Sequence[str] | None = None,
         filters: dict[str, str] | None = None,
+        rank: str = "overlap",
     ) -> list[dict]:
+        """``rank='cover_density'`` re-ranks by overlap + positional
+        proximity (the ts_rank_cd analog); the cd pass reads the source
+        text, so the stored tokens table is bypassed for that variant."""
         job = self.catalog.get(job_name)
         tokens_df = (
             self._tok_ds(job_name).read()
-            if self._tok_ds(job_name).exists()
+            if self._tok_ds(job_name).exists() and rank == "overlap"
             else None
         )
         df = _fts_op(
@@ -371,6 +375,7 @@ class VectorizeSession:
             return_columns=return_columns,
             filters=parse_filters(filters) if filters else None,
             tokens_df=tokens_df,
+            rank=rank,
         )
         return [r.asDict(recursive=True) for r in df.collect()]
 

@@ -221,3 +221,17 @@ class TestSnapshotDataset:
         vers = [d for d in os.listdir(root) if d.startswith("v=")]
         assert len(vers) == 2
         assert ds.current_version() == 4
+
+
+def test_full_text_search_cover_density(sess, products_path):
+    sess.create_job(
+        "cdjob", products_path,
+        columns=["product_name", "description"], primary_key="product_id",
+    )
+    out = sess.full_text_search(
+        "cdjob", "bluetooth speaker", num_results=3, rank="cover_density"
+    )
+    assert out[0]["product_name"] == "Bluetooth Speaker"
+    assert {"fts_score", "cd_score", "rank_cd"} <= set(out[0])
+    # adjacent phrase in the top hit -> positive proximity bonus
+    assert out[0]["cd_score"] > 0
