@@ -392,8 +392,14 @@ class VectorizeSession:
         filters: dict[str, str] | None = None,
         where_sql: str | None = None,
         api_key: str | None = None,
+        rank: str = "overlap",
     ) -> list[dict]:
-        """vectorize.hybrid_search() — server-side RRF shape."""
+        """vectorize.hybrid_search() — server-side RRF shape.
+
+        ``rank='cover_density'`` scores the FTS branch with the positional
+        ts_rank_cd analog (core/src/query.rs:764-776) instead of plain
+        term overlap before the RRF fusion.
+        """
         job = self.catalog.get(job_name)
         if not self._emb_ds(job_name).exists():
             raise VectorizeError(f"job {job_name} has no embeddings yet")
@@ -420,6 +426,7 @@ class VectorizeSession:
             where_sql=where_sql,
             pre_normalized=True,
             tokens_df=tokens_df,
+            rank=rank,
         )
         return [r.asDict(recursive=True) for r in df.collect()]
 

@@ -279,8 +279,16 @@ def hybrid_search(
     pre_normalized: bool = False,
     tokens_df: DataFrame | None = None,
     analyzer: str = "english",
+    rank: str = "overlap",
 ) -> DataFrame:
-    """Server-side hybrid RRF search (core/src/query.rs:705-785)."""
+    """Server-side hybrid RRF search (core/src/query.rs:705-785).
+
+    ``rank='cover_density'`` ranks the FTS branch by overlap + positional
+    proximity (``rank_cd``) instead of overlap alone — the reference's
+    hybrid ranks its text branch with ts_rank_cd (core/src/query.rs:
+    764-776), so this is the closer-parity mode; 'overlap' stays the
+    default for the cheap token-table-only path.
+    """
     if window_size is None:
         window_size = 5 * num_results  # server default (routes/search.rs:78-80)
 
@@ -309,6 +317,16 @@ def hybrid_search(
     ).select(
         pkey, fts_score_expr(F.col("search_tokens"), terms).alias("fts_score")
     )
+    if rank == "cover_density":
+        cd = cover_density_scores(source_df, pkey, query, text_cols, analyzer)
+        fts_scored = (
+            fts_scored.join(cd, pkey, "left")
+            .withColumn("cd_score", F.coalesce(F.col("cd_score"), F.lit(0.0)))
+            .select(
+                pkey,
+                (F.col("fts_score") + F.col("cd_score")).alias("fts_score"),
+            )
+        )
     fts = _ranked(
         fts_scored, [F.desc("fts_score"), F.asc(pkey)], window_size, "fts_rank"
     )

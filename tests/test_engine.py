@@ -91,6 +91,14 @@ class TestLifecycle:
         for k in ("rrf_score", "semantic_rank", "fts_rank", "similarity_score"):
             assert k in top
 
+    def test_hybrid_search_cover_density(self, sess, products_path):
+        _create(sess, products_path)
+        out = sess.hybrid_search(
+            "prods", "bluetooth speaker", num_results=3, rank="cover_density"
+        )
+        assert out[0]["product_name"] == "Bluetooth Speaker"
+        assert "rrf_score" in out[0]
+
     def test_full_text_search(self, sess, products_path):
         _create(sess, products_path)
         out = sess.full_text_search("prods", "wireless mouse", num_results=2)

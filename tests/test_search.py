@@ -209,6 +209,28 @@ def test_hybrid_weights(products_df):
             )
 
 
+def test_hybrid_cover_density_reorders_fts_branch(spark):
+    """With identical term overlap, rank='cover_density' must rank the
+    adjacent-phrase doc above the scattered-terms doc in the FTS branch
+    (and hence in the fused output when semantic is neutralized)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma filler filler filler filler filler"),
+            (2, "alpha filler filler filler beta filler filler gamma"),
+        ],
+        "doc_id long, body string",
+    )
+    emb = embed_bulk_exploded(docs, "body", "doc_id", DIM)
+    qv = EMB.embed_one("unrelated query text")
+    out = hybrid_search(
+        docs, emb, "doc_id", qv, "alpha beta gamma",
+        text_cols=["body"], num_results=2,
+        semantic_weight=0.0, fts_weight=1.0, rank="cover_density",
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["fts_rank"] == 1 and out[1]["fts_rank"] == 2
+
+
 def test_stemming_default_matches_inflected_forms(spark):
     """to_tsvector('english') parity: 'running' must match 'run' out of the
     box (default analyzer), in both directions."""
