@@ -358,12 +358,13 @@ class VectorizeSession:
         rank: str = "overlap",
     ) -> list[dict]:
         """``rank='cover_density'`` re-ranks by overlap + positional
-        proximity (the ts_rank_cd analog); the cd pass reads the source
-        text, so the stored tokens table is bypassed for that variant."""
+        proximity (the ts_rank_cd analog). The stored tokens table serves
+        the overlap branch in both modes; for cover_density it also prunes
+        the positional source-text pass down to the matched documents."""
         job = self.catalog.get(job_name)
         tokens_df = (
             self._tok_ds(job_name).read()
-            if self._tok_ds(job_name).exists() and rank == "overlap"
+            if self._tok_ds(job_name).exists()
             else None
         )
         df = _fts_op(

@@ -158,7 +158,13 @@ def full_text_search(
         scored = apply_filters(scored, filters)
     cols = list(return_columns) if return_columns else list(source_df.columns)
     if rank == "cover_density":
-        cd = cover_density_scores(source_df, pkey, query, text_cols, analyzer)
+        # With a stored tokens table the matched set is known cheaply —
+        # prune the positional pass to it. Without one, the matched set
+        # itself costs a full tokenize, so scan the corpus once instead.
+        cand = matched.select(pkey) if tokens_df is not None else None
+        cd = cover_density_scores(
+            source_df, pkey, query, text_cols, analyzer, candidates=cand
+        )
         scored = scored.join(cd, pkey, "left").withColumn(
             "cd_score", F.coalesce(F.col("cd_score"), F.lit(0.0))
         )
@@ -179,6 +185,7 @@ def cover_density_scores(
     query: str,
     text_cols: Sequence[str],
     analyzer: str = "english",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Positional cover-density bonus per document — the ts_rank_cd analog
     (core/src/query.rs:764-776 ranks with ts_rank_cd; the overlap score
@@ -197,6 +204,13 @@ def cover_density_scores(
     shuffle-order-dependent SUM — so DuckDB's list_reduce reproduces the
     double bit-for-bit. Output: (pkey, cd_score). Only expression-based
     analyzers ('english', 'simple') are supported.
+
+    ``candidates`` (a pkey-only DataFrame) restricts the positional scan to
+    those documents via a semi-join. Callers that already know the matched
+    set — e.g. from the precomputed _search_tokens dataset — pass it so the
+    posexplode+stem pass reads only matching docs instead of the whole
+    corpus; scores for non-matched docs are never consumed (they are
+    dropped by the caller's left join), so this is a pure pruning step.
     """
     if analyzer not in ("english", "simple"):
         raise ValueError(
@@ -209,6 +223,10 @@ def cover_density_scores(
         return source_df.select(
             F.col(pkey), F.lit(0.0).alias("cd_score")
         ).limit(0)
+    if candidates is not None:
+        source_df = source_df.join(
+            candidates.select(pkey).distinct(), pkey, "left_semi"
+        )
     concat = F.concat_ws(
         " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
     )
@@ -318,7 +336,10 @@ def hybrid_search(
         pkey, fts_score_expr(F.col("search_tokens"), terms).alias("fts_score")
     )
     if rank == "cover_density":
-        cd = cover_density_scores(source_df, pkey, query, text_cols, analyzer)
+        cand = fts_scored.select(pkey) if tokens_df is not None else None
+        cd = cover_density_scores(
+            source_df, pkey, query, text_cols, analyzer, candidates=cand
+        )
         fts_scored = (
             fts_scored.join(cd, pkey, "left")
             .withColumn("cd_score", F.coalesce(F.col("cd_score"), F.lit(0.0)))
@@ -331,23 +352,52 @@ def hybrid_search(
         fts_scored, [F.desc("fts_score"), F.asc(pkey)], window_size, "fts_rank"
     )
 
-    # --- full-outer rank fusion (J3 + A3) ----------------------------------
-    fused = sem.join(fts, pkey, "full_outer").select(
+    # --- rank fusion (J3 + A3) ---------------------------------------------
+    # Semantically a FULL OUTER join of the two rank lists, expressed as
+    # union + hash-aggregate: Spark cannot broadcast a full-outer join, so
+    # the join form sort-merges even though both sides are <= window_size
+    # rows. The union form is one partial-aggregating shuffle, no sorts,
+    # and each branch contributes only its own columns so max() recovers
+    # exactly the joined row. rrf_score is computed AFTER the aggregate
+    # from the (integer) ranks — bit-identical to the join form.
+    sem_part = sem.select(
         F.col(pkey),
         F.col("similarity_score"),
         F.col("semantic_rank"),
+        F.lit(None).cast("int").alias("fts_rank"),
+    )
+    fts_part = fts.select(
+        F.col(pkey),
+        F.lit(None).cast("double").alias("similarity_score"),
+        F.lit(None).cast("int").alias("semantic_rank"),
         F.col("fts_rank"),
-        (
-            F.coalesce(
-                F.lit(float(semantic_weight))
-                / (F.lit(rrf_k) + F.col("semantic_rank")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(float(fts_weight)) / (F.lit(rrf_k) + F.col("fts_rank")),
-                F.lit(0.0),
-            )
-        ).alias("rrf_score"),
+    )
+    fused = (
+        sem_part.unionByName(fts_part)
+        .groupBy(pkey)
+        .agg(
+            F.max("similarity_score").alias("similarity_score"),
+            F.max("semantic_rank").alias("semantic_rank"),
+            F.max("fts_rank").alias("fts_rank"),
+        )
+        .select(
+            F.col(pkey),
+            F.col("similarity_score"),
+            F.col("semantic_rank"),
+            F.col("fts_rank"),
+            (
+                F.coalesce(
+                    F.lit(float(semantic_weight))
+                    / (F.lit(rrf_k) + F.col("semantic_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(float(fts_weight))
+                    / (F.lit(rrf_k) + F.col("fts_rank")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
     )
 
     # --- join back to source (broadcast the tiny fused side) ---------------

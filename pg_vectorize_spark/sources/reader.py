@@ -6,9 +6,10 @@ registered table/view name. ``read_source`` dispatches:
 
 - ``format='auto'`` (default): a registered table name if the path does
   not exist on disk; otherwise by extension — .csv -> csv (header +
-  schema inference), .json/.jsonl/.ndjson -> json lines, anything else
-  (including directories) -> parquet;
-- explicit ``format='parquet'|'csv'|'json'|'table'`` overrides inference.
+  schema inference), .json/.jsonl/.ndjson -> json lines, .orc -> orc,
+  anything else (including directories) -> parquet;
+- explicit ``format='parquet'|'csv'|'json'|'orc'|'table'`` overrides
+  inference.
 
 CSV/JSON inference runs an extra pass at read time; production jobs over
 big data should land parquet (columnar pruning + pushdown) — the text
@@ -41,6 +42,8 @@ def read_source(
             fmt = "csv"
         elif lower.endswith(_TEXT_JSON_EXTS):
             fmt = "json"
+        elif lower.endswith(".orc"):
+            fmt = "orc"
         else:
             fmt = "parquet"
     if fmt == "parquet":
@@ -49,7 +52,9 @@ def read_source(
         return spark.read.csv(path, header=True, inferSchema=True)
     if fmt == "json":
         return spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     raise VectorizeError(
         f"unknown source format {source_format!r} "
-        "(expected auto|parquet|csv|json|table)"
+        "(expected auto|parquet|csv|json|orc|table)"
     )

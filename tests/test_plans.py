@@ -49,6 +49,9 @@ def test_hybrid_broadcasts_candidate_join(spark, entrymod):
     # fused candidate set (<= window rows) must broadcast against the source
     assert rep.n_broadcasts >= 1, rep.summary()
     assert rep.has_take_ordered
+    # rank fusion is union + partial-aggregating groupBy, never a
+    # sort-merge full-outer join of the two tiny rank lists
+    assert "SortMergeJoin" not in rep.text, rep.summary()
 
 
 def test_embed_documents_uses_partial_aggregation(spark, entrymod):

@@ -41,6 +41,16 @@ def test_jsonl_job_end_to_end(spark, sess, tmp_path):
     assert out[0]["id"] == 2
 
 
+def test_orc_job_end_to_end(spark, sess, tmp_path):
+    orc_dir = str(tmp_path / "docs.orc")
+    spark.createDataFrame(ROWS, "id long, content string").coalesce(1).write.orc(
+        orc_dir
+    )
+    sess.create_job("orcjob", orc_dir, columns=["content"], primary_key="id")
+    out = sess.search("orcjob", "pizza cheese", num_results=1)
+    assert out[0]["id"] == 1
+
+
 def test_registered_table_source(spark, sess):
     spark.createDataFrame(ROWS, "id long, content string").createOrReplaceTempView(
         "tbl_src"
