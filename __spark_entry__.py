@@ -238,6 +238,35 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: duplicate word-bigram and
+    word-trigram fractions, a standard pretraining-data quality signal.
+    Pure JVM expressions (zip_with n-gram chain, no interpreted per-gram
+    re-evaluation); one narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.repetition_score_expr(F.col("text"), 2).alias("rep_2gram"),
+        T.repetition_score_expr(F.col("text"), 3).alias("rep_3gram"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/link scrub audit: per-doc URL/email occurrence counts plus the
+    post-scrub text length. The synthetic corpus contains no URLs/emails
+    (counts hash as zeros; scrubbed_len varies per doc) — the positive
+    match/replace path is pinned by pytest on doped rows; patterns are
+    RE2-safe so Java regex and the DuckDB oracle agree match-for-match."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = T.pii_count_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["n_urls"].alias("n_urls"),
+        counts["n_emails"].alias("n_emails"),
+        F.length(T.scrub_pii_expr(F.col("text"))).alias("scrubbed_len"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical texts, keep min doc_id."""
     docs = _t(spark, sf_dir, "documents")
@@ -761,6 +790,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "repetition_score": q_repetition_score,
+    "pii_scrub": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "knn_join": q_knn_join,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1415,6 +1446,19 @@ SELECT doc_id, {O.sql_fingerprint('text')} AS fingerprint FROM documents
     "quality_score": _oracle_quality(),
     "lang_id": f"""
 SELECT doc_id, {O.sql_lang_id('text')} AS lang_pred FROM documents
+""",
+    "repetition_score": f"""
+SELECT doc_id,
+       {O.sql_repetition_score('text', 2)} AS rep_2gram,
+       {O.sql_repetition_score('text', 3)} AS rep_3gram
+FROM documents
+""",
+    "pii_scrub": f"""
+SELECT doc_id,
+       {O.sql_pii_counts('text')['n_urls']} AS n_urls,
+       {O.sql_pii_counts('text')['n_emails']} AS n_emails,
+       length({O.sql_scrub_pii('text')})::INT AS scrubbed_len
+FROM documents
 """,
     "dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies

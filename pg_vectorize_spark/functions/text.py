@@ -345,20 +345,87 @@ def fingerprint_expr(text: Column) -> Column:
     )
 
 
-def word_shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) for Jaccard/MinHash dedup."""
-    words = F.filter(
+def raw_words_expr(text: Column) -> Column:
+    """Non-empty lowercase word array (no stemming, no stopword removal)."""
+    return F.filter(
         F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
         lambda x: x != "",
     )
+
+
+def word_ngrams_expr(words: Column, k: int) -> Column:
+    """Space-joined k-word n-grams from a word array, in document order.
+
+    Built as a zip_with chain over k shifted slices: higher-order lambdas
+    are interpreted per element, so each slice argument evaluates ``words``
+    a constant number of times — never once per output gram (the
+    transform(sequence(...)) + element_at form re-derives the whole word
+    array for every (gram, offset) pair, an O(n·k) blowup on computed
+    inputs). Returns an empty array when the doc has fewer than k words.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     n = F.size(words)
+    length = F.greatest(n - F.lit(k) + F.lit(1), F.lit(0))
+    grams = F.slice(words, 1, length)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j + 1, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) for Jaccard/MinHash dedup."""
+    words = raw_words_expr(text)
     shingles = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        ),
+        F.size(words) >= k, word_ngrams_expr(words, k)
     ).otherwise(F.array(F.concat_ws(" ", words)))
     return F.array_distinct(shingles)
+
+
+def repetition_score_expr(text: Column, k: int = 2) -> Column:
+    """Within-document duplicate k-gram fraction — the Gopher-style
+    repetition signal for pretraining-data quality filtering (docs built
+    from repeated boilerplate score high): 1 - distinct/total over the
+    doc's word k-grams, 0.0 for docs with fewer than k words.
+
+    Pure JVM expression; the int/int ratio is a single double division so
+    the oracle (DuckDB list_distinct/len) reproduces it bit-for-bit.
+    """
+    grams = word_ngrams_expr(raw_words_expr(text), k)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+# PII scrub patterns — deliberately RE2-safe (no backrefs / lookaround) so
+# the exact same pattern strings run in Java regex (Spark) and RE2 (DuckDB
+# oracle) with identical matches.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """Replace URLs then emails with sentinel tags — the standard
+    pretraining-corpus PII/link normalization pass. URL first, so an email
+    embedded in a URL query string is scrubbed as part of the URL."""
+    scrubbed = F.regexp_replace(
+        F.coalesce(text, F.lit("")), URL_PATTERN, "<URL>"
+    )
+    return F.regexp_replace(scrubbed, EMAIL_PATTERN, "<EMAIL>")
+
+
+def pii_count_exprs(text: Column) -> dict[str, Column]:
+    """Occurrence counts per PII class (for corpus audit rollups)."""
+    t = F.coalesce(text, F.lit(""))
+    return {
+        "n_urls": F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0))),
+        "n_emails": F.size(
+            F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0))
+        ),
+    }

@@ -241,3 +241,57 @@ def sql_lang_id(text: str) -> str:
         for lang in sorted(LANG_MARKERS)
     )
     return f"(CASE {whens} ELSE 'unknown' END)"
+
+
+def sql_word_ngrams(text: str, k: int) -> str:
+    """functions/text.word_ngrams_expr — space-joined word k-grams in doc
+    order via list_zip of k shifted slices (mirrors the Spark zip_with
+    chain, including the empty result for docs shorter than k words)."""
+    words = sql_words(text)
+    if k == 1:
+        return words
+    slices = ", ".join(
+        f"({words})[{j + 1}:len({words}) - {k - j - 1}]" for j in range(k)
+    )
+    joined = " || ' ' || ".join(f"x[{j + 1}]" for j in range(k))
+    return (
+        f"(CASE WHEN len({words}) >= {k} THEN "
+        f"list_transform(list_zip({slices}), x -> {joined}) "
+        f"ELSE [] END)"
+    )
+
+
+def sql_repetition_score(text: str, k: int) -> str:
+    """functions/text.repetition_score_expr — duplicate k-gram fraction."""
+    grams = sql_word_ngrams(text, k)
+    return (
+        f"(CASE WHEN len({grams}) > 0 THEN "
+        f"1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}) "
+        f"ELSE 0.0 END)"
+    )
+
+
+# Same literal patterns as functions/text.URL_PATTERN / EMAIL_PATTERN —
+# written RE2-safe so Java regex and DuckDB RE2 agree match-for-match.
+SQL_URL_PATTERN = r"https?://[^\s]+"
+SQL_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def sql_scrub_pii(text: str) -> str:
+    """functions/text.scrub_pii_expr — URL then email sentinel replace."""
+    url = SQL_URL_PATTERN.replace("'", "''")
+    email = SQL_EMAIL_PATTERN.replace("'", "''")
+    return (
+        f"regexp_replace(regexp_replace(coalesce({text}, ''), "
+        f"'{url}', '<URL>', 'g'), '{email}', '<EMAIL>', 'g')"
+    )
+
+
+def sql_pii_counts(text: str) -> dict[str, str]:
+    url = SQL_URL_PATTERN.replace("'", "''")
+    email = SQL_EMAIL_PATTERN.replace("'", "''")
+    t = f"coalesce({text}, '')"
+    return {
+        "n_urls": f"len(regexp_extract_all({t}, '{url}'))::INT",
+        "n_emails": f"len(regexp_extract_all({t}, '{email}'))::INT",
+    }

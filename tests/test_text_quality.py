@@ -1,0 +1,107 @@
+"""Training-data text-quality ops: within-doc repetition (Gopher-style
+duplicate n-gram fraction) and PII/link scrubbing. The gate corpus has no
+URLs/emails, so the positive match/replace paths are pinned here on doped
+rows; oracle parity for the corpus is covered by scripts/check_oracle.py
+(`repetition_score`, `pii_scrub`)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.text import (
+    pii_count_exprs,
+    raw_words_expr,
+    repetition_score_expr,
+    scrub_pii_expr,
+    word_ngrams_expr,
+    word_shingles_expr,
+)
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_word_ngrams_order_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two"), (3, "one"), (4, None)],
+        "id long, txt string",
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", word_ngrams_expr(raw_words_expr(F.col("txt")), 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["one two three", "two three four"]
+    assert out[2] == [] and out[3] == [] and out[4] == []
+
+
+def test_word_shingles_matches_ngram_chain(spark):
+    """The zip_with shingle rewrite keeps the old semantics: distinct
+    k-grams for docs >= k words, whole-doc join below k."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y"), (3, "")], "id long, txt string"
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", word_shingles_expr(F.col("txt"), 3).alias("s")
+        ).collect()
+    }
+    assert out[1] == ["a b a", "b a b"]  # distinct, doc order kept
+    assert out[2] == ["x y"]  # < k words -> single joined shingle
+    assert out[3] == [""]
+
+
+def test_repetition_score_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all words differ here"), (3, "a")],
+        "id long, txt string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            repetition_score_expr(F.col("txt"), 2).alias("r2"),
+            repetition_score_expr(F.col("txt"), 3).alias("r3"),
+        ).collect()
+    }
+    # 5 bigrams, 2 distinct -> 1 - 2/5
+    assert math.isclose(out[1]["r2"], 0.6, rel_tol=1e-12)
+    # 4 trigrams, 2 distinct -> 1 - 2/4
+    assert math.isclose(out[1]["r3"], 0.5, rel_tol=1e-12)
+    assert out[2]["r2"] == 0.0
+    assert out[3]["r2"] == 0.0  # below k words -> 0, not NULL
+
+
+def test_scrub_pii_replaces_urls_then_emails(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://ex.com/p?u=a@b.com and mail me at c.d+x@e.org"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "id long, txt string",
+    )
+    counts = pii_count_exprs(F.col("txt"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_pii_expr(F.col("txt")).alias("s"),
+            counts["n_urls"].alias("u"),
+            counts["n_emails"].alias("e"),
+        ).collect()
+    }
+    # the embedded email is consumed by the URL replacement
+    assert out[1]["s"] == "see <URL> and mail me at <EMAIL>"
+    assert out[1]["u"] == 1
+    # counts are raw-occurrence counts on the original text (both engines)
+    assert out[1]["e"] == 2
+    assert out[2]["s"] == "no pii here" and out[2]["u"] == 0
+    assert out[3]["s"] == ""
