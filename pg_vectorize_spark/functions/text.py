@@ -34,6 +34,7 @@ analyzer='english_porter'. analyzer='simple' disables stemming.
 from __future__ import annotations
 
 import re as _re
+from typing import Sequence
 
 import pandas as pd
 from pyspark.sql import Column
@@ -120,6 +121,46 @@ def tokens_expr(text: Column, stem: bool = True) -> Column:
     if stem:
         kept = F.transform(kept, stem_token_expr)
     return F.array_distinct(kept)
+
+
+def query_scoped_tokens_expr(
+    text: Column, terms: Sequence[str], stem: bool = True
+) -> Column:
+    """Analyzer tokens restricted to possible matches of ``terms`` — the
+    query-scoped fast path for inline FTS match/score.
+
+    ``tokens_expr`` stems every non-stop token of every document, but a
+    search only consumes ``doc_tokens ∩ terms``. The light stemmer (a)
+    never changes a token's first character and (b) never lengthens a
+    token (every rule replaces a suffix with a strictly shorter string),
+    so a token can only stem to a query term if it shares some term's
+    first character and is at least as long as the shortest term. The
+    prefilter is cheap (substring + length + stop-word check, evaluated
+    with short-circuit AND); the 7-regex stem chain — the per-token hot
+    cost in interpreted higher-order lambdas — then runs only on the few
+    candidates. Invariant (property-tested against ``tokens_expr``):
+    result ∩ terms == tokens_expr(text) ∩ terms, and the result only
+    contains stems of real document tokens, so ``arrays_overlap`` and
+    overlap-count scores are unchanged.
+    """
+    if not terms:
+        return F.array().cast("array<string>")
+    words = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    if not stem:
+        scoped = F.filter(words, lambda w: w.isin(*terms))
+        return F.array_distinct(scoped)
+    first_chars = sorted({t[0] for t in terms})
+    min_len = min(len(t) for t in terms)
+    cand = F.filter(
+        words,
+        lambda w: w.substr(1, 1).isin(*first_chars)
+        & (F.length(w) >= min_len)
+        & ~w.isin(*STOP_WORDS),
+    )
+    return F.array_distinct(F.transform(cand, stem_token_expr))
 
 
 def stemmed_tokens_udf():

@@ -39,6 +39,7 @@ from pg_vectorize_spark.functions.text import (
     analyze_query_stemmed,
     fts_match_expr,
     fts_score_expr,
+    query_scoped_tokens_expr,
     stem_token_expr,
     stemmed_tokens_udf,
     tokens_expr,
@@ -71,6 +72,19 @@ def _doc_tokens(concat: Column, analyzer: str) -> Column:
     if analyzer == "simple":
         return tokens_expr(concat, stem=False)
     return tokens_expr(concat)
+
+
+def _match_tokens(concat: Column, analyzer: str, terms: list[str]) -> Column:
+    """Tokens for inline match/score against ``terms`` only: the
+    expression analyzers take the query-scoped fast path (prefilter before
+    the stem chain — see query_scoped_tokens_expr; result ∩ terms is
+    provably identical to the full analyzer's), the Porter UDF analyzer
+    keeps the full token set."""
+    if analyzer == "english":
+        return query_scoped_tokens_expr(concat, terms, stem=True)
+    if analyzer == "simple":
+        return query_scoped_tokens_expr(concat, terms, stem=False)
+    return _doc_tokens(concat, analyzer)
 
 
 def _scored_semantic(
@@ -149,7 +163,9 @@ def full_text_search(
         concat = F.concat_ws(
             " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
         )
-        base = source_df.withColumn("search_tokens", _doc_tokens(concat, analyzer))
+        base = source_df.withColumn(
+            "search_tokens", _match_tokens(concat, analyzer, terms)
+        )
     matched = base.filter(fts_match_expr(F.col("search_tokens"), terms))
     scored = matched.withColumn(
         "fts_score", fts_score_expr(F.col("search_tokens"), terms)
@@ -236,6 +252,16 @@ def cover_density_scores(
     pos_words = source_df.select(
         F.col(pkey), F.posexplode(words).alias("_pos", "_w")
     ).filter(~F.col("_w").isin(*STOP_WORDS))
+    if analyzer == "english":
+        # Stem-candidate prefilter (see query_scoped_tokens_expr): the
+        # stemmer preserves the first character and never lengthens, so
+        # non-candidates can't stem to a term — skip their regex chain.
+        first_chars = sorted({t[0] for t in terms})
+        min_len = min(len(t) for t in terms)
+        pos_words = pos_words.filter(
+            F.substring(F.col("_w"), 1, 1).isin(first_chars)
+            & (F.length(F.col("_w")) >= min_len)
+        )
     term_col = (
         stem_token_expr(F.col("_w")) if analyzer == "english" else F.col("_w")
     )
@@ -328,7 +354,8 @@ def hybrid_search(
             " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
         )
         tok_base = source_df.select(
-            F.col(pkey), _doc_tokens(concat, analyzer).alias("search_tokens")
+            F.col(pkey),
+            _match_tokens(concat, analyzer, terms).alias("search_tokens"),
         )
     fts_scored = tok_base.filter(
         fts_match_expr(F.col("search_tokens"), terms)

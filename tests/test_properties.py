@@ -204,3 +204,23 @@ class TestStemmerParity:
         assert isinstance(out, str)
         if len(token) >= 5:
             assert out, token  # stemming never erases a full-length token
+
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_stem_preserves_first_char_and_never_lengthens(self, token):
+        """The two invariants that make the query-scoped candidate
+        prefilter sound (functions/text.query_scoped_tokens_expr): a word
+        can only stem to a term sharing its first character and no longer
+        than itself. If a rule change breaks either, the prefilter would
+        silently drop true matches — this test is the tripwire."""
+        from pg_vectorize_spark.functions.text import light_stem
+
+        out = light_stem(token)
+        assert out[0] == token[0], (token, out)
+        assert len(out) <= len(token), (token, out)

@@ -231,6 +231,48 @@ def test_hybrid_cover_density_reorders_fts_branch(spark):
     assert out[0]["fts_rank"] == 1 and out[1]["fts_rank"] == 2
 
 
+def test_query_scoped_tokens_equivalent_for_matching(spark):
+    """query_scoped_tokens_expr must agree with the full analyzer on
+    everything a search consumes: intersection with the query terms, for
+    tricky vocab (inflections, stopwords, near-terms, short words)."""
+    from pg_vectorize_spark.functions.text import (
+        analyze_query,
+        query_scoped_tokens_expr,
+        tokens_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "running the merged windows batched"),
+            (2, "runs merge window batch"),
+            (3, "rum ran merging windowing"),  # near-terms and shorter words
+            (4, "the a an of to"),  # stopwords only
+            (5, ""),
+            (6, None),
+            (7, "runnings windowss mergeding"),  # over-inflected
+        ],
+        "id long, txt string",
+    )
+    for query in ("running merged window batch", "run", "zzz"):
+        terms = analyze_query(query)
+        out = docs.select(
+            "id",
+            F.array_sort(
+                F.array_intersect(
+                    tokens_expr(F.col("txt")), F.array(*[F.lit(t) for t in terms])
+                )
+            ).alias("full"),
+            F.array_sort(
+                F.array_intersect(
+                    query_scoped_tokens_expr(F.col("txt"), terms),
+                    F.array(*[F.lit(t) for t in terms]),
+                )
+            ).alias("scoped"),
+        ).collect()
+        for r in out:
+            assert r["full"] == r["scoped"], (query, r)
+
+
 def test_stemming_default_matches_inflected_forms(spark):
     """to_tsvector('english') parity: 'running' must match 'run' out of the
     box (default analyzer), in both directions."""
