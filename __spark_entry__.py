@@ -655,6 +655,24 @@ def q_fts_cover_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 rank option for FTS (operators/search.bm25_scores): tf
+    from the analyzer token MULTISET, corpus stats (N, df, avgdl) via one
+    map-side-combined aggregate broadcast back — no corpus shuffle. The
+    reference ranks with ts_rank_cd (core/src/query.rs:764-776); BM25 is
+    the published alternative exposed as rank='bm25'."""
+    docs = _t(spark, sf_dir, "documents")
+    return full_text_search(
+        docs.select("doc_id", "lang", "text"),
+        "doc_id",
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        return_columns=["doc_id", "lang"],
+        rank="bm25",
+    )
+
+
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-join rollup: revenue per region x order priority.
 
@@ -818,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_weighted": q_hybrid_weighted,
     "fts_stemmed": q_fts_stemmed,
     "fts_cover_density": q_fts_cover_density,
+    "fts_bm25": q_fts_bm25,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
@@ -1089,6 +1108,70 @@ sc AS (
 SELECT doc_id, lang, fts_score, cd_score, fts_score + cd_score AS rank_cd
 FROM sc
 ORDER BY rank_cd DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_fts_bm25() -> str:
+    terms = sorted(set(QUERY_TERMS))
+    k1, b = 1.2, 0.75
+    words = O.sql_words("d.text")
+    stops = O.sql_stop_words()
+    nonstop = f"list_filter({words}, w -> NOT list_contains({stops}, w))"
+    stems = f"list_transform({nonstop}, w -> {O.sql_stem('w')})"
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(stems, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    # Mirrors bm25_scores' expression tree exactly (same literal doubles
+    # via repr, same left-assoc adds) so the score hashes bit-for-bit.
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"ln(1.0 + (n::DOUBLE - df{i}::DOUBLE + 0.5) / "
+            f"(df{i}::DOUBLE + 0.5))"
+        )
+        denom = (
+            f"(tf{i}::DOUBLE + {k1!r} * ({1.0 - b!r} + {b!r} * "
+            f"(dl::DOUBLE / (sumdl::DOUBLE / n::DOUBLE))))"
+        )
+        parts.append(f"({idf} * ((tf{i}::DOUBLE * {k1 + 1.0!r}) / {denom}))")
+    score = " + ".join(parts)
+    any_match = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    toks = O.sql_tokens("d.text")
+    fts_match = O.sql_fts_match("search_tokens", QUERY_TERMS)
+    fts_score = O.sql_fts_score("search_tokens", QUERY_TERMS)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT d.doc_id, len({nonstop})::BIGINT AS dl, {stems} AS stems
+  FROM documents d
+),
+tfd AS MATERIALIZED (
+  SELECT doc_id, dl,
+         {tf_defs}
+  FROM base
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+         {df_defs}
+  FROM tfd
+),
+bm AS (
+  SELECT doc_id, {score} AS bm25_score
+  FROM tfd, stats
+  WHERE {any_match}
+),
+tok AS (
+  SELECT d.doc_id, d.lang, {toks} AS search_tokens FROM documents d
+)
+SELECT t.doc_id, t.lang, {fts_score} AS fts_score, bm.bm25_score
+FROM tok t JOIN bm ON t.doc_id = bm.doc_id
+WHERE {fts_match}
+ORDER BY bm25_score DESC, t.doc_id ASC
 LIMIT 10
 """
 
@@ -1579,6 +1662,7 @@ WHERE emb_updated_at IS NULL
     "hybrid_weighted": _oracle_hybrid_weighted(),
     "fts_stemmed": _oracle_fts_stemmed(),
     "fts_cover_density": _oracle_fts_cover_density(),
+    "fts_bm25": _oracle_fts_bm25(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

@@ -358,9 +358,11 @@ class VectorizeSession:
         rank: str = "overlap",
     ) -> list[dict]:
         """``rank='cover_density'`` re-ranks by overlap + positional
-        proximity (the ts_rank_cd analog). The stored tokens table serves
-        the overlap branch in both modes; for cover_density it also prunes
-        the positional source-text pass down to the matched documents."""
+        proximity (the ts_rank_cd analog); ``rank='bm25'`` by Okapi BM25
+        (tf over the token multiset + corpus idf/avgdl). The stored tokens
+        table serves the overlap branch in all modes; for cover_density and
+        bm25 it also prunes the per-document re-scoring pass down to the
+        matched documents (BM25's corpus stats stay global)."""
         job = self.catalog.get(job_name)
         tokens_df = (
             self._tok_ds(job_name).read()

@@ -153,7 +153,8 @@ def full_text_search(
     ``rank='overlap'`` orders by the term-overlap score; 'cover_density'
     adds the positional proximity bonus (``cover_density_scores``, the
     ts_rank_cd analog) and orders by ``rank_cd = fts_score + cd_score``,
-    appending both columns to the output.
+    appending both columns to the output; 'bm25' orders by the Okapi BM25
+    score (``bm25_scores``), appending ``bm25_score``.
     """
     terms = _analyze(query, analyzer)
     if tokens_df is not None:
@@ -190,6 +191,18 @@ def full_text_search(
         ordered = scored.orderBy(F.desc("rank_cd"), F.asc(pkey))
         return ordered.select(
             *cols, "fts_score", "cd_score", "rank_cd"
+        ).limit(num_results)
+    if rank == "bm25":
+        # tf>0 for some term ⇔ the distinct-token overlap match, so the
+        # matched set is a valid scoring-pass pruner (stats stay global).
+        cand = matched.select(pkey) if tokens_df is not None else None
+        bm = bm25_scores(
+            source_df, pkey, query, text_cols, analyzer, candidates=cand
+        )
+        scored = scored.join(bm, pkey, "inner")
+        ordered = scored.orderBy(F.desc("bm25_score"), F.asc(pkey))
+        return ordered.select(
+            *cols, "fts_score", "bm25_score"
         ).limit(num_results)
     ordered = scored.orderBy(F.desc("fts_score"), F.asc(pkey))
     return ordered.select(*cols, "fts_score").limit(num_results)
@@ -291,6 +304,136 @@ def cover_density_scores(
         lambda acc, p: acc + F.lit(1.0) / p["_gap"].cast("double"),
     ) / F.lit(float(n_pairs))
     return pairs.select(F.col(pkey), cd.alias("cd_score"))
+
+
+def bm25_scores(
+    source_df: DataFrame,
+    pkey: str,
+    query: str,
+    text_cols: Sequence[str],
+    analyzer: str = "english",
+    k1: float = 1.2,
+    b: float = 0.75,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 scores per matching document (Robertson/Lucene form).
+
+    The reference ranks FTS with ts_rank/ts_rank_cd (core/src/query.rs:
+    764-776); BM25 is the standard published alternative a search user
+    expects as a rank option, so it is exposed as ``rank='bm25'``.
+
+    Spec: tokens are the analyzer's word stream (lowercase alnum split,
+    stop-words removed, light-stemmed for 'english') kept as a MULTISET —
+    term frequency matters, unlike the distinct ``search_tokens``. With
+    ``dl`` = per-doc token count, ``N``/``df_t``/``avgdl`` corpus stats:
+
+        idf_t  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score  = Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·dl/avgdl))
+
+    summed left-to-right over the SORTED unique query terms so the float
+    fold order is deterministic and DuckDB-reproducible.
+
+    Scale shape: one column-pruned corpus scan computes (dl, tf_t…) per
+    doc; a map-side-combined aggregate reduces that to ONE stats row
+    (N, Σdl, df_t…), which cross-joins back as a broadcast — no shuffle of
+    the corpus, no window. The stem chain runs only on prefiltered
+    candidate words (see query_scoped_tokens_expr). ``candidates`` (a
+    pkey-only frame) prunes the SCORING pass via semi-join; the stats pass
+    always reads the full corpus because df/avgdl are corpus-global.
+    """
+    if analyzer not in ("english", "simple"):
+        raise ValueError(
+            f"bm25_scores requires an expression analyzer, got {analyzer!r}"
+        )
+    terms = sorted(set(_analyze(query, analyzer)))
+    if not terms:
+        return source_df.select(
+            F.col(pkey), F.lit(0.0).alias("bm25_score")
+        ).limit(0)
+    concat = F.concat_ws(
+        " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+    )
+    words = F.filter(
+        F.split(F.lower(concat), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    nonstop = F.filter(words, lambda w: ~w.isin(*STOP_WORDS))
+    if analyzer == "english":
+        first_chars = sorted({t[0] for t in terms})
+        min_len = min(len(t) for t in terms)
+        cand = F.filter(
+            nonstop,
+            lambda w: w.substr(1, 1).isin(*first_chars)
+            & (F.length(w) >= min_len),
+        )
+        stems = F.transform(cand, stem_token_expr)
+    else:
+        stems = nonstop
+    # Two projections on purpose: _stems is aliased once here, and the tf
+    # counts reference the alias — CollapseProject keeps non-cheap exprs
+    # single-evaluated, so the stem chain runs once per doc, not per term.
+    tokd = source_df.select(
+        F.col(pkey),
+        F.size(nonstop).alias("_dl"),
+        stems.alias("_stems"),
+    )
+    def _tf(term: str) -> Column:
+        # NB: closure, not a default-arg lambda — a 2-param lambda would
+        # make F.filter pass the element INDEX as the second argument.
+        return F.size(F.filter(F.col("_stems"), lambda x: x == F.lit(term)))
+
+    per_doc = tokd.select(
+        F.col(pkey),
+        F.col("_dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # idf via a Pandas UDF on the ONE-row stats frame (not the corpus):
+    # JVM Math.log differs from libm's correctly-rounded log by 1 ulp on
+    # some inputs, which breaks bit-exact oracle parity; Python's math.log
+    # is libm's, matching DuckDB's ln. Cost: one Arrow batch of one row.
+    import math as _math
+
+    _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
+
+    n0 = F.col("_n").cast("double")
+    for i in range(len(terms)):
+        dfc0 = F.col(f"_df{i}").cast("double")
+        stats = stats.withColumn(
+            f"_idf{i}",
+            _ln(F.lit(1.0) + (n0 - dfc0 + F.lit(0.5)) / (dfc0 + F.lit(0.5))),
+        )
+    scoring = per_doc
+    if candidates is not None:
+        scoring = scoring.join(
+            candidates.select(pkey).distinct(), pkey, "left_semi"
+        )
+    scored = scoring.crossJoin(F.broadcast(stats))
+    n = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n
+    dl = F.col("_dl").cast("double")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.col(f"_idf{i}")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (dl / avgdl)
+        )
+        part = idf * ((tf * F.lit(k1 + 1.0)) / denom)
+        score = part if score is None else score + part
+    any_match = None
+    for i in range(len(terms)):
+        hit = F.col(f"_tf{i}") > 0
+        any_match = hit if any_match is None else any_match | hit
+    return scored.filter(any_match).select(
+        F.col(pkey), score.alias("bm25_score")
+    )
 
 
 def _ranked(df: DataFrame, order: list[Column], window_size: int, rank_name: str) -> DataFrame:

@@ -112,3 +112,15 @@ def test_filtered_search_pushes_nothing_extra(spark, entrymod):
     assert emb_scans, rep.read_schemas
     for pushed, _ in emb_scans:
         assert "label" not in pushed
+
+
+def test_bm25_stats_broadcast_no_corpus_shuffle(spark, entrymod):
+    """BM25's corpus stats reduce to ONE row and broadcast back; the corpus
+    itself is never shuffled (no exchange besides the single-row aggregate)
+    and the top-k is TakeOrdered, not a global sort."""
+    df = entrymod.queries()["fts_bm25"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.has_take_ordered, rep.summary()
+    assert rep.n_broadcasts >= 1, rep.summary()
+    assert "CartesianProduct" not in rep.text
+    assert "SortMergeJoin" not in rep.text, rep.summary()

@@ -273,6 +273,77 @@ def test_query_scoped_tokens_equivalent_for_matching(spark):
             assert r["full"] == r["scoped"], (query, r)
 
 
+def test_bm25_rank_prefers_tf_and_shorter_docs(spark):
+    """BM25 semantics: higher term frequency wins; between equal tf, the
+    shorter document wins (length normalization); docs without any term
+    are excluded; rarer terms contribute more than common ones."""
+    from pg_vectorize_spark.operators.search import full_text_search
+
+    filler = " ".join(["alpha beta gamma delta"] * 5)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark " + filler),  # tf=3, long
+            (2, "spark " + filler),  # tf=1, long
+            (3, "spark"),  # tf=1, short
+            (4, filler),  # no match
+            (5, "spark spark"),  # tf=2, short
+        ],
+        "id long, txt string",
+    )
+    out = full_text_search(
+        docs, "id", "spark", text_cols=["txt"], rank="bm25"
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert 4 not in ids
+    scores = {r["id"]: r["bm25_score"] for r in out}
+    assert scores[3] > scores[2]  # same tf, shorter doc scores higher
+    assert scores[5] > scores[3]  # higher tf, same-ish length
+    assert scores[1] > scores[2]  # tf 3 beats tf 1 at same length
+    assert all(v > 0 for v in scores.values())
+
+
+def test_bm25_stems_query_and_documents(spark):
+    """'running' (query) must match 'runs'/'run' (docs) through the default
+    english analyzer, with tf counted over the stemmed multiset."""
+    from pg_vectorize_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "run runs running"), (2, "walk walks"), (3, None)],
+        "id long, txt string",
+    )
+    out = bm25_scores(docs, "id", "running", ["txt"]).collect()
+    assert [r["id"] for r in out] == [1]
+    # tf=3: all three inflections stem to the same token
+    from pg_vectorize_spark.functions.text import light_stem
+
+    assert light_stem("running") == light_stem("runs") == light_stem("run")
+
+
+def test_bm25_scoring_pass_prunable_but_stats_global(spark):
+    """candidates= prunes the scoring side only: scores must be identical
+    to the unpruned run for the surviving keys (df/avgdl stay global)."""
+    from pg_vectorize_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, ("spark " * (i % 3 + 1)) + "filler text here") for i in range(20)],
+        "id long, txt string",
+    )
+    full = {
+        r["id"]: r["bm25_score"]
+        for r in bm25_scores(docs, "id", "spark", ["txt"]).collect()
+    }
+    cand = docs.select("id").filter(F.col("id") < 5)
+    pruned = {
+        r["id"]: r["bm25_score"]
+        for r in bm25_scores(
+            docs, "id", "spark", ["txt"], candidates=cand
+        ).collect()
+    }
+    assert set(pruned) == {i for i in range(5)}
+    for k, v in pruned.items():
+        assert v == full[k], (k, v, full[k])
+
+
 def test_stemming_default_matches_inflected_forms(spark):
     """to_tsvector('english') parity: 'running' must match 'run' out of the
     box (default analyzer), in both directions."""
