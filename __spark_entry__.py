@@ -267,6 +267,54 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 A1.1) as per-doc
+    boolean flags + the pass conjunction. min_words lowered to 20 for the
+    short synthetic docs so both outcomes appear; a pure per-row
+    projection — no shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = T.gopher_flags_exprs(F.col("text"), min_words=20)
+    return docs.select(
+        "doc_id", *[flags[k].alias(k) for k in sorted(flags)]
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash
+    (operators/curate.hash_split): stable across reruns, cluster sizes and
+    partitionings — the reproducibility property a training pipeline
+    needs. Zero-shuffle per-row projection."""
+    from pg_vectorize_spark.operators.curate import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id"), "doc_id")
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/curate.domain_cap): at most 40
+    docs per `source`, ranked by doc_id. The window shuffles on the domain
+    key only; skew note in curate.py."""
+    from pg_vectorize_spark.operators.curate import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_cap(
+        docs.select("doc_id", "source"), "doc_id", "source", cap=40
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curate.contamination_flags):
+    flag corpus docs sharing any word 3-gram with the held-out benchmark
+    slice (doc_id % 97 == 0). Inverted-index equi-join with the distinct
+    benchmark grams broadcast — never a cross join."""
+    from pg_vectorize_spark.operators.curate import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_flags(corpus, bench, "doc_id", "text", k=3)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical texts, keep min doc_id."""
     docs = _t(spark, sf_dir, "documents")
@@ -837,6 +885,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_stemmed": q_fts_stemmed,
     "fts_cover_density": q_fts_cover_density,
     "fts_bm25": q_fts_bm25,
+    "gopher_flags": q_gopher_flags,
+    "hash_split": q_hash_split,
+    "domain_cap": q_domain_cap,
+    "decontaminate": q_decontaminate,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
@@ -1173,6 +1225,51 @@ FROM tok t JOIN bm ON t.doc_id = bm.doc_id
 WHERE {fts_match}
 ORDER BY bm25_score DESC, t.doc_id ASC
 LIMIT 10
+"""
+
+
+def _oracle_gopher_flags() -> str:
+    flags = O.sql_gopher_flags("d.text", min_words=20)
+    cols = ",\n       ".join(f"{flags[k]} AS {k}" for k in sorted(flags))
+    return f"""
+SELECT d.doc_id,
+       {cols}
+FROM documents d
+"""
+
+
+def _oracle_hash_split() -> str:
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    return f"""
+SELECT d.doc_id, {O.sql_hash_split('d.doc_id', splits)} AS split
+FROM documents d
+"""
+
+
+def _oracle_domain_cap() -> str:
+    return """
+SELECT doc_id, source, rn::INT AS domain_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
+def _oracle_decontaminate() -> str:
+    grams = f"list_distinct({O.sql_word_ngrams('d.text', 3)})"
+    return f"""
+WITH bg AS MATERIALIZED (
+  SELECT DISTINCT unnest({grams}) AS gram
+  FROM documents d WHERE d.doc_id % 97 = 0
+),
+pg AS (
+  SELECT d.doc_id, unnest({grams}) AS gram
+  FROM documents d WHERE d.doc_id % 97 <> 0
+)
+SELECT pg.doc_id, count(*)::BIGINT AS n_shared_grams
+FROM pg JOIN bg USING (gram)
+GROUP BY pg.doc_id
 """
 
 
@@ -1663,6 +1760,10 @@ WHERE emb_updated_at IS NULL
     "fts_stemmed": _oracle_fts_stemmed(),
     "fts_cover_density": _oracle_fts_cover_density(),
     "fts_bm25": _oracle_fts_bm25(),
+    "gopher_flags": _oracle_gopher_flags(),
+    "hash_split": _oracle_hash_split(),
+    "domain_cap": _oracle_domain_cap(),
+    "decontaminate": _oracle_decontaminate(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

@@ -343,6 +343,76 @@ def quality_score_expr(text: Column) -> Column:
     )
 
 
+# Gopher-rule stop list (Rae et al. 2021 §A1.1: doc must contain >= 2)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags_exprs(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1) as
+    per-document boolean flags plus the conjunction ``pass_gopher``.
+
+    Rules: word count in [min,max]; mean word length in [3,10]; symbol-
+    to-word ratio (# and ellipsis) <= 0.1; >= 80% of words contain an
+    alphabetic character; >= 2 distinct Gopher stop words present. Every
+    ratio is an exact double division over identical expression trees in
+    Spark and the DuckDB oracle, so the boolean cuts agree bit-for-bit.
+    """
+    t = F.coalesce(text, F.lit(""))
+    words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
+    n_words = F.size(words).cast("long")
+    nw_d = n_words.cast("double")
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / nw_d,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + F.size(F.split(t, r"\.\.\."))
+        - F.lit(1)
+    ).cast("long")
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha_words.cast("double") / nw_d
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+        )
+    ).cast("long")
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_len >= F.lit(min_mean_word_len))
+        & (mean_word_len <= F.lit(max_mean_word_len)),
+        "ok_symbol_ratio": symbol_ratio <= F.lit(max_symbol_ratio),
+        "ok_alpha_words": alpha_ratio >= F.lit(min_alpha_ratio),
+        "ok_stop_words": stop_hits >= min_stop_hits,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else passed & c
+    flags["pass_gopher"] = passed
+    return flags
+
+
 # per-language marker words for the n-gram/stopword language-ID heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],

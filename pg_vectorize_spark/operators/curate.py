@@ -1,0 +1,140 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference engine stops at embed/search (core/src/query.rs); a corpus
+pipeline at 100 TB additionally needs deterministic splits, per-source
+caps, and benchmark decontamination before any training run. These are
+first-class operators with DuckDB-oracle parity, built on the shared
+expression library (functions/text.py, operators/dedup.poly_hash_expr).
+
+Scale notes:
+- ``hash_split`` is a pure per-row projection — no shuffle, no state; the
+  split is a function of the key alone, so it is stable across reruns,
+  cluster sizes, and partitionings (the property that matters for
+  reproducible train/val/test membership).
+- ``domain_cap`` windows per domain — the shuffle is on the domain key
+  only, and the rank early-outs at ``cap`` per group via the window's
+  running row_number (skew: one giant domain concentrates on one task;
+  pre-aggregate or salt upstream if a single domain exceeds a partition).
+- ``contamination_flags`` is an inverted-index equi-join on n-gram keys:
+  the benchmark side is typically tiny (eval suites), so it broadcasts;
+  the corpus side explodes to (gram, doc) postings and never self-joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.text import (
+    raw_words_expr,
+    word_ngrams_expr,
+)
+from pg_vectorize_spark.operators.dedup import poly_hash_expr
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_split_expr(key: Column, splits: Sequence[tuple[str, float]]) -> Column:
+    """Split label from a deterministic hash of ``key``.
+
+    ``splits`` is an ordered list of (name, fraction); fractions must sum
+    to 1. The key hashes into ``SPLIT_BUCKETS`` buckets via the shared
+    polynomial string hash and the ordered cumulative fractions carve the
+    bucket range, so membership is exact to 1/SPLIT_BUCKETS and every row
+    gets exactly one label.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = poly_hash_expr(key.cast("string")) % SPLIT_BUCKETS
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cut = int(round(cum * SPLIT_BUCKETS))
+        cond = bucket < F.lit(cut)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = splits[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Assign a deterministic train/val/test split label per row."""
+    return df.withColumn("split", hash_split_expr(F.col(key_col), splits))
+
+
+def domain_cap(
+    df: DataFrame,
+    pkey: str,
+    domain_col: str,
+    cap: int,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, deterministically.
+
+    Rows rank within their domain by ``order_by`` (default: ascending
+    primary key) with the pkey as the tiebreaker; ranks > cap are dropped.
+    The surviving rows carry their ``domain_rank``.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = [order_by, F.asc(pkey)] if order_by is not None else [F.asc(pkey)]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def contamination_flags(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    pkey: str,
+    text_col: str,
+    k: int = 5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word k-gram
+    with a benchmark set (the published n-gram-overlap decontamination
+    procedure used for LLM training corpora).
+
+    Returns (pkey, n_shared_grams) for contaminated docs only, where
+    ``n_shared_grams`` counts DISTINCT k-grams of the doc that appear
+    anywhere in the benchmark set.
+
+    Shape: distinct benchmark grams (one small aggregate) equi-join the
+    corpus (doc, gram) postings — broadcast when ``broadcast_bench`` (eval
+    sets are tiny next to a 100 TB corpus), hash-join otherwise. Never a
+    cross join; never a corpus self-join.
+    """
+    grams = lambda c: F.array_distinct(  # noqa: E731
+        word_ngrams_expr(raw_words_expr(c), k)
+    )
+    bench_grams = (
+        bench_df.select(F.explode(grams(F.col(text_col))).alias("_gram"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    postings = corpus_df.select(
+        F.col(pkey), F.explode(grams(F.col(text_col))).alias("_gram")
+    )
+    return (
+        postings.join(bench_grams, "_gram")
+        .groupBy(pkey)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

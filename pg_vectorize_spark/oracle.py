@@ -287,6 +287,81 @@ def sql_scrub_pii(text: str) -> str:
     )
 
 
+def sql_gopher_flags(
+    text: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, str]:
+    """functions/text.gopher_flags_exprs, flag by flag."""
+    from pg_vectorize_spark.functions.text import GOPHER_STOPS
+
+    t = f"coalesce({text}, '')"
+    words = sql_words(text)
+    n_words = f"len({words})::BIGINT"
+    nw_d = f"({n_words})::DOUBLE"
+    sum_word_len = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform({words}, w -> len(w)::DOUBLE)), (a, x) -> a + x)"
+    )
+    mean_word_len = (
+        f"(CASE WHEN {n_words} > 0 THEN {sum_word_len} / {nw_d} "
+        f"ELSE 0.0 END)"
+    )
+    n_symbols = (
+        f"(len({t}) - len(regexp_replace({t}, '#', '', 'g')) "
+        f"+ len(string_split_regex({t}, '\\.\\.\\.')) - 1)::BIGINT"
+    )
+    symbol_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN ({n_symbols})::DOUBLE / {nw_d} "
+        f"ELSE 0.0 END)"
+    )
+    n_alpha = (
+        f"len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))::BIGINT"
+    )
+    alpha_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN ({n_alpha})::DOUBLE / {nw_d} "
+        f"ELSE 0.0 END)"
+    )
+    stop_hits = (
+        f"len(list_intersect(list_distinct({words}), "
+        f"{sql_str_array(GOPHER_STOPS)}))::BIGINT"
+    )
+    flags = {
+        "ok_word_count": (
+            f"({n_words} >= {min_words} AND {n_words} <= {max_words})"
+        ),
+        "ok_mean_word_len": (
+            f"({mean_word_len} >= {min_mean_word_len!r} "
+            f"AND {mean_word_len} <= {max_mean_word_len!r})"
+        ),
+        "ok_symbol_ratio": f"({symbol_ratio} <= {max_symbol_ratio!r})",
+        "ok_alpha_words": f"({alpha_ratio} >= {min_alpha_ratio!r})",
+        "ok_stop_words": f"({stop_hits} >= {min_stop_hits})",
+    }
+    flags["pass_gopher"] = "(" + " AND ".join(flags.values()) + ")"
+    return flags
+
+
+def sql_hash_split(key: str, splits, buckets: int = 10_000) -> str:
+    """operators/curate.hash_split_expr — cumulative bucket CASE."""
+    bucket = f"({sql_poly_hash(f'({key})::VARCHAR')} % {buckets})"
+    cum = 0.0
+    whens = []
+    for name, frac in list(splits)[:-1]:
+        cum += frac
+        cut = int(round(cum * buckets))
+        whens.append(f"WHEN {bucket} < {cut} THEN '{name}'")
+    last = list(splits)[-1][0]
+    if not whens:
+        return f"'{last}'"
+    return f"(CASE {' '.join(whens)} ELSE '{last}' END)"
+
+
 def sql_pii_counts(text: str) -> dict[str, str]:
     url = SQL_URL_PATTERN.replace("'", "''")
     email = SQL_EMAIL_PATTERN.replace("'", "''")

@@ -1,0 +1,156 @@
+"""Corpus-curation operators: hash split, domain cap, decontamination,
+Gopher flags (operators/curate.py, functions/text.gopher_flags_exprs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.text import gopher_flags_exprs
+from pg_vectorize_spark.operators.curate import (
+    contamination_flags,
+    domain_cap,
+    hash_split,
+)
+
+
+class TestHashSplit:
+    def test_every_row_labeled_and_deterministic(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        out1 = hash_split(df, "k").collect()
+        out2 = hash_split(df, "k").collect()
+        assert sorted(out1) == sorted(out2)
+        labels = {r["split"] for r in out1}
+        assert labels <= {"train", "val", "test"}
+        assert len(out1) == 2000
+
+    def test_fractions_approximately_hold(self, spark):
+        df = spark.range(0, 5000).withColumnRenamed("id", "k")
+        counts = {
+            r["split"]: r["count"]
+            for r in hash_split(df, "k").groupBy("split").count().collect()
+        }
+        assert 0.75 < counts["train"] / 5000 < 0.85
+        assert 0.06 < counts["val"] / 5000 < 0.14
+        assert 0.06 < counts["test"] / 5000 < 0.14
+
+    def test_membership_independent_of_partitioning(self, spark):
+        """The property that matters at scale: repartitioning must not move
+        any row between splits."""
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        a = {(r["k"], r["split"]) for r in hash_split(df, "k").collect()}
+        b = {
+            (r["k"], r["split"])
+            for r in hash_split(df.repartition(13), "k").collect()
+        }
+        assert a == b
+
+    def test_bad_fractions_rejected(self, spark):
+        df = spark.range(3).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError):
+            hash_split(df, "k", [("a", 0.5), ("b", 0.2)])
+
+
+class TestDomainCap:
+    def test_caps_each_domain(self, spark):
+        rows = [(i, "dom%d" % (i % 3)) for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = domain_cap(df, "id", "src", cap=4)
+        counts = out.groupBy("src").count().collect()
+        assert all(r["count"] == 4 for r in counts)
+        # deterministic: lowest ids survive
+        kept = sorted(r["id"] for r in out.filter(F.col("src") == "dom0").collect())
+        assert kept == [0, 3, 6, 9]
+
+    def test_custom_order(self, spark):
+        rows = [(1, "d", 5.0), (2, "d", 9.0), (3, "d", 1.0)]
+        df = spark.createDataFrame(rows, "id long, src string, q double")
+        out = domain_cap(df, "id", "src", cap=2, order_by=F.desc("q"))
+        assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+    def test_cap_validation(self, spark):
+        df = spark.createDataFrame([(1, "d")], "id long, src string")
+        with pytest.raises(ValueError):
+            domain_cap(df, "id", "src", cap=0)
+
+
+class TestDecontamination:
+    def test_flags_known_overlap(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely different words entirely here now"),
+                (3, "quick brown fox appears again in this doc"),
+            ],
+            "id long, txt string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "watch the quick brown fox leap")], "id long, txt string"
+        )
+        out = {
+            r["id"]: r["n_shared_grams"]
+            for r in contamination_flags(corpus, bench, "id", "txt", k=3).collect()
+        }
+        assert set(out) == {1, 3}
+        # doc 1 shares 'the quick brown' and 'quick brown fox'
+        assert out[1] == 2
+        assert out[3] == 1  # 'quick brown fox'
+
+    def test_counts_distinct_grams_once(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "id long, txt string"
+        )
+        bench = spark.createDataFrame([(9, "a b c")], "id long, txt string")
+        out = contamination_flags(corpus, bench, "id", "txt", k=3).collect()
+        # 'a b c' repeats in the doc but counts once (distinct grams)
+        shared = {r["id"]: r["n_shared_grams"] for r in out}
+        assert shared[1] == 1
+
+    def test_no_overlap_empty(self, spark):
+        corpus = spark.createDataFrame([(1, "x y z w")], "id long, txt string")
+        bench = spark.createDataFrame([(9, "p q r s")], "id long, txt string")
+        assert contamination_flags(corpus, bench, "id", "txt", k=3).count() == 0
+
+
+class TestGopherFlags:
+    def _flags(self, spark, text, **kw):
+        df = spark.createDataFrame([(text,)], "txt string")
+        flags = gopher_flags_exprs(F.col("txt"), **kw)
+        return df.select(
+            *[v.alias(k) for k, v in flags.items()]
+        ).collect()[0].asDict()
+
+    def test_good_doc_passes(self, spark):
+        text = (
+            "the results of this study have shown that careful analysis "
+            "with proper controls can be repeated and the findings have "
+            "remained stable across many trials of the same experiment "
+            "that we designed to validate the original hypothesis with care"
+        )
+        out = self._flags(spark, text, min_words=20)
+        assert out["pass_gopher"], out
+
+    def test_word_count_bounds(self, spark):
+        out = self._flags(spark, "too short", min_words=20)
+        assert not out["ok_word_count"] and not out["pass_gopher"]
+
+    def test_symbol_ratio_cut(self, spark):
+        text = "the data have # # # # # # symbols that push # ratio up with more"
+        out = self._flags(spark, text, min_words=5)
+        assert not out["ok_symbol_ratio"]
+
+    def test_alpha_ratio_cut(self, spark):
+        text = "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 the of"
+        out = self._flags(spark, text, min_words=5)
+        assert not out["ok_alpha_words"]
+
+    def test_stop_word_rule(self, spark):
+        text = " ".join(["datum"] * 30)
+        out = self._flags(spark, text, min_words=5)
+        assert not out["ok_stop_words"]
+
+    def test_null_and_empty(self, spark):
+        df = spark.createDataFrame([(None,), ("",)], "txt string")
+        flags = gopher_flags_exprs(F.col("txt"), min_words=1)
+        rows = df.select(flags["pass_gopher"].alias("p")).collect()
+        assert [r["p"] for r in rows] == [False, False]

@@ -124,3 +124,19 @@ def test_bm25_stats_broadcast_no_corpus_shuffle(spark, entrymod):
     assert rep.n_broadcasts >= 1, rep.summary()
     assert "CartesianProduct" not in rep.text
     assert "SortMergeJoin" not in rep.text, rep.summary()
+
+
+def test_hash_split_zero_shuffle(spark, entrymod):
+    """Split assignment is a pure projection — no exchange anywhere."""
+    df = entrymod.queries()["hash_split"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.n_exchanges == 0, rep.text
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, entrymod):
+    """The benchmark gram set broadcasts; the corpus is never cross- or
+    self-joined."""
+    df = entrymod.queries()["decontaminate"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.n_broadcasts >= 1, rep.summary()
+    assert "CartesianProduct" not in rep.text
