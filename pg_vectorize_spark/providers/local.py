@@ -79,14 +79,25 @@ class LocalHashEmbedder(EmbeddingProvider):
     def __init__(self, dim: int = DEFAULT_DIM, normalize: bool = True):
         self.dim = dim
         self.normalize = normalize
+        # feature -> bucket memo: natural-language corpora repeat a small
+        # feature vocabulary (words + char 3-grams) millions of times, so
+        # the per-character hash loop runs once per DISTINCT feature per
+        # worker instead of once per occurrence. Bounded by vocab size.
+        self._bucket_cache: dict[str, int] = {}
 
     def model_dim(self) -> int:
         return self.dim
 
     def embed_one(self, text: str) -> list[float]:
         vec = np.zeros(self.dim, dtype=np.float64)
+        cache = self._bucket_cache
+        dim = self.dim
         for feat in features(text):
-            vec[bucket(feat, self.dim)] += 1.0
+            b = cache.get(feat)
+            if b is None:
+                b = bucket(feat, dim)
+                cache[feat] = b
+            vec[b] += 1.0
         if self.normalize:
             norm = float(np.sqrt(np.dot(vec, vec)))
             if norm > 0:

@@ -54,10 +54,22 @@ def test_hybrid_broadcasts_candidate_join(spark, entrymod):
     assert "SortMergeJoin" not in rep.text, rep.summary()
 
 
-def test_embed_documents_uses_partial_aggregation(spark, entrymod):
+def test_embed_documents_is_zero_shuffle_map(spark, entrymod):
+    """The Arrow provider path is a pure map: scan -> mapInPandas ->
+    project. No exchange at any scale."""
     df = entrymod.queries()["embed_documents"](spark, SF_SMOKE)
     rep = plan_report(df)
-    # explode -> partial HashAggregate -> exchange: shuffles bounded
+    assert rep.n_exchanges == 0, rep.text
+    assert "MapInPandas" in rep.text, rep.summary()
+
+
+def test_embed_exploded_uses_partial_aggregation(spark, entrymod):
+    """The JVM fallback path keeps its bounded-shuffle shape: explode ->
+    partial HashAggregate -> exchange on (pkey, bucket)."""
+    from pg_vectorize_spark.operators.embed import embed_bulk_exploded
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rep = plan_report(embed_bulk_exploded(docs, "text", "doc_id", 64))
     assert "HashAggregate" in rep.text
     assert rep.n_exchanges <= 4, rep.summary()
 
