@@ -63,6 +63,8 @@ def main() -> None:
         "orders_rollup",
         "fts_cover_density",
         "minhash_jaccard_estimate",
+        "fts_bm25",
+        "decontaminate",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the

@@ -193,11 +193,40 @@ def full_text_search(
             *cols, "fts_score", "cd_score", "rank_cd"
         ).limit(num_results)
     if rank == "bm25":
-        # tf>0 for some term ⇔ the distinct-token overlap match, so the
-        # matched set is a valid scoring-pass pruner (stats stay global).
-        cand = matched.select(pkey) if tokens_df is not None else None
+        if tokens_df is None:
+            # Fused inline path: tf>0 for some term ⇔ the distinct-token
+            # overlap match, and the overlap score is the count of terms
+            # with tf>0 — so match, fts_score and bm25_score all come from
+            # the bm25 scoring pass (2 corpus passes total: stats +
+            # scoring) with no separate tokenize-and-match pass.
+            needed = set(cols) | (set(filters) if filters else set())
+            keep = [
+                c for c in source_df.columns if c != pkey and c in needed
+            ]
+            bm = bm25_scores(
+                source_df,
+                pkey,
+                query,
+                text_cols,
+                analyzer,
+                keep_cols=keep,
+                overlap_denom=len(terms),
+            )
+            if filters:
+                bm = apply_filters(bm, filters)
+            ordered = bm.orderBy(F.desc("bm25_score"), F.asc(pkey))
+            return ordered.select(
+                *cols, "fts_score", "bm25_score"
+            ).limit(num_results)
+        # Stored-tokens path: the matched set is known cheaply and prunes
+        # the scoring pass (stats stay corpus-global).
         bm = bm25_scores(
-            source_df, pkey, query, text_cols, analyzer, candidates=cand
+            source_df,
+            pkey,
+            query,
+            text_cols,
+            analyzer,
+            candidates=matched.select(pkey),
         )
         scored = scored.join(bm, pkey, "inner")
         ordered = scored.orderBy(F.desc("bm25_score"), F.asc(pkey))
@@ -315,6 +344,8 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     candidates: DataFrame | None = None,
+    keep_cols: Sequence[str] = (),
+    overlap_denom: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 scores per matching document (Robertson/Lucene form).
 
@@ -340,6 +371,13 @@ def bm25_scores(
     candidate words (see query_scoped_tokens_expr). ``candidates`` (a
     pkey-only frame) prunes the SCORING pass via semi-join; the stats pass
     always reads the full corpus because df/avgdl are corpus-global.
+
+    ``keep_cols`` ride through the scoring pass (a caller needing return
+    columns avoids a join back to the source — one fewer corpus pass).
+    ``overlap_denom`` additionally emits the plain term-overlap
+    ``fts_score`` derived from the tf columns (count of terms with tf>0
+    over the given denominator) — identical to ``fts_score_expr`` over the
+    distinct token set, again saving a separate tokenize pass.
     """
     if analyzer not in ("english", "simple"):
         raise ValueError(
@@ -347,9 +385,11 @@ def bm25_scores(
         )
     terms = sorted(set(_analyze(query, analyzer)))
     if not terms:
-        return source_df.select(
-            F.col(pkey), F.lit(0.0).alias("bm25_score")
-        ).limit(0)
+        empty_cols = [F.col(pkey), *[F.col(c) for c in keep_cols]]
+        if overlap_denom is not None:
+            empty_cols.append(F.lit(0.0).alias("fts_score"))
+        empty_cols.append(F.lit(0.0).alias("bm25_score"))
+        return source_df.select(*empty_cols).limit(0)
     concat = F.concat_ws(
         " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
     )
@@ -373,6 +413,7 @@ def bm25_scores(
     # single-evaluated, so the stem chain runs once per doc, not per term.
     tokd = source_df.select(
         F.col(pkey),
+        *[F.col(c) for c in keep_cols],
         F.size(nonstop).alias("_dl"),
         stems.alias("_stems"),
     )
@@ -383,9 +424,15 @@ def bm25_scores(
 
     per_doc = tokd.select(
         F.col(pkey),
+        *[F.col(c) for c in keep_cols],
         F.col("_dl"),
         *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
     )
+    # Both the stats aggregate and the scoring pass consume per_doc; a lazy
+    # localCheckpoint materializes it ONCE, halving corpus passes. The
+    # frame is O(docs x terms) narrow ints (+ keep_cols) — a rounding error
+    # next to the corpus text it replaces reading twice.
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_dl").alias("_sumdl"),
@@ -431,9 +478,19 @@ def bm25_scores(
     for i in range(len(terms)):
         hit = F.col(f"_tf{i}") > 0
         any_match = hit if any_match is None else any_match | hit
-    return scored.filter(any_match).select(
-        F.col(pkey), score.alias("bm25_score")
-    )
+    out_cols = [F.col(pkey), *[F.col(c) for c in keep_cols]]
+    if overlap_denom is not None:
+        overlap = None
+        for i in range(len(terms)):
+            h = (F.col(f"_tf{i}") > 0).cast("int")
+            overlap = h if overlap is None else overlap + h
+        out_cols.append(
+            (overlap.cast("double") / F.lit(float(overlap_denom))).alias(
+                "fts_score"
+            )
+        )
+    out_cols.append(score.alias("bm25_score"))
+    return scored.filter(any_match).select(*out_cols)
 
 
 def _ranked(df: DataFrame, order: list[Column], window_size: int, rank_name: str) -> DataFrame:
