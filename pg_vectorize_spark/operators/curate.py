@@ -130,7 +130,9 @@ def contamination_flags(
     )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    postings = corpus_df.select(
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    postings = ensure_min_partitions(corpus_df).select(
         F.col(pkey), F.explode(grams(F.col(text_col))).alias("_gram")
     )
     return (

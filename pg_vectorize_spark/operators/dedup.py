@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pg_vectorize_spark.functions.vector import cosine_similarity
+from pg_vectorize_spark.operators.skew import ensure_min_partitions
 from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
 
 MINHASH_PRIME = 999_983  # largest prime < 1e6; shingle codes are < 1_000_003
@@ -62,34 +63,26 @@ def shingles_exploded(
 ) -> DataFrame:
     """Distinct k-word shingles as rows: (_id, _sh).
 
-    Same value set as functions/text.word_shingles_expr, built the scalable
-    way: explode words ONCE, then window ``lead`` to stitch k-grams. The
-    array-expression form re-evaluates the tokenizer per element_at (k× per
-    shingle, interpreted) — measured 4x slower at sf0.1 and growing with k.
-    Docs with < k words fall back to one whole-text shingle (spec parity).
+    Built as explode(word_shingles_expr) — the zip_with k-gram chain
+    evaluates the word array a constant number of times per doc (never per
+    gram), runs entirely row-local (NO shuffle; the previous windowed-lead
+    build shuffled every word row on _id and needed a global distinct —
+    two exchanges this shape deletes, measured 0.81s vs 1.04s at sf0.1
+    before even counting the saved distinct), and array_distinct per doc
+    already guarantees (_id, _sh) uniqueness because each doc is one input
+    row. Docs with < k words fall back to one whole-text shingle (spec
+    parity with the oracle's sql_word_shingles).
     """
-    words = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
-        lambda x: x != "",
+    from pg_vectorize_spark.functions.text import word_shingles_expr
+
+    # Small-input parallelism guard: with no shuffle in this build, the
+    # downstream per-shingle hashing inherits the scan's partitioning
+    # (see skew.ensure_min_partitions).
+    df = ensure_min_partitions(df)
+    return df.select(
+        F.col(pkey).alias("_id"),
+        F.explode(word_shingles_expr(F.col(text_col), k)).alias("_sh"),
     )
-    wdf = df.select(
-        F.col(pkey).alias("_id"), F.posexplode(words).alias("_pos", "_w")
-    )
-    win = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_w")] + [F.lead("_w", j).over(win) for j in range(1, k)]
-    stitched = wdf.select(
-        "_id",
-        F.concat_ws(" ", *parts).alias("_sh"),
-        F.lead("_w", k - 1).over(win).isNotNull().alias("_full"),
-    )
-    full = stitched.filter(F.col("_full")).select("_id", "_sh")
-    short = (
-        df.select(
-            F.col(pkey).alias("_id"), F.array_join(words, " ").alias("_sh")
-        )
-        .join(full.select("_id").distinct(), "_id", "left_anti")
-    )
-    return full.unionByName(short).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -146,4 +146,9 @@ def embed_bulk_pandas(
 
     _ = vec_dim  # dimension check is the provider's contract
     cols = [pkey, text_col, *passthrough_cols]
-    return df.select(*cols).mapInPandas(embed_partition, schema=schema)
+    # pure map: fan narrow inputs out so one small file / one row group
+    # doesn't serialize the whole embed onto a single task
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    narrow = ensure_min_partitions(df.select(*cols))
+    return narrow.mapInPandas(embed_partition, schema=schema)

@@ -164,7 +164,9 @@ def full_text_search(
         concat = F.concat_ws(
             " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
         )
-        base = source_df.withColumn(
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        base = ensure_min_partitions(source_df).withColumn(
             "search_tokens", _match_tokens(concat, analyzer, terms)
         )
     matched = base.filter(fts_match_expr(F.col("search_tokens"), terms))
@@ -291,7 +293,9 @@ def cover_density_scores(
     words = F.filter(
         F.split(F.lower(concat), "[^a-z0-9]+"), lambda x: x != ""
     )
-    pos_words = source_df.select(
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    pos_words = ensure_min_partitions(source_df).select(
         F.col(pkey), F.posexplode(words).alias("_pos", "_w")
     ).filter(~F.col("_w").isin(*STOP_WORDS))
     if analyzer == "english":
@@ -411,7 +415,9 @@ def bm25_scores(
     # Two projections on purpose: _stems is aliased once here, and the tf
     # counts reference the alias — CollapseProject keeps non-cheap exprs
     # single-evaluated, so the stem chain runs once per doc, not per term.
-    tokd = source_df.select(
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    tokd = ensure_min_partitions(source_df).select(
         F.col(pkey),
         *[F.col(c) for c in keep_cols],
         F.size(nonstop).alias("_dl"),
@@ -553,7 +559,9 @@ def hybrid_search(
         concat = F.concat_ws(
             " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
         )
-        tok_base = source_df.select(
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        tok_base = ensure_min_partitions(source_df).select(
             F.col(pkey),
             _match_tokens(concat, analyzer, terms).alias("search_tokens"),
         )

@@ -28,6 +28,25 @@ from pyspark.sql import functions as F
 _SALT = "_salt"
 
 
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer input
+    partitions than ``target`` (default: the cluster's defaultParallelism).
+
+    Why: operators built as pure maps (mapInPandas embedding, zip_with
+    shingling, per-doc tf scoring) inherit the SCAN's partitioning — a
+    single small file, or a parquet file with one row group (unsplittable
+    below row-group granularity), serializes all their per-row work onto
+    one task. At cluster scale inputs arrive in many splits and this is a
+    no-op; it only fans out narrow inputs, costing one exchange of data
+    that is by definition small enough to have fit in one partition.
+    """
+    sc = df.sparkSession.sparkContext
+    want = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def with_salt(df: DataFrame, n_salts: int) -> DataFrame:
     """Deterministic salt in [0, n_salts): xxhash64 over ALL columns, so
     rows sharing a hot key still spread across salts. Caveat: fully
