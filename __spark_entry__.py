@@ -321,6 +321,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, "doc_id", "text", k=3)
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) curation report (operators/curate.corpus_stats):
+    exact integer sums + one post-aggregation division, so values are
+    shuffle-order independent. Map-side partial agg -> one shuffle on the
+    group keys."""
+    from pg_vectorize_spark.operators.curate import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(docs, ["source", "lang"], "text")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical texts, keep min doc_id."""
     docs = _t(spark, sf_dir, "documents")
@@ -895,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
+    "corpus_stats": q_corpus_stats,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
@@ -1276,6 +1288,27 @@ pg AS (
 SELECT pg.doc_id, count(*)::BIGINT AS n_shared_grams
 FROM pg JOIN bg USING (gram)
 GROUP BY pg.doc_id
+"""
+
+
+def _oracle_corpus_stats() -> str:
+    tok = O.sql_token_count("d.text")
+    flags = O.sql_gopher_flags("d.text", min_words=20)
+    return f"""
+WITH per AS (
+  SELECT d.source, d.lang, {tok} AS tok,
+         len(coalesce(d.text, ''))::BIGINT AS chars,
+         (CASE WHEN {flags['pass_gopher']} THEN 1 ELSE 0 END)::BIGINT AS pass
+  FROM documents d
+)
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(tok)::BIGINT AS total_tokens,
+       sum(chars)::BIGINT AS total_chars,
+       sum(pass)::BIGINT AS n_gopher_pass,
+       (sum(tok)::DOUBLE / count(*)::DOUBLE) AS mean_tokens
+FROM per
+GROUP BY source, lang
 """
 
 
@@ -1770,6 +1803,7 @@ WHERE emb_updated_at IS NULL
     "hash_split": _oracle_hash_split(),
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
+    "corpus_stats": _oracle_corpus_stats(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

@@ -100,6 +100,47 @@ def domain_cap(
     )
 
 
+def corpus_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str,
+    min_words: int = 20,
+) -> DataFrame:
+    """Per-group corpus report: doc count, token/char totals, Gopher pass
+    count, mean tokens per doc — the summary a curation run ships with.
+
+    Float-parity discipline: every aggregate is an exact integer sum
+    (order-independent under any shuffle), and the only double —
+    ``mean_tokens`` — is a single division of two exact integers computed
+    AFTER aggregation, so the result hashes identically regardless of
+    partitioning. Plan: map-side partial aggregation into one shuffle on
+    the group keys.
+    """
+    from pg_vectorize_spark.functions.text import (
+        gopher_flags_exprs,
+        token_count_expr,
+    )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    flags = gopher_flags_exprs(F.col(text_col), min_words=min_words)
+    per_doc = df.select(
+        *group_cols,
+        token_count_expr(F.col(text_col)).alias("_tok"),
+        F.length(t).cast("long").alias("_chars"),
+        flags["pass_gopher"].cast("long").alias("_pass"),
+    )
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_pass").alias("n_gopher_pass"),
+    )
+    return agg.withColumn(
+        "mean_tokens",
+        F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+    )
+
+
 def contamination_flags(
     corpus_df: DataFrame,
     bench_df: DataFrame,

@@ -154,3 +154,44 @@ class TestGopherFlags:
         flags = gopher_flags_exprs(F.col("txt"), min_words=1)
         rows = df.select(flags["pass_gopher"].alias("p")).collect()
         assert [r["p"] for r in rows] == [False, False]
+
+
+class TestCorpusStats:
+    def test_groups_and_exact_sums(self, spark):
+        from pg_vectorize_spark.operators.curate import corpus_stats
+
+        df = spark.createDataFrame(
+            [
+                ("s1", "en", "one two three"),
+                ("s1", "en", "four five"),
+                ("s1", "de", "sechs"),
+                ("s2", "en", None),
+            ],
+            "source string, lang string, text string",
+        )
+        out = {
+            (r["source"], r["lang"]): r
+            for r in corpus_stats(df, ["source", "lang"], "text").collect()
+        }
+        assert out[("s1", "en")]["n_docs"] == 2
+        assert out[("s1", "en")]["total_tokens"] == 5
+        assert out[("s1", "en")]["mean_tokens"] == 2.5
+        assert out[("s2", "en")]["total_tokens"] == 0
+        assert len(out) == 3
+
+    def test_partitioning_invariant(self, spark):
+        """Exact integer sums: repartitioning cannot change any value."""
+        from pg_vectorize_spark.operators.curate import corpus_stats
+
+        df = spark.createDataFrame(
+            [("s%d" % (i % 3), "en", "w " * (i % 7)) for i in range(100)],
+            "source string, lang string, text string",
+        )
+        a = sorted(map(tuple, corpus_stats(df, ["source"], "text").collect()))
+        b = sorted(
+            map(
+                tuple,
+                corpus_stats(df.repartition(17), ["source"], "text").collect(),
+            )
+        )
+        assert a == b
