@@ -171,3 +171,45 @@ def sessionize_stateful(
             timeoutConf=timeout,
         )
     )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    by_fingerprint: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content value,
+    bounding state with an event-time watermark.
+
+    A batch corpus dedups with a groupBy (operators/dedup.exact_dedup); an
+    ingest STREAM can't — the duplicate may arrive hours later, and
+    unbounded `dropDuplicates` state grows forever at 100-TB ingest rates.
+    `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    watermark passes it: duplicates arriving within the watermark window
+    are dropped, state is evicted after, which is the documented
+    late-data-bounded dedup pattern for Structured Streaming.
+
+    ``by_fingerprint`` dedups on the polynomial content fingerprint
+    (functions/text.fingerprint_expr) instead of the raw text — the same
+    key the incremental embed pipeline's column-diff guard uses, so an
+    ingest stream and the re-embed change scan agree on what "unchanged"
+    means. Works on batch frames too (falls back to dropDuplicates
+    semantics over the full frame) — tests assert batch/stream agreement.
+    """
+    from pg_vectorize_spark.functions.text import fingerprint_expr
+
+    key = "_content_fp" if by_fingerprint else content_col
+    out = df
+    if by_fingerprint:
+        out = out.withColumn(
+            "_content_fp", fingerprint_expr(F.col(content_col))
+        )
+    if out.isStreaming:
+        deduped = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [key]
+        )
+    else:
+        deduped = out.dropDuplicates([key])
+    return deduped.drop("_content_fp") if by_fingerprint else deduped

@@ -109,3 +109,41 @@ def test_stateful_sessionize_closes_gapped_sessions(spark, tmp_path):
     s = by_key[(1, 2)]
     assert s["session_start"] == base
     assert s["session_end"] == base + timedelta(minutes=10)
+
+
+def test_streaming_dedup_drops_in_window_duplicates(spark, tmp_path):
+    from datetime import datetime
+
+    from pg_vectorize_spark.streaming.windows import streaming_dedup
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, "alpha text", base),
+        (2, "alpha text", base),        # dup within window -> dropped
+        (3, "beta text", base),
+        (4, "beta  text", base),        # different raw text, same tokens?
+        (5, "gamma text", base),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, ts timestamp")
+    src = str(tmp_path / "dd_src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dd_out").collect()
+    texts = sorted(r["text"] for r in out)
+    # fingerprint is over raw text, so 'beta text' and 'beta  text' differ
+    assert len(out) == 4, out
+    assert texts == ["alpha text", "beta  text", "beta text", "gamma text"]
+    # batch fallback agrees on the survivor count
+    batch = streaming_dedup(spark.read.parquet(src)).collect()
+    assert len(batch) == 4
