@@ -401,7 +401,8 @@ class VectorizeSession:
 
         ``rank='cover_density'`` scores the FTS branch with the positional
         ts_rank_cd analog (core/src/query.rs:764-776) instead of plain
-        term overlap before the RRF fusion.
+        term overlap before the RRF fusion; ``rank='bm25'`` scores it with
+        Okapi BM25 (multiset tf + corpus idf/avgdl).
         """
         job = self.catalog.get(job_name)
         if not self._emb_ds(job_name).exists():

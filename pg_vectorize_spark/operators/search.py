@@ -553,6 +553,31 @@ def hybrid_search(
 
     # --- fts branch: top-window by term overlap ----------------------------
     terms = _analyze(query, analyzer)
+    if rank == "bm25":
+        # the BM25 score replaces overlap as the branch's ranking signal;
+        # with a stored tokens table the cheap overlap match prunes the
+        # scoring pass, otherwise bm25's own tf>0 filter IS the match
+        if tokens_df is not None:
+            cand = (
+                tokens_df.select(pkey, "search_tokens")
+                .filter(fts_match_expr(F.col("search_tokens"), terms))
+                .select(pkey)
+            )
+        else:
+            cand = None
+        fts_scored = bm25_scores(
+            source_df, pkey, query, text_cols, analyzer, candidates=cand
+        ).select(pkey, F.col("bm25_score").alias("fts_score"))
+        fts = _ranked(
+            fts_scored,
+            [F.desc("fts_score"), F.asc(pkey)],
+            window_size,
+            "fts_rank",
+        )
+        return _fuse_and_project(
+            source_df, sem, fts, pkey, num_results, rrf_k,
+            semantic_weight, fts_weight, return_columns, filters, where_sql,
+        )
     if tokens_df is not None:
         tok_base = tokens_df.select(pkey, "search_tokens")
     else:
@@ -587,14 +612,35 @@ def hybrid_search(
         fts_scored, [F.desc("fts_score"), F.asc(pkey)], window_size, "fts_rank"
     )
 
-    # --- rank fusion (J3 + A3) ---------------------------------------------
-    # Semantically a FULL OUTER join of the two rank lists, expressed as
-    # union + hash-aggregate: Spark cannot broadcast a full-outer join, so
-    # the join form sort-merges even though both sides are <= window_size
-    # rows. The union form is one partial-aggregating shuffle, no sorts,
-    # and each branch contributes only its own columns so max() recovers
-    # exactly the joined row. rrf_score is computed AFTER the aggregate
-    # from the (integer) ranks — bit-identical to the join form.
+    return _fuse_and_project(
+        source_df, sem, fts, pkey, num_results, rrf_k,
+        semantic_weight, fts_weight, return_columns, filters, where_sql,
+    )
+
+
+def _fuse_and_project(
+    source_df: DataFrame,
+    sem: DataFrame,
+    fts: DataFrame,
+    pkey: str,
+    num_results: int,
+    rrf_k: int,
+    semantic_weight: float,
+    fts_weight: float,
+    return_columns: Sequence[str] | None,
+    filters: dict[str, FilterValue] | None,
+    where_sql: str | None,
+) -> DataFrame:
+    """Rank fusion (J3 + A3) + join back to source.
+
+    Semantically a FULL OUTER join of the two rank lists, expressed as
+    union + hash-aggregate: Spark cannot broadcast a full-outer join, so
+    the join form sort-merges even though both sides are <= window_size
+    rows. The union form is one partial-aggregating shuffle, no sorts,
+    and each branch contributes only its own columns so max() recovers
+    exactly the joined row. rrf_score is computed AFTER the aggregate
+    from the (integer) ranks — bit-identical to the join form.
+    """
     sem_part = sem.select(
         F.col(pkey),
         F.col("similarity_score"),

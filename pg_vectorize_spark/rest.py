@@ -32,8 +32,10 @@ from pg_vectorize_spark.errors import (
 
 _KNOWN_SEARCH_PARAMS = {
     "job_name", "query", "limit", "window_size", "rrf_k",
-    "semantic_wt", "fts_wt",
+    "semantic_wt", "fts_wt", "rank",
 }
+
+_VALID_RANKS = {"overlap", "cover_density", "bm25"}
 
 
 def _search_args(params: dict[str, str]) -> tuple[dict, dict[str, str]]:
@@ -45,10 +47,15 @@ def _search_args(params: dict[str, str]) -> tuple[dict, dict[str, str]]:
         "rrf_k": int(params.get("rrf_k", 60)),
         "semantic_weight": float(params.get("semantic_wt", 1.0)),
         "fts_weight": float(params.get("fts_wt", 1.0)),
+        "rank": params.get("rank", "overlap"),
     }
     if args["num_results"] < 1 or args["window_size"] < 1 or args["rrf_k"] < 0:
         raise ValueError(
             "limit and window_size must be >= 1, rrf_k must be >= 0"
+        )
+    if args["rank"] not in _VALID_RANKS:
+        raise ValueError(
+            f"rank must be one of {sorted(_VALID_RANKS)}, got {args['rank']!r}"
         )
     filters = {
         k: v for k, v in params.items() if k not in _KNOWN_SEARCH_PARAMS

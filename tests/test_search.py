@@ -421,3 +421,53 @@ def test_cover_density_ranks_proximity(spark):
     assert [r["doc_id"] for r in out][0] == 1
     # single-term doc has no pairs -> zero bonus
     assert by_id[3]["cd_score"] == 0.0
+
+
+def test_hybrid_bm25_rank_reorders_fts_branch(spark):
+    """rank='bm25' ranks the hybrid FTS branch by BM25 (tf + length norm)
+    instead of plain overlap: a doc repeating the term beats a doc with a
+    single mention that ties it on overlap."""
+    from pg_vectorize_spark.operators.search import hybrid_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark mentioned once here with many extra padding words"),
+            (2, "spark spark spark spark tight doc"),
+            (3, "nothing relevant at all"),
+        ],
+        "id long, txt string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])],
+        "id long, embeddings array<double>",
+    )
+    out = hybrid_search(
+        docs,
+        emb,
+        "id",
+        [1.0, 0.0],
+        "spark",
+        text_cols=["txt"],
+        num_results=3,
+        pre_normalized=True,
+        rank="bm25",
+    ).collect()
+    ranks = {r["id"]: r["fts_rank"] for r in out if r["fts_rank"] is not None}
+    assert ranks[2] == 1 and ranks[1] == 2  # bm25: tf wins; overlap would tie
+    assert 3 not in ranks
+
+
+def test_rest_rank_param_roundtrip():
+    """REST: rank= is a recognized search arg (not a filter) and invalid
+    values 400."""
+    from pg_vectorize_spark.rest import _search_args
+
+    args, filters = _search_args(
+        {"job_name": "j", "query": "q", "rank": "bm25", "lang": "eq.en"}
+    )
+    assert args["rank"] == "bm25"
+    assert filters == {"lang": "eq.en"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _search_args({"job_name": "j", "query": "q", "rank": "nope"})
