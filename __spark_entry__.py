@@ -321,6 +321,31 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, "doc_id", "text", k=3)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table
+    (functions/vector.quantize_exprs): per-vector affine codes — the 4x
+    storage cut a 100-TB embedding store runs on. Output is scalar-only
+    (min/max, integer code checksum, mean reconstruction error via
+    left-fold) so the harness hashes it; a pure per-row projection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = V.quantize_exprs(F.col("embedding"))
+    checksum = F.aggregate(
+        q["codes"],
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + c.cast("long")) % F.lit(1_000_003),
+    )
+    err = V.quantization_error_expr(
+        F.col("embedding"), q["codes"], q["mn"], q["mx"]
+    )
+    return emb.select(
+        "vec_id",
+        q["mn"].alias("mn"),
+        q["mx"].alias("mx"),
+        checksum.alias("code_checksum"),
+        err.alias("recon_err"),
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) curation report (operators/curate.corpus_stats):
     exact integer sums + one post-aggregation division, so values are
@@ -907,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "corpus_stats": q_corpus_stats,
+    "embedding_quantize": q_embedding_quantize,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
@@ -1288,6 +1314,40 @@ pg AS (
 SELECT pg.doc_id, count(*)::BIGINT AS n_shared_grams
 FROM pg JOIN bg USING (gram)
 GROUP BY pg.doc_id
+"""
+
+
+def _oracle_embedding_quantize() -> str:
+    # mirrors quantize_exprs / quantization_error_expr tree-for-tree
+    return """
+WITH v AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(e.embedding, x -> x::DOUBLE) AS vd
+  FROM embeddings e
+),
+mm AS MATERIALIZED (
+  SELECT vec_id, vd,
+         list_aggregate(vd, 'min') AS mn,
+         list_aggregate(vd, 'max') AS mx
+  FROM v
+),
+qc AS MATERIALIZED (
+  SELECT vec_id, vd, mn, mx,
+         list_transform(vd, x -> CASE WHEN (mx - mn) > 0
+             THEN least(floor((x - mn) / (mx - mn) * 255.0)::INT, 255)
+             ELSE 0 END) AS codes
+  FROM mm
+)
+SELECT vec_id, mn, mx,
+       list_reduce(list_prepend(0::BIGINT, list_transform(codes, c -> c::BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS code_checksum,
+       (CASE WHEN len(vd) > 0 THEN
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip(vd, codes),
+              p -> abs(p[1] - (mn + p[2]::DOUBLE / 255.0 * (mx - mn))))),
+            (acc, x) -> acc + x) / len(vd)::DOUBLE
+        ELSE 0.0 END) AS recon_err
+FROM qc
 """
 
 
@@ -1804,6 +1864,7 @@ WHERE emb_updated_at IS NULL
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
     "corpus_stats": _oracle_corpus_stats(),
+    "embedding_quantize": _oracle_embedding_quantize(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

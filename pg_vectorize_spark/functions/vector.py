@@ -143,3 +143,59 @@ def embed_expr(text: Column, dim: int, normalize: bool = True) -> Column:
     return F.when(norm > 0, F.transform(counts, lambda x: x / norm)).otherwise(
         counts
     )
+
+
+def quantize_exprs(vec: Column, levels: int = 255) -> dict[str, Column]:
+    """Int8-style scalar quantization of a vector column (per-vector
+    min/max affine codes) — the standard 4x storage reduction for
+    embedding tables at 100-TB scale (pgvector's halfvec/scalar-quant
+    analog; published as scalar quantization in the IVF/PQ literature).
+
+    Returns {codes: array<int> in [0, levels], mn: double, mx: double}.
+    A constant vector (mx == mn) encodes as all-zero codes. Codes are
+    ``floor((x - mn) / (mx - mn) * levels)`` clamped to ``levels`` (the
+    x == mx endpoint), computed in float64 with the identical expression
+    tree mirrored by the DuckDB oracle — floor of an IEEE division is
+    bit-stable, so codes hash exactly.
+    """
+    v = _as_double_array(vec)
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    span = mx - mn
+    codes = F.transform(
+        v,
+        lambda x: F.when(
+            span > 0,
+            F.least(
+                F.floor((x - mn) / span * F.lit(float(levels))).cast("int"),
+                F.lit(levels),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return {"codes": codes, "mn": mn, "mx": mx}
+
+
+def dequantize_expr(
+    codes: Column, mn: Column, mx: Column, levels: int = 255
+) -> Column:
+    """Reconstruct the float64 vector from quantized codes:
+    ``mn + code / levels * (mx - mn)``."""
+    return F.transform(
+        codes,
+        lambda c: mn + c.cast("double") / F.lit(float(levels)) * (mx - mn),
+    )
+
+
+def quantization_error_expr(
+    vec: Column, codes: Column, mn: Column, mx: Column, levels: int = 255
+) -> Column:
+    """Mean absolute reconstruction error, folded left-to-right
+    (shuffle-order independent, oracle list_reduce parity)."""
+    v = _as_double_array(vec)
+    deq = dequantize_expr(codes, mn, mx, levels)
+    abs_err = F.zip_with(v, deq, lambda a, b: F.abs(a - b))
+    return F.when(
+        F.size(v) > 0,
+        F.aggregate(abs_err, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(v).cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -1,0 +1,102 @@
+"""Scalar quantization of embeddings (functions/vector.quantize_exprs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.vector import (
+    dequantize_expr,
+    quantization_error_expr,
+    quantize_exprs,
+)
+
+
+def _q(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    q = quantize_exprs(F.col("v"))
+    return df.select(
+        "id",
+        "v",
+        q["codes"].alias("codes"),
+        q["mn"].alias("mn"),
+        q["mx"].alias("mx"),
+    )
+
+
+def test_codes_bounded_and_endpoints_exact(spark):
+    out = _q(spark, [[-1.0, 0.0, 0.5, 1.0]]).collect()[0]
+    assert out["mn"] == -1.0 and out["mx"] == 1.0
+    assert all(0 <= c <= 255 for c in out["codes"])
+    assert out["codes"][0] == 0  # x == mn
+    assert out["codes"][-1] == 255  # x == mx clamps to levels
+
+
+def test_constant_vector_all_zero_codes(spark):
+    out = _q(spark, [[0.7, 0.7, 0.7]]).collect()[0]
+    assert out["codes"] == [0, 0, 0]
+    assert out["mn"] == out["mx"] == 0.7
+
+
+def test_reconstruction_error_bounded_by_step(spark):
+    """|x - dequant(x)| < (mx-mn)/levels for every element."""
+    vecs = [[0.013 * i - 1.1 for i in range(64)]]
+    qdf = _q(spark, vecs)
+    err = qdf.select(
+        quantization_error_expr(
+            F.col("v"), F.col("codes"), F.col("mn"), F.col("mx")
+        ).alias("e"),
+        ((F.col("mx") - F.col("mn")) / 255.0).alias("step"),
+    ).collect()[0]
+    assert 0 <= err["e"] < err["step"]
+
+
+def test_dequantize_round_trip_monotone(spark):
+    """Quantization preserves order: dequantized values are monotone in
+    the original values."""
+    vecs = [[5.0, -2.0, 0.0, 3.5, 3.6]]
+    qdf = _q(spark, vecs)
+    row = qdf.select(
+        F.col("v"),
+        dequantize_expr(F.col("codes"), F.col("mn"), F.col("mx")).alias("d"),
+    ).collect()[0]
+    orig_order = sorted(range(len(row["v"])), key=lambda i: row["v"][i])
+    deq_sorted = [row["d"][i] for i in orig_order]
+    assert deq_sorted == sorted(deq_sorted)
+
+
+def test_quantized_topk_agrees_with_exact(spark):
+    """ANN sanity: cosine top-3 over dequantized vectors matches exact
+    top-3 on a spread-out fixture (quantization noise << separation)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [list(map(float, rng.randn(16))) for _ in range(50)]
+    qdf = _q(spark, vecs)
+    from pg_vectorize_spark.functions.vector import cosine_similarity_to_query
+
+    query = vecs[0]
+    exact = [
+        r["id"]
+        for r in qdf.select(
+            "id", cosine_similarity_to_query(F.col("v"), query).alias("s")
+        )
+        .orderBy(F.desc("s"), "id")
+        .limit(3)
+        .collect()
+    ]
+    approx = [
+        r["id"]
+        for r in qdf.select(
+            "id",
+            cosine_similarity_to_query(
+                dequantize_expr(F.col("codes"), F.col("mn"), F.col("mx")),
+                query,
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), "id")
+        .limit(3)
+        .collect()
+    ]
+    assert exact == approx
