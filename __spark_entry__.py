@@ -328,19 +328,19 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min/max, integer code checksum, mean reconstruction error via
     left-fold) so the harness hashes it; a pure per-row projection."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = V.quantize_exprs(F.col("embedding"))
+    qt = V.quantize_table(emb, "embedding", keep_cols=["vec_id"])
     checksum = F.aggregate(
-        q["codes"],
+        F.col("codes"),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(31) + c.cast("long")) % F.lit(1_000_003),
     )
     err = V.quantization_error_expr(
-        F.col("embedding"), q["codes"], q["mn"], q["mx"]
+        F.col("_vd"), F.col("codes"), F.col("mn"), F.col("mx")
     )
-    return emb.select(
+    return qt.select(
         "vec_id",
-        q["mn"].alias("mn"),
-        q["mx"].alias("mx"),
+        F.col("mn"),
+        F.col("mx"),
         checksum.alias("code_checksum"),
         err.alias("recon_err"),
     )

@@ -199,3 +199,41 @@ def quantization_error_expr(
         F.aggregate(abs_err, F.lit(0.0), lambda acc, x: acc + x)
         / F.size(v).cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def quantize_table(
+    df, vec_col: str, levels: int = 255, keep_cols: Sequence[str] | None = None
+):
+    """Staged quantization over a DataFrame: (keep_cols…, codes, mn, mx).
+
+    ``quantize_exprs`` composed in ONE projection re-evaluates mn/mx
+    (array_min/max folds) PER ELEMENT inside the codes lambda — the
+    interpreted higher-order-function trap (O(d²) per vector; measured 7s
+    vs <1s at sf0.1). This operator materializes mn/mx as real columns
+    first; Catalyst's CollapseProject keeps multiply-referenced non-cheap
+    expressions in their own projection, so each fold runs once per row.
+    """
+    keep = list(keep_cols) if keep_cols is not None else list(df.columns)
+    v = _as_double_array(F.col(vec_col))
+    base = df.select(
+        *keep,
+        v.alias("_vd"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    )
+    span = F.col("mx") - F.col("mn")
+    codes = F.transform(
+        F.col("_vd"),
+        lambda x: F.when(
+            span > 0,
+            F.least(
+                F.floor((x - F.col("mn")) / span * F.lit(float(levels))).cast(
+                    "int"
+                ),
+                F.lit(levels),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return base.select(
+        *keep, F.col("_vd"), codes.alias("codes"), F.col("mn"), F.col("mx")
+    )

@@ -100,3 +100,18 @@ def test_quantized_topk_agrees_with_exact(spark):
         .collect()
     ]
     assert exact == approx
+
+
+def test_quantize_table_matches_exprs(spark):
+    """The staged operator and the single-projection exprs agree exactly."""
+    from pg_vectorize_spark.functions.vector import quantize_table
+
+    vecs = [[0.013 * i - 1.1 for i in range(16)], [3.0, 3.0, 3.0], [-1.0, 1.0]]
+    a = _q(spark, vecs).orderBy("id").collect()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    b = quantize_table(df, "v", keep_cols=["id"]).orderBy("id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["codes"] == rb["codes"]
+        assert ra["mn"] == rb["mn"] and ra["mx"] == rb["mx"]
