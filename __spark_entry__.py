@@ -635,6 +635,76 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attached to the user's most recent prior
+    purchase (point-in-time attribution). Single-shuffle union+window
+    shape — never the O(n·m)-per-key range-join plan."""
+    from pg_vectorize_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["value"],
+        right_tie="event_id",
+    )
+    # sentinel-fill the no-match rows: null timestamps hash/compare
+    # inconsistently across engine->pandas paths (NaT != NaT)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("ts_right"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("purchase_ts"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe as-of shape: partitioned by (user, 1-day bucket)
+    with cross-bucket carry-ins, plus a 6-hour staleness tolerance.
+    Same semantics as `asof_join_events` restricted to fresh matches."""
+    from pg_vectorize_spark.operators.asof import asof_join_bucketed
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join_bucketed(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        bucket_seconds=86_400.0,
+        right_cols=["value"],
+        right_tie="event_id",
+        tolerance_seconds=6 * 3600.0,
+    )
+    # sentinel-fill the no-match rows: null timestamps hash/compare
+    # inconsistently across engine->pandas paths (NaT != NaT)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("ts_right"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("purchase_ts"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("purchase_value"),
+    )
+
+
 def q_collect_changed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: trigger-style array_agg of changed pkeys per micro-batch.
 
@@ -920,6 +990,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed_agg": q_events_windowed_agg,
     "incremental_scan_events": q_incremental_scan_events,
     "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_join_bucketed": q_asof_join_bucketed,
     "collect_changed_ids": q_collect_changed_ids,
     "json_rows": q_json_rows,
     "append_method_scan": q_append_method_scan,
@@ -1827,6 +1899,38 @@ s AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY 1, 2
+""",
+    "asof_join_events": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS rid, user_id, ts AS r_ts, value AS r_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       coalesce(r.r_ts, TIMESTAMP '1970-01-01') AS purchase_ts,
+       coalesce(r.r_value, -1.0) AS purchase_value
+FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.r_ts <= l.ts
+QUALIFY row_number() OVER (
+  PARTITION BY l.event_id
+  ORDER BY r.r_ts DESC NULLS LAST, r.rid DESC NULLS LAST) = 1
+""",
+    "asof_join_bucketed": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS rid, user_id, ts AS r_ts, value AS r_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       coalesce(r.r_ts, TIMESTAMP '1970-01-01') AS purchase_ts,
+       coalesce(r.r_value, -1.0) AS purchase_value
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id AND r.r_ts <= l.ts
+ AND r.r_ts >= l.ts - INTERVAL 6 HOUR
+QUALIFY row_number() OVER (
+  PARTITION BY l.event_id
+  ORDER BY r.r_ts DESC NULLS LAST, r.rid DESC NULLS LAST) = 1
 """,
     "collect_changed_ids": """
 WITH c AS (
