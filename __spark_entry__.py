@@ -296,6 +296,19 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs.select("doc_id"), "doc_id")
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing by language: en replicated
+    2.5x (multi-epoch), fr/es downsampled, zh dropped. Zero-shuffle
+    projection + generator explode (operators/curate.weighted_mix)."""
+    from pg_vectorize_spark.operators.curate import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_mix(
+        docs.select("doc_id", "lang"), "doc_id", "lang", MIX_WEIGHTS
+    )
+    return out.select("doc_id", "lang", "copy_idx")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/curate.domain_cap): at most 40
     docs per `source`, ranked by doc_id. The window shuffles on the domain
@@ -1001,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_bm25": q_fts_bm25,
     "gopher_flags": q_gopher_flags,
     "hash_split": q_hash_split,
+    "corpus_mix": q_corpus_mix,
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "corpus_stats": q_corpus_stats,
@@ -1359,6 +1373,21 @@ def _oracle_hash_split() -> str:
     return f"""
 SELECT d.doc_id, {O.sql_hash_split('d.doc_id', splits)} AS split
 FROM documents d
+"""
+
+
+MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 0.0}
+
+
+def _oracle_corpus_mix() -> str:
+    copies = O.sql_mix_copies("d.doc_id", "d.lang", MIX_WEIGHTS)
+    return f"""
+WITH c AS (
+  SELECT d.doc_id, d.lang, {copies} AS n_copies
+  FROM documents d
+)
+SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx
+FROM c WHERE n_copies >= 1
 """
 
 
@@ -1965,6 +1994,7 @@ WHERE emb_updated_at IS NULL
     "fts_bm25": _oracle_fts_bm25(),
     "gopher_flags": _oracle_gopher_flags(),
     "hash_split": _oracle_hash_split(),
+    "corpus_mix": _oracle_corpus_mix(),
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
     "corpus_stats": _oracle_corpus_stats(),

@@ -347,9 +347,16 @@ def sql_gopher_flags(
     return flags
 
 
+def sql_split_bucket(key: str, buckets: int = 10_000, salt: str = "") -> str:
+    """operators/curate.bucket_expr — Fibonacci-mixed uniform bucket."""
+    salted = f"(({key})::VARCHAR || {salt!r})" if salt else f"({key})::VARCHAR"
+    mixed = f"(({sql_poly_hash(salted)} * 2654435761) % 4294967296)"
+    return f"(({mixed} * {buckets}) >> 32)"
+
+
 def sql_hash_split(key: str, splits, buckets: int = 10_000) -> str:
     """operators/curate.hash_split_expr — cumulative bucket CASE."""
-    bucket = f"({sql_poly_hash(f'({key})::VARCHAR')} % {buckets})"
+    bucket = sql_split_bucket(key, buckets)
     cum = 0.0
     whens = []
     for name, frac in list(splits)[:-1]:
@@ -360,6 +367,28 @@ def sql_hash_split(key: str, splits, buckets: int = 10_000) -> str:
     if not whens:
         return f"'{last}'"
     return f"(CASE {' '.join(whens)} ELSE '{last}' END)"
+
+
+def sql_mix_copies(
+    key: str,
+    strata: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10_000,
+    salt: str = "|mix",
+) -> str:
+    """operators/curate.weighted_mix — per-row copy count expression."""
+    bucket = sql_split_bucket(key, buckets, salt=salt)
+
+    def case(value_of) -> str:
+        whens = " ".join(
+            f"WHEN '{k}' THEN {value_of(w)}" for k, w in weights.items()
+        )
+        return f"(CASE {strata} {whens} ELSE {value_of(default_weight)} END)"
+
+    base = case(lambda w: int(w))
+    cut = case(lambda w: int(round((w - int(w)) * buckets)))
+    return f"({base} + (CASE WHEN {bucket} < {cut} THEN 1 ELSE 0 END))"
 
 
 def sql_pii_counts(text: str) -> dict[str, str]:

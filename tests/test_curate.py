@@ -195,3 +195,79 @@ class TestCorpusStats:
             )
         )
         assert a == b
+
+
+class TestWeightedMix:
+    def _docs(self, spark):
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+        return spark.createDataFrame(rows, "id long, stratum string")
+
+    def test_multiplicity_bounds_and_expectation(self, spark):
+        from pg_vectorize_spark.operators.curate import weighted_mix
+
+        df = self._docs(spark)
+        w = {"a": 2.5, "b": 0.5, "c": 0.0}
+        out = weighted_mix(df, "id", "stratum", w)
+        per = {
+            r["stratum"]: r["n"]
+            for r in out.groupBy("stratum").count().withColumnRenamed("count", "n").collect()
+        }
+        assert "c" not in per  # weight 0 drops the stratum
+        # every 'a' row appears 2 or 3 times; expectation ~2.5 * 100
+        a_counts = [
+            r["n"]
+            for r in out.filter("stratum = 'a'").groupBy("id").count()
+            .withColumnRenamed("count", "n").collect()
+        ]
+        assert set(a_counts) <= {2, 3}
+        assert 200 <= per["a"] <= 300
+        # 'b' rows appear at most once, roughly half
+        assert 25 <= per["b"] <= 75
+
+    def test_deterministic_across_partitioning(self, spark):
+        from pg_vectorize_spark.operators.curate import weighted_mix
+
+        df = self._docs(spark)
+        w = {"a": 1.5, "b": 0.25}
+        one = weighted_mix(df.coalesce(1), "id", "stratum", w)
+        many = weighted_mix(df.repartition(13), "id", "stratum", w)
+        assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+    def test_zero_shuffle_plan(self, spark):
+        from pg_vectorize_spark.operators.curate import weighted_mix
+
+        df = self._docs(spark)
+        out = weighted_mix(df, "id", "stratum", {"a": 2.0})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_decorrelated_from_hash_split(self, spark):
+        """A 0.5-weight sample must not align with split membership."""
+        from pg_vectorize_spark.operators.curate import hash_split, weighted_mix
+
+        df = self._docs(spark)
+        sampled = weighted_mix(df, "id", "stratum", {}, default_weight=0.5)
+        splits = hash_split(sampled, "id")
+        frac_train = splits.filter("split = 'train'").count() / splits.count()
+        assert 0.7 <= frac_train <= 0.9  # ~0.8, not 0 or 1
+
+    def test_negative_weight_raises(self, spark):
+        from pg_vectorize_spark.operators.curate import weighted_mix
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            weighted_mix(self._docs(spark), "id", "stratum", {"a": -1.0})
+
+
+def test_hash_split_uniform_on_short_integer_keys(spark):
+    """Regression: raw poly_hash % buckets concentrated 3-digit keys in
+    one band (37% 'train' from an 80% cut); the Fibonacci-mixed bucket
+    must hold fractions on exactly the key shapes the gate uses."""
+    from pg_vectorize_spark.operators.curate import hash_split
+
+    df = spark.range(300).withColumnRenamed("id", "k")
+    frac = (
+        hash_split(df, "k").filter("split = 'train'").count() / 300.0
+    )
+    assert 0.75 <= frac <= 0.85
