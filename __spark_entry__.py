@@ -718,6 +718,40 @@ def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every click inside any purchase's 2-hour
+    attribution window, per user. Bucketed equi-join on (user, 2h time
+    bucket) + exact containment recheck — never a nested-loop pair scan
+    (operators/asof.interval_join)."""
+    from pg_vectorize_spark.operators.asof import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_eid"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    out = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        point_ts="ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        bucket_seconds=7200.0,
+    )
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("win_start"))
+    ).cast("double") / F.lit(1_000_000.0)
+    return out.select(
+        "event_id", "purchase_eid", "user_id", gap.alias("gap_sec")
+    )
+
+
 def q_collect_changed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: trigger-style array_agg of changed pkeys per micro-batch.
 
@@ -1005,6 +1039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "asof_join_events": q_asof_join_events,
     "asof_join_bucketed": q_asof_join_bucketed,
+    "attribution_window_join": q_attribution_window_join,
     "collect_changed_ids": q_collect_changed_ids,
     "json_rows": q_json_rows,
     "append_method_scan": q_append_method_scan,
@@ -1943,6 +1978,14 @@ FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.r_ts <= l.ts
 QUALIFY row_number() OVER (
   PARTITION BY l.event_id
   ORDER BY r.r_ts DESC NULLS LAST, r.rid DESC NULLS LAST) = 1
+""",
+    "attribution_window_join": """
+SELECT l.event_id, r.event_id AS purchase_eid, l.user_id,
+       ((epoch_us(l.ts) - epoch_us(r.ts))::DOUBLE / 1000000.0) AS gap_sec
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 2 HOUR
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
 """,
     "asof_join_bucketed": """
 WITH l AS (

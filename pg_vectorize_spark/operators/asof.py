@@ -269,3 +269,57 @@ def asof_join_bucketed(
         m[c].alias(names[c]) for c in rcols
     ]
     return lefts.select(*out_left, *attached)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: float,
+) -> DataFrame:
+    """All (point, interval) pairs with ``start <= point_ts <= end`` per
+    key — e.g. attribution windows, outage overlays, label windows.
+
+    Expressing this directly (``l.k = r.k AND l.ts BETWEEN r.s AND r.e``)
+    gives an equi-join whose inequality post-filter still pairs every
+    point with every interval of its key — quadratic on hot keys (and
+    with no key at all, a BroadcastNestedLoopJoin). Here each point maps
+    to ONE time bucket, each interval explodes to the buckets it spans,
+    and the join is a plain equi-join on (key, bucket) + exact recheck.
+    Each qualifying pair appears exactly once (a point lives in exactly
+    one bucket). Pick Δ near the typical interval length: fan-out is
+    ceil(len/Δ)+1 rows per interval, while an over-small Δ multiplies
+    the interval side.
+
+    Point and interval column names must be disjoint (keys excepted) —
+    rename before joining.
+    """
+    keys = _keys(on)
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    p_dt = points.schema[point_ts].dataType
+    s_dt = intervals.schema[start_ts].dataType
+    e_dt = intervals.schema[end_ts].dataType
+
+    def bkt(col: Column, dtype: T.DataType) -> Column:
+        return F.floor(_ts_seconds(col, dtype) / F.lit(float(bucket_seconds)))
+
+    pb = points.withColumn("_bkt", bkt(F.col(point_ts), p_dt))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(bkt(F.col(start_ts), s_dt), bkt(F.col(end_ts), e_dt))
+        ),
+    )
+    return (
+        pb.join(ib, [*keys, "_bkt"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_bkt")
+    )

@@ -166,3 +166,85 @@ def test_no_cartesian_in_plan(frames):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIntervalJoin:
+    def _data(self, spark):
+        points = spark.createDataFrame(
+            [
+                (1, "k", 10.0),
+                (2, "k", 25.0),
+                (3, "k", 100.0),
+                (4, "z", 10.0),   # key with no intervals
+            ],
+            "pid long, k string, t double",
+        )
+        intervals = spark.createDataFrame(
+            [
+                (10, "k", 5.0, 10.0),    # boundary: end == point 1's t
+                (11, "k", 10.0, 30.0),   # overlaps points 1 and 2
+                (12, "k", 90.0, 350.0),  # spans many buckets
+                (13, "q", 0.0, 1000.0),  # other key
+            ],
+            "iid long, k string, s double, e double",
+        )
+        return points, intervals
+
+    def test_containment_pairs(self, spark):
+        from pg_vectorize_spark.operators.asof import interval_join
+
+        points, intervals = self._data(spark)
+        for delta in (7.0, 20.0, 1000.0):
+            out = interval_join(
+                points, intervals, on="k", point_ts="t",
+                start_ts="s", end_ts="e", bucket_seconds=delta,
+            )
+            pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
+            assert pairs == [(1, 10), (1, 11), (2, 11), (3, 12)], f"delta={delta}"
+
+    def test_matches_naive_condition_join(self, spark):
+        import random
+
+        from pg_vectorize_spark.operators.asof import interval_join
+
+        rng = random.Random(11)
+        pts = [(i, f"u{rng.randrange(4)}", rng.uniform(0, 500)) for i in range(120)]
+        its = []
+        for i in range(60):
+            s = rng.uniform(0, 480)
+            its.append((i, f"u{rng.randrange(4)}", s, s + rng.uniform(0, 60)))
+        points = spark.createDataFrame(pts, "pid long, k string, t double")
+        intervals = spark.createDataFrame(its, "iid long, k string, s double, e double")
+        naive = points.join(
+            intervals,
+            (points.k == intervals.k)
+            & (points.t >= intervals.s)
+            & (points.t <= intervals.e),
+        )
+        want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+        out = interval_join(
+            points, intervals, on="k", point_ts="t",
+            start_ts="s", end_ts="e", bucket_seconds=25.0,
+        )
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        assert got == want
+
+    def test_rejects_column_clash(self, spark):
+        from pg_vectorize_spark.operators.asof import interval_join
+
+        points, _ = self._data(spark)
+        bad = points.withColumnRenamed("pid", "iid")
+        _, intervals = self._data(spark)
+        with pytest.raises(ValueError, match="overlapping"):
+            interval_join(bad, intervals, on="k", point_ts="t",
+                          start_ts="s", end_ts="e", bucket_seconds=10.0)
+
+    def test_equi_join_plan(self, spark):
+        from pg_vectorize_spark.operators.asof import interval_join
+
+        points, intervals = self._data(spark)
+        out = interval_join(points, intervals, on="k", point_ts="t",
+                            start_ts="s", end_ts="e", bucket_seconds=10.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
