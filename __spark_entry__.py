@@ -334,6 +334,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, "doc_id", "text", k=3)
 
 
+def q_embedding_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation 64->16 + renormalize
+    (functions/vector.truncate_normalize_table); scalar projections
+    (prefix norm, retained-energy fraction, unit-vector fold) so the
+    harness hashes the normalized output."""
+    emb = _t(spark, sf_dir, "embeddings")
+    t = V.truncate_normalize_table(emb, "embedding", k=16, keep_cols=["vec_id"])
+    sum_unit = F.when(
+        F.col("norm_k") > 0,
+        F.aggregate(
+            F.col("unit"), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    ).otherwise(F.lit(0.0))
+    energy = F.when(
+        F.col("norm_full") > 0, F.col("norm_k") / F.col("norm_full")
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        "vec_id",
+        F.col("norm_k"),
+        energy.alias("energy_frac"),
+        sum_unit.alias("sum_unit"),
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embeddings table
     (functions/vector.quantize_exprs): per-vector affine codes — the 4x
@@ -1054,6 +1078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "corpus_stats": q_corpus_stats,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_truncate": q_embedding_truncate,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_transitive": q_dedup_transitive,
@@ -1484,6 +1509,34 @@ SELECT vec_id, mn, mx,
             (acc, x) -> acc + x) / len(vd)::DOUBLE
         ELSE 0.0 END) AS recon_err
 FROM qc
+"""
+
+
+def _oracle_embedding_truncate() -> str:
+    # mirrors truncate_normalize_table: same staged folds, same order
+    sq = "list_reduce(list_prepend(0.0::DOUBLE, list_transform({v}, x -> x*x)), (a, x) -> a + x)"
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS vd
+  FROM embeddings e
+),
+s AS MATERIALIZED (
+  SELECT vec_id, vd, vd[1:16] AS tv FROM v
+),
+n AS MATERIALIZED (
+  SELECT vec_id, tv,
+         sqrt({sq.format(v='tv')}) AS norm_k,
+         sqrt({sq.format(v='vd')}) AS norm_full
+  FROM s
+)
+SELECT vec_id, norm_k,
+       (CASE WHEN norm_full > 0 THEN norm_k / norm_full ELSE 0.0 END)
+         AS energy_frac,
+       (CASE WHEN norm_k > 0 THEN
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(tv, x -> x / norm_k)), (a, x) -> a + x)
+        ELSE 0.0 END) AS sum_unit
+FROM n
 """
 
 
@@ -2042,6 +2095,7 @@ WHERE emb_updated_at IS NULL
     "decontaminate": _oracle_decontaminate(),
     "corpus_stats": _oracle_corpus_stats(),
     "embedding_quantize": _oracle_embedding_quantize(),
+    "embedding_truncate": _oracle_embedding_truncate(),
     "quality_filter": f"""
 WITH q AS (
   SELECT doc_id, lang, {O.sql_quality_score('text')} AS quality_score

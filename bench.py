@@ -65,6 +65,9 @@ def main() -> None:
         "minhash_jaccard_estimate",
         "fts_bm25",
         "decontaminate",
+        "asof_join_events",
+        "attribution_window_join",
+        "corpus_mix",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the

@@ -237,3 +237,44 @@ def quantize_table(
     return base.select(
         *keep, F.col("_vd"), codes.alias("codes"), F.col("mn"), F.col("mx")
     )
+
+
+def truncate_normalize_table(
+    df, vec_col: str, k: int, keep_cols: Sequence[str] | None = None
+):
+    """Matryoshka-style truncation: keep the first ``k`` dims, renormalize
+    to unit length — the storage/serving tier trick for MRL-trained
+    embeddings (a 64->16 cut is 4x less vector I/O at query time).
+
+    Output columns: keep_cols…, ``unit`` (the renormalized prefix),
+    ``norm_k`` (prefix L2 norm), ``norm_full`` (full L2 norm) —
+    ``norm_k/norm_full`` is the retained-energy fraction, the quality
+    metric to monitor when picking k.
+
+    Same staging discipline as ``quantize_table``: the norms materialize
+    as real columns BEFORE the per-element division, so the interpreted
+    higher-order function never re-evaluates an O(d) fold per element.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keep = list(keep_cols) if keep_cols is not None else list(df.columns)
+    v = _as_double_array(F.col(vec_col))
+    sliced = df.select(
+        *keep, F.slice(v, 1, k).alias("_tv"), v.alias("_vd")
+    )
+    sq_sum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    normed = sliced.select(
+        *keep,
+        "_tv",
+        F.sqrt(sq_sum(F.col("_tv"))).alias("norm_k"),
+        F.sqrt(sq_sum(F.col("_vd"))).alias("norm_full"),
+    )
+    unit = F.when(
+        F.col("norm_k") > 0,
+        F.transform(F.col("_tv"), lambda x: x / F.col("norm_k")),
+    ).otherwise(F.col("_tv"))
+    return normed.select(
+        *keep, unit.alias("unit"), F.col("norm_k"), F.col("norm_full")
+    )

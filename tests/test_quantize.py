@@ -115,3 +115,55 @@ def test_quantize_table_matches_exprs(spark):
     for ra, rb in zip(a, b):
         assert ra["codes"] == rb["codes"]
         assert ra["mn"] == rb["mn"] and ra["mx"] == rb["mx"]
+
+
+class TestTruncateNormalize:
+    def test_unit_norm_and_energy(self, spark):
+        import math
+
+        from pg_vectorize_spark.functions.vector import truncate_normalize_table
+
+        vecs = [
+            [3.0, 4.0, 0.0, 0.0],
+            [1.0, 1.0, 1.0, 1.0],
+            [0.0, 0.0, 5.0, 5.0],  # zero prefix: stays zero, energy 0
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+        )
+        out = {
+            r["id"]: r
+            for r in truncate_normalize_table(df, "v", k=2, keep_cols=["id"]).collect()
+        }
+        assert out[0]["unit"] == [0.6, 0.8]
+        assert math.isclose(out[0]["norm_k"] / out[0]["norm_full"], 1.0)
+        assert math.isclose(
+            sum(x * x for x in out[1]["unit"]), 1.0, rel_tol=1e-12
+        )
+        assert math.isclose(
+            out[1]["norm_k"] / out[1]["norm_full"], math.sqrt(0.5), rel_tol=1e-12
+        )
+        assert out[2]["unit"] == [0.0, 0.0]
+        assert out[2]["norm_k"] == 0.0
+
+    def test_energy_monotonic_in_k(self, spark):
+        from pg_vectorize_spark.functions.vector import truncate_normalize_table
+
+        df = spark.createDataFrame(
+            [(0, [float(i) for i in range(8, 0, -1)])], "id long, v array<double>"
+        )
+        fracs = []
+        for k in (2, 4, 6, 8):
+            r = truncate_normalize_table(df, "v", k=k, keep_cols=["id"]).collect()[0]
+            fracs.append(r["norm_k"] / r["norm_full"])
+        assert fracs == sorted(fracs)
+        assert abs(fracs[-1] - 1.0) < 1e-12
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from pg_vectorize_spark.functions.vector import truncate_normalize_table
+
+        df = spark.createDataFrame([(0, [1.0])], "id long, v array<double>")
+        with _pytest.raises(ValueError):
+            truncate_normalize_table(df, "v", k=0)
