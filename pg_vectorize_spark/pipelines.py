@@ -126,6 +126,54 @@ class CorpusPipeline:
             df = df.withColumn("lang_pred", lang_id_expr(F.col(self.text_col)))
         return self._derive(df.filter(F.col("lang_pred") == lang))
 
+    # ------------------------------------------------------------ curation
+
+    def split(
+        self,
+        splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    ) -> "CorpusPipeline":
+        """Deterministic train/val/test labels (operators/curate.hash_split)."""
+        from pg_vectorize_spark.operators.curate import hash_split
+
+        return self._derive(hash_split(self._df, self.pkey, splits))
+
+    def mix(
+        self,
+        strata_col: str,
+        weights: dict[str, float],
+        default_weight: float = 1.0,
+    ) -> "CorpusPipeline":
+        """Weighted source mixing (operators/curate.weighted_mix): rows
+        appear with expected multiplicity = their stratum's weight."""
+        from pg_vectorize_spark.operators.curate import weighted_mix
+
+        return self._derive(
+            weighted_mix(
+                self._df, self.pkey, strata_col, weights, default_weight
+            )
+        )
+
+    def cap_domain(self, domain_col: str, cap: int) -> "CorpusPipeline":
+        from pg_vectorize_spark.operators.curate import domain_cap
+
+        return self._derive(domain_cap(self._df, self.pkey, domain_col, cap))
+
+    def decontaminate(self, bench_df: DataFrame, k: int = 5) -> "CorpusPipeline":
+        """Drop docs sharing any word k-gram with a benchmark set."""
+        from pg_vectorize_spark.operators.curate import contamination_flags
+
+        flagged = contamination_flags(
+            self._df, bench_df, self.pkey, self.text_col, k=k
+        ).select(self.pkey)
+        return self._derive(self._df.join(flagged, self.pkey, "left_anti"))
+
+    def filter_gopher(self, min_words: int = 20) -> "CorpusPipeline":
+        """Keep only docs passing the Gopher quality rules."""
+        from pg_vectorize_spark.functions.text import gopher_flags_exprs
+
+        flags = gopher_flags_exprs(F.col(self.text_col), min_words=min_words)
+        return self._derive(self._df.filter(flags["pass_gopher"]))
+
     # ------------------------------------------------------------ dedup
 
     def duplicate_pairs(

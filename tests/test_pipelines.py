@@ -89,3 +89,43 @@ def test_embed_and_ann_roundtrip(spark, pipe):
 def test_unknown_dedup_method(pipe):
     with pytest.raises(ValueError):
         pipe.dedup("nope")
+
+
+def test_curation_steps(spark, pipe):
+    # split labels every row
+    labeled = pipe.split().df()
+    assert labeled.filter("split not in ('train','val','test')").count() == 0
+    # mix by a strata column (doc parity: weight 2 doubles, 0 drops)
+    strat = pipe.df().withColumn(
+        "bucket", (pipe.df().doc_id % 2 == 0).cast("string")
+    )
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    mixed = CorpusPipeline(spark, strat).mix(
+        "bucket", {"true": 2.0, "false": 0.0}
+    ).df()
+    assert mixed.filter("bucket = 'false'").count() == 0
+    assert mixed.filter("bucket = 'true'").count() == 6  # 3 docs x2
+    # domain cap
+    capped = CorpusPipeline(spark, strat).cap_domain("bucket", 1).df()
+    assert capped.count() == 2
+    # decontamination drops the near-identical docs sharing 5-grams
+    bench = spark.createDataFrame(
+        [(99, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    clean = pipe.decontaminate(bench).df()
+    assert {r["doc_id"] for r in clean.collect()} == {4, 5, 6}
+    # gopher filter agrees with the flag expression it wraps
+    from pyspark.sql import functions as F
+
+    from pg_vectorize_spark.functions.text import gopher_flags_exprs
+
+    ok = {r["doc_id"] for r in pipe.filter_gopher(min_words=5).df().collect()}
+    want = {
+        r["doc_id"]
+        for r in pipe.df()
+        .filter(gopher_flags_exprs(F.col("text"), min_words=5)["pass_gopher"])
+        .collect()
+    }
+    assert ok == want
