@@ -309,6 +309,27 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "copy_idx")
 
 
+def q_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (tokenizer-training word-count pre-pass):
+    two-stage algebraic aggregate + deterministic TakeOrdered
+    (operators/curate.vocabulary)."""
+    from pg_vectorize_spark.operators.curate import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", "doc_id", top_n=100)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score: per-doc mean unigram log-likelihood
+    under the corpus's own word distribution; libm logs in one Arrow
+    batch + integer nano-log sums keep it bit-exact and shuffle-order
+    free (operators/curate.unigram_logprob)."""
+    from pg_vectorize_spark.operators.curate import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/curate.domain_cap): at most 40
     docs per `source`, ranked by doc_id. The window shuffles on the domain
@@ -1074,6 +1095,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_flags": q_gopher_flags,
     "hash_split": q_hash_split,
     "corpus_mix": q_corpus_mix,
+    "vocabulary_topk": q_vocabulary_topk,
+    "unigram_logprob": q_unigram_logprob,
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "corpus_stats": q_corpus_stats,
@@ -1448,6 +1471,40 @@ WITH c AS (
 )
 SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx
 FROM c WHERE n_copies >= 1
+"""
+
+
+def _oracle_vocabulary_topk() -> str:
+    return f"""
+WITH w AS (
+  SELECT d.doc_id, unnest({O.sql_words('d.text')}) AS word FROM documents d
+)
+SELECT word, count(*)::BIGINT AS n, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM w GROUP BY word ORDER BY n DESC, word LIMIT 100
+"""
+
+
+def _oracle_unigram_logprob() -> str:
+    # mirrors operators/curate.unigram_logprob: libm ln both sides,
+    # floor into nano-log BIGINTs, exact integer doc sums
+    return f"""
+WITH w AS (
+  SELECT d.doc_id, unnest({O.sql_words('d.text')}) AS word FROM documents d
+),
+v AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM v),
+lp AS (
+  SELECT word,
+         floor(ln(n::DOUBLE / total) * 1000000000.0)::BIGINT AS lp9
+  FROM v, tot
+),
+per AS (
+  SELECT w.doc_id, sum(lp9)::BIGINT AS s, count(*)::BIGINT AS n_words
+  FROM w JOIN lp USING (word) GROUP BY w.doc_id
+)
+SELECT doc_id, n_words,
+       ((s::DOUBLE / 1000000000.0) / n_words::DOUBLE) AS mean_logprob
+FROM per
 """
 
 
@@ -2091,6 +2148,8 @@ WHERE emb_updated_at IS NULL
     "gopher_flags": _oracle_gopher_flags(),
     "hash_split": _oracle_hash_split(),
     "corpus_mix": _oracle_corpus_mix(),
+    "vocabulary_topk": _oracle_vocabulary_topk(),
+    "unigram_logprob": _oracle_unigram_logprob(),
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
     "corpus_stats": _oracle_corpus_stats(),

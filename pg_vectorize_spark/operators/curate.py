@@ -254,3 +254,103 @@ def weighted_mix(
         )
         .drop("_copies")
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: (word, n, n_docs) — the word-count pre-pass of
+    tokenizer training (BPE/unigram-LM start from exactly this table).
+
+    Two-stage hash aggregate on the word key (count/count-distinct are
+    algebraic: map-side combiners absorb the Zipf head before the
+    shuffle). ``top_n`` ranks by (n desc, word asc) — a deterministic
+    TakeOrdered, never a global sort.
+    """
+    from pg_vectorize_spark.functions.text import raw_words_expr
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    words = ensure_min_partitions(df).select(
+        F.col(pkey), F.explode(raw_words_expr(F.col(text_col))).alias("word")
+    )
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(pkey)).alias("n_docs"),
+    )
+    if top_n is not None:
+        vocab = vocab.orderBy(F.desc("n"), F.asc("word")).limit(top_n)
+    return vocab
+
+
+LOGPROB_SCALE = 1_000_000_000  # 1e9: nano-log units
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    word distribution — the classic perplexity-style quality filter
+    (docs far below the corpus mean read as noise/boilerplate/garble).
+
+    Output: (pkey, n_words, mean_logprob); zero-word docs are absent.
+
+    Float discipline: per-word log p comes from ONE vectorized Arrow
+    batch over the vocabulary (Python's libm ``log`` — bit-identical to
+    DuckDB's ``ln``; JVM Math.log is 1 ulp off on some inputs), then is
+    floored into integer nano-log units, so the per-doc sum is an exact
+    BIGINT aggregate — associative, shuffle-order-free — and only the
+    final mean divides back into float64. Worst case fits comfortably:
+    |log p| < 50 -> 5e10 nano-units/word, 1e6-word doc -> 5e16 << 2^63.
+
+    Shape: one shuffle on word (vocab count), one equi-join of postings
+    to per-word logprob (build side has one row per key: Zipf-head skew
+    is partition imbalance, not fanout — AQE splits it), one shuffle on
+    pkey for the doc sum.
+    """
+    import math as _math
+
+    from pg_vectorize_spark.functions.text import raw_words_expr
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    words = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(pkey), F.explode(raw_words_expr(F.col(text_col))).alias("word")
+        )
+        .localCheckpoint(eager=False)  # read twice: vocab + scoring join
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("_n"))
+    total = vocab.agg(F.sum("_n").alias("_total"))
+    _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
+    lp = (
+        vocab.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp9",
+            F.floor(
+                _ln(F.col("_n").cast("double") / F.col("_total").cast("double"))
+                * F.lit(float(LOGPROB_SCALE))
+            ).cast("long"),
+        )
+        .select("word", "_lp9")
+    )
+    per = (
+        words.join(lp, "word")
+        .groupBy(pkey)
+        .agg(
+            F.sum("_lp9").alias("_s"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return per.select(
+        pkey,
+        "n_words",
+        (
+            (F.col("_s").cast("double") / F.lit(float(LOGPROB_SCALE)))
+            / F.col("n_words").cast("double")
+        ).alias("mean_logprob"),
+    )

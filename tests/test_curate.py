@@ -271,3 +271,56 @@ def test_hash_split_uniform_on_short_integer_keys(spark):
         hash_split(df, "k").filter("split = 'train'").count() / 300.0
     )
     assert 0.75 <= frac <= 0.85
+
+
+class TestVocabularyAndLogprob:
+    DOCS = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "the dog sat on the log"),
+        (3, "zyzzyva qwerty xylophone"),
+        (4, ""),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_vocabulary_counts(self, spark):
+        from pg_vectorize_spark.operators.curate import vocabulary
+
+        v = {
+            r["word"]: (r["n"], r["n_docs"])
+            for r in vocabulary(self._df(spark), "text", "doc_id").collect()
+        }
+        assert v["the"] == (5, 2)
+        assert v["cat"] == (2, 1)
+        assert v["sat"] == (2, 2)
+        assert v["zyzzyva"] == (1, 1)
+
+    def test_vocabulary_topn_deterministic(self, spark):
+        from pg_vectorize_spark.operators.curate import vocabulary
+
+        top = vocabulary(self._df(spark), "text", "doc_id", top_n=3).collect()
+        assert [r["word"] for r in top] == ["the", "cat", "on"]  # n desc, word asc
+
+    def test_unigram_logprob_ranks_common_above_rare(self, spark):
+        from pg_vectorize_spark.operators.curate import unigram_logprob
+
+        out = {
+            r["doc_id"]: r
+            for r in unigram_logprob(self._df(spark), "text", "doc_id").collect()
+        }
+        assert 4 not in out  # zero-word doc absent
+        # doc 3 is all hapaxes -> lowest mean log-likelihood
+        assert out[3]["mean_logprob"] < out[1]["mean_logprob"]
+        assert out[3]["mean_logprob"] < out[2]["mean_logprob"]
+        assert out[1]["n_words"] == 8
+        # all logprobs are negative (p < 1 for every word here)
+        assert all(r["mean_logprob"] < 0 for r in out.values())
+
+    def test_unigram_logprob_partition_invariant(self, spark):
+        from pg_vectorize_spark.operators.curate import unigram_logprob
+
+        df = self._df(spark)
+        a = sorted(map(tuple, unigram_logprob(df.coalesce(1), "text", "doc_id").collect()))
+        b = sorted(map(tuple, unigram_logprob(df.repartition(7), "text", "doc_id").collect()))
+        assert a == b  # exact equality incl. float bits
