@@ -167,6 +167,13 @@ class CorpusPipeline:
         ).select(self.pkey)
         return self._derive(self._df.join(flagged, self.pkey, "left_anti"))
 
+    def with_logprob(self) -> "CorpusPipeline":
+        """Attach the unigram-LM quality score (n_words, mean_logprob)."""
+        from pg_vectorize_spark.operators.curate import unigram_logprob
+
+        scores = unigram_logprob(self._df, self.text_col, self.pkey)
+        return self._derive(self._df.join(scores, self.pkey, "left"))
+
     def filter_gopher(self, min_words: int = 20) -> "CorpusPipeline":
         """Keep only docs passing the Gopher quality rules."""
         from pg_vectorize_spark.functions.text import gopher_flags_exprs

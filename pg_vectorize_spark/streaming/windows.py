@@ -213,3 +213,57 @@ def streaming_dedup(
     else:
         deduped = out.dropDuplicates([key])
     return deduped.drop("_content_fp") if by_fingerprint else deduped
+
+
+def streaming_asof_enrich(
+    stream_df: DataFrame,
+    dim_df,
+    on,
+    left_ts: str,
+    checkpoint_dir: str,
+    sink,
+    right_cols=None,
+    tolerance_seconds: float | None = None,
+    right_tie: str | None = None,
+    query_name: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Point-in-time stream enrichment: each event picks up the latest
+    dimension version effective at its EVENT time (operators/asof.asof_join
+    per micro-batch) — the feature-store lookup with no future leakage.
+
+    Why foreachBatch: the as-of window (non-time partitionBy) is not a
+    supported streaming operator, and stream-static joins are equi-only.
+    Per-batch is semantically exact here because enrichment is stateless
+    across events — each event's match depends only on (event, dimension
+    table), never on other events, so micro-batch boundaries are invisible
+    in the result (asserted stream==batch in tests).
+
+    ``dim_df`` is a DataFrame or a zero-arg callable re-evaluated every
+    batch (pass a callable to re-read a slowly-changing snapshot so
+    mid-stream dimension updates take effect at the next batch).
+    ``sink(enriched_df, batch_id)`` receives each enriched micro-batch.
+    """
+    from pg_vectorize_spark.operators.asof import asof_join
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        dims = dim_df() if callable(dim_df) else dim_df
+        enriched = asof_join(
+            batch_df,
+            dims,
+            on=on,
+            left_ts=left_ts,
+            right_cols=right_cols,
+            tolerance_seconds=tolerance_seconds,
+            right_tie=right_tie,
+        )
+        sink(enriched, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

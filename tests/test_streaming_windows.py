@@ -147,3 +147,51 @@ def test_streaming_dedup_drops_in_window_duplicates(spark, tmp_path):
     # batch fallback agrees on the survivor count
     batch = streaming_dedup(spark.read.parquet(src)).collect()
     assert len(batch) == 4
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Stream==batch: per-micro-batch as-of enrichment is exact (stateless
+    across events), so chopping the stream into batches changes nothing."""
+    from datetime import datetime, timedelta
+
+    from pg_vectorize_spark.operators.asof import asof_join
+    from pg_vectorize_spark.streaming.windows import streaming_asof_enrich
+
+    base = datetime(2024, 1, 1)
+    ev_rows = [
+        (i, f"u{i % 3}", base + timedelta(seconds=10 * i)) for i in range(30)
+    ]
+    dim_rows = [
+        (100 + j, f"u{j % 3}", base + timedelta(seconds=25 * j), float(j))
+        for j in range(12)
+    ]
+    events = spark.createDataFrame(ev_rows, "eid long, user string, ts timestamp")
+    dims = spark.createDataFrame(
+        dim_rows, "vid long, user string, ts timestamp, score double"
+    )
+    src = str(tmp_path / "ae_src")
+    # two files -> at least the availableNow run sees multiple splits
+    events.repartition(2).write.parquet(src)
+
+    got = []
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = streaming_asof_enrich(
+        stream,
+        dims,
+        on="user",
+        left_ts="ts",
+        checkpoint_dir=str(tmp_path / "ae_ck"),
+        sink=lambda df, bid: got.extend(df.collect()),
+        right_cols=["score"],
+        right_tie="vid",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    want = asof_join(
+        events, dims, on="user", left_ts="ts",
+        right_cols=["score"], right_tie="vid",
+    ).collect()
+    key = lambda r: (r["eid"], r["ts_right"], r["score"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 30
