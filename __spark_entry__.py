@@ -330,6 +330,26 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "text", "doc_id")
 
 
+def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample: 5 docs per language by hash priority
+    (operators/curate.sample_exact) — the reproducible eval-subset draw."""
+    from pg_vectorize_spark.operators.curate import sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_exact(docs.select("doc_id", "lang"), "doc_id", 5, "lang")
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source || corpus) over word distributions — corpus
+    drift report (operators/curate.source_divergence); libm logs in one
+    Arrow batch + pico-nat integer sums keep it bit-exact."""
+    from pg_vectorize_spark.operators.curate import source_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_divergence(docs, "text", "source")
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/curate.domain_cap): at most 40
     docs per `source`, ranked by doc_id. The window shuffles on the domain
@@ -1097,6 +1117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     "vocabulary_topk": q_vocabulary_topk,
     "unigram_logprob": q_unigram_logprob,
+    "sample_exact": q_sample_exact,
+    "source_divergence": q_source_divergence,
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "corpus_stats": q_corpus_stats,
@@ -1505,6 +1527,44 @@ per AS (
 SELECT doc_id, n_words,
        ((s::DOUBLE / 1000000000.0) / n_words::DOUBLE) AS mean_logprob
 FROM per
+"""
+
+
+def _oracle_sample_exact() -> str:
+    prio = O.sql_sample_priority("d.doc_id")
+    return f"""
+SELECT doc_id, lang, rn::INT AS sample_rank FROM (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY {prio}, d.doc_id) AS rn
+  FROM documents d
+) WHERE rn <= 5
+"""
+
+
+def _oracle_source_divergence() -> str:
+    # mirrors operators/curate.source_divergence: libm ln both sides,
+    # floor into pico-nat BIGINTs, exact integer stratum sums
+    return f"""
+WITH w AS (
+  SELECT d.source AS s, unnest({O.sql_words('d.text')}) AS word
+  FROM documents d
+),
+sc AS (SELECT s, word, count(*)::BIGINT AS csw FROM w GROUP BY s, word),
+cc AS (SELECT word, count(*)::BIGINT AS cw FROM w GROUP BY word),
+st AS (SELECT s, count(*)::BIGINT AS ns FROM w GROUP BY s),
+g AS (SELECT count(*)::BIGINT AS n FROM w),
+terms AS (
+  SELECT sc.s, st.ns,
+         floor((sc.csw::DOUBLE / st.ns::DOUBLE)
+               * ln((sc.csw::DOUBLE / st.ns::DOUBLE)
+                    / (cc.cw::DOUBLE / g.n::DOUBLE))
+               * 1000000000000.0)::BIGINT AS t12
+  FROM sc JOIN cc USING (word) JOIN st USING (s) CROSS JOIN g
+)
+SELECT s AS source, min(ns)::BIGINT AS n_words,
+       (sum(t12)::DOUBLE / 1000000000000.0) AS kl_nats
+FROM terms GROUP BY s
 """
 
 
@@ -2150,6 +2210,8 @@ WHERE emb_updated_at IS NULL
     "corpus_mix": _oracle_corpus_mix(),
     "vocabulary_topk": _oracle_vocabulary_topk(),
     "unigram_logprob": _oracle_unigram_logprob(),
+    "sample_exact": _oracle_sample_exact(),
+    "source_divergence": _oracle_source_divergence(),
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
     "corpus_stats": _oracle_corpus_stats(),

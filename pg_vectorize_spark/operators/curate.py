@@ -354,3 +354,111 @@ def unigram_logprob(
             / F.col("n_words").cast("double")
         ).alias("mean_logprob"),
     )
+
+
+def sample_priority_expr(key: Column, salt: str = "|sample") -> Column:
+    """Deterministic per-row sampling priority in [0, 2^32): the
+    Fibonacci-mixed salted key hash (see ``bucket_expr``); distinct salts
+    give independent orderings."""
+    salted = F.concat(key.cast("string"), F.lit(salt))
+    return (poly_hash_expr(salted) * F.lit(MIX_MULT)) % F.lit(1 << MIX_BITS)
+
+
+def sample_exact(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "|sample",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum (or overall), chosen by
+    hash priority — the reproducible eval-subset / human-review draw.
+    ``weighted_mix`` hits a RATE in expectation; this hits a COUNT
+    exactly, at the cost of a per-stratum window (rank early-outs at k;
+    one giant stratum concentrates on one task — same caveat as
+    ``domain_cap``). Surviving rows carry ``sample_rank`` (1..k by
+    priority, key-tiebroken), so nested draws are prefix-stable:
+    rank <= j for j < k is the same set a k=j call returns.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    part = [strata_col] if strata_col else []
+    prio = sample_priority_expr(F.col(key_col), salt)
+    w = Window.partitionBy(*part).orderBy(prio.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+DIVERGENCE_SCALE = 1_000_000_000_000  # 1e12: pico-nat units per term
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str,
+    strata_col: str,
+) -> DataFrame:
+    """Per-stratum KL(stratum ‖ corpus) over word distributions, in nats
+    — the drift/contamination smoke alarm of a mixed corpus: a source
+    whose language diverges from the blend (template spam, wrong-language
+    dumps, mojibake) shows up as a KL outlier before any model sees it.
+
+    Output: (strata, n_words, kl_nats). Every stratum word appears in the
+    corpus vocabulary by construction, so q(w) > 0 and the sum is finite.
+
+    Float discipline: p, q and p·ln(p/q) are identical expression trees
+    in both engines (libm ``ln`` via one vectorized Arrow batch), each
+    term floors into pico-nat BIGINTs, and the per-stratum sum is exact
+    integer arithmetic — shuffle-order-free. No overflow: the positive
+    terms sum to at most KL <= ln(N) nats (~50e12 pico-nats) and each
+    negative term is bounded by p·ln(q) >= -50, so the running BIGINT
+    total stays around ±5e13·vocab-fraction — orders below 2^63.
+
+    Shape: two word-keyed aggregates (map-side combined), one equi-join
+    on word, one stratum-keyed aggregate. The Arrow batch runs over
+    (stratum, word) rows — the one place Python touches data, and the
+    price of bit-exact log parity with the oracle.
+    """
+    import math as _math
+
+    from pg_vectorize_spark.functions.text import raw_words_expr
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    words = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(strata_col).alias("_s"),
+            F.explode(raw_words_expr(F.col(text_col))).alias("word"),
+        )
+        .localCheckpoint(eager=False)  # read twice: stratum + corpus counts
+    )
+    strat_counts = words.groupBy("_s", "word").agg(
+        F.count(F.lit(1)).alias("_csw")
+    )
+    corpus_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("_cw"))
+    strat_totals = words.groupBy("_s").agg(F.count(F.lit(1)).alias("_ns"))
+    grand = words.agg(F.count(F.lit(1)).alias("_n"))
+
+    _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
+    joined = (
+        strat_counts.join(corpus_counts, "word")
+        .join(strat_totals, "_s")
+        .crossJoin(F.broadcast(grand))
+    )
+    p = F.col("_csw").cast("double") / F.col("_ns").cast("double")
+    q = F.col("_cw").cast("double") / F.col("_n").cast("double")
+    term12 = F.floor(p * _ln(p / q) * F.lit(float(DIVERGENCE_SCALE))).cast(
+        "long"
+    )
+    per = joined.select("_s", F.col("_ns"), term12.alias("_t12"))
+    agg = per.groupBy("_s").agg(
+        F.sum("_t12").alias("_kl12"), F.min("_ns").alias("n_words")
+    )
+    return agg.select(
+        F.col("_s").alias(strata_col),
+        "n_words",
+        (F.col("_kl12").cast("double") / F.lit(float(DIVERGENCE_SCALE))).alias(
+            "kl_nats"
+        ),
+    )

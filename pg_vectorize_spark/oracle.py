@@ -369,6 +369,12 @@ def sql_hash_split(key: str, splits, buckets: int = 10_000) -> str:
     return f"(CASE {' '.join(whens)} ELSE '{last}' END)"
 
 
+def sql_sample_priority(key: str, salt: str = "|sample") -> str:
+    """operators/curate.sample_priority_expr — mixed hash in [0, 2^32)."""
+    salted = sql_poly_hash(f"(({key})::VARCHAR || {salt!r})")
+    return f"(({salted} * 2654435761) % 4294967296)"
+
+
 def sql_mix_copies(
     key: str,
     strata: str,

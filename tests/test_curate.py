@@ -324,3 +324,75 @@ class TestVocabularyAndLogprob:
         a = sorted(map(tuple, unigram_logprob(df.coalesce(1), "text", "doc_id").collect()))
         b = sorted(map(tuple, unigram_logprob(df.repartition(7), "text", "doc_id").collect()))
         assert a == b  # exact equality incl. float bits
+
+
+class TestSampleExact:
+    def _df(self, spark):
+        rows = [(i, ["a", "b"][i % 2]) for i in range(100)]
+        return spark.createDataFrame(rows, "id long, stratum string")
+
+    def test_exact_counts_and_prefix_stability(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_exact
+
+        df = self._df(spark)
+        s5 = sample_exact(df, "id", 5, "stratum")
+        per = {r["stratum"]: r["count"] for r in s5.groupBy("stratum").count().collect()}
+        assert per == {"a": 5, "b": 5}
+        # nested draws: k=3 is exactly the rank<=3 prefix of k=5
+        s3 = sample_exact(df, "id", 3, "stratum")
+        want = {(r["id"], r["sample_rank"]) for r in s5.filter("sample_rank <= 3").collect()}
+        got = {(r["id"], r["sample_rank"]) for r in s3.collect()}
+        assert got == want
+
+    def test_small_stratum_returns_all(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_exact
+
+        df = spark.createDataFrame([(1, "x"), (2, "x")], "id long, stratum string")
+        assert sample_exact(df, "id", 10, "stratum").count() == 2
+
+    def test_partition_invariant(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_exact
+
+        df = self._df(spark)
+        a = sorted(map(tuple, sample_exact(df.coalesce(1), "id", 7, "stratum").collect()))
+        b = sorted(map(tuple, sample_exact(df.repartition(9), "id", 7, "stratum").collect()))
+        assert a == b
+
+    def test_global_sample_without_strata(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_exact
+
+        assert sample_exact(self._df(spark), "id", 13).count() == 13
+
+
+class TestSourceDivergence:
+    def test_identical_strata_near_zero_and_outlier_large(self, spark):
+        from pg_vectorize_spark.operators.curate import source_divergence
+
+        rows = (
+            [(i, "s1", "the cat sat on the mat") for i in range(10)]
+            + [(100 + i, "s2", "the cat sat on the mat") for i in range(10)]
+            + [(200 + i, "s3", "zorp blee qux flib zorp wug") for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "id long, source string, text string")
+        kl = {r["source"]: r["kl_nats"] for r in source_divergence(df, "text", "source").collect()}
+        # s1/s2 match each other (2/3 of corpus mass): small positive KL
+        assert kl["s1"] == kl["s2"]
+        # s3's vocabulary is disjoint: much larger divergence
+        assert kl["s3"] > kl["s1"] * 2
+        assert all(v >= -1e-9 for v in kl.values())  # KL >= 0 up to flooring
+
+    def test_partition_invariant(self, spark):
+        import random
+
+        from pg_vectorize_spark.operators.curate import source_divergence
+
+        rng = random.Random(3)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = [
+            (i, f"s{i % 3}", " ".join(rng.choice(vocab) for _ in range(20)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "id long, source string, text string")
+        a = sorted(map(tuple, source_divergence(df.coalesce(1), "text", "source").collect()))
+        b = sorted(map(tuple, source_divergence(df.repartition(11), "text", "source").collect()))
+        assert a == b
