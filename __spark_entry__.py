@@ -44,14 +44,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    read nanos as long and convert with exact integer division to the same
-    microsecond value DuckDB produces natively."""
+    """Schema-adaptive events loader: the driver has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (which Spark's reader rejects — read nanos as long and
+    integer-divide to the exact microsecond DuckDB produces) and as a plain
+    TIMESTAMP(MICROS)/NTZ column (use directly). Detect per-file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = raw.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1067,6 +1069,26 @@ def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
+def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON DELETE CASCADE parity (core/src/query.rs:349-354): embeddings
+    rows whose source row was deleted are detected by a keyed anti-join
+    and pruned (SURVEY.md §7 hard-part 2; engine.cleanup_orphans runs this
+    inside every scan_job). Simulated delete: doc_id % 7 == 3 leaves the
+    source; the result is the orphan set the cascade removes."""
+    from pg_vectorize_spark.operators.change import detect_orphans
+
+    src = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 != 3)
+        .select("doc_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    orphans = detect_orphans(emb, src, "doc_id")
+    return orphans.select("doc_id", F.size("embedding").alias("dim"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1131,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "quality_filter": q_quality_filter,
     "dedup_survivors": q_dedup_survivors,
+    "orphan_cleanup": q_orphan_cleanup,
 }
 
 
@@ -2231,6 +2254,16 @@ SELECT d.doc_id, d.n_chars FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
 """,
     "dedup_transitive": _oracle_dedup_transitive(),
+    # cascade-delete parity: orphans = embeddings keys absent from the
+    # post-delete source (doc_id % 7 == 3 simulated-deleted)
+    "orphan_cleanup": """
+SELECT e.vec_id AS doc_id, len(e.embedding)::INT AS dim
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents d
+  WHERE d.doc_id = e.vec_id AND d.doc_id % 7 != 3
+)
+""",
     # mirrors decode_media(fake=True): features = normalized histogram of
     # (byte % 8) over the utf-8 bytes; the corpus is ASCII so byte values
     # equal ascii codes (verified), making the Arrow stub SQL-expressible

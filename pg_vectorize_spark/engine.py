@@ -40,6 +40,7 @@ from pg_vectorize_spark.functions.text import fingerprint_expr, tokens_expr
 from pg_vectorize_spark.operators.change import (
     concat_source_columns,
     detect_changes_join,
+    detect_orphans,
     fetch_by_ids,
 )
 from pg_vectorize_spark.operators.chunk import (
@@ -213,7 +214,42 @@ class VectorizeSession:
                 tokens_expr(content).alias("search_tokens"),
             ).withColumn("updated_at", F.current_timestamp())
             self._tok_ds(job_name).merge_upsert(tokens, pkey)
+        # ON DELETE CASCADE parity (core/src/query.rs:349-354): rows whose
+        # source pkey disappeared must leave the derived datasets too, even
+        # on a scan that embedded nothing — a delete-only cycle is exactly
+        # when the cascade fires.
+        self.cleanup_orphans(job_name, _src=src)
         return n
+
+    def cleanup_orphans(
+        self, job_name: str, _src: DataFrame | None = None
+    ) -> int:
+        """Prune embeddings/search-tokens rows whose source row was deleted
+        — the explicit-anti-join form of the reference's ``FOREIGN KEY ...
+        ON DELETE CASCADE`` (core/src/query.rs:349-354; behavior pinned by
+        the realtime-relational-integrity test,
+        extension/tests/integration_tests.rs:483-555).
+
+        Runs inside every ``scan_job`` cycle and is callable standalone.
+        Returns the number of orphan rows removed across both datasets.
+        Each dataset only rewrites when it actually holds orphans, so the
+        steady-state (no deletes) cost is one keyed anti-join count per
+        dataset, no snapshot churn.
+        """
+        job = self.catalog.get(job_name)
+        src = _src if _src is not None else self._source_df(job)
+        pkey = job.primary_key
+        src_keys = src.select(pkey)
+        removed = 0
+        for ds in (self._emb_ds(job_name), self._tok_ds(job_name)):
+            if not ds.exists():
+                continue
+            orphans = detect_orphans(ds.read(), src_keys, pkey).select(pkey)
+            n = orphans.count()
+            if n:
+                ds.delete_keys(orphans, pkey)
+                removed += n
+        return removed
 
     def handle_update(
         self, job_name: str, record_ids: list, api_key: str | None = None

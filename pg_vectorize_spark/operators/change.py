@@ -71,6 +71,20 @@ def detect_changes_append(
     )
 
 
+def detect_orphans(derived: DataFrame, src: DataFrame, pkey: str) -> DataFrame:
+    """Cascade-delete detection: rows of a derived dataset (embeddings /
+    search-tokens) whose pkey no longer exists in the source.
+
+    The reference gets this for free from ``FOREIGN KEY ... ON DELETE
+    CASCADE`` on the embeddings table (core/src/query.rs:349-354); on a
+    lake there are no FKs, so the cascade becomes an explicit anti-join
+    (SURVEY.md §7 hard-part 2). Scale shape: a keyed anti-join — shuffles
+    on pkey only, no fan-out; at 100 TB both sides prune to the single
+    pkey column before the exchange.
+    """
+    return derived.join(src.select(pkey), pkey, "left_anti")
+
+
 def fetch_by_ids(src: DataFrame, pkey: str, ids: list) -> DataFrame:
     """S3: ``pkey = ANY($1)`` — isin for short lists (broadcast literal)."""
     return src.filter(F.col(pkey).isin(ids))

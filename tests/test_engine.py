@@ -129,6 +129,37 @@ class TestLifecycle:
         assert "embeddings_updated_at" in v.columns
         assert v.count() == 14
 
+    def test_delete_cascade(self, sess, spark, products_path, products_df):
+        """ON DELETE CASCADE parity (core/src/query.rs:349-354; realtime
+        relational integrity, integration_tests.rs:483-555): deleting
+        source rows then scanning prunes their embeddings + tokens, and
+        the view / knn surface shows no ghosts."""
+        _create(sess, products_path)
+        emb = SnapshotDataset(
+            sess.spark, sess._job_dir("prods", "embeddings")
+        )
+        tok = SnapshotDataset(
+            sess.spark, sess._job_dir("prods", "search_tokens")
+        )
+        assert emb.read().count() == 14
+        # delete 4 source rows (keep product_id <= 10)
+        products_df.filter("product_id <= 10").write.mode(
+            "overwrite"
+        ).parquet(products_path)
+        # delete-only cycle: nothing to embed, cascade still fires
+        assert sess.scan_job("prods") == 0
+        assert emb.read().count() == 10
+        assert tok.read().count() == 10
+        ghost = emb.read().filter("product_id > 10").count()
+        assert ghost == 0
+        # view rebuilt over the pruned datasets has no ghosts either
+        v = sess.job_view("prods")
+        assert v.count() == 10
+        # second scan: steady-state, no orphans -> no snapshot churn
+        v_before = emb.current_version()
+        assert sess.cleanup_orphans("prods") == 0
+        assert emb.current_version() == v_before
+
 
 class TestImportAndFrom:
     def test_import_embeddings(self, sess, spark, products_path, tmp_path):
