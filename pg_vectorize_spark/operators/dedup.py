@@ -366,18 +366,37 @@ def simhash_pairs(
     )
 
 
+#: cosine_neardup_pairs refuses inputs above this many rows unless the
+#: caller passes allow_quadratic=True — an n² crossJoin on a real corpus is
+#: never what a pipeline user meant.
+QUADRATIC_ROW_GUARD = 100_000
+
+
 def cosine_neardup_pairs(
     emb_df: DataFrame,
     pkey: str,
     emb_col: str,
     threshold: float = 0.9,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, a_id < b_id.
 
     EXACT n² compare — the verification baseline for the bucketed variant
     below. Only viable on small candidate sets (a single IVF cell, a
     post-LSH bucket); at corpus scale use ``cosine_neardup_pairs_bucketed``.
+    Guarded: inputs over ``QUADRATIC_ROW_GUARD`` rows raise unless
+    ``allow_quadratic=True`` (the count is a cheap columns-pruned scan next
+    to the n² join it prevents).
     """
+    if not allow_quadratic:
+        n = emb_df.select(pkey).limit(QUADRATIC_ROW_GUARD + 1).count()
+        if n > QUADRATIC_ROW_GUARD:
+            raise ValueError(
+                f"cosine_neardup_pairs is an exact n^2 baseline; input has "
+                f">{QUADRATIC_ROW_GUARD} rows. Use "
+                "cosine_neardup_pairs_bucketed for corpus-scale near-dup, "
+                "or pass allow_quadratic=True if this n^2 is intentional."
+            )
     a = emb_df.select(F.col(pkey).alias("a_id"), F.col(emb_col).alias("_va"))
     b = emb_df.select(F.col(pkey).alias("b_id"), F.col(emb_col).alias("_vb"))
     return (
@@ -455,67 +474,111 @@ def cosine_neardup_pairs_bucketed(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Output edges are
+    naturally oriented larger -> smaller (v > u >= m)."""
+    nbr = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = nbr.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        nbr.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges larger -> smaller, then each node
+    re-links its smaller neighbors (and itself) to the smallest of them."""
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = e.join(m, "u").select(F.col("v").alias("n"), "m")
+    selfed = m.select(F.col("u").alias("n"), "m")
+    return (
+        relinked.unionByName(selfed)
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _alternating_cc(
+    edges: DataFrame, max_iterations: int
+) -> tuple[DataFrame, int, bool]:
+    """Alternate large-star/small-star until the edge set is a star forest
+    (every component collapsed onto its minimum). Returns (star_edges
+    oriented leaf -> center, rounds_used, converged)."""
+    for rounds in range(1, max_iterations + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # star test: converged iff no node is both a leaf (source) and a
+        # center (target) — i.e. no 2-hop chain u -> v -> w remains
+        chain = (
+            edges.select("v")
+            .join(edges.select(F.col("u").alias("v")), "v", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if chain == 0:
+            return edges, rounds, True
+    return edges, max_iterations, False
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 50,
     strict: bool = True,
 ) -> DataFrame:
-    """Label propagation over duplicate pairs -> (id, component) with
-    component = min id reachable. The transitive-closure step real dedup
-    needs (pairwise survivors under-merge chains A~B~C).
+    """Duplicate-pair transitive closure -> (id, component) with
+    component = min id reachable. The step real dedup needs when pairwise
+    survivors under-merge chains A~B~C.
 
-    Iterative min-label propagation: each round joins labels across edges
-    and keeps the per-node minimum; stops when no label changes. Classic
-    Spark iterative-algorithm shape — driver loop over DataFrame ops, with
-    localCheckpoint() each round to truncate the exponentially growing
-    lineage (SQL can't express the fixpoint; pytest verifies against a
-    pure-Python BFS oracle).
+    Alternating large-star/small-star (Kiveris et al. 2014): converges in
+    O(log^2 n) rounds regardless of component diameter — a 100 TB corpus
+    with a million-doc boilerplate chain finishes in a handful of shuffle
+    rounds where min-label propagation would need diameter rounds. Each
+    round is keyed groupBy + join (no fan-out beyond node degree), with
+    localCheckpoint() truncating the growing lineage. SQL can't express
+    the fixpoint; pytest verifies against a pure-Python BFS oracle and
+    pins the round count on a 200-node chain.
     """
     edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .union(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-        )
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
-    converged = False
-    for _ in range(max_iterations):
-        # neighbor labels: for each edge, the src's current label offered to dst
-        offered = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), F.col("component"))
-        )
-        new_labels = (
-            labels.unionByName(offered)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+    star, _rounds, converged = _alternating_cc(edges, max_iterations)
     if not converged and strict:
-        # silent non-convergence would under-deduplicate (labels not yet the
-        # component minimum); iterations needed == graph diameter
+        # silent non-convergence would under-deduplicate (some chains not
+        # yet collapsed onto their component minimum)
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "iterations (duplicate-chain diameter exceeds the cap); raise "
-            "max_iterations or pass strict=False to accept partial labels"
+            "rounds; raise max_iterations or pass strict=False to accept "
+            "partial labels"
         )
-    return labels
+    # star edges are leaf -> center; centers (and any singleton node from a
+    # self-pair-only input) label themselves
+    all_nodes = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    leaf_labels = star.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    self_labels = all_nodes.join(
+        star.select(F.col("u").alias("id")), "id", "left_anti"
+    ).withColumn("component", F.col("id"))
+    return leaf_labels.unionByName(self_labels)
 
 
 def dedup_survivors_transitive(

@@ -77,3 +77,24 @@ def test_transitive_survivors(spark):
 def test_empty_pairs(spark):
     pairs = spark.createDataFrame([], "a_id long, b_id long")
     assert connected_components(pairs).count() == 0
+
+
+def test_chain_200_converges_logarithmically(spark):
+    """Scale guard: a 200-node duplicate chain (diameter 199) must collapse
+    in O(log^2 n) large-star/small-star rounds, not O(diameter) — the
+    difference between ~6 and ~200 shuffle rounds on a 100 TB boilerplate
+    chain."""
+    from pg_vectorize_spark.operators.dedup import _alternating_cc
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a_id long, b_id long"
+    )
+    edges = pairs.selectExpr("a_id as u", "b_id as v")
+    star, rounds, converged = _alternating_cc(edges, 12)
+    assert converged, "chain-200 did not converge in 12 rounds"
+    assert rounds <= 8, f"chain-200 took {rounds} rounds (want <= 8)"
+    # and the labels are still exactly right
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(201)}

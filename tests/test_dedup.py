@@ -205,3 +205,25 @@ def test_minhash_jaccard_estimate(spark):
     if (1, 3) in est:  # near-dup: high but below identical
         assert 0.5 <= est[(1, 3)] <= 1.0
     assert all(0.0 <= v <= 1.0 for v in est.values())
+
+
+def test_quadratic_guard(spark, monkeypatch):
+    """The exact n^2 baseline refuses corpus-sized inputs unless the caller
+    explicitly opts in — pipeline users can't accidentally crossJoin 100 TB."""
+    import pytest
+
+    from pg_vectorize_spark.operators import dedup as dd
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "id long, vec array<double>"
+    )
+    monkeypatch.setattr(dd, "QUADRATIC_ROW_GUARD", 10)
+    with pytest.raises(ValueError, match="n\\^2"):
+        dd.cosine_neardup_pairs(emb, "id", "vec")
+    # explicit opt-in still works
+    assert dd.cosine_neardup_pairs(
+        emb, "id", "vec", threshold=0.99, allow_quadratic=True
+    ).count() >= 0
+    # small inputs under the guard are unaffected
+    small = emb.limit(5)
+    assert dd.cosine_neardup_pairs(small, "id", "vec").count() >= 0
