@@ -39,6 +39,11 @@ FETCH_IDS = [3, 14, 159, 265, 358]
 EMBED_DIM = 64
 
 
+#: committed media fixture (real PNG/WAV blobs with closed-form content;
+#: scripts/make_media_fixture.py regenerates it deterministically)
+MEDIA_FIXTURE = "/root/repo/tests/fixtures/media_fixture.parquet"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1055,6 +1060,29 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(feats, "doc_id", "features", threshold=0.999)
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode gate: PNG (zlib inflate + five-filter unfilter)
+    and WAV (PCM) blobs from the committed fixture are decoded by the
+    stdlib codec (multimodal/codec.py) and reduced to amplitude/intensity
+    histograms. The fixture media follow a closed-form pixel/sample
+    formula, so the DuckDB oracle recomputes the histograms analytically
+    from generate_series — verifying the decoder against independent
+    math, not a re-run of itself."""
+    from pg_vectorize_spark.multimodal.binary import decode_media
+
+    media = spark.read.parquet(MEDIA_FIXTURE).select("media_id", "content")
+    decoded = decode_media(
+        media, "content", "media_id", fake=False, n_features=8
+    )
+    return decoded.select(
+        F.col("pkey").alias("media_id"),
+        "width",
+        "height",
+        "n_channels",
+        F.posexplode("features").alias("bucket", "share"),
+    )
+
+
 def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure over jaccard pairs — iterative label
     propagation on the Spark side, oracled by a DuckDB recursive CTE
@@ -1154,6 +1182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "dedup_survivors": q_dedup_survivors,
     "orphan_cleanup": q_orphan_cleanup,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 
@@ -2263,6 +2292,69 @@ WHERE NOT EXISTS (
   SELECT 1 FROM documents d
   WHERE d.doc_id = e.vec_id AND d.doc_id % 7 != 3
 )
+""",
+    # REAL-decode verification: the fixture PNG/WAV blobs follow
+    # px[y,x,c] = (3x+5y+7c+11*seed) % 256 and
+    # s[i,c] = ((37i+13c+17*seed) % 4001) - 2000, so the expected intensity/
+    # amplitude histograms are recomputed here from pure arithmetic —
+    # independent of the zlib/unfilter/PCM code under test
+    "multimodal_decode": """
+WITH m AS MATERIALIZED (
+  SELECT media_id, kind, width, height, channels, seed
+  FROM read_parquet('/root/repo/tests/fixtures/media_fixture.parquet')
+),
+img0 AS (
+  SELECT media_id, channels, seed, height,
+         unnest(range(0, width)) AS x
+  FROM m WHERE kind = 'png'
+),
+img1 AS (
+  SELECT media_id, channels, seed, x, unnest(range(0, height)) AS y
+  FROM img0
+),
+img2 AS (
+  SELECT media_id, channels, x, y, seed, unnest(range(0, channels)) AS c
+  FROM img1
+),
+img AS (
+  SELECT media_id, channels, x, y,
+         SUM((3*x + 5*y + 7*c + 11*seed) % 256) AS s
+  FROM img2 GROUP BY 1, 2, 3, 4
+),
+img_b AS (
+  SELECT media_id, (s * 8) // (256 * channels) AS bucket FROM img
+),
+wav0 AS (
+  SELECT media_id, channels, seed, unnest(range(0, width)) AS i
+  FROM m WHERE kind = 'wav'
+),
+wav1 AS (
+  SELECT media_id, seed, i, unnest(range(0, channels)) AS c FROM wav0
+),
+wav_b AS (
+  SELECT media_id,
+         ((((37*i + 13*c + 17*seed) % 4001) - 2000 + 32768) * 8)
+           // 65536 AS bucket
+  FROM wav1
+),
+allb AS (
+  SELECT media_id, bucket FROM img_b
+  UNION ALL SELECT media_id, bucket FROM wav_b
+),
+counts AS (
+  SELECT media_id, bucket, COUNT(*) AS cnt FROM allb GROUP BY 1, 2
+),
+totals AS (SELECT media_id, SUM(cnt) AS tot FROM counts GROUP BY 1),
+grid AS (
+  SELECT media_id, unnest(range(0, 8)) AS bucket FROM m
+)
+SELECT g.media_id, m.width, m.height, m.channels AS n_channels,
+       g.bucket::INT AS bucket,
+       COALESCE(c.cnt, 0)::DOUBLE / t.tot::DOUBLE AS share
+FROM grid g
+JOIN m ON m.media_id = g.media_id
+JOIN totals t ON t.media_id = g.media_id
+LEFT JOIN counts c ON c.media_id = g.media_id AND c.bucket = g.bucket
 """,
     # mirrors decode_media(fake=True): features = normalized histogram of
     # (byte % 8) over the utf-8 bytes; the corpus is ASCII so byte values

@@ -85,23 +85,39 @@ def decode_media(
     fake: bool = False,
     n_features: int = 8,
 ) -> DataFrame:
-    """Decode stub behind the real Arrow plumbing.
+    """Media decode behind Arrow plumbing (one batch in, one out).
 
-    Real decoders (PIL/torchaudio/pyav) are not in this container —
-    ``fake=False`` raises NotImplementedError inside the workers (surfaced
-    as a task failure); ``fake=True`` emits deterministic byte-derived
-    pseudo-features with the production schema so downstream stages
-    (similarity, dedup, filtering) are testable end-to-end.
+    ``fake=False`` runs the REAL stdlib decoder for PNG (zlib inflate +
+    full five-filter unfilter) and WAV (PCM) — see multimodal/codec.py;
+    unsupported formats raise NotImplementedError inside the workers
+    (surfaced as a task failure), keeping the stub honest. ``fake=True``
+    emits deterministic byte-derived pseudo-features with the production
+    schema so downstream stages (similarity, dedup, filtering) are
+    testable end-to-end without codec fixtures.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pg_vectorize_spark.multimodal.codec import decode_features
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "media decoding requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub"
-                )
+                out = {
+                    "pkey": list(pdf["pkey"]),
+                    "width": [],
+                    "height": [],
+                    "n_channels": [],
+                    "features": [],
+                }
+                for blob in pdf[bin_col]:
+                    w, h, ch, feats = decode_features(
+                        bytes(blob or b""), n_features
+                    )
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_channels"].append(ch)
+                    out["features"].append(feats)
+                yield pd.DataFrame(out)
+                continue
             out = {
                 "pkey": [],
                 "width": [],

@@ -1,0 +1,268 @@
+"""Real media codecs — stdlib-only PNG and WAV decode (plus the PNG/WAV
+encoders the test fixtures use).
+
+The reference treats media decode as an external-library concern; this
+container has no PIL/torchaudio, so the two formats that are fully
+decodable with the standard library are implemented for real:
+
+- PNG: chunk walk -> IHDR dims -> zlib-inflate IDAT -> per-scanline
+  unfilter (all five filter types: None/Sub/Up/Average/Paeth, RFC 2083
+  §6) -> pixel matrix. 8-bit depth, color types 0 (gray), 2 (RGB),
+  4 (gray+alpha), 6 (RGBA).
+- WAV: RIFF/PCM via the stdlib ``wave`` module; 8/16/32-bit integer
+  samples decoded with numpy ``frombuffer``.
+
+Anything else (JPEG, MP3, video containers...) still raises
+NotImplementedError — the honest stub is retained, not silently faked.
+
+Decode is driven per-blob inside Arrow batches (``decode_media`` in
+binary.py); nothing here touches Spark. Features are a normalized
+``n_features``-bucket histogram — intensity buckets for images, amplitude
+buckets for audio — integer counts divided by the total, so the result is
+bit-exact reproducible (and SQL-expressible for analytically constructed
+fixtures, which is how the oracle gate verifies this decoder).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff_format(data: bytes) -> str | None:
+    """'png' | 'wav' | None from magic bytes."""
+    if data[:8] == PNG_MAGIC:
+        return "png"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """-> (width, height, n_channels, pixels[h, w, ch] uint8)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(
+                    f"PNG bit depth {bit_depth} unsupported (8 only)"
+                )
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} unsupported (palette needs "
+                    "PLTE handling)"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized, no horizontal dependency
+            cur = line + prev  # uint8 wraps mod 256, as specified
+        else:  # Sub / Average / Paeth — horizontal recurrence, per-pixel
+            cur = line
+            li = cur.astype(np.int32)
+            pi = prev.astype(np.int32)
+            res = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = res[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    res[x] = (li[x] + a) & 0xFF
+                elif ftype == 3:
+                    res[x] = (li[x] + (a + pi[x]) // 2) & 0xFF
+                elif ftype == 4:
+                    c = pi[x - ch] if x >= ch else 0
+                    res[x] = (li[x] + _paeth(a, pi[x], c)) & 0xFF
+                else:
+                    raise ValueError(f"PNG filter type {ftype}")
+            cur = res.astype(np.uint8)
+        out[y] = cur
+        prev = out[y]
+    return width, height, ch, out.reshape(height, width, ch)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for fixtures: 8-bit gray/gray+alpha/RGB/RGBA,
+    one filter type for every scanline (exercises the matching unfilter
+    path on decode)."""
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += cur.astype(np.uint8).tobytes()
+        elif filter_type == 2:
+            raw += ((cur - prev) & 0xFF).astype(np.uint8).tobytes()
+        else:
+            line = bytearray()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                elif filter_type == 4:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pred = _paeth(a, b, c)
+                else:
+                    raise ValueError(f"filter type {filter_type}")
+                line.append((int(cur[x]) - pred) & 0xFF)
+            raw += bytes(line)
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+_WAV_DTYPE = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """-> (n_frames, n_channels, samples[n_frames, n_channels] int32,
+    normalized to 16-bit range so the amplitude histogram is width-
+    independent)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        nch = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        nframes = wf.getnframes()
+        frames = wf.readframes(nframes)
+    if sampwidth not in _WAV_DTYPE:
+        raise NotImplementedError(
+            f"WAV sample width {sampwidth} unsupported (1/2/4 bytes)"
+        )
+    arr = np.frombuffer(frames, dtype=_WAV_DTYPE[sampwidth]).astype(np.int64)
+    if sampwidth == 1:  # 8-bit WAV is unsigned, center then scale to 16-bit
+        arr = (arr - 128) << 8
+    elif sampwidth == 4:
+        arr = arr >> 16
+    return nframes, nch, arr.reshape(nframes, nch)
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """16-bit PCM writer for fixtures; samples[n_frames, n_channels]."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (shared contract with the fake decoder)
+# ---------------------------------------------------------------------------
+
+
+def decode_features(
+    data: bytes, n_features: int = 8
+) -> tuple[int, int, int, list[float]]:
+    """Real decode -> (width, height, n_channels, features).
+
+    Images: features[b] = fraction of pixels whose mean-across-channels
+    intensity falls in bucket b of [0, 256) split into n_features equal
+    buckets. Audio: width = n_frames, height = 1, and features[b] =
+    fraction of (16-bit-normalized) samples in bucket b of [-32768, 32768).
+    Counts are integers and the only float op is the final divide, so
+    results are bit-exact across partitionings.
+    """
+    fmt = sniff_format(data)
+    if fmt == "png":
+        w, h, ch, px = decode_png(data)
+        # mean intensity scaled by ch kept integral: bucket on sum * nf
+        sums = px.astype(np.int64).sum(axis=2).ravel()  # in [0, 255*ch]
+        buckets = (sums * n_features) // (256 * ch)
+        counts = np.bincount(buckets, minlength=n_features)
+        total = int(counts.sum()) or 1
+        return w, h, ch, [int(c) / total for c in counts]
+    if fmt == "wav":
+        nframes, nch, samples = decode_wav(data)
+        flat = samples.ravel() + 32768  # [0, 65536)
+        buckets = (flat * n_features) // 65536
+        counts = np.bincount(buckets, minlength=n_features)
+        total = int(counts.sum()) or 1
+        return nframes, 1, nch, [int(c) / total for c in counts]
+    raise NotImplementedError(
+        "media decoding implemented for PNG and WAV only; other formats "
+        "require codec libraries not present in this environment "
+        "(pass fake=True for the deterministic stub)"
+    )

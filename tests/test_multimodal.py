@@ -77,3 +77,74 @@ def test_frame_sample_empty_binary(spark):
     df = spark.createDataFrame([(1, bytearray(b""))], "id long, content binary")
     out = frame_sample(df, "content", "id", stride=100).collect()
     assert len(out) == 1 and out[0]["offset"] == 0
+
+
+class TestRealCodec:
+    """Real stdlib PNG/WAV decode (multimodal/codec.py) — every unfilter
+    branch, WAV widths, and honest failure on unsupported formats."""
+
+    def test_png_all_filters_roundtrip(self):
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for ftype in range(5):
+            for ch in (1, 2, 3, 4):
+                px = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+                w, h, c, got = decode_png(encode_png(px, ftype))
+                assert (w, h, c) == (7, 11, ch), (ftype, ch)
+                assert np.array_equal(got, px), f"filter {ftype} ch {ch}"
+
+    def test_wav_widths(self):
+        import io
+        import wave
+
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import decode_wav, encode_wav
+
+        s = np.array([[0], [1000], [-1000], [32767], [-32768]])
+        nframes, nch, got = decode_wav(encode_wav(s))
+        assert (nframes, nch) == (5, 1)
+        assert np.array_equal(got[:, 0], s[:, 0])
+        # 8-bit unsigned: value 128+x decodes to x<<8 in 16-bit range
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(8000)
+            wf.writeframes(bytes([128, 129, 127]))
+        _, _, got8 = decode_wav(buf.getvalue())
+        assert list(got8[:, 0]) == [0, 256, -256]
+
+    def test_unsupported_format_raises(self):
+        import pytest
+
+        from pg_vectorize_spark.multimodal.codec import decode_features
+
+        with pytest.raises(NotImplementedError, match="PNG and WAV"):
+            decode_features(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+    def test_decode_media_real(self, spark):
+        """fake=False over the committed fixture: real decode through the
+        Arrow mapInPandas path, dims match the fixture's stored truth."""
+        from pg_vectorize_spark.multimodal.binary import decode_media
+
+        media = spark.read.parquet(
+            "/root/repo/tests/fixtures/media_fixture.parquet"
+        )
+        got = {
+            r["pkey"]: r
+            for r in decode_media(
+                media, "content", "media_id", fake=False
+            ).collect()
+        }
+        for r in media.select("media_id", "width", "height", "channels").collect():
+            d = got[r["media_id"]]
+            assert (d["width"], d["height"], d["n_channels"]) == (
+                r["width"],
+                r["height"],
+                r["channels"],
+            )
+            assert abs(sum(d["features"]) - 1.0) < 1e-12
