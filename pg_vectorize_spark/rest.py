@@ -6,6 +6,11 @@ Mirrors server/src/server.rs:5-13 + routes:
 - ``DELETE /api/v1/table/{job}``    delete job
 - ``GET|POST /api/v1/search``       hybrid search (routes/search.rs:110-136)
 - ``GET /health`` ``/health/live`` ``/health/ready``  (routes/health.rs:80-87)
+- ``POST /v1/embeddings``           OpenAI-schema embed, the vector-serve
+  surface (vector-serve/app/routes/transform.py:23-77): batch input,
+  optional L2 normalize, hf_ bearer token passthrough
+- ``GET /v1/info[/]``               model metadata (routes/info.py:19-42):
+  {model, max_seq_len, embedding_dimension}
 
 Search params (routes/search.rs:16-84): job_name, query, window_size=5x
 limit, limit=10, rrf_k=60, semantic_wt=1.0, fts_wt=1.0 — and every UNKNOWN
@@ -17,6 +22,8 @@ production web stack; run_in_thread() is for tests.
 from __future__ import annotations
 
 import json
+import math
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -36,6 +43,39 @@ _KNOWN_SEARCH_PARAMS = {
 }
 
 _VALID_RANKS = {"overlap", "cover_density", "bm25"}
+
+#: vector-serve's per-request embed batch cap (transform.py:15, env override)
+EMBED_BATCH_SIZE = int(os.environ.get("BATCH_SIZE", 1000))
+
+#: max sequence length reported by /v1/info — the reference reads it off the
+#: loaded SentenceTransformer (256 for the MiniLM defaults); HTTP providers
+#: use their documented context limits, the local embedder is unbounded
+MAX_SEQ_LENS = {
+    "sentence-transformers/all-MiniLM-L6-v2": 256,
+    "sentence-transformers/all-MiniLM-L12-v2": 256,
+    "openai/text-embedding-ada-002": 8191,
+    "openai/text-embedding-3-small": 8191,
+    "openai/text-embedding-3-large": 8191,
+}
+DEFAULT_MAX_SEQ_LEN = 512
+
+
+def _org_model_name(model: str) -> str:
+    """vector-serve's model_org_name (app/models.py:57-62): bare names get
+    the default org prefix."""
+    if "/" not in model:
+        return f"sentence-transformers/{model}"
+    return model
+
+
+def _hf_token(authorization: str | None) -> str | None:
+    """vector-serve's parse_header (app/models.py:30-38): only hf_ bearer
+    tokens pass through."""
+    if authorization:
+        token = authorization.split()[-1]
+        if token.startswith("hf_"):
+            return token
+    return None
 
 
 def _search_args(params: dict[str, str]) -> tuple[dict, dict[str, str]]:
@@ -108,12 +148,103 @@ class _Handler(BaseHTTPRequestHandler):
         except VectorizeError as e:
             self._send(500, {"error": str(e)})
 
+    def _run_embeddings(self, body: dict) -> None:
+        """POST /v1/embeddings — vector-serve's OpenAI-schema batch embed
+        (transform.py:23-77): chunked encode, index-stable output order."""
+        from pg_vectorize_spark.providers.registry import get_provider
+
+        texts = body.get("input")
+        if (
+            not isinstance(texts, list)
+            or not texts
+            or not all(isinstance(t, str) for t in texts)
+        ):
+            self._send(
+                422, {"error": "input must be a non-empty list of strings"}
+            )
+            return
+        if not isinstance(body.get("normalize", False), bool):
+            self._send(422, {"error": "normalize must be a boolean"})
+            return
+        requested = _org_model_name(body.get("model", "all-MiniLM-L6-v2"))
+        try:
+            provider = get_provider(
+                requested, api_key=_hf_token(self.headers.get("Authorization"))
+            )
+        except VectorizeError as e:
+            self._send(400, {"error": f"Unable to load {requested} -- {e}"})
+            return
+        try:
+            vectors: list[list[float]] = []
+            for i in range(0, len(texts), EMBED_BATCH_SIZE):
+                vectors.extend(
+                    provider.generate_embedding(texts[i : i + EMBED_BATCH_SIZE])
+                )
+        except VectorizeError as e:
+            self._send(500, {"error": str(e)})
+            return
+        if body.get("normalize", False):
+            vectors = [
+                [x / n for x in v]
+                for v in vectors
+                for n in [math.sqrt(sum(x * x for x in v)) or 1.0]
+            ]
+        self._send(
+            200,
+            {
+                "data": [
+                    {"embedding": v, "index": i} for i, v in enumerate(vectors)
+                ],
+                "model": requested,
+            },
+        )
+
+    def _run_info(self, params: dict[str, str]) -> None:
+        """GET /v1/info — vector-serve's model metadata (info.py:19-42).
+        embedding_dimension is fallback-aware: it reports the dim of the
+        provider that would actually serve (a local 64-dim stand-in when no
+        endpoint is configured), matching what jobs record."""
+        from pg_vectorize_spark.providers.registry import (
+            get_provider,
+            model_dim,
+            parse_model,
+        )
+
+        model_name = params.get("model_name")
+        if not model_name:
+            self._send(422, {"error": "model_name query param is required"})
+            return
+        requested = _org_model_name(model_name)
+        try:
+            provider = get_provider(
+                requested, api_key=_hf_token(self.headers.get("Authorization"))
+            )
+            dim = model_dim(parse_model(requested), probe=provider)
+        except VectorizeError as e:
+            self._send(400, {"error": f"Unable to load {requested} -- {e}"})
+            return
+        self._send(
+            200,
+            {
+                "model": requested,
+                "max_seq_len": MAX_SEQ_LENS.get(
+                    requested, DEFAULT_MAX_SEQ_LEN
+                ),
+                "embedding_dimension": dim,
+            },
+        )
+
     # -- routes --------------------------------------------------------------
 
     def do_GET(self) -> None:  # noqa: N802 — http.server API
         url = urlparse(self.path)
         if url.path in ("/health", "/health/live", "/health/ready"):
             self._send(200, {"status": "ok"})
+            return
+        if url.path in ("/v1/info", "/v1/info/"):
+            self._run_info(
+                {k: v[-1] for k, v in parse_qs(url.query).items()}
+            )
             return
         if url.path == "/api/v1/search":
             params = {
@@ -125,6 +256,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
+        if url.path == "/v1/embeddings":
+            try:
+                body = self._body()
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            self._run_embeddings(body)
+            return
         if url.path == "/api/v1/search":
             try:
                 # JSON-aware coercion: bools must become the lowercase

@@ -157,3 +157,68 @@ def test_unknown_route_404(served):
     base, _ = served
     code, _ = _get(base + "/api/v1/nope")
     assert code == 404
+
+
+class TestEmbeddingService:
+    """vector-serve surface parity: POST /v1/embeddings
+    (transform.py:23-77) and GET /v1/info (info.py:19-42)."""
+
+    def test_embeddings_batch_shape(self, served):
+        base, _ = served
+        texts = [f"sentence number {i}" for i in range(7)]
+        code, body = _post(f"{base}/v1/embeddings", {"input": texts})
+        assert code == 200
+        assert body["model"] == "sentence-transformers/all-MiniLM-L6-v2"
+        assert [d["index"] for d in body["data"]] == list(range(7))
+        dims = {len(d["embedding"]) for d in body["data"]}
+        assert len(dims) == 1  # uniform dim across the batch
+        # deterministic: same input -> same vector
+        code2, body2 = _post(
+            f"{base}/v1/embeddings", {"input": [texts[0]]}
+        )
+        assert body2["data"][0]["embedding"] == body["data"][0]["embedding"]
+
+    def test_embeddings_normalize(self, served):
+        base, _ = served
+        code, body = _post(
+            f"{base}/v1/embeddings",
+            {"input": ["normalize me"], "normalize": True},
+        )
+        assert code == 200
+        v = body["data"][0]["embedding"]
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    def test_embeddings_validation(self, served):
+        base, _ = served
+        for bad in [{}, {"input": []}, {"input": "not a list"},
+                    {"input": [1, 2]}]:
+            code, _body = _post(f"{base}/v1/embeddings", bad)
+            assert code == 422, bad
+
+    def test_info_dim_parity(self, served):
+        base, _ = served
+        # unconfigured HTTP-source model falls back to the 64-dim local
+        # stand-in; /v1/info must report the dim jobs would actually record
+        code, body = _get(
+            f"{base}/v1/info/?model_name=all-MiniLM-L6-v2"
+        )
+        assert code == 200
+        assert body["model"] == "sentence-transformers/all-MiniLM-L6-v2"
+        assert body["max_seq_len"] == 256
+        emb_code, emb = _post(
+            f"{base}/v1/embeddings", {"input": ["dim check"]}
+        )
+        assert body["embedding_dimension"] == len(
+            emb["data"][0]["embedding"]
+        )
+        # explicit local model reports its spec dim, no-trailing-slash works
+        code, body = _get(
+            f"{base}/v1/info?model_name=local/hash-embedder-384"
+        )
+        assert code == 200
+        assert body["embedding_dimension"] == 384
+
+    def test_info_requires_model_name(self, served):
+        base, _ = served
+        code, _body = _get(f"{base}/v1/info/")
+        assert code == 422
