@@ -96,22 +96,61 @@ def hash_split(
     return df.withColumn("split", hash_split_expr(F.col(key_col), splits))
 
 
+def _salted_precap(
+    df: DataFrame,
+    part_cols: Sequence[Column],
+    order: Sequence[Column],
+    cap: int,
+    pkey: str,
+    salt_buckets: int,
+) -> DataFrame:
+    """Skew-safe pre-filter for per-group top-``cap`` windows: rank within
+    (group, hash-salt-bucket) and keep ranks <= cap. A row with GLOBAL
+    in-group rank <= cap necessarily ranks <= cap inside its bucket too, so
+    no true survivor is dropped — the exact window that follows sees at
+    most ``salt_buckets * cap`` rows per group instead of the whole group.
+    That bounds the hot partition of the exact pass on a mega-domain (40%
+    web-crawl at 100 TB) without changing a single output row.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(pkey).cast("string"), F.lit("|precap")),
+        F.lit(salt_buckets),
+    )
+    w = Window.partitionBy(*part_cols, salt).orderBy(*order)
+    return (
+        df.withColumn("_pre_rank", F.row_number().over(w))
+        .filter(F.col("_pre_rank") <= cap)
+        .drop("_pre_rank")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     pkey: str,
     domain_col: str,
     cap: int,
     order_by: Column | None = None,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per domain, deterministically.
 
     Rows rank within their domain by ``order_by`` (default: ascending
     primary key) with the pkey as the tiebreaker; ranks > cap are dropped.
     The surviving rows carry their ``domain_rank``.
+
+    Two-phase for skew: a salted pre-cap (``_salted_precap``) bounds the
+    exact window's per-domain input to ``salt_buckets * cap`` rows, so one
+    mega-domain can't concentrate the ranking shuffle onto a single task.
+    Output is identical with or without salting (``salt_buckets=0``
+    disables, for A/B tests).
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     order = [order_by, F.asc(pkey)] if order_by is not None else [F.asc(pkey)]
+    if salt_buckets and salt_buckets > 1:
+        df = _salted_precap(
+            df, [F.col(domain_col)], order, cap, pkey, salt_buckets
+        )
     w = Window.partitionBy(domain_col).orderBy(*order)
     return (
         df.withColumn("domain_rank", F.row_number().over(w))
@@ -370,21 +409,28 @@ def sample_exact(
     k: int,
     strata_col: str | None = None,
     salt: str = "|sample",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum (or overall), chosen by
     hash priority — the reproducible eval-subset / human-review draw.
     ``weighted_mix`` hits a RATE in expectation; this hits a COUNT
-    exactly, at the cost of a per-stratum window (rank early-outs at k;
-    one giant stratum concentrates on one task — same caveat as
-    ``domain_cap``). Surviving rows carry ``sample_rank`` (1..k by
-    priority, key-tiebroken), so nested draws are prefix-stable:
-    rank <= j for j < k is the same set a k=j call returns.
+    exactly. Surviving rows carry ``sample_rank`` (1..k by priority,
+    key-tiebroken), so nested draws are prefix-stable: rank <= j for
+    j < k is the same set a k=j call returns.
+
+    Skew-safe like ``domain_cap``: a salted pre-cap bounds the exact
+    per-stratum window to ``salt_buckets * k`` candidate rows, so a giant
+    stratum (or the no-strata whole-corpus draw) never funnels the full
+    table through one task. Identical output either way.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    part = [strata_col] if strata_col else []
+    part = [F.col(strata_col)] if strata_col else []
     prio = sample_priority_expr(F.col(key_col), salt)
-    w = Window.partitionBy(*part).orderBy(prio.asc(), F.col(key_col).asc())
+    order = [prio.asc(), F.col(key_col).asc()]
+    if salt_buckets and salt_buckets > 1:
+        df = _salted_precap(df, part, order, k, key_col, salt_buckets)
+    w = Window.partitionBy(*part).orderBy(*order)
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)

@@ -95,3 +95,95 @@ def test_unsupported_join_type(spark, skewed_df):
 def test_no_aggregates_requested(spark, skewed_df):
     with pytest.raises(ValueError):
         salted_aggregate(skewed_df, ["k"])
+
+
+class TestSaltedPrecap:
+    """Two-phase domain_cap/sample_exact: salted pre-cap bounds the exact
+    window's per-group input without changing any output row."""
+
+    @pytest.fixture()
+    def mega_domain_df(self, spark):
+        # one domain holds 90% of rows
+        rows = [
+            (i, "mega" if i % 10 != 0 else f"small{i % 100}", float(i))
+            for i in range(2000)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, domain string, v double")
+
+    def test_domain_cap_salted_equals_unsalted(self, mega_domain_df):
+        from pg_vectorize_spark.operators.curate import domain_cap
+
+        salted = domain_cap(
+            mega_domain_df, "doc_id", "domain", cap=7, salt_buckets=32
+        )
+        plain = domain_cap(
+            mega_domain_df, "doc_id", "domain", cap=7, salt_buckets=0
+        )
+        key = lambda r: (r["domain"], r["domain_rank"], r["doc_id"])
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        )
+
+    def test_domain_cap_salted_with_order_by(self, mega_domain_df):
+        from pg_vectorize_spark.operators.curate import domain_cap
+
+        salted = domain_cap(
+            mega_domain_df, "doc_id", "domain", cap=5,
+            order_by=F.desc("v"), salt_buckets=8,
+        )
+        plain = domain_cap(
+            mega_domain_df, "doc_id", "domain", cap=5,
+            order_by=F.desc("v"), salt_buckets=0,
+        )
+        key = lambda r: (r["domain"], r["domain_rank"], r["doc_id"])
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        )
+
+    def test_sample_exact_salted_equals_unsalted(self, mega_domain_df):
+        from pg_vectorize_spark.operators.curate import sample_exact
+
+        for strata in (None, "domain"):
+            salted = sample_exact(
+                mega_domain_df, "doc_id", k=9, strata_col=strata,
+                salt_buckets=16,
+            )
+            plain = sample_exact(
+                mega_domain_df, "doc_id", k=9, strata_col=strata,
+                salt_buckets=0,
+            )
+            key = lambda r: (r["domain"], r["sample_rank"], r["doc_id"])
+            assert sorted(map(key, salted.collect())) == sorted(
+                map(key, plain.collect())
+            ), f"strata={strata}"
+
+    def test_precap_bounds_group_input(self, mega_domain_df):
+        """The exact window's input is bounded by salt_buckets * cap per
+        group — the skew guarantee itself."""
+        from pg_vectorize_spark.operators.curate import _salted_precap
+
+        cap, buckets = 7, 8
+        pre = _salted_precap(
+            mega_domain_df,
+            [F.col("domain")],
+            [F.asc("doc_id")],
+            cap,
+            "doc_id",
+            buckets,
+        )
+        sizes = {
+            r["domain"]: r["n"]
+            for r in pre.groupBy("domain").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes["mega"] <= buckets * cap
+        # and every true survivor is still present
+        from pg_vectorize_spark.operators.curate import domain_cap
+
+        survivors = {
+            r["doc_id"]
+            for r in domain_cap(
+                mega_domain_df, "doc_id", "domain", cap, salt_buckets=0
+            ).collect()
+        }
+        pre_ids = {r["doc_id"] for r in pre.collect()}
+        assert survivors <= pre_ids
