@@ -67,6 +67,21 @@ def signbit_bucket_expr(emb: Column, nbits: int = 8) -> Column:
     )
 
 
+def _hamming_ball(bucket: int, nbits: int, radius: int) -> list[int]:
+    """All bucket values within Hamming distance <= radius of ``bucket``
+    (driver-side enumeration: C(nbits, <=radius) values, tiny)."""
+    from itertools import combinations
+
+    out = [bucket]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(nbits), r):
+            b = bucket
+            for j in flips:
+                b ^= 1 << j
+            out.append(b)
+    return out
+
+
 def signbit_lsh_topk(
     emb_df: DataFrame,
     pkey: str,
@@ -74,20 +89,32 @@ def signbit_lsh_topk(
     query_vec: Sequence[float],
     k: int = 10,
     nbits: int = 8,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: prune to the query's sign-bit bucket, exact rescore.
+    """Approximate top-k: prune to the query's sign-bit bucket(s), exact
+    rescore within.
 
-    The bucket column is computable at write time and usable as a partition
-    key — at 100 TB the scan prunes to 1/2^nbits of the data before any
-    vector math.
+    ``probe_hamming`` is the multi-probe radius: buckets whose bit pattern
+    differs from the query's in at most that many positions are also
+    scanned (a true neighbor lands in a nearby bucket whenever one of its
+    first nbits coordinates sits near zero and flips sign — radius 2-3
+    recovers most of that loss; see the recall table in SCALING.md). The
+    probe set is enumerated driver-side (C(nbits, <=h) values) and applied
+    as an IN filter, so with the bucket as a write-time partition key the
+    scan still prunes to |probes|/2^nbits of the data before any vector
+    math.
     """
     qbucket = 0
     for j in range(min(nbits, len(query_vec))):
         if query_vec[j] > 0:
             qbucket += 1 << j
-    candidates = emb_df.filter(
-        signbit_bucket_expr(F.col(emb_col), nbits) == F.lit(qbucket)
-    )
+    bucket = signbit_bucket_expr(F.col(emb_col), nbits)
+    if probe_hamming > 0:
+        candidates = emb_df.filter(
+            bucket.isin(_hamming_ball(qbucket, nbits, probe_hamming))
+        )
+    else:
+        candidates = emb_df.filter(bucket == F.lit(qbucket))
     return brute_force_topk(candidates, pkey, emb_col, query_vec, k)
 
 
