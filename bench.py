@@ -68,6 +68,10 @@ def main() -> None:
         "asof_join_events",
         "attribution_window_join",
         "corpus_mix",
+        "source_divergence",
+        "unigram_logprob",
+        "vocabulary_topk",
+        "asof_join_bucketed",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the
@@ -76,24 +80,29 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: single-shot timings on a shared box swing ±20%
-    # from transient load; the min measures the engine, not the neighbors
+    # best-of-3 per query with the spread recorded: single-shot timings on a
+    # shared box swing ±20% from transient load; the min measures the
+    # engine, and (max-min)/min tells the reader whether a cross-round
+    # delta is signal or noise
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in bench_names:
         if name not in qs:
             continue
         fn = qs[name]
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink forces FULL materialization of every column —
             # count() would let Catalyst prune the expensive projections
             # (embeddings, chunks) and understate the work
             df.write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            runs.append(time.time() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
+        spreads[name] = round((max(runs) - best) / best, 3) if best else 0.0
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -108,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "n": n_runs,
                 "sf": sf_val,
             }
         )
