@@ -586,6 +586,44 @@ def q_ann_signbit_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signbit_lsh_topk(emb, "vec_id", "embeddings", qv, k=10, nbits=8)
 
 
+def q_ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-bit LSH: the Hamming-ball probe set (radius 2 over
+    8 bits -> 37 buckets) recovers neighbors whose near-zero coordinates
+    flipped sign — the recall/scan-fraction tradeoff measured in
+    SCALING.md. Oracle side expresses the same ball as
+    bit_count(xor(bucket, qbucket)) <= 2."""
+    from pg_vectorize_spark.operators.ann import signbit_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("embeddings")
+    )
+    qv = _query_vec(spark, sf_dir)
+    return signbit_lsh_topk(
+        emb, "vec_id", "embeddings", qv, k=10, nbits=8, probe_hamming=2
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing over binary media: one row per
+    stride-byte offset, frame bytes sliced JVM-side (posexplode over
+    computed offsets — multimodal/binary.frame_sample)."""
+    from pg_vectorize_spark.multimodal.binary import frame_sample
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    )
+    frames = frame_sample(docs, "content", "doc_id", stride=256)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "offset",
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_hash"),
+    )
+
+
 def q_batch_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 count batching: batch aggregates over documents (batch_size=100)."""
     from pg_vectorize_spark.operators.change import batch_by_count
@@ -1132,6 +1170,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "orphan_cleanup": q_orphan_cleanup,
     "multimodal_decode": q_multimodal_decode,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
+    "frame_sample": q_frame_sample,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_survivors": q_dedup_survivors,
@@ -2029,6 +2069,32 @@ LIMIT 10
 """
 
 
+def _oracle_ann_multiprobe() -> str:
+    """Multi-probe variant: candidate buckets are the Hamming ball of
+    radius 2 around the query bucket — bit_count(xor(b, qb)) <= 2."""
+
+    def bucket(emb: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), "
+            f"j -> CASE WHEN {emb}[(j+1)::INT] > 0 THEN power(2, j)::BIGINT "
+            f"ELSE 0::BIGINT END)), (a, x) -> a + x)"
+        )
+
+    cos = O.sql_cosine("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket('qv')} AS qbucket FROM q),
+cand AS (
+  SELECT e.vec_id, {cos} AS similarity_score
+  FROM embeddings e, qb, q
+  WHERE bit_count(xor({bucket('e.embedding')}, qb.qbucket)) <= 2
+)
+SELECT vec_id, similarity_score FROM cand
+ORDER BY similarity_score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def _oracle_chunk_table() -> str:
     words = _sql_ws_words("d.text")
     return f"""
@@ -2115,6 +2181,27 @@ FROM documents GROUP BY text
     "dedup_embedding_cosine": _oracle_embedding_cosine_pairs(),
     "ann_ivf_topk": _oracle_ann_ivf(),
     "ann_signbit_lsh_topk": _oracle_ann_signbit(),
+    "ann_multiprobe_lsh_topk": _oracle_ann_multiprobe(),
+    # corpus is ASCII (verified for multimodal_pipeline), so byte slicing
+    # equals substr on text and md5(varchar) hashes the same bytes Spark's
+    # md5(binary) sees
+    "frame_sample": """
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(CAST(ceil(n / 256.0) AS BIGINT), 1)))
+           AS fi
+  FROM d
+)
+SELECT doc_id,
+       fi::INT AS frame_idx,
+       (fi * 256)::BIGINT AS offset,
+       len(substr(text, (fi * 256 + 1)::INT, 256))::BIGINT AS frame_len,
+       md5(substr(text, (fi * 256 + 1)::INT, 256)) AS frame_hash
+FROM f
+""",
     "batch_texts": """
 WITH b AS (
   SELECT doc_id, n_chars,
