@@ -21,6 +21,16 @@ the batch path via ``foreachBatch``:
 Cron mode (R6) is the same per-batch function invoked by an external
 scheduler through ``VectorizeSession.scan_job`` or a
 ``Trigger.AvailableNow`` run of this stream.
+
+Deletes: a file stream is append-only, so source-row deletion cannot
+arrive as a micro-batch (the reference sees deletes via the FK ``ON
+DELETE CASCADE``, core/src/query.rs:349-354). The cascade hook on a lake
+is ``VectorizeSession.cleanup_orphans`` — run inside every
+``scan_job``/cron cycle (and callable standalone), it anti-join-prunes
+embeddings/tokens whose pkey left the source snapshot. Realtime
+deployments that also delete should schedule a periodic scan cycle
+alongside the stream, which is exactly the reference's
+trigger+cron-coexistence deployment.
 """
 
 from __future__ import annotations

@@ -108,3 +108,29 @@ def test_hybrid_extension_mode(sess, products_path):
     # weights 0.5/0.5 at ranks 1/1 -> rrf = 0.5/61 + 0.5/61 = 1/61
     if top["semantic_rank"] == 1 and top["fts_rank"] == 1:
         assert math.isclose(top["rrf_score"], 1.0 / 61.0, rel_tol=1e-12)
+
+
+def test_append_method_delete_cascade(sess, spark, products_path, products_df):
+    """Cascade parity for append-mode wide rows: deleting source rows then
+    scanning prunes their wide snapshot rows and tokens too (same
+    realtime-relational-integrity behavior as the join method,
+    integration_tests.rs:483-555)."""
+    from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+
+    sess.create_job(
+        "appdel",
+        products_path,
+        columns=["product_name"],
+        primary_key="product_id",
+        table_method="append",
+    )
+    emb = SnapshotDataset(sess.spark, sess._job_dir("appdel", "embeddings"))
+    assert emb.read().count() == 14
+    products_df.filter("product_id <= 9").write.mode("overwrite").parquet(
+        products_path
+    )
+    assert sess.scan_job("appdel") == 0  # delete-only cycle
+    assert emb.read().count() == 9
+    assert emb.read().filter("product_id > 9").count() == 0
+    v = sess.job_view("appdel")
+    assert v.count() == 9
