@@ -157,3 +157,39 @@ def test_decontaminate_broadcasts_bench_grams(spark, entrymod):
     rep = plan_report(df)
     assert rep.n_broadcasts >= 1, rep.summary()
     assert "CartesianProduct" not in rep.text
+
+
+def test_orphan_cleanup_broadcast_anti_join_no_shuffle(spark, entrymod):
+    """The cascade anti-join must be a keyed (here broadcast) anti-join
+    with both scans column-pruned — never a shuffle of the derived table's
+    payload columns beyond the join itself."""
+    df = entrymod.queries()["orphan_cleanup"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert "LeftAnti" in rep.text, rep.summary()
+    assert rep.n_exchanges == 0, rep.summary()
+    assert rep.n_broadcasts >= 1
+    # the source side reads ONLY the key column
+    assert any(s == "struct<doc_id:bigint>" for s in rep.read_schemas), (
+        rep.read_schemas
+    )
+
+
+def test_multiprobe_lsh_no_shuffle_take_ordered(spark, entrymod):
+    """Multi-probe LSH is a scan-filter + exact rescore + TakeOrdered:
+    no exchange, no join — the probe set is a literal IN list (which
+    partition-prunes when the bucket is a write-time partition key)."""
+    df = entrymod.queries()["ann_multiprobe_lsh_topk"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.has_take_ordered, rep.summary()
+    assert rep.n_exchanges == 0, rep.summary()
+
+
+def test_domain_cap_two_phase_windows(spark, entrymod):
+    """Skew-safe cap: the plan carries TWO window passes (salted pre-cap,
+    then the exact per-domain window) — the second one's input is bounded
+    by buckets*cap per domain."""
+    df = entrymod.queries()["domain_cap"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.text.count("RunningWindowFunction") >= 2 or (
+        rep.text.count("Window") >= 2
+    ), rep.summary()
