@@ -1121,6 +1121,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-corpus text normalization: HTML-ish tag strip + entity decode
+    + whitespace collapse, as pure JVM expressions (functions/text.py
+    strip_html_expr). Markup is synthesized deterministically around the
+    corpus text so the whole pass is oracle-verified, incl. the
+    decode-one-level entity rule ('&amp;amp;' -> '&amp;')."""
+    from pg_vectorize_spark.functions.text import strip_html_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit('<p class="x">'),
+        F.col("text"),
+        F.lit("</p>\n<br/>&amp;amp; &lt;tail&gt;\t end"),
+    )
+    clean = strip_html_expr(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
 def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure over jaccard pairs — iterative label
     propagation on the Spark side, oracled by a DuckDB recursive CTE
@@ -1172,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
     "frame_sample": q_frame_sample,
+    "text_normalize": q_text_normalize,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_survivors": q_dedup_survivors,
@@ -2182,6 +2205,32 @@ FROM documents GROUP BY text
     "ann_ivf_topk": _oracle_ann_ivf(),
     "ann_signbit_lsh_topk": _oracle_ann_signbit(),
     "ann_multiprobe_lsh_topk": _oracle_ann_multiprobe(),
+    # same lexical pipeline: tag->space, entity decode (&amp; last, one
+    # level), explicit-class whitespace collapse; RE2 and Java regex agree
+    # on these patterns
+    "text_normalize": r"""
+WITH h AS (
+  SELECT doc_id,
+         '<p class="x">' || text || '</p>' || chr(10) ||
+         '<br/>&amp;amp; &lt;tail&gt;' || chr(9) || ' end' AS html
+  FROM documents WHERE doc_id < 300
+),
+s AS (SELECT doc_id, regexp_replace(html, '<[^>]*>', ' ', 'g') AS t FROM h),
+e AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM s
+),
+c AS (
+  SELECT doc_id,
+         trim(regexp_replace(t, '[ ' || chr(9) || chr(13) || chr(10) ||
+                                chr(12) || ']+', ' ', 'g')) AS clean_text
+  FROM e
+)
+SELECT doc_id, clean_text, len(clean_text)::BIGINT AS clean_len FROM c
+""",
     # corpus is ASCII (verified for multimodal_pipeline), so byte slicing
     # equals substr on text and md5(varchar) hashes the same bytes Spark's
     # md5(binary) sees

@@ -540,3 +540,42 @@ def pii_count_exprs(text: Column) -> dict[str, Column]:
             F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0))
         ),
     }
+
+
+#: HTML entity decode order: named/numeric entities first, '&amp;' LAST so
+#: double-encoded text ('&amp;lt;') decodes exactly one level per pass —
+#: the behavior every standard entity decoder has
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+#: explicit whitespace class — identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB); \s differs between the engines (\x0B membership)
+_WS_CLASS = r"[ \t\r\n\f]+"
+
+
+def normalize_ws_expr(text: Column) -> Column:
+    """Whitespace normalization: collapse runs of blank characters to one
+    space and trim — the canonical pre-tokenization cleanup. Pure JVM
+    expressions; the explicit character class keeps Spark and the DuckDB
+    oracle bit-identical."""
+    return F.trim(
+        F.regexp_replace(F.coalesce(text, F.lit("")), _WS_CLASS, " ")
+    )
+
+
+def strip_html_expr(text: Column) -> Column:
+    """HTML-ish markup strip for crawled corpora: drop tags (replaced by a
+    space so adjacent words don't fuse), decode the common entities, then
+    normalize whitespace. Deliberately a lexical pass, not an HTML parser
+    — the scale-path behavior every corpus pipeline uses (malformed
+    markup degrades to text, never errors)."""
+    t = F.regexp_replace(F.coalesce(text, F.lit("")), r"<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return normalize_ws_expr(t)

@@ -105,3 +105,54 @@ def test_scrub_pii_replaces_urls_then_emails(spark):
     assert out[1]["e"] == 2
     assert out[2]["s"] == "no pii here" and out[2]["u"] == 0
     assert out[3]["s"] == ""
+
+
+class TestNormalization:
+    """strip_html_expr / normalize_ws_expr — crawl-corpus cleanup pass."""
+
+    def _one(self, spark, expr_fn, s):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(expr_fn(F.col("t")).alias("o")).head()["o"]
+
+    def test_strip_html_basic(self, spark):
+        from pg_vectorize_spark.functions.text import strip_html_expr
+
+        got = self._one(
+            spark, strip_html_expr,
+            '<div id="a">Hello <b>world</b>!</div>\n\n  <br/>bye',
+        )
+        assert got == "Hello world ! bye"
+
+    def test_entities_decode_one_level(self, spark):
+        from pg_vectorize_spark.functions.text import strip_html_expr
+
+        # &amp;lt; decodes to &lt; (one level), NOT to <
+        got = self._one(spark, strip_html_expr, "a &amp;lt; b &lt; c &amp; d")
+        assert got == "a &lt; b < c & d"
+
+    def test_malformed_markup_degrades_to_text(self, spark):
+        from pg_vectorize_spark.functions.text import strip_html_expr
+
+        # a bare '<' opens a "tag" that runs to the next '>' lexically —
+        # the documented degrade-to-text behavior (no parser, no errors);
+        # and with no '>' at all, nothing is stripped
+        got = self._one(spark, strip_html_expr, "5 < 6 but x<y<z> done")
+        assert got == "5 done"
+        got = self._one(spark, strip_html_expr, "all < kept here")
+        assert got == "all < kept here"
+
+    def test_normalize_ws_and_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from pg_vectorize_spark.functions.text import normalize_ws_expr
+
+        got = self._one(
+            spark, normalize_ws_expr, "  a\t\tb\r\nc \f d  "
+        )
+        assert got == "a b c d"
+        df = spark.createDataFrame([(None,)], "t string")
+        assert df.select(
+            normalize_ws_expr(F.col("t")).alias("o")
+        ).head()["o"] == ""
