@@ -70,6 +70,16 @@ from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
 from pg_vectorize_spark.sources.reader import read_source
 from pg_vectorize_spark.validate import check_input
 
+#: the reference's IndexDist enum values (core/src/types.rs:63-103) plus
+#: the bare "cosine" this engine has always defaulted to in its catalog
+VALID_INDEX_DIST_TYPES = {
+    "pgv_hnsw_l2",
+    "pgv_hnsw_ip",
+    "pgv_hnsw_cosine",
+    "vsc_diskann_cosine",
+    "cosine",
+}
+
 
 class VectorizeSession:
     def __init__(
@@ -148,9 +158,25 @@ class VectorizeSession:
         api_key: str | None = None,
         run_initial_load: bool = True,
         source_format: str = "auto",
+        index_dist_type: str = "pgv_hnsw_cosine",
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
-        tokens backfill + view registration (core/src/init.rs:122-269)."""
+        tokens backfill + view registration (core/src/init.rs:122-269).
+
+        ``index_dist_type`` mirrors the reference's IndexDist enum
+        (core/src/types.rs:63-103): it selects the physical index the
+        reference builds (HNSW l2/ip/cosine or DiskANN,
+        core/src/query.rs:359-396) — the READ path always scores cosine
+        (``1 - (embeddings <=> $1)``, core/src/query.rs:681) regardless,
+        and so does this engine. Here the value is validated, recorded,
+        and maps to the index layout choice (IVF cells / sign-bit buckets
+        are the Spark-side index analogs; metric-variant scoring lives in
+        operators/ann.py for direct use)."""
+        if index_dist_type not in VALID_INDEX_DIST_TYPES:
+            raise VectorizeError(
+                f"Invalid value for IndexDist: {index_dist_type} "
+                f"(valid: {sorted(VALID_INDEX_DIST_TYPES)})"
+            )
         model = model or self.config.default_transformer
         # env fallback applies to the dim probe too (there is no job record
         # yet, so resolve arg -> env directly)
@@ -168,6 +194,7 @@ class VectorizeSession:
             table_method=table_method,
             schedule=schedule,
             source_format=source_format,
+            index_dist_type=index_dist_type,
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain

@@ -41,13 +41,42 @@ def brute_force_topk(
     emb_col: str,
     query_vec: Sequence[float],
     k: int = 10,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k (the reference's ORDER BY <=> LIMIT shape)."""
+    """Exact top-k under the chosen metric.
+
+    ``cosine`` is the reference's read path (``ORDER BY embeddings <=> $1``
+    — its search SQL always scores cosine regardless of index_dist_type,
+    core/src/query.rs:681). ``l2`` and ``ip`` are the metric companions of
+    the pgv_hnsw_l2 / pgv_hnsw_ip index layouts (core/src/types.rs:63-76)
+    for engines that query those operators directly: l2 ranks ascending by
+    distance, ip descending by inner product (pgvector's ``<#>`` is the
+    NEGATED inner product ordered ascending — same order). The output
+    column is always ``similarity_score``, higher = better (l2 distance is
+    negated), so callers fuse ranks identically across metrics.
+    """
+    from pg_vectorize_spark.functions.vector import (
+        dot_product,
+        query_vector_lit,
+    )
+
+    emb = F.col(emb_col)
+    if metric == "cosine":
+        score = cosine_similarity_to_query(emb, query_vec)
+    elif metric == "ip":
+        score = dot_product(emb, query_vector_lit(query_vec))
+    elif metric == "l2":
+        q = query_vector_lit(query_vec)
+        dist2 = F.aggregate(
+            F.zip_with(emb, q, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = -F.sqrt(dist2)
+    else:
+        raise ValueError(f"unknown metric: {metric!r} (cosine | l2 | ip)")
     scored = emb_df.select(
-        F.col(pkey),
-        cosine_similarity_to_query(F.col(emb_col), query_vec).alias(
-            "similarity_score"
-        ),
+        F.col(pkey), score.alias("similarity_score")
     )
     return scored.orderBy(
         F.desc("similarity_score"), F.asc(pkey)

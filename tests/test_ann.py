@@ -115,3 +115,48 @@ class TestPersistedIvfIndex:
         # all cells and filter rows
         pfs = re.findall(r"PartitionFilters: \[(.*?)\]", rep.text)
         assert any("cell" in pf for pf in pfs), rep.text
+
+
+class TestMetricVariants:
+    """brute_force_topk metric companions of the reference's index dist
+    types (core/src/types.rs:63-76): l2 and ip rank exactly as numpy."""
+
+    def test_metrics_match_numpy(self, spark):
+        import numpy as np
+
+        from pg_vectorize_spark.operators.ann import brute_force_topk
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(50, 8))
+        q = [float(x) for x in rng.normal(size=8)]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        qa = np.array(q)
+        expect = {
+            "cosine": np.argsort(
+                -(vecs @ qa) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qa))
+            )[:5],
+            "ip": np.argsort(-(vecs @ qa))[:5],
+            "l2": np.argsort(np.linalg.norm(vecs - qa, axis=1))[:5],
+        }
+        for metric, exp in expect.items():
+            got = [
+                r["vec_id"]
+                for r in brute_force_topk(
+                    emb, "vec_id", "embedding", q, k=5, metric=metric
+                ).collect()
+            ]
+            assert got == list(exp), metric
+
+    def test_unknown_metric_raises(self, spark):
+        import pytest
+
+        from pg_vectorize_spark.operators.ann import brute_force_topk
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="unknown metric"):
+            brute_force_topk(emb, "vec_id", "embedding", [1.0, 0.0], metric="hamming")

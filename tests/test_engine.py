@@ -274,3 +274,34 @@ def test_full_text_search_cover_density(sess, products_path):
     assert {"fts_score", "cd_score", "rank_cd"} <= set(out[0])
     # adjacent phrase in the top hit -> positive proximity bonus
     assert out[0]["cd_score"] > 0
+
+
+class TestIndexDistType:
+    """IndexDist enum parity (core/src/types.rs:63-103): every reference
+    value accepted and recorded; invalid values rejected like FromStr."""
+
+    def test_valid_types_recorded(self, spark, tmp_path, products_df):
+        import pytest
+
+        from pg_vectorize_spark.errors import VectorizeError
+
+        p = str(tmp_path / "p.parquet")
+        products_df.write.parquet(p)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        job = sess.create_job(
+            "distl2", p, columns=["product_name"], primary_key="product_id",
+            index_dist_type="pgv_hnsw_l2", run_initial_load=False,
+        )
+        assert job.index_dist_type == "pgv_hnsw_l2"
+        for t in ("pgv_hnsw_ip", "pgv_hnsw_cosine", "vsc_diskann_cosine"):
+            sess.create_job(
+                f"dist_{t}", p, columns=["product_name"],
+                primary_key="product_id", index_dist_type=t,
+                run_initial_load=False,
+            )
+        with pytest.raises(VectorizeError, match="Invalid value for IndexDist"):
+            sess.create_job(
+                "distbad", p, columns=["product_name"],
+                primary_key="product_id", index_dist_type="pgv_hnsw_hamming",
+                run_initial_load=False,
+            )
