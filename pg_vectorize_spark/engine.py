@@ -177,6 +177,14 @@ class VectorizeSession:
                 f"Invalid value for IndexDist: {index_dist_type} "
                 f"(valid: {sorted(VALID_INDEX_DIST_TYPES)})"
             )
+        # realtime is trigger-driven on the reference and requires the
+        # separate embeddings table (search.rs:36-38 errors on append);
+        # pinned by its test_realtime_append_fail
+        if schedule == "realtime" and table_method != "join":
+            raise VectorizeError(
+                "realtime schedule is only compatible with the join table "
+                "method"
+            )
         model = model or self.config.default_transformer
         # env fallback applies to the dim probe too (there is no job record
         # yet, so resolve arg -> env directly)

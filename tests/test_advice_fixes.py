@@ -149,6 +149,7 @@ class TestImportAppendRejected:
         sess.create_job(
             "apjob", src, columns=["t"], primary_key="pid",
             table_method="append",
+            schedule="* * * * *",
         )
         ext = spark.createDataFrame(
             [(1, [1.0] + [0.0] * 63)], "pid long, vec array<double>"

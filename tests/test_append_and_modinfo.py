@@ -27,6 +27,7 @@ def test_append_method_search(sess, products_path):
         columns=["product_name", "description"],
         primary_key="product_id",
         table_method="append",
+        schedule="* * * * *",
     )
     out = sess.search("app", "wooden pencil eraser", num_results=1)
     assert out[0]["product_name"] == "Pencil"
@@ -39,6 +40,7 @@ def test_append_method_wide_view(sess, spark, products_path):
         columns=["product_name"],
         primary_key="product_id",
         table_method="append",
+        schedule="* * * * *",
     )
     view = spark.table("app2_view")
     # wide snapshot: source columns + embeddings, no join needed
@@ -55,6 +57,7 @@ def test_append_incremental_noop(sess, products_path):
         columns=["product_name"],
         primary_key="product_id",
         table_method="append",
+        schedule="* * * * *",
     )
     assert sess.scan_job("app3") == 0
 
@@ -123,6 +126,7 @@ def test_append_method_delete_cascade(sess, spark, products_path, products_df):
         columns=["product_name"],
         primary_key="product_id",
         table_method="append",
+        schedule="* * * * *",
     )
     emb = SnapshotDataset(sess.spark, sess._job_dir("appdel", "embeddings"))
     assert emb.read().count() == 14
@@ -134,3 +138,21 @@ def test_append_method_delete_cascade(sess, spark, products_path, products_df):
     assert emb.read().filter("product_id > 9").count() == 0
     v = sess.job_view("appdel")
     assert v.count() == 9
+
+
+def test_realtime_append_rejected(sess, products_path):
+    """realtime + append is not supported (search.rs:36-38;
+    test_realtime_append_fail, integration_tests.rs:203-229)."""
+    import pytest
+
+    from pg_vectorize_spark.errors import VectorizeError
+
+    with pytest.raises(VectorizeError, match="only compatible with the join"):
+        sess.create_job(
+            "rtapp",
+            products_path,
+            columns=["product_name"],
+            primary_key="product_id",
+            table_method="append",
+            schedule="realtime",
+        )
