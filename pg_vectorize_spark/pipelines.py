@@ -72,6 +72,24 @@ class CorpusPipeline:
 
     # ------------------------------------------------------------ analysis
 
+    def normalize_text(self, strip_html: bool = True) -> "CorpusPipeline":
+        """Crawl cleanup as the usual FIRST pipeline step: HTML-ish tag
+        strip + entity decode (optional) and whitespace collapse, replacing
+        the text column in place so every downstream stage (tokens,
+        quality, dedup shingles...) sees clean text. Pure JVM expressions —
+        zero shuffle."""
+        from pg_vectorize_spark.functions.text import (
+            normalize_ws_expr,
+            strip_html_expr,
+        )
+
+        expr = (
+            strip_html_expr(F.col(self.text_col))
+            if strip_html
+            else normalize_ws_expr(F.col(self.text_col))
+        )
+        return self._derive(self._df.withColumn(self.text_col, expr))
+
     def with_tokens(self) -> "CorpusPipeline":
         return self._derive(
             self._df.withColumn(

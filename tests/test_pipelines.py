@@ -129,3 +129,29 @@ def test_curation_steps(spark, pipe):
         .collect()
     }
     assert ok == want
+
+
+def test_normalize_text_step(spark):
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello   <b>world</b></p>"),
+            (2, "plain\t\ttext &amp; more"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in CorpusPipeline(spark, df).normalize_text().df().collect()
+    }
+    assert out == {1: "Hello world", 2: "plain text & more"}
+    # ws-only mode leaves markup alone
+    out_ws = {
+        r["doc_id"]: r["text"]
+        for r in CorpusPipeline(spark, df)
+        .normalize_text(strip_html=False)
+        .df()
+        .collect()
+    }
+    assert out_ws[1] == "<p>Hello <b>world</b></p>"
