@@ -1143,6 +1143,19 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (Lee et al. 2022 hash-window
+    form): per doc, the fraction of its 5-word windows appearing verbatim
+    in another document. String-keyed path so the DuckDB oracle is
+    bit-exact (production default hashes the windows to 8-byte keys)."""
+    from pg_vectorize_spark.operators.dedup import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(
+        docs, "text", "doc_id", k=5, hash_ngrams=False
+    )
+
+
 def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure over jaccard pairs — iterative label
     propagation on the Spark side, oracled by a DuckDB recursive CTE
@@ -1195,6 +1208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
     "frame_sample": q_frame_sample,
     "text_normalize": q_text_normalize,
+    "dup_span_stats": q_dup_span_stats,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_survivors": q_dedup_survivors,
@@ -1711,6 +1725,34 @@ pg AS (
 SELECT pg.doc_id, count(*)::BIGINT AS n_shared_grams
 FROM pg JOIN bg USING (gram)
 GROUP BY pg.doc_id
+"""
+
+
+def _oracle_dup_span_stats() -> str:
+    """Same window pipeline: all 5-grams per doc (duplicates included for
+    the totals), distinct (doc, gram) for the cross-doc frequency, windows
+    whose gram appears in >= 2 docs counted back per doc."""
+    grams = O.sql_word_ngrams("d.text", 5)
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT d.doc_id, unnest({grams}) AS gram FROM documents d
+),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY 1),
+dg AS (SELECT DISTINCT doc_id, gram FROM w),
+dup AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+dpd AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows
+  FROM w JOIN dup USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(t.n_windows, 0) > 0
+            THEN coalesce(p.n_dup_windows, 0)::DOUBLE / t.n_windows::DOUBLE
+            ELSE 0.0 END AS dup_fraction
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN dpd p ON p.doc_id = d.doc_id
 """
 
 
@@ -2406,6 +2448,7 @@ WHERE emb_updated_at IS NULL
     "source_divergence": _oracle_source_divergence(),
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
+    "dup_span_stats": _oracle_dup_span_stats(),
     "corpus_stats": _oracle_corpus_stats(),
     "embedding_quantize": _oracle_embedding_quantize(),
     "embedding_truncate": _oracle_embedding_truncate(),

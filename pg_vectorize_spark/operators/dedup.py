@@ -621,3 +621,77 @@ __all__ = [
     "poly_hash_expr",
     "MINHASH_PRIME",
 ]
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    k: int = 20,
+    hash_ngrams: bool = True,
+) -> DataFrame:
+    """Exact-substring duplication audit: per document, the fraction of its
+    k-word windows that also appear verbatim in ANOTHER document — the
+    hash-window form of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": suffix
+    arrays at 50-token spans; the scalable approximation every corpus
+    pipeline uses is fixed-k window hashing, which this implements).
+
+    Output: (pkey, n_windows, n_dup_windows, dup_fraction), one row per
+    input document (0/0/0.0 for docs shorter than k words). Cross-doc
+    duplication only — a phrase repeated inside a single document does not
+    count (that is repetition_score_expr's job).
+
+    Scale shape: explode to (doc, window-key), then three keyed aggregates
+    and a semi-join — all hash-partitioned equi-shuffles on the window
+    key or the doc key, no pair fan-out (the duplicated-key list is the
+    join side, never doc x doc). ``hash_ngrams=True`` shuffles 8-byte
+    xxhash64 keys instead of k-word strings (the only path that matters at
+    100 TB; collision odds ~n²/2⁶⁴ shift a count by ±1 — irrelevant for an
+    audit). The exact string-keyed path (``False``) exists for the
+    bit-exact oracle gate.
+    """
+    from pg_vectorize_spark.functions.text import (
+        raw_words_expr,
+        word_ngrams_expr,
+    )
+
+    grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
+    win = df.select(F.col(pkey), F.explode(grams).alias("gram"))
+    if hash_ngrams:
+        win = win.select(F.col(pkey), F.xxhash64("gram").alias("gkey"))
+    else:
+        win = win.select(F.col(pkey), F.col("gram").alias("gkey"))
+    totals = win.groupBy(pkey).agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_keys = (
+        win.distinct()
+        .groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("gkey")
+    )
+    dups = (
+        win.join(dup_keys, "gkey", "left_semi")
+        .groupBy(pkey)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        df.select(F.col(pkey))
+        .join(totals, pkey, "left")
+        .join(dups, pkey, "left")
+        .select(
+            F.col(pkey),
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

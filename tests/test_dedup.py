@@ -227,3 +227,48 @@ def test_quadratic_guard(spark, monkeypatch):
     # small inputs under the guard are unaffected
     small = emb.limit(5)
     assert dd.cosine_neardup_pairs(small, "id", "vec").count() >= 0
+
+
+def test_duplicated_span_stats(spark):
+    """Exact-substring audit: cross-doc verbatim windows counted, in-doc
+    repetition NOT counted, short docs -> zeros, hash path == exact path."""
+    from pg_vectorize_spark.operators.dedup import duplicated_span_stats
+
+    boiler = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one {boiler} closing words here"),
+            (2, f"intro two {boiler} other ending text"),
+            (3, "repeat me now repeat me now repeat me now repeat me now"),
+            (4, "too short"),
+            (5, "a completely different document with unique phrasing only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_span_stats(
+            df, "text", "doc_id", k=5, hash_ngrams=False
+        ).collect()
+    }
+    # docs 1+2 share the 10-word boilerplate -> 6 shared 5-grams each
+    assert rows[1]["n_dup_windows"] == 6
+    assert rows[2]["n_dup_windows"] == 6
+    assert 0 < rows[1]["dup_fraction"] < 1
+    # in-doc repetition alone is not cross-doc duplication
+    assert rows[3]["n_dup_windows"] == 0
+    # short doc: no windows at all
+    assert rows[4]["n_windows"] == 0 and rows[4]["dup_fraction"] == 0.0
+    assert rows[5]["n_dup_windows"] == 0
+    # hashed keys give identical counts
+    hashed = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in duplicated_span_stats(
+            df, "text", "doc_id", k=5, hash_ngrams=True
+        ).collect()
+    }
+    exact = {
+        d: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for d, r in rows.items()
+    }
+    assert hashed == exact
