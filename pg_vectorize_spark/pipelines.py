@@ -199,6 +199,22 @@ class CorpusPipeline:
         flags = gopher_flags_exprs(F.col(self.text_col), min_words=min_words)
         return self._derive(self._df.filter(flags["pass_gopher"]))
 
+    def filter_dup_spans(
+        self, max_fraction: float = 0.5, k: int = 20
+    ) -> "CorpusPipeline":
+        """Drop documents whose verbatim cross-doc window duplication
+        exceeds ``max_fraction`` (exact-substring audit,
+        operators/dedup.duplicated_span_stats) — the boilerplate/mirror
+        filter that pairwise near-dup passes miss when a page is mostly
+        template around little unique text."""
+        from pg_vectorize_spark.operators.dedup import duplicated_span_stats
+
+        stats = duplicated_span_stats(self._df, self.text_col, self.pkey, k=k)
+        keep = stats.filter(F.col("dup_fraction") <= max_fraction).select(
+            self.pkey
+        )
+        return self._derive(self._df.join(keep, self.pkey, "left_semi"))
+
     # ------------------------------------------------------------ dedup
 
     def duplicate_pairs(

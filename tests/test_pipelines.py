@@ -155,3 +155,26 @@ def test_normalize_text_step(spark):
         .collect()
     }
     assert out_ws[1] == "<p>Hello <b>world</b></p>"
+
+
+def test_filter_dup_spans_step(spark):
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    boiler = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one"),
+            (2, boiler + " other tail"),
+            (3, "entirely original content with no shared windows at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in CorpusPipeline(spark, df)
+        .filter_dup_spans(max_fraction=0.5, k=5)
+        .df()
+        .collect()
+    }
+    # 1 and 2 are mostly shared boilerplate -> dropped; 3 survives
+    assert kept == {3}
