@@ -327,6 +327,52 @@ def ivf_topk_indexed(
     return brute_force_topk(candidates, pkey, emb_col, query_vec, k)
 
 
+def build_signbit_index(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    index_path: str,
+    nbits: int = 8,
+) -> None:
+    """Write-time sign-bit LSH index: the bucket persisted as a parquet
+    PARTITION column, so a (multi-probe) query's Hamming-ball IN filter
+    becomes partition pruning at the source — the scan reads only
+    |probes|/2^nbits of the files (PartitionFilters in the plan,
+    tests/test_ann.py). The bucket-as-column variant (signbit_lsh_topk)
+    filters after the scan; this layout is what the 100-TB deployment
+    uses."""
+    bucketed = emb_df.select(
+        F.col(pkey),
+        F.col(emb_col),
+        signbit_bucket_expr(F.col(emb_col), nbits).alias("bucket"),
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+
+
+def signbit_lsh_topk_indexed(
+    spark,
+    index_path: str,
+    pkey: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nbits: int = 8,
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Multi-probe LSH over the persisted index: enumerate the Hamming
+    ball driver-side, prune partitions with an IN filter, exact-rescore
+    the survivors."""
+    qbucket = 0
+    for j in range(min(nbits, len(query_vec))):
+        if query_vec[j] > 0:
+            qbucket += 1 << j
+    probes = _hamming_ball(qbucket, nbits, probe_hamming)
+    candidates = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probes)
+    )
+    return brute_force_topk(candidates, pkey, emb_col, query_vec, k)
+
+
 def ivf_topk(
     emb_df: DataFrame,
     centroids_df: DataFrame,

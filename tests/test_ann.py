@@ -160,3 +160,47 @@ class TestMetricVariants:
         )
         with pytest.raises(ValueError, match="unknown metric"):
             brute_force_topk(emb, "vec_id", "embedding", [1.0, 0.0], metric="hamming")
+
+
+class TestSignbitIndex:
+    """Persisted bucket-partitioned sign-bit index: multi-probe IN filter
+    must prune PARTITIONS at the source, and results must equal the
+    inline (bucket-as-column) variant."""
+
+    def test_indexed_matches_inline_and_prunes(self, spark, tmp_path):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            build_signbit_index,
+            signbit_lsh_topk,
+            signbit_lsh_topk_indexed,
+        )
+        from pg_vectorize_spark.plans.inspect import plan_report
+        from tests.conftest import SF_SMOKE
+
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").alias("embeddings")
+        )
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embeddings"]
+        ]
+        idx = str(tmp_path / "sb_idx")
+        build_signbit_index(emb, "vec_id", "embeddings", idx, nbits=8)
+        for h in (0, 2):
+            inline = signbit_lsh_topk(
+                emb, "vec_id", "embeddings", qv, k=10, nbits=8,
+                probe_hamming=h,
+            )
+            indexed = signbit_lsh_topk_indexed(
+                spark, idx, "vec_id", "embeddings", qv, k=10, nbits=8,
+                probe_hamming=h,
+            )
+            a = [(r["vec_id"], r["similarity_score"]) for r in inline.collect()]
+            b = [(r["vec_id"], r["similarity_score"]) for r in indexed.collect()]
+            assert a == b, f"probe_hamming={h}"
+        rep = plan_report(indexed)
+        pfs = re.findall(r"PartitionFilters: \[(.*?)\]", rep.text)
+        assert any("bucket" in pf for pf in pfs), rep.text

@@ -72,3 +72,42 @@ def test_explicit_format_override(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(VectorizeError, match="unknown source format"):
         read_source(spark, "/nope", "xml")
+
+
+def test_events_loader_schema_adaptive(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) in different rounds; the entry loader must decode
+    both to identical timestamps (guard against testdata schema drift)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+
+    times = [
+        dt.datetime(2026, 1, 1, 12, 0, 0, 250_000),
+        dt.datetime(2026, 1, 2, 3, 4, 5, 6),
+    ]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }
+    out = {}
+    for name, unit in (("nanos", "ns"), ("micros", "us")):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": pa.array(times, pa.timestamp(unit))}),
+            str(d / "events.parquet"),
+        )
+        df = entrymod._events(spark, str(d))
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        out[name] = sorted(
+            (r["event_id"], r["ts"]) for r in df.collect()
+        )
+    assert out["nanos"] == out["micros"]
+    assert out["micros"][0][1].microsecond == 250_000
