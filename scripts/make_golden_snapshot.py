@@ -67,11 +67,20 @@ def main() -> None:
     sess.create_job(
         "golden", src, columns=["text"], primary_key="doc_id"
     )
+    # the append-method wide layout is a distinct storage format — freeze
+    # it too (cron schedule: realtime+append is rejected, as upstream)
+    sess.create_job(
+        "golden_append", src, columns=["text"], primary_key="doc_id",
+        table_method="append", schedule="* * * * *",
+    )
 
     expected = {
         "semantic": sess.search("golden", **SEARCHES["semantic"]),
         "fts": sess.full_text_search("golden", **SEARCHES["fts"]),
         "hybrid": sess.hybrid_search("golden", **SEARCHES["hybrid"]),
+        "append_semantic": sess.search(
+            "golden_append", **SEARCHES["semantic"]
+        ),
     }
     with open(f"{FIXTURE}/expected.json", "w") as f:
         json.dump(expected, f, indent=1, sort_keys=True, default=str)

@@ -57,6 +57,9 @@ def test_search_results_identical(golden):
         "semantic": golden.search("golden", **SEARCHES["semantic"]),
         "fts": golden.full_text_search("golden", **SEARCHES["fts"]),
         "hybrid": golden.hybrid_search("golden", **SEARCHES["hybrid"]),
+        "append_semantic": golden.search(
+            "golden_append", **SEARCHES["semantic"]
+        ),
     }
     for kind in expected:
         assert _jsonify(got[kind]) == expected[kind], (
