@@ -98,3 +98,27 @@ def test_chain_200_converges_logarithmically(spark):
         r["id"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(201)}
+
+
+def test_large_random_graph_matches_bfs(spark):
+    """1,500-node sparse random graph (many components, some big): the
+    alternating algorithm's labels must equal BFS exactly — coverage well
+    beyond the 60-node smoke graph, at the scale where star/chain mixes
+    and singleton-vs-center edge cases all occur."""
+    rng = random.Random(42)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(1500), rng.randrange(1500))
+                for _ in range(1200)
+            )
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    expected = _bfs_components(edges)
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == expected
