@@ -279,7 +279,14 @@ class VectorizeSession:
         for ds in (self._emb_ds(job_name), self._tok_ds(job_name)):
             if not ds.exists():
                 continue
-            orphans = detect_orphans(ds.read(), src_keys, pkey).select(pkey)
+            # materialize the (typically tiny) orphan key set once: without
+            # it, the count for the no-churn guard AND delete_keys each
+            # re-run the source + snapshot scans and the anti-join
+            orphans = (
+                detect_orphans(ds.read(), src_keys, pkey)
+                .select(pkey)
+                .localCheckpoint()
+            )
             n = orphans.count()
             if n:
                 ds.delete_keys(orphans, pkey)

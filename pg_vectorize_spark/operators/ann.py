@@ -83,6 +83,19 @@ def brute_force_topk(
     ).limit(k)
 
 
+def query_signbit_bucket(query_vec: Sequence[float], nbits: int = 8) -> int:
+    """Driver-side sign-bit bucket of a query vector — MUST stay
+    bit-identical to ``signbit_bucket_expr`` (same '> 0' threshold, same
+    first-nbits window): a divergence silently desynchronizes query
+    buckets from the persisted partition layout (near-zero recall, no
+    error). Single definition; do not inline copies."""
+    qbucket = 0
+    for j in range(min(nbits, len(query_vec))):
+        if query_vec[j] > 0:
+            qbucket += 1 << j
+    return qbucket
+
+
 def signbit_bucket_expr(emb: Column, nbits: int = 8) -> Column:
     """LSH bucket = Σ 2^j * [emb[j] > 0] over the first nbits coordinates."""
     return F.aggregate(
@@ -133,10 +146,7 @@ def signbit_lsh_topk(
     scan still prunes to |probes|/2^nbits of the data before any vector
     math.
     """
-    qbucket = 0
-    for j in range(min(nbits, len(query_vec))):
-        if query_vec[j] > 0:
-            qbucket += 1 << j
+    qbucket = query_signbit_bucket(query_vec, nbits)
     bucket = signbit_bucket_expr(F.col(emb_col), nbits)
     if probe_hamming > 0:
         candidates = emb_df.filter(
@@ -362,11 +372,9 @@ def signbit_lsh_topk_indexed(
     """Multi-probe LSH over the persisted index: enumerate the Hamming
     ball driver-side, prune partitions with an IN filter, exact-rescore
     the survivors."""
-    qbucket = 0
-    for j in range(min(nbits, len(query_vec))):
-        if query_vec[j] > 0:
-            qbucket += 1 << j
-    probes = _hamming_ball(qbucket, nbits, probe_hamming)
+    probes = _hamming_ball(
+        query_signbit_bucket(query_vec, nbits), nbits, probe_hamming
+    )
     candidates = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(probes)
     )

@@ -522,15 +522,28 @@ def _alternating_cc(
     oriented leaf -> center, rounds_used, converged)."""
     for rounds in range(1, max_iterations + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        # star test: converged iff no node is both a leaf (source) and a
-        # center (target) — i.e. no 2-hop chain u -> v -> w remains
+        # star-forest test — BOTH conditions required:
+        # (a) no node is both a leaf (source) and a center (target), i.e.
+        #     no 2-hop chain u -> v -> w remains;
+        # (b) every leaf has exactly ONE parent. A leaf attached to two
+        #     centers (e.g. pairs (1,10),(2,11),(5,10),(5,11) after one
+        #     round: {(5,1),(10,1),(5,2),(11,2)}) passes (a) but is NOT a
+        #     star forest — stopping there splits the component and emits
+        #     duplicate labels for the shared leaf.
         chain = (
             edges.select("v")
             .join(edges.select(F.col("u").alias("v")), "v", "left_semi")
             .limit(1)
             .count()
         )
-        if chain == 0:
+        multi_parent = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .limit(1)
+            .count()
+        )
+        if chain == 0 and multi_parent == 0:
             return edges, rounds, True
     return edges, max_iterations, False
 
@@ -662,6 +675,10 @@ def duplicated_span_stats(
         win = win.select(F.col(pkey), F.xxhash64("gram").alias("gkey"))
     else:
         win = win.select(F.col(pkey), F.col("gram").alias("gkey"))
+    # three aggregation subtrees consume the exploded window table; without
+    # a materialization point Spark re-tokenizes and re-explodes the whole
+    # corpus once per subtree (the dominant cost of this job)
+    win = win.localCheckpoint(eager=False)
     totals = win.groupBy(pkey).agg(F.count(F.lit(1)).alias("n_windows"))
     dup_keys = (
         win.distinct()

@@ -159,9 +159,9 @@ def main() -> None:
         }
 
         def lsh(qv, _nb=nbits, _h=probe, _sizes=bucket_sizes):
-            qb = sum(
-                1 << j for j in range(min(_nb, len(qv))) if qv[j] > 0
-            )
+            from pg_vectorize_spark.operators.ann import query_signbit_bucket
+
+            qb = query_signbit_bucket(qv, _nb)
             n_cand = sum(
                 _sizes.get(b, 0) for b in _hamming_ball(qb, _nb, _h)
             )

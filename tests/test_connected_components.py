@@ -122,3 +122,19 @@ def test_large_random_graph_matches_bfs(spark):
         r["id"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_shared_leaf_two_centers_regression(spark):
+    """Regression (review-found): a leaf attached to two centers after one
+    round — pairs (1,10),(2,11),(5,10),(5,11) — must NOT be declared
+    converged (the old chain-only test stopped early, splitting the
+    component and double-labeling node 5)."""
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 11), (5, 10), (5, 11)], "a_id long, b_id long"
+    )
+    labels = connected_components(pairs).collect()
+    got = {}
+    for r in labels:
+        assert r["id"] not in got, f"duplicate label rows for {r['id']}"
+        got[r["id"]] = r["component"]
+    assert got == {1: 1, 2: 1, 5: 1, 10: 1, 11: 1}
