@@ -72,6 +72,7 @@ def main() -> None:
         "unigram_logprob",
         "vocabulary_topk",
         "asof_join_bucketed",
+        "dup_span_stats",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the
