@@ -1156,6 +1156,19 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk -> document vector pooling (functions/vector.pool_embeddings):
+    element-wise mean per group with DECIMAL(28,12)-exact position sums —
+    shuffle-order-free, so the hash matches DuckDB bit-for-bit. Groups
+    synthesized as vec_id % 50 (the chunk->source relation shape)."""
+    from pg_vectorize_spark.functions.vector import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 50).alias("grp"), "embedding"
+    )
+    return pool_embeddings(emb, "grp", "embedding", mode="mean")
+
+
 def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup closure over jaccard pairs — iterative label
     propagation on the Spark side, oracled by a DuckDB recursive CTE
@@ -1209,6 +1222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "text_normalize": q_text_normalize,
     "dup_span_stats": q_dup_span_stats,
+    "embedding_pool": q_embedding_pool,
     "orders_rollup": q_orders_rollup,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dedup_survivors": q_dedup_survivors,
@@ -2449,6 +2463,33 @@ WHERE emb_updated_at IS NULL
     "domain_cap": _oracle_domain_cap(),
     "decontaminate": _oracle_decontaminate(),
     "dup_span_stats": _oracle_dup_span_stats(),
+    # same two-stage pooling: per-(grp,pos) seeded fold over the
+    # value-sorted list (the repo float-parity rule), mean after
+    "embedding_pool": """
+WITH v AS MATERIALIZED (
+  SELECT vec_id % 50 AS grp,
+         list_transform(embedding, x -> x::DOUBLE) AS vd
+  FROM embeddings
+),
+pe AS (
+  SELECT grp,
+         unnest(list_transform(range(1, len(vd) + 1),
+                i -> {'pos': i, 'val': vd[i::INT]})) AS u
+  FROM v
+),
+px AS (SELECT grp, u.pos AS pos, u.val AS val FROM pe),
+ps AS (
+  SELECT grp, pos,
+         list_reduce(list_prepend(0.0::DOUBLE, list(val ORDER BY val)),
+                     (a, x) -> a + x) AS s,
+         COUNT(*) AS n
+  FROM px GROUP BY 1, 2
+)
+SELECT grp,
+       list(s / n::DOUBLE ORDER BY pos) AS pooled,
+       max(n)::BIGINT AS n_vectors
+FROM ps GROUP BY grp
+""",
     "corpus_stats": _oracle_corpus_stats(),
     "embedding_quantize": _oracle_embedding_quantize(),
     "embedding_truncate": _oracle_embedding_truncate(),

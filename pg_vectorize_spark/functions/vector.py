@@ -278,3 +278,61 @@ def truncate_normalize_table(
     return normed.select(
         *keep, unit.alias("unit"), F.col("norm_k"), F.col("norm_full")
     )
+
+
+def pool_embeddings(
+    df,
+    group_col: str,
+    vec_col: str,
+    mode: str = "mean",
+) -> "DataFrame":
+    """Element-wise pooling of vectors per group — the chunk -> document
+    aggregation every RAG/training pipeline needs after chunked embedding
+    (chunk_table -> embed -> pool back to one vector per source row).
+
+    Output: (group_col, pooled array<double>, n_vectors). ``mode`` is
+    'mean' or 'sum'.
+
+    Scale + determinism shape: posexplode to (group, pos, value), then per
+    (group, pos) a seeded left-to-right float64 fold over the VALUE-SORTED
+    list (the repo-wide float-parity rule, ARCHITECTURE.md: a plain double
+    SUM is shuffle-order-dependent, and double->decimal casts tie-break
+    differently across engines). Group size per (group, pos) is the
+    chunks-per-document count — bounded — so the collected list is small.
+    Two keyed shuffles ((group, pos) then group), map-side partial
+    aggregation; no driver involvement, no per-row Python.
+    """
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"mode must be 'mean' or 'sum', got {mode!r}")
+    v = _as_double_array(F.col(vec_col))
+    exploded = df.select(
+        F.col(group_col), F.posexplode(v).alias("_pos", "_val")
+    )
+    per_pos = exploded.groupBy(group_col, "_pos").agg(
+        F.sort_array(F.collect_list("_val")).alias("_vals"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    folded = F.aggregate(
+        F.col("_vals"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    divisor = F.col("_n") if mode == "mean" else F.lit(1)
+    per_pos = per_pos.select(
+        F.col(group_col),
+        F.col("_pos"),
+        (folded / divisor.cast("double")).alias("_v"),
+        F.col("_n"),
+    )
+    return (
+        per_pos.groupBy(group_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_v")))
+            ).alias("_pairs"),
+            F.max("_n").alias("n_vectors"),
+        )
+        .select(
+            F.col(group_col),
+            F.transform(F.col("_pairs"), lambda p: p["_v"]).alias("pooled"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+    )

@@ -167,3 +167,42 @@ class TestTruncateNormalize:
         df = spark.createDataFrame([(0, [1.0])], "id long, v array<double>")
         with _pytest.raises(ValueError):
             truncate_normalize_table(df, "v", k=0)
+
+
+def test_pool_embeddings(spark):
+    """Chunk->doc pooling: mean/sum match a driver-side sorted fold
+    exactly (the determinism contract), n_vectors = group size."""
+    from pg_vectorize_spark.functions.vector import pool_embeddings
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (1, [0.5, -1.0, 2.0]),
+        (1, [0.25, 0.5, 0.125]),
+        (2, [4.0, 5.0, 6.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc long, vec array<double>")
+
+    def fold_mean(vals):
+        acc = 0.0
+        for x in sorted(vals):
+            acc += x
+        return acc / len(vals)
+
+    got = {
+        r["doc"]: (r["pooled"], r["n_vectors"])
+        for r in pool_embeddings(df, "doc", "vec", mode="mean").collect()
+    }
+    expect1 = [
+        fold_mean([v[i] for d, v in rows if d == 1]) for i in range(3)
+    ]
+    assert got[1] == (expect1, 3)
+    assert got[2] == ([4.0, 5.0, 6.0], 1)
+    s = {
+        r["doc"]: r["pooled"]
+        for r in pool_embeddings(df, "doc", "vec", mode="sum").collect()
+    }
+    assert s[2] == [4.0, 5.0, 6.0]
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        pool_embeddings(df, "doc", "vec", mode="max")
