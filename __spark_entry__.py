@@ -1158,15 +1158,77 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk -> document vector pooling (functions/vector.pool_embeddings):
-    element-wise mean per group with DECIMAL(28,12)-exact position sums —
-    shuffle-order-free, so the hash matches DuckDB bit-for-bit. Groups
-    synthesized as vec_id % 50 (the chunk->source relation shape)."""
+    element-wise mean per group with shuffle-order-free sorted folds, so
+    the values match DuckDB bit-for-bit. Groups synthesized as vec_id % 50
+    (the chunk->source relation shape).
+
+    Output is scalar-only (position-weighted fold checksum + dim +
+    first/last element), mirroring q_embedding_truncate: the driver's
+    pandas canonicalizer cannot sort/hash a raw array<double> column
+    (CORRECTNESS_r03 `embedding_pool` err). The raw pooled vector is
+    exercised by pytest (test_quantize) and by q_chunked_embed_pool."""
     from pg_vectorize_spark.functions.vector import pool_embeddings
 
     emb = _t(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 50).alias("grp"), "embedding"
     )
-    return pool_embeddings(emb, "grp", "embedding", mode="mean")
+    pooled = pool_embeddings(emb, "grp", "embedding", mode="mean")
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("pooled"),
+            F.sequence(F.lit(1), F.size("pooled")),
+            lambda v, i: v * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return pooled.select(
+        "grp",
+        "n_vectors",
+        F.size("pooled").cast("long").alias("dim"),
+        wsum.alias("pos_weighted_sum"),
+        F.element_at("pooled", 1).alias("first_val"),
+        F.element_at("pooled", -1).alias("last_val"),
+    )
+
+
+def q_chunked_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG-ingest composite (F5 -> S8 -> pooling): chunk each
+    document (offset-bucket spec, 200 chars), embed every chunk through
+    the Arrow-batched provider path, then pool chunk vectors back to ONE
+    document vector (element-wise mean). This is the composite shape the
+    reference's chunking workflow produces (chunk_table -> embed ->
+    store), verified here end-to-end rather than piecewise.
+
+    Plan shape: chunking is explode + two keyed window/agg stages; embed
+    is a pure zero-shuffle Arrow map; pooling is two keyed shuffles on
+    (doc, pos) then doc. No driver collection, no row-at-a-time Python.
+    Scalar projections of the pooled vector (driver canonicalizer cannot
+    hash array columns)."""
+    from pg_vectorize_spark.functions.vector import pool_embeddings
+    from pg_vectorize_spark.operators.chunk import chunk_table_distributed
+    from pg_vectorize_spark.operators.embed import embed_bulk_pandas
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_table_distributed(docs, "text", "doc_id", max_chunk_size=200)
+    emb = embed_bulk_pandas(chunks, "chunk", "original_id", dim=EMBED_DIM)
+    pooled = pool_embeddings(emb, "original_id", "embeddings", mode="mean")
+    wsum = F.aggregate(
+        F.zip_with(
+            F.col("pooled"),
+            F.sequence(F.lit(1), F.size("pooled")),
+            lambda v, i: v * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return pooled.select(
+        F.col("original_id").alias("doc_id"),
+        F.col("n_vectors").alias("n_chunks"),
+        wsum.alias("pos_weighted_sum"),
+        F.element_at("pooled", 1).alias("first_val"),
+        F.element_at("pooled", -1).alias("last_val"),
+    )
 
 
 def q_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,30 +1266,37 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Registration order matters if the correctness gate samples a prefix
-    # (round 2 covered exactly the first 50): queries with no green driver
-    # row yet come FIRST, cheapest first, so every operator accumulates
-    # driver evidence across rounds.
-    "embedding_truncate": q_embedding_truncate,
-    "embedding_quantize": q_embedding_quantize,
-    "corpus_stats": q_corpus_stats,
-    "domain_cap": q_domain_cap,
-    "search_tokens": q_search_tokens,
-    "quality_filter": q_quality_filter,
-    "inverted_index": q_inverted_index,
-    "decontaminate": q_decontaminate,
-    "orphan_cleanup": q_orphan_cleanup,
-    "multimodal_decode": q_multimodal_decode,
-    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
-    "frame_sample": q_frame_sample,
-    "text_normalize": q_text_normalize,
-    "dup_span_stats": q_dup_span_stats,
-    "embedding_pool": q_embedding_pool,
-    "orders_rollup": q_orders_rollup,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "dedup_survivors": q_dedup_survivors,
-    "source_divergence": q_source_divergence,
-    "dedup_transitive": q_dedup_transitive,
+    # Registration order matters: the driver's correctness gate samples
+    # the FIRST 50 registered queries (rounds 2-3 covered exactly 50).
+    # Rotation policy (VERDICT r3 #2): queries whose newest driver row is
+    # oldest come FIRST so every operator's driver evidence stays <=1
+    # round stale; new/changed queries also go up front.
+    # --- changed/new this round ---
+    "embedding_pool": q_embedding_pool,  # r3 red (canonicalizer); reshaped
+    "chunked_embed_pool": q_chunked_embed_pool,  # new composite gate
+    # --- only r2 driver rows (rotated out of r3's window) ---
+    "multimodal_meta": q_multimodal_meta,
+    "json_rows": q_json_rows,
+    "append_method_scan": q_append_method_scan,
+    "collect_changed_ids": q_collect_changed_ids,
+    "incremental_scan_events": q_incremental_scan_events,
+    "gopher_flags": q_gopher_flags,
+    "hash_split": q_hash_split,
+    "corpus_mix": q_corpus_mix,
+    "sample_exact": q_sample_exact,
+    "fts_stemmed": q_fts_stemmed,
+    "fts_cover_density": q_fts_cover_density,
+    "fts_bm25": q_fts_bm25,
+    "hybrid_weighted": q_hybrid_weighted,
+    "vocabulary_topk": q_vocabulary_topk,
+    "unigram_logprob": q_unigram_logprob,
+    "events_windowed_agg": q_events_windowed_agg,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_join_bucketed": q_asof_join_bucketed,
+    "attribution_window_join": q_attribution_window_join,
+    # --- r3-green, kept in-window (changed or headline paths) ---
+    "multimodal_decode": q_multimodal_decode,  # extended w/ JPEG fixture
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
     "fts_search_topk": q_fts_search_topk,
@@ -1253,31 +1322,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
+    "orphan_cleanup": q_orphan_cleanup,
+    "dup_span_stats": q_dup_span_stats,
+    # --- beyond position 50: freshest r3 evidence, rotate back next round
+    "embedding_truncate": q_embedding_truncate,
+    "embedding_quantize": q_embedding_quantize,
+    "corpus_stats": q_corpus_stats,
+    "domain_cap": q_domain_cap,
+    "search_tokens": q_search_tokens,
+    "quality_filter": q_quality_filter,
+    "inverted_index": q_inverted_index,
+    "decontaminate": q_decontaminate,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
+    "frame_sample": q_frame_sample,
+    "text_normalize": q_text_normalize,
+    "orders_rollup": q_orders_rollup,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "dedup_survivors": q_dedup_survivors,
+    "source_divergence": q_source_divergence,
+    "dedup_transitive": q_dedup_transitive,
     "batch_texts": q_batch_texts,
     "token_budget_batches": q_token_budget_batches,
     "chunk_table": q_chunk_table,
     "where_sql_filter": q_where_sql_filter,
     "typed_filters_part": q_typed_filters_part,
-    "multimodal_meta": q_multimodal_meta,
-    "events_windowed_agg": q_events_windowed_agg,
-    "incremental_scan_events": q_incremental_scan_events,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_join_bucketed": q_asof_join_bucketed,
-    "attribution_window_join": q_attribution_window_join,
-    "collect_changed_ids": q_collect_changed_ids,
-    "json_rows": q_json_rows,
-    "append_method_scan": q_append_method_scan,
-    "hybrid_weighted": q_hybrid_weighted,
-    "fts_stemmed": q_fts_stemmed,
-    "fts_cover_density": q_fts_cover_density,
-    "fts_bm25": q_fts_bm25,
-    "gopher_flags": q_gopher_flags,
-    "hash_split": q_hash_split,
-    "corpus_mix": q_corpus_mix,
-    "vocabulary_topk": q_vocabulary_topk,
-    "unigram_logprob": q_unigram_logprob,
-    "sample_exact": q_sample_exact,
 }
 
 
@@ -1829,6 +1897,92 @@ SELECT vec_id, norm_k,
             list_transform(tv, x -> x / norm_k)), (a, x) -> a + x)
         ELSE 0.0 END) AS sum_unit
 FROM n
+"""
+
+
+def _oracle_chunked_embed_pool() -> str:
+    # chunk CTE (mirrors _oracle_chunk_table) -> per-chunk hashed-BoW
+    # embed (mirrors _oracle_embed_documents) -> per-doc pooling
+    # (mirrors the embedding_pool oracle): value-sorted folds per
+    # (doc, pos) keep every float op order-identical across engines.
+    dim = EMBED_DIM
+    words = _sql_ws_words("d.text")
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT d.doc_id AS original_id, {words} AS words FROM documents d
+),
+pw AS (
+  SELECT original_id,
+         unnest(list_transform(range(1, len(words)+1),
+                               i -> {{'pos': i, 'word': words[i::INT]}})) AS u
+  FROM w
+),
+px AS (SELECT original_id, u.pos AS pos, u.word AS word FROM pw),
+offs AS (
+  SELECT original_id, pos, word,
+         coalesce(sum(len(word) + 1) OVER (
+           PARTITION BY original_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM px
+),
+chunks AS MATERIALIZED (
+  SELECT original_id, floor(start / 200)::INT AS chunk_index,
+         string_agg(word, ' ' ORDER BY pos) AS chunk
+  FROM offs GROUP BY original_id, floor(start / 200)
+),
+b AS MATERIALIZED (
+  SELECT original_id, chunk_index,
+         list_transform({O.sql_features('chunk')},
+                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
+  FROM chunks
+),
+c AS MATERIALIZED (
+  SELECT original_id, chunk_index,
+         list_transform(range(0, {dim}),
+                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
+           AS counts
+  FROM b
+),
+n AS MATERIALIZED (
+  SELECT original_id, chunk_index, counts,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM c
+),
+e AS MATERIALIZED (
+  SELECT original_id,
+         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS vd
+  FROM n
+),
+pe AS (
+  SELECT original_id,
+         unnest(list_transform(range(1, len(vd) + 1),
+                i -> {{'pos': i, 'val': vd[i::INT]}})) AS u
+  FROM e
+),
+pxv AS (SELECT original_id, u.pos AS pos, u.val AS val FROM pe),
+ps AS (
+  SELECT original_id, pos,
+         list_reduce(list_prepend(0.0::DOUBLE, list(val ORDER BY val)),
+                     (a, x) -> a + x) AS s,
+         COUNT(*) AS n
+  FROM pxv GROUP BY 1, 2
+),
+pooled AS (
+  SELECT original_id,
+         list(s / n::DOUBLE ORDER BY pos) AS pooled,
+         max(n)::BIGINT AS n_chunks
+  FROM ps GROUP BY original_id
+)
+SELECT original_id AS doc_id, n_chunks,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(range(1, len(pooled) + 1),
+                        i -> pooled[i::INT] * i::DOUBLE)),
+         (a, x) -> a + x) AS pos_weighted_sum,
+       pooled[1] AS first_val,
+       pooled[len(pooled)] AS last_val
+FROM pooled
 """
 
 
@@ -2464,7 +2618,9 @@ WHERE emb_updated_at IS NULL
     "decontaminate": _oracle_decontaminate(),
     "dup_span_stats": _oracle_dup_span_stats(),
     # same two-stage pooling: per-(grp,pos) seeded fold over the
-    # value-sorted list (the repo float-parity rule), mean after
+    # value-sorted list (the repo float-parity rule), mean after;
+    # scalar projections (pos-weighted fold, first/last) because the
+    # driver canonicalizer cannot hash array columns
     "embedding_pool": """
 WITH v AS MATERIALIZED (
   SELECT vec_id % 50 AS grp,
@@ -2484,12 +2640,24 @@ ps AS (
                      (a, x) -> a + x) AS s,
          COUNT(*) AS n
   FROM px GROUP BY 1, 2
+),
+pooled AS (
+  SELECT grp,
+         list(s / n::DOUBLE ORDER BY pos) AS pooled,
+         max(n)::BIGINT AS n_vectors
+  FROM ps GROUP BY grp
 )
-SELECT grp,
-       list(s / n::DOUBLE ORDER BY pos) AS pooled,
-       max(n)::BIGINT AS n_vectors
-FROM ps GROUP BY grp
+SELECT grp, n_vectors,
+       len(pooled)::BIGINT AS dim,
+       list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(range(1, len(pooled) + 1),
+                        i -> pooled[i::INT] * i::DOUBLE)),
+         (a, x) -> a + x) AS pos_weighted_sum,
+       pooled[1] AS first_val,
+       pooled[len(pooled)] AS last_val
+FROM pooled
 """,
+    "chunked_embed_pool": _oracle_chunked_embed_pool(),
     "corpus_stats": _oracle_corpus_stats(),
     "embedding_quantize": _oracle_embedding_quantize(),
     "embedding_truncate": _oracle_embedding_truncate(),

@@ -257,7 +257,10 @@ class VectorizeSession:
         return n
 
     def cleanup_orphans(
-        self, job_name: str, _src: DataFrame | None = None
+        self,
+        job_name: str,
+        _src: DataFrame | None = None,
+        allow_full_delete: bool = False,
     ) -> int:
         """Prune embeddings/search-tokens rows whose source row was deleted
         — the explicit-anti-join form of the reference's ``FOREIGN KEY ...
@@ -270,6 +273,14 @@ class VectorizeSession:
         Each dataset only rewrites when it actually holds orphans, so the
         steady-state (no deletes) cost is one keyed anti-join count per
         dataset, no snapshot churn.
+
+        Unlike the reference's transactional FK cascade, a lake source can
+        be transiently empty mid-rewrite (concurrent ``mode('overwrite')``,
+        a misconfigured path) — and an anti-join against that would wipe
+        every derived row. Guard: when the orphan set covers the ENTIRE
+        derived dataset, refuse to delete unless ``allow_full_delete=True``
+        (a genuine drop-everything flow opts in; ``delete_job`` is the
+        normal teardown path).
         """
         job = self.catalog.get(job_name)
         src = _src if _src is not None else self._source_df(job)
@@ -289,6 +300,18 @@ class VectorizeSession:
             )
             n = orphans.count()
             if n:
+                if not allow_full_delete and n >= ds.read().count():
+                    import warnings
+
+                    warnings.warn(
+                        f"cleanup_orphans({job_name!r}): every derived row "
+                        f"({n}) is orphaned — the source read is almost "
+                        "certainly empty/broken (concurrent overwrite? bad "
+                        "path?). Refusing the full delete; pass "
+                        "allow_full_delete=True to override.",
+                        stacklevel=2,
+                    )
+                    continue
                 ds.delete_keys(orphans, pkey)
                 removed += n
         return removed

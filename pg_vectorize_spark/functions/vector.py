@@ -290,8 +290,16 @@ def pool_embeddings(
     aggregation every RAG/training pipeline needs after chunked embedding
     (chunk_table -> embed -> pool back to one vector per source row).
 
-    Output: (group_col, pooled array<double>, n_vectors). ``mode`` is
-    'mean' or 'sum'.
+    Output: (group_col, pooled array<double>, n_vectors, n_vectors_min).
+    ``mode`` is 'mean' or 'sum'.
+
+    NULL/ragged semantics (explicit by design): a group whose vectors are
+    ALL null/empty emits NO output row (posexplode yields nothing for it);
+    ragged vector lengths within a group pool each position over only the
+    vectors that have it. ``n_vectors`` is the max per-position count and
+    ``n_vectors_min`` the min — equal for well-formed groups; a gap
+    between them is the caller's signal that chunks disagreed on dimension
+    (or some vectors were null) and per-position divisors differed.
 
     Scale + determinism shape: posexplode to (group, pos, value), then per
     (group, pos) a seeded left-to-right float64 fold over the VALUE-SORTED
@@ -329,10 +337,12 @@ def pool_embeddings(
                 F.collect_list(F.struct(F.col("_pos"), F.col("_v")))
             ).alias("_pairs"),
             F.max("_n").alias("n_vectors"),
+            F.min("_n").alias("n_vectors_min"),
         )
         .select(
             F.col(group_col),
             F.transform(F.col("_pairs"), lambda p: p["_v"]).alias("pooled"),
             F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("n_vectors_min").cast("long").alias("n_vectors_min"),
         )
     )

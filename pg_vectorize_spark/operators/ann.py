@@ -111,9 +111,17 @@ def signbit_bucket_expr(emb: Column, nbits: int = 8) -> Column:
 
 def _hamming_ball(bucket: int, nbits: int, radius: int) -> list[int]:
     """All bucket values within Hamming distance <= radius of ``bucket``
-    (driver-side enumeration: C(nbits, <=radius) values, tiny)."""
+    (driver-side enumeration: C(nbits, <=radius) values, tiny).
+
+    ``radius`` is clamped to ``nbits`` — there are no bit positions beyond
+    nbits to flip, so larger radii only re-enumerate the full ball. When
+    the probe set covers more than half of the 2^nbits bucket space the
+    "index probe" has degraded to (most of) a full scan; warn so callers
+    notice the pruning has vanished rather than silently paying for it.
+    """
     from itertools import combinations
 
+    radius = min(radius, nbits)
     out = [bucket]
     for r in range(1, radius + 1):
         for flips in combinations(range(nbits), r):
@@ -121,6 +129,15 @@ def _hamming_ball(bucket: int, nbits: int, radius: int) -> list[int]:
             for j in flips:
                 b ^= 1 << j
             out.append(b)
+    if len(out) > (1 << nbits) // 2:
+        import warnings
+
+        warnings.warn(
+            f"probe_hamming={radius} enumerates {len(out)} of "
+            f"{1 << nbits} sign-bit buckets — the LSH probe no longer "
+            "prunes meaningfully; lower the radius or raise nbits.",
+            stacklevel=3,
+        )
     return out
 
 

@@ -620,22 +620,6 @@ def dedup_survivors(df: DataFrame, pkey: str, pairs: DataFrame) -> DataFrame:
     return df.join(losers, pkey, "left_anti")
 
 
-__all__ = [
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "minhash_jaccard_estimate",
-    "simhash_expr",
-    "simhash_pairs",
-    "cosine_neardup_pairs",
-    "cosine_neardup_pairs_bucketed",
-    "dedup_survivors",
-    "poly_hash_expr",
-    "MINHASH_PRIME",
-]
-
-
 def duplicated_span_stats(
     df: DataFrame,
     text_col: str,
@@ -712,3 +696,22 @@ def duplicated_span_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_jaccard_estimate",
+    "simhash_expr",
+    "simhash_pairs",
+    "cosine_neardup_pairs",
+    "cosine_neardup_pairs_bucketed",
+    "dedup_survivors",
+    "connected_components",
+    "dedup_survivors_transitive",
+    "duplicated_span_stats",
+    "poly_hash_expr",
+    "MINHASH_PRIME",
+]

@@ -274,6 +274,27 @@ class CorpusPipeline:
         """(pkey, embeddings) via the JVM bulk path."""
         return embed_bulk_exploded(self._df, self.text_col, self.pkey, dim)
 
+    def chunk_embed_pool(
+        self,
+        max_chunk_size: int = 1000,
+        dim: int = 64,
+        mode: str = "mean",
+    ) -> DataFrame:
+        """RAG-ingest composite: chunk -> embed every chunk -> pool chunk
+        vectors back to ONE document vector (element-wise ``mode``).
+        Returns (pkey, pooled array<double>, n_vectors, n_vectors_min).
+        Chunking is
+        keyed explode+agg, embedding a zero-shuffle Arrow map, pooling
+        two keyed shuffles — no driver collection at any stage, so the
+        whole composite scales with the corpus."""
+        from pg_vectorize_spark.functions.vector import pool_embeddings
+        from pg_vectorize_spark.operators.embed import embed_bulk_pandas
+
+        chunks = self.chunk(max_chunk_size)
+        emb = embed_bulk_pandas(chunks, "chunk", "original_id", dim=dim)
+        pooled = pool_embeddings(emb, "original_id", "embeddings", mode=mode)
+        return pooled.withColumnRenamed("original_id", self.pkey)
+
     def ann_index(
         self,
         embeddings: DataFrame | None = None,

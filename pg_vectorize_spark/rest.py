@@ -44,8 +44,24 @@ _KNOWN_SEARCH_PARAMS = {
 
 _VALID_RANKS = {"overlap", "cover_density", "bm25"}
 
-#: vector-serve's per-request embed batch cap (transform.py:15, env override)
-EMBED_BATCH_SIZE = int(os.environ.get("BATCH_SIZE", 1000))
+DEFAULT_EMBED_BATCH_SIZE = 1000
+
+
+def embed_batch_size() -> int:
+    """vector-serve's per-request embed batch cap (transform.py:15, env
+    override). Read lazily at request time, namespaced first: vector-serve
+    reads bare ``BATCH_SIZE`` but runs in its own container, while this
+    module lives inside a shared Spark driver process where an unrelated
+    ``BATCH_SIZE`` could collide. Invalid/non-positive values fall back to
+    the default instead of crashing the server."""
+    raw = os.environ.get(
+        "SPARK_GRAFT_EMBED_BATCH_SIZE", os.environ.get("BATCH_SIZE", "")
+    )
+    try:
+        n = int(raw)
+    except ValueError:
+        return DEFAULT_EMBED_BATCH_SIZE
+    return n if n >= 1 else DEFAULT_EMBED_BATCH_SIZE
 
 #: max sequence length reported by /v1/info — the reference reads it off the
 #: loaded SentenceTransformer (256 for the MiniLM defaults); HTTP providers
@@ -176,9 +192,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             vectors: list[list[float]] = []
-            for i in range(0, len(texts), EMBED_BATCH_SIZE):
+            bs = embed_batch_size()
+            for i in range(0, len(texts), bs):
                 vectors.extend(
-                    provider.generate_embedding(texts[i : i + EMBED_BATCH_SIZE])
+                    provider.generate_embedding(texts[i : i + bs])
                 )
         except VectorizeError as e:
             self._send(500, {"error": str(e)})

@@ -158,3 +158,142 @@ class TestImportAppendRejected:
         ext.write.parquet(ep)
         with pytest.raises(VectorizeError, match="append"):
             sess.import_embeddings("apjob", ep, "pid", "vec")
+
+
+@pytest.fixture()
+def products_path(spark, products_df, tmp_path):
+    path = str(tmp_path / "products.parquet")
+    products_df.write.mode("overwrite").parquet(path)
+    return path
+
+
+class TestCleanupOrphansFullDeleteGuard:
+    """Round-3 ADVICE #1: an anti-join cascade against a transiently
+    empty/broken source read must not silently wipe every derived row."""
+
+    def test_empty_source_refuses_full_delete(
+        self, sess, spark, products_path, products_df
+    ):
+        sess.create_job(
+            "guardjob",
+            products_path,
+            columns=["product_name", "description"],
+            primary_key="product_id",
+        )
+        from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+
+        emb = SnapshotDataset(sess.spark, sess._job_dir("guardjob", "embeddings"))
+        n_before = emb.read().count()
+        assert n_before == 14
+        # simulate a concurrent overwrite mid-rewrite: source becomes empty
+        products_df.filter("product_id < 0").write.mode("overwrite").parquet(
+            products_path
+        )
+        with pytest.warns(UserWarning, match="Refusing the full delete"):
+            removed = sess.cleanup_orphans("guardjob")
+        assert removed == 0
+        assert emb.read().count() == n_before
+
+    def test_explicit_flag_allows_full_delete(
+        self, sess, spark, products_path, products_df
+    ):
+        sess.create_job(
+            "guardjob2",
+            products_path,
+            columns=["product_name", "description"],
+            primary_key="product_id",
+        )
+        from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+
+        emb = SnapshotDataset(sess.spark, sess._job_dir("guardjob2", "embeddings"))
+        products_df.filter("product_id < 0").write.mode("overwrite").parquet(
+            products_path
+        )
+        removed = sess.cleanup_orphans("guardjob2", allow_full_delete=True)
+        assert removed > 0
+        assert emb.read().count() == 0
+
+    def test_partial_delete_still_cascades(
+        self, sess, spark, products_path, products_df
+    ):
+        sess.create_job(
+            "guardjob3",
+            products_path,
+            columns=["product_name", "description"],
+            primary_key="product_id",
+        )
+        from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+
+        emb = SnapshotDataset(sess.spark, sess._job_dir("guardjob3", "embeddings"))
+        products_df.filter("product_id <= 10").write.mode("overwrite").parquet(
+            products_path
+        )
+        assert sess.cleanup_orphans("guardjob3") == 8  # 4 emb + 4 tokens
+        assert emb.read().count() == 10
+
+
+class TestEmbedBatchSizeEnv:
+    """Round-3 ADVICE #4: namespaced, validated, lazily-read batch size."""
+
+    def test_default(self, monkeypatch):
+        from pg_vectorize_spark import rest
+
+        monkeypatch.delenv("SPARK_GRAFT_EMBED_BATCH_SIZE", raising=False)
+        monkeypatch.delenv("BATCH_SIZE", raising=False)
+        assert rest.embed_batch_size() == rest.DEFAULT_EMBED_BATCH_SIZE
+
+    def test_namespaced_wins_over_bare(self, monkeypatch):
+        from pg_vectorize_spark import rest
+
+        monkeypatch.setenv("SPARK_GRAFT_EMBED_BATCH_SIZE", "7")
+        monkeypatch.setenv("BATCH_SIZE", "99")
+        assert rest.embed_batch_size() == 7
+
+    def test_bare_parity_fallback(self, monkeypatch):
+        from pg_vectorize_spark import rest
+
+        monkeypatch.delenv("SPARK_GRAFT_EMBED_BATCH_SIZE", raising=False)
+        monkeypatch.setenv("BATCH_SIZE", "42")
+        assert rest.embed_batch_size() == 42
+
+    @pytest.mark.parametrize("bad", ["0", "-3", "abc", ""])
+    def test_invalid_values_fall_back(self, monkeypatch, bad):
+        from pg_vectorize_spark import rest
+
+        monkeypatch.setenv("SPARK_GRAFT_EMBED_BATCH_SIZE", bad)
+        monkeypatch.delenv("BATCH_SIZE", raising=False)
+        assert rest.embed_batch_size() == rest.DEFAULT_EMBED_BATCH_SIZE
+
+
+class TestHammingBallClamp:
+    """Round-3 ADVICE #5: radius beyond nbits is clamped; a probe set
+    covering most of the bucket space warns that pruning is gone."""
+
+    def test_radius_clamped_to_nbits(self):
+        import warnings
+
+        from pg_vectorize_spark.operators.ann import _hamming_ball
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            full = _hamming_ball(0b101, 3, 3)
+            over = _hamming_ball(0b101, 3, 99)
+        assert sorted(set(full)) == list(range(8))
+        assert sorted(set(over)) == list(range(8))
+        assert len(over) == len(full)  # no re-enumeration beyond the ball
+
+    def test_degenerate_probe_warns(self):
+        from pg_vectorize_spark.operators.ann import _hamming_ball
+
+        with pytest.warns(UserWarning, match="no longer prunes"):
+            _hamming_ball(0, 4, 4)
+
+    def test_small_radius_silent(self):
+        import warnings
+
+        from pg_vectorize_spark.operators.ann import _hamming_ball
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = _hamming_ball(0, 8, 1)
+        assert len(out) == 9

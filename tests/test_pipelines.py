@@ -178,3 +178,37 @@ def test_filter_dup_spans_step(spark):
     }
     # 1 and 2 are mostly shared boilerplate -> dropped; 3 survives
     assert kept == {3}
+
+
+def test_chunk_embed_pool_step(spark):
+    """Composite chunk->embed->pool: one pooled vector per source doc,
+    equal to the mean of its chunk embeddings."""
+    import numpy as np
+
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+    from pg_vectorize_spark.providers.local import LocalHashEmbedder
+
+    long_text = " ".join(f"word{i} token{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "short single chunk text")],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, df)
+    out = {
+        r["doc_id"]: r
+        for r in pipe.chunk_embed_pool(max_chunk_size=80, dim=16).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_vectors"] > 1  # long doc really was chunked
+    assert out[2]["n_vectors"] == 1
+
+    # cross-check doc 1 against a driver-side recompute
+    chunks = sorted(
+        (r["chunk_index"], r["chunk"])
+        for r in pipe.chunk(80).filter("original_id = 1").collect()
+    )
+    embedder = LocalHashEmbedder(dim=16)
+    vecs = np.array([embedder.embed_one(c) for _, c in chunks])
+    expected = vecs.mean(axis=0)
+    got = np.array(out[1]["pooled"])
+    assert np.allclose(got, expected, atol=1e-12)
