@@ -370,8 +370,11 @@ def bm25_scores(
 
     Scale shape: one column-pruned corpus scan computes (dl, tf_t…) per
     doc; a map-side-combined aggregate reduces that to ONE stats row
-    (N, Σdl, df_t…), which cross-joins back as a broadcast — no shuffle of
-    the corpus, no window. The stem chain runs only on prefiltered
+    (N, Σdl, df_t…), collected to the driver and folded back into the
+    scoring pass as literals — no shuffle of the corpus, no window, no
+    Python-worker stage. (NB: this makes the call eager — the stats job
+    runs at call time; the checkpointed per-doc frame is reused by the
+    scoring pass.) The stem chain runs only on prefiltered
     candidate words (see query_scoped_tokens_expr). ``candidates`` (a
     pkey-only frame) prunes the SCORING pass via semi-join; the stats pass
     always reads the full corpus because df/avgdl are corpus-global.
@@ -447,36 +450,43 @@ def bm25_scores(
             for i in range(len(terms))
         ],
     )
-    # idf via a Pandas UDF on the ONE-row stats frame (not the corpus):
-    # JVM Math.log differs from libm's correctly-rounded log by 1 ulp on
-    # some inputs, which breaks bit-exact oracle parity; Python's math.log
-    # is libm's, matching DuckDB's ln. Cost: one Arrow batch of one row.
+    # idf driver-side from the ONE-row stats aggregate: JVM Math.log
+    # differs from libm's correctly-rounded log by 1 ulp on some inputs,
+    # which breaks bit-exact oracle parity; Python's math.log IS libm's,
+    # matching DuckDB's ln. Collecting one aggregate row is the same
+    # driver-side class as the IVF centroid probe (ann.py) — and folding
+    # the stats back as LITERALS deletes both the per-query Python-worker
+    # stage (ArrowEvalPython startup dominated repeat-query latency,
+    # BENCH r3 fts_bm25 +52%) and the broadcast cross join.
     import math as _math
 
-    _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
-
-    n0 = F.col("_n").cast("double")
+    srow = stats.first()
+    n_rows = int(srow["_n"] or 0)
+    if n_rows == 0:
+        empty_cols = [F.col(pkey), *[F.col(c) for c in keep_cols]]
+        if overlap_denom is not None:
+            empty_cols.append(F.lit(0.0).alias("fts_score"))
+        empty_cols.append(F.lit(0.0).alias("bm25_score"))
+        return per_doc.select(*empty_cols).limit(0)
+    n0 = float(n_rows)
+    avgdl_v = float(srow["_sumdl"]) / n0
+    idf_v = []
     for i in range(len(terms)):
-        dfc0 = F.col(f"_df{i}").cast("double")
-        stats = stats.withColumn(
-            f"_idf{i}",
-            _ln(F.lit(1.0) + (n0 - dfc0 + F.lit(0.5)) / (dfc0 + F.lit(0.5))),
-        )
+        dfc0 = float(srow[f"_df{i}"])
+        idf_v.append(_math.log(1.0 + (n0 - dfc0 + 0.5) / (dfc0 + 0.5)))
     scoring = per_doc
     if candidates is not None:
         scoring = scoring.join(
             candidates.select(pkey).distinct(), pkey, "left_semi"
         )
-    scored = scoring.crossJoin(F.broadcast(stats))
-    n = F.col("_n").cast("double")
-    avgdl = F.col("_sumdl").cast("double") / n
+    scored = scoring
     dl = F.col("_dl").cast("double")
     score = None
     for i in range(len(terms)):
         tf = F.col(f"_tf{i}").cast("double")
-        idf = F.col(f"_idf{i}")
+        idf = F.lit(idf_v[i])
         denom = tf + F.lit(k1) * (
-            F.lit(1.0 - b) + F.lit(b) * (dl / avgdl)
+            F.lit(1.0 - b) + F.lit(b) * (dl / F.lit(avgdl_v))
         )
         part = idf * ((tf * F.lit(k1 + 1.0)) / denom)
         score = part if score is None else score + part
