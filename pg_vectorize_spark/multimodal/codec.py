@@ -1,18 +1,24 @@
-"""Real media codecs — stdlib-only PNG and WAV decode (plus the PNG/WAV
-encoders the test fixtures use).
+"""Real media codecs — stdlib-only PNG, JPEG, and WAV decode (plus the
+PNG/JPEG/WAV encoders the test fixtures use).
 
 The reference treats media decode as an external-library concern; this
-container has no PIL/torchaudio, so the two formats that are fully
-decodable with the standard library are implemented for real:
+container has no PIL/torchaudio, so the formats fully decodable with the
+standard library + numpy are implemented for real:
 
 - PNG: chunk walk -> IHDR dims -> zlib-inflate IDAT -> per-scanline
   unfilter (all five filter types: None/Sub/Up/Average/Paeth, RFC 2083
   §6) -> pixel matrix. 8-bit depth, color types 0 (gray), 2 (RGB),
   4 (gray+alpha), 6 (RGBA).
+- JPEG: baseline DCT (ITU T.81 SOF0) — marker walk, DQT/DHT tables,
+  canonical Huffman decode of the entropy stream (byte unstuffing +
+  restart intervals), dezigzag + dequantize, separable float IDCT,
+  level shift, nearest-neighbor chroma upsampling, JFIF YCbCr->RGB.
+  Grayscale and 3-component scans, any sampling factors. Progressive
+  (SOF2) / arithmetic / 12-bit remain NotImplementedError.
 - WAV: RIFF/PCM via the stdlib ``wave`` module; 8/16/32-bit integer
   samples decoded with numpy ``frombuffer``.
 
-Anything else (JPEG, MP3, video containers...) still raises
+Anything else (MP3, video containers...) still raises
 NotImplementedError — the honest stub is retained, not silently faked.
 
 Decode is driven per-blob inside Arrow batches (``decode_media`` in
@@ -37,9 +43,11 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'png' | 'wav' | None from magic bytes."""
+    """'png' | 'jpg' | 'wav' | None from magic bytes."""
     if data[:8] == PNG_MAGIC:
         return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return None

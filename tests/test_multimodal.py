@@ -148,3 +148,93 @@ class TestRealCodec:
                 r["channels"],
             )
             assert abs(sum(d["features"]) - 1.0) < 1e-12
+
+
+class TestCodecRoundtripProperties:
+    """VERDICT r3 #7: random images through the repo's own PNG encoder ->
+    decoder must reproduce the exact matrix, with EVERY filter type
+    (None/Sub/Up/Average/Paeth) forced on every scanline — exhaustive
+    coverage of the horizontal/vertical recurrence unfilter paths."""
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_png_roundtrip_all_filters(self, filter_type, channels, seed):
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import decode_png, encode_png
+
+        rng = np.random.RandomState(1000 * filter_type + 10 * channels + seed)
+        h, w = rng.randint(1, 17), rng.randint(1, 17)
+        px = rng.randint(0, 256, size=(h, w, channels)).astype(np.uint8)
+        blob = encode_png(px, filter_type=filter_type)
+        gw, gh, gch, got = decode_png(blob)
+        assert (gw, gh, gch) == (w, h, channels)
+        assert np.array_equal(got, px)
+
+    def test_png_roundtrip_hypothesis(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pg_vectorize_spark.multimodal.codec import decode_png, encode_png
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            h=st.integers(1, 12),
+            w=st.integers(1, 12),
+            ch=st.sampled_from([1, 2, 3, 4]),
+            filter_type=st.integers(0, 4),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, ch, filter_type, seed):
+            px = (
+                np.random.RandomState(seed)
+                .randint(0, 256, size=(h, w, ch))
+                .astype(np.uint8)
+            )
+            _, _, _, got = decode_png(encode_png(px, filter_type=filter_type))
+            assert np.array_equal(got, px)
+
+        check()
+
+    def test_wav_roundtrip_hypothesis(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pg_vectorize_spark.multimodal.codec import decode_wav, encode_wav
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            frames=st.integers(1, 200),
+            ch=st.sampled_from([1, 2]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(frames, ch, seed):
+            s = (
+                np.random.RandomState(seed)
+                .randint(-32768, 32768, size=(frames, ch))
+                .astype(np.int64)
+            )
+            nframes, nch, got = decode_wav(encode_wav(s))
+            assert (nframes, nch) == (frames, ch)
+            assert np.array_equal(got, s)
+
+        check()
+
+    @pytest.mark.parametrize("filter_type", [1, 3, 4])
+    def test_adversarial_gradient_images(self, filter_type):
+        """Gradients maximize predictor agreement (worst case for sign /
+        rounding bugs in Sub/Average/Paeth)."""
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import decode_png, encode_png
+
+        h = w = 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(yy * 11) % 256, (xx * 7) % 256, ((yy + xx) * 3) % 256], axis=2
+        ).astype(np.uint8)
+        _, _, _, got = decode_png(encode_png(px, filter_type=filter_type))
+        assert np.array_equal(got, px)
