@@ -1099,13 +1099,17 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec decode gate: PNG (zlib inflate + five-filter unfilter)
-    and WAV (PCM) blobs from the committed fixture are decoded by the
-    stdlib codec (multimodal/codec.py) and reduced to amplitude/intensity
-    histograms. The fixture media follow a closed-form pixel/sample
-    formula, so the DuckDB oracle recomputes the histograms analytically
-    from generate_series — verifying the decoder against independent
-    math, not a re-run of itself."""
+    """REAL codec decode gate: PNG (zlib inflate + five-filter unfilter),
+    JPEG (baseline DCT: Huffman entropy decode, restart intervals, 4:4:4
+    and 4:2:0 sampling, chroma upsample, JFIF YCbCr->RGB) and WAV (PCM)
+    blobs from the committed fixture are decoded by the stdlib codec
+    (multimodal/codec.py) and reduced to amplitude/intensity histograms.
+    The fixture media follow closed-form pixel/sample laws (JPEG rows are
+    block-constant with DC quant 8, making the lossy codec bit-exact on
+    them), so the DuckDB oracle recomputes the histograms analytically
+    from generate_series + the same floor(x+0.5) JFIF transform —
+    verifying the decoder against independent math, not a re-run of
+    itself."""
     from pg_vectorize_spark.multimodal.binary import decode_media
 
     media = spark.read.parquet(MEDIA_FIXTURE).select("media_id", "content")
@@ -2729,9 +2733,58 @@ wav_b AS (
            // 65536 AS bucket
   FROM wav1
 ),
+-- JPEG fixtures are block-constant (only DC coefficients, DC quant 8), so
+-- the lossy codec is bit-exact on them and the laws below reproduce the
+-- decoded pixels: Y=(17bx+29by+11s)%256 per 8x8 block, Cb/Cr per
+-- chroma block (8 for 4:4:4, 16 for 4:2:0), then the JFIF inverse
+-- transform with floor(x+0.5) rounding — same arithmetic as the decoder
+jpgg0 AS (
+  SELECT media_id, seed, height, unnest(range(0, width)) AS x
+  FROM m WHERE kind = 'jpg_gray'
+),
+jpgg1 AS (
+  SELECT media_id, seed, x, unnest(range(0, height)) AS y FROM jpgg0
+),
+jpgg_b AS (
+  SELECT media_id,
+         (((17*(x//8) + 29*(y//8) + 11*seed) % 256) * 8) // 256 AS bucket
+  FROM jpgg1
+),
+jpgc0 AS (
+  SELECT media_id, seed, height,
+         CASE WHEN kind = 'jpg_420' THEN 16 ELSE 8 END AS cblk,
+         unnest(range(0, width)) AS x
+  FROM m WHERE kind IN ('jpg_444', 'jpg_420')
+),
+jpgc1 AS (
+  SELECT media_id, seed, cblk, x, unnest(range(0, height)) AS y FROM jpgc0
+),
+jpgc AS (
+  SELECT media_id,
+    ((17*(x//8) + 29*(y//8) + 11*seed) % 256)::DOUBLE AS yv,
+    (((23*(x//cblk) + 7*(y//cblk) + 13*seed) % 256) - 128)::DOUBLE AS cbv,
+    (((31*(x//cblk) + 19*(y//cblk) + 5*seed) % 256) - 128)::DOUBLE AS crv
+  FROM jpgc1
+),
+jpgrgb AS (
+  SELECT media_id,
+    LEAST(255, GREATEST(0,
+      floor(yv + 1.402::DOUBLE * crv + 0.5)))::BIGINT
+  + LEAST(255, GREATEST(0,
+      floor(yv - 0.344136::DOUBLE * cbv - 0.714136::DOUBLE * crv
+            + 0.5)))::BIGINT
+  + LEAST(255, GREATEST(0,
+      floor(yv + 1.772::DOUBLE * cbv + 0.5)))::BIGINT AS s
+  FROM jpgc
+),
+jpgc_b AS (
+  SELECT media_id, (s * 8) // (256 * 3) AS bucket FROM jpgrgb
+),
 allb AS (
   SELECT media_id, bucket FROM img_b
   UNION ALL SELECT media_id, bucket FROM wav_b
+  UNION ALL SELECT media_id, bucket FROM jpgg_b
+  UNION ALL SELECT media_id, bucket FROM jpgc_b
 ),
 counts AS (
   SELECT media_id, bucket, COUNT(*) AS cnt FROM allb GROUP BY 1, 2

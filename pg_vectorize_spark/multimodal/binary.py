@@ -88,7 +88,8 @@ def decode_media(
     """Media decode behind Arrow plumbing (one batch in, one out).
 
     ``fake=False`` runs the REAL stdlib decoder for PNG (zlib inflate +
-    full five-filter unfilter) and WAV (PCM) — see multimodal/codec.py;
+    full five-filter unfilter), baseline JPEG (Huffman + IDCT + chroma
+    upsample) and WAV (PCM) — see multimodal/codec.py;
     unsupported formats raise NotImplementedError inside the workers
     (surfaced as a task failure), keeping the stub honest. ``fake=True``
     emits deterministic byte-derived pseudo-features with the production

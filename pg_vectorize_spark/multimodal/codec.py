@@ -192,6 +192,647 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG — baseline DCT (ITU T.81 SOF0/SOF1), stdlib + numpy only
+# ---------------------------------------------------------------------------
+#
+# Decode path: marker walk -> DQT/DHT tables -> canonical Huffman decode of
+# the entropy-coded segment (0xFF00 byte unstuffing, RSTn restart
+# intervals) -> DPCM DC + run-length AC -> dezigzag -> dequantize ->
+# separable float IDCT -> +128 level shift -> nearest-neighbor chroma
+# upsample -> JFIF YCbCr->RGB with floor(x+0.5) rounding (deterministic,
+# and reproducible in SQL by the oracle). Grayscale and 3-component scans,
+# arbitrary sampling factors. Progressive (SOF2), arithmetic, hierarchical
+# and 12-bit frames raise NotImplementedError.
+
+#: zigzag index -> (row-major flat index) for an 8x8 block
+_ZIGZAG = np.array(
+    [
+        0,  1,  8, 16,  9,  2,  3, 10,
+       17, 24, 32, 25, 18, 11,  4,  5,
+       12, 19, 26, 33, 40, 48, 41, 34,
+       27, 20, 13,  6,  7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36,
+       29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46,
+       53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: orthogonal 8x8 DCT basis: F = _DCT_M @ block @ _DCT_M.T (T.81 A.3.3)
+_DCT_M = np.array(
+    [
+        [
+            0.5
+            * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Standard Huffman tables, ITU T.81 Annex K.3 — (bits[1..16], values)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Annex K.1 example quantization tables (luma, chroma), row-major
+_STD_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_STD_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def _huffman_codes(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman (T.81 C.2): -> {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huffman_decode_table(bits: list[int], values: list[int]) -> dict:
+    """-> {(length, code): symbol} for bit-at-a-time decode."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _huffman_codes(bits, values).items()
+    }
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._nbits:
+            self.write((1 << (8 - self._nbits)) - 1, 8 - self._nbits)
+
+
+class _BitReader:
+    """MSB-first reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                # past the end: T.81 readers see 1-padding
+                return 1
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huff_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the `size`-bit raw value to its signed
+    coefficient (values with a 0 MSB are negative)."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+def _category(value: int) -> int:
+    """Bit size of |value| (DC/AC magnitude category)."""
+    return int(value).bit_length() if value > 0 else int(-value).bit_length()
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> list[np.ndarray]:
+    """JFIF forward transform; floor(x+0.5) rounding, full range."""
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return [
+        np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+        for p in (y, cb, cr)
+    ]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF inverse transform; floor(x+0.5) rounding so the arithmetic is
+    reproducible bit-exactly in SQL (DuckDB floor over doubles)."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.stack(
+        [
+            np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+            for p in (r, g, b)
+        ],
+        axis=2,
+    )
+
+
+def encode_jpeg_planes(
+    planes: list[np.ndarray],
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Baseline sequential JPEG writer over component planes.
+
+    ``planes`` is ``[Y]`` (grayscale) or ``[Y, Cb, Cr]`` at FULL
+    resolution; chroma is decimated (top-left sample) by the luma
+    ``subsample`` factors ``(h, v)`` — (1,1)=4:4:4, (2,1)=4:2:2,
+    (2,2)=4:2:0. ``quant_tables`` overrides the Annex-K example tables
+    (row-major 64-long arrays, luma + chroma). Used for fixtures (where
+    block-constant planes + DC quant 8 make the round trip bit-exact) and
+    roundtrip tests; not a production encoder.
+    """
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg_planes: 1 or 3 planes")
+    sh, sv = subsample if ncomp == 3 else (1, 1)
+    qluma, qchroma = (
+        quant_tables
+        if quant_tables is not None
+        else (_STD_QUANT_LUMA, _STD_QUANT_CHROMA)
+    )
+    qtabs = [np.asarray(qluma, dtype=np.int64)]
+    if ncomp == 3:
+        qtabs.append(np.asarray(qchroma, dtype=np.int64))
+    # per-component (plane, sampling h, sampling v, quant table id)
+    comps = [(planes[0], sh, sv, 0)]
+    for p in planes[1:]:
+        comps.append((p[::sv, ::sh], 1, 1, 1))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad each component plane (edge replication) to its MCU-grid size
+    padded = []
+    for plane, ch_, cv_, tq in comps:
+        ph, pw = mcus_y * cv_ * 8, mcus_x * ch_ * 8
+        p = np.empty((ph, pw), dtype=np.float64)
+        src_h, src_w = plane.shape
+        p[:src_h, :src_w] = plane
+        if src_w < pw:
+            p[:src_h, src_w:] = p[:src_h, src_w - 1 : src_w]
+        if src_h < ph:
+            p[src_h:, :] = p[src_h - 1 : src_h, :]
+        padded.append((p - 128.0, ch_, cv_, tq))
+
+    dc_tabs = [_huffman_codes(*_STD_DC_LUMA), _huffman_codes(*_STD_DC_CHROMA)]
+    ac_tabs = [_huffman_codes(*_STD_AC_LUMA), _huffman_codes(*_STD_AC_CHROMA)]
+
+    writer = _BitWriter()
+    dc_pred = [0] * ncomp
+    rst_idx = 0
+    chunks: list[bytes] = []  # entropy bytes, RST markers interleaved
+    mcu_in_interval = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_in_interval == restart_interval
+            ):
+                writer.flush()
+                chunks.append(bytes(writer.out))
+                chunks.append(bytes([0xFF, 0xD0 + (rst_idx & 7)]))
+                rst_idx += 1
+                writer = _BitWriter()
+                dc_pred = [0] * ncomp
+                mcu_in_interval = 0
+            for ci, (plane, ch_, cv_, tq) in enumerate(padded):
+                tid = 0 if ci == 0 else 1
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        y0 = (my * cv_ + by) * 8
+                        x0 = (mx * ch_ + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        coeffs = _DCT_M @ block @ _DCT_M.T
+                        q = qtabs[tq].reshape(8, 8).astype(np.float64)
+                        quant = np.floor(coeffs / q + 0.5).astype(np.int64)
+                        zz = quant.ravel()[_ZIGZAG]
+                        # DC (DPCM)
+                        diff = int(zz[0]) - dc_pred[ci]
+                        dc_pred[ci] = int(zz[0])
+                        size = _category(diff)
+                        code, length = dc_tabs[tid][size]
+                        writer.write(code, length)
+                        if size:
+                            raw = diff if diff >= 0 else diff + (1 << size) - 1
+                            writer.write(raw, size)
+                        # AC (run-length)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_tabs[tid][0xF0]  # ZRL
+                                writer.write(code, length)
+                                run -= 16
+                            size = _category(v)
+                            code, length = ac_tabs[tid][(run << 4) | size]
+                            writer.write(code, length)
+                            raw = v if v >= 0 else v + (1 << size) - 1
+                            writer.write(raw, size)
+                            run = 0
+                        if run:
+                            code, length = ac_tabs[tid][0x00]  # EOB
+                            writer.write(code, length)
+            mcu_in_interval += 1
+    writer.flush()
+    chunks.append(bytes(writer.out))
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tq, qt in enumerate(qtabs):
+        zz = qt[_ZIGZAG]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_, ch_, cv_, tq) in enumerate(comps):
+        sof += bytes([ci + 1, (ch_ << 4) | cv_, tq])
+    out += seg(0xC0, sof)
+    for tc, tabs in ((0, (_STD_DC_LUMA, _STD_DC_CHROMA)), (1, (_STD_AC_LUMA, _STD_AC_CHROMA))):
+        for th in range(2 if ncomp == 3 else 1):
+            bits, values = tabs[th]
+            out += seg(
+                0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+            )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        th = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (th << 4) | th])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """RGB/grayscale front door: pixels[h, w, ch] uint8, ch in {1, 3};
+    RGB is converted to JFIF YCbCr then handed to encode_jpeg_planes."""
+    h, w, ch = pixels.shape
+    if ch == 1:
+        planes = [pixels[:, :, 0]]
+    elif ch == 3:
+        planes = _rgb_to_ycbcr(pixels)
+    else:
+        raise ValueError("encode_jpeg: 1 or 3 channels")
+    return encode_jpeg_planes(
+        planes,
+        subsample=subsample,
+        restart_interval=restart_interval,
+        quant_tables=quant_tables,
+    )
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline-DCT JPEG decode -> (width, height, n_channels,
+    pixels[h, w, ch] uint8). Grayscale -> 1 channel; 3-component scans ->
+    RGB via the JFIF inverse transform (floor(x+0.5) rounding). Raises
+    NotImplementedError for progressive/arithmetic/hierarchical/12-bit.
+
+    Reference precedent: pg_vectorize treats media decode as an external
+    provider concern (vector-serve handles text only); this decoder is the
+    LLM-pipeline extension's hermetic stand-in for libjpeg.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(comp_id, sh, sv, tq), ...])
+    scan = None  # ([(comp_idx, td, ta), ...], entropy_segments)
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq == 0:
+                    vals = np.frombuffer(
+                        body[bp : bp + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    bp += 64
+                else:  # 16-bit precision table
+                    vals = np.frombuffer(
+                        body[bp : bp + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    bp += 128
+                dezz = np.zeros(64, dtype=np.int64)
+                dezz[_ZIGZAG] = vals
+                qtables[tq] = dezz.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nvals = sum(bits)
+                values = list(body[bp + 17 : bp + 17 + nvals])
+                table = _huffman_decode_table(bits, values)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                bp += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            precision, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {precision} unsupported (8-bit only)"
+                )
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential Huffman JPEG (SOF0/SOF1) "
+                f"is supported, got SOF marker 0x{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si : 3 + 2 * si]
+                comp_idx = next(
+                    i for i, c in enumerate(frame[2]) if c[0] == cs
+                )
+                scan_comps.append((comp_idx, tdta >> 4, tdta & 0x0F))
+            # entropy-coded data follows: unstuff, split at RST markers
+            ep = pos + 2 + length
+            segments: list[bytearray] = [bytearray()]
+            while ep < len(data):
+                b = data[ep]
+                if b != 0xFF:
+                    segments[-1].append(b)
+                    ep += 1
+                    continue
+                nxt = data[ep + 1] if ep + 1 < len(data) else 0xD9
+                if nxt == 0x00:
+                    segments[-1].append(0xFF)
+                    ep += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytearray())
+                    ep += 2
+                else:
+                    break  # real marker: end of scan
+            scan = (scan_comps, [bytes(s) for s in segments])
+            pos = ep
+            continue
+        pos += 2 + length
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    scan_comps, segments = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    # coefficient storage: per component, (blocks_y, blocks_x, 64)
+    coef = []
+    for _, sh, sv, _ in comps:
+        coef.append(
+            np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
+        )
+
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    dc_pred = [0] * len(comps)
+    mcu_in_interval = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_in_interval == restart_interval:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG truncated at restart interval")
+                reader = _BitReader(segments[seg_i])
+                dc_pred = [0] * len(comps)
+                mcu_in_interval = 0
+            for comp_idx, td, ta in scan_comps:
+                _, sh, sv, _tq = comps[comp_idx]
+                dct = dc_tables[td]
+                act = ac_tables[ta]
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _decode_huff_symbol(reader, dct)
+                        diff = _extend(reader.read_bits(size), size)
+                        dc_pred[comp_idx] += diff
+                        zz[0] = dc_pred[comp_idx]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff_symbol(reader, act)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        coef[comp_idx][my * sv + by, mx * sh + bx] = zz
+            mcu_in_interval += 1
+
+    # dequantize + IDCT per component (vectorized over all blocks)
+    planes = []
+    for ci, (_, sh, sv, tq) in enumerate(comps):
+        by_, bx_ = coef[ci].shape[:2]
+        dezz = np.zeros((by_, bx_, 64), dtype=np.float64)
+        dezz[:, :, _ZIGZAG] = coef[ci]
+        dezz *= qtables[tq].reshape(64).astype(np.float64)
+        blocks = dezz.reshape(by_, bx_, 8, 8)
+        # IDCT: f = M^T F M per block, batched over the block grid
+        spatial = np.einsum("xu,yiuv,vw->yixw", _DCT_M.T, blocks, _DCT_M)
+        # assemble plane from blocks: (by, bx, 8, 8) -> (by*8, bx*8)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8)
+        plane = plane + 128.0
+        # nearest-neighbor upsample to the full-resolution grid
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        px = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return fw, fh, 1, px[:, :, None]
+    if len(planes) == 3:
+        y = np.clip(np.floor(planes[0] + 0.5), 0, 255)
+        cb = np.clip(np.floor(planes[1] + 0.5), 0, 255)
+        cr = np.clip(np.floor(planes[2] + 0.5), 0, 255)
+        return fw, fh, 3, _ycbcr_to_rgb(y, cb, cr)
+    raise NotImplementedError(
+        f"JPEG with {len(planes)} components unsupported (1 or 3)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # WAV
 # ---------------------------------------------------------------------------
 
@@ -254,8 +895,11 @@ def decode_features(
     results are bit-exact across partitionings.
     """
     fmt = sniff_format(data)
-    if fmt == "png":
-        w, h, ch, px = decode_png(data)
+    if fmt in ("png", "jpg"):
+        if fmt == "png":
+            w, h, ch, px = decode_png(data)
+        else:
+            w, h, ch, px = decode_jpeg(data)
         # mean intensity scaled by ch kept integral: bucket on sum * nf
         sums = px.astype(np.int64).sum(axis=2).ravel()  # in [0, 255*ch]
         buckets = (sums * n_features) // (256 * ch)
@@ -270,7 +914,7 @@ def decode_features(
         total = int(counts.sum()) or 1
         return nframes, 1, nch, [int(c) / total for c in counts]
     raise NotImplementedError(
-        "media decoding implemented for PNG and WAV only; other formats "
-        "require codec libraries not present in this environment "
+        "media decoding implemented for PNG, JPEG and WAV only; other "
+        "formats require codec libraries not present in this environment "
         "(pass fake=True for the deterministic stub)"
     )

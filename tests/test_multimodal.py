@@ -123,8 +123,143 @@ class TestRealCodec:
 
         from pg_vectorize_spark.multimodal.codec import decode_features
 
-        with pytest.raises(NotImplementedError, match="PNG and WAV"):
-            decode_features(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+        # MP3-ish bytes: sniff fails -> honest NotImplementedError
+        with pytest.raises(NotImplementedError, match="PNG, JPEG and WAV"):
+            decode_features(b"ID3\x04\x00 fake mp3 bytes")
+
+    def test_progressive_jpeg_raises(self):
+        import struct
+
+        import pytest
+
+        from pg_vectorize_spark.multimodal.codec import decode_jpeg
+
+        # minimal SOF2 (progressive) frame header -> explicit unsupported
+        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        blob = (
+            b"\xff\xd8"
+            + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2)
+            + sof2
+            + b"\xff\xd9"
+        )
+        with pytest.raises(NotImplementedError, match="SOF marker 0xC2"):
+            decode_jpeg(blob)
+
+    def test_jpeg_block_constant_exact(self):
+        """Block-constant planes + DC quant 8: the lossy codec is exact
+        (the fixture-law contract the multimodal_decode oracle relies
+        on), across grayscale/4:4:4/4:2:0 and restart intervals."""
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import (
+            _STD_QUANT_CHROMA,
+            _STD_QUANT_LUMA,
+            decode_jpeg,
+            encode_jpeg_planes,
+        )
+
+        ql = _STD_QUANT_LUMA.copy()
+        ql[0] = 8
+        qc = _STD_QUANT_CHROMA.copy()
+        qc[0] = 8
+        h, w = 32, 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        yp = ((17 * (xx // 8) + 29 * (yy // 8) + 88) % 256).astype(np.uint8)
+
+        # grayscale + restart interval
+        blob = encode_jpeg_planes(
+            [yp], restart_interval=3, quant_tables=(ql, qc)
+        )
+        fw, fh, ch, px = decode_jpeg(blob)
+        assert (fw, fh, ch) == (w, h, 1)
+        assert np.array_equal(px[:, :, 0], yp)
+
+        def expected_rgb(y, cb, cr):
+            yf = y.astype(np.float64)
+            cbf = cb.astype(np.float64) - 128.0
+            crf = cr.astype(np.float64) - 128.0
+            return np.stack(
+                [
+                    np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                    for p in (
+                        yf + 1.402 * crf,
+                        yf - 0.344136 * cbf - 0.714136 * crf,
+                        yf + 1.772 * cbf,
+                    )
+                ],
+                axis=2,
+            )
+
+        # 4:4:4 color, chroma constant per 8x8
+        cb = ((23 * (xx // 8) + 7 * (yy // 8) + 5) % 256).astype(np.uint8)
+        cr = ((31 * (xx // 8) + 19 * (yy // 8) + 3) % 256).astype(np.uint8)
+        blob = encode_jpeg_planes([yp, cb, cr], quant_tables=(ql, qc))
+        fw, fh, ch, px = decode_jpeg(blob)
+        assert (fw, fh, ch) == (w, h, 3)
+        assert np.array_equal(px, expected_rgb(yp, cb, cr))
+
+        # 4:2:0, chroma constant per 16x16 so subsample+upsample are exact
+        cb2 = ((23 * (xx // 16) + 7 * (yy // 16) + 5) % 256).astype(np.uint8)
+        cr2 = ((31 * (xx // 16) + 19 * (yy // 16) + 3) % 256).astype(
+            np.uint8
+        )
+        blob = encode_jpeg_planes(
+            [yp, cb2, cr2], subsample=(2, 2), quant_tables=(ql, qc)
+        )
+        fw, fh, ch, px = decode_jpeg(blob)
+        assert (fw, fh, ch) == (w, h, 3)
+        assert np.array_equal(px, expected_rgb(yp, cb2, cr2))
+
+    def test_jpeg_flat_quant_near_lossless(self):
+        """quant=1 tables exercise the full AC Huffman path (run-lengths,
+        ZRL, EOB, byte stuffing) on random content; only DCT-coefficient
+        rounding remains, so per-plane error is at most 1."""
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(7)
+        flat = (np.ones(64, dtype=np.int64), np.ones(64, dtype=np.int64))
+        for dims in [(16, 16), (19, 13), (8, 40)]:
+            g = rng.randint(0, 256, size=dims).astype(np.uint8)
+            blob = encode_jpeg(g[:, :, None], quant_tables=flat)
+            fw, fh, ch, px = decode_jpeg(blob)
+            assert (fw, fh, ch) == (dims[1], dims[0], 1)
+            err = np.abs(
+                px[:, :, 0].astype(int) - g.astype(int)
+            ).max()
+            assert err <= 1, f"{dims}: err {err}"
+
+    def test_jpeg_standard_tables_smooth_roundtrip(self):
+        """Annex-K tables on smooth content: the normal lossy path stays
+        within a tight perceptual bound (sanity on quant/dequant scaling,
+        not a strict-equality check)."""
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        yy, xx = np.mgrid[0:24, 0:40]
+        smooth = np.stack(
+            [
+                (128 + 80 * np.sin(xx / 10.0) * np.cos(yy / 7.0)).astype(
+                    np.uint8
+                ),
+                (128 + 60 * np.cos(xx / 9.0)).astype(np.uint8),
+                (128 + 50 * np.sin(yy / 8.0)).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        blob = encode_jpeg(smooth)
+        fw, fh, ch, px = decode_jpeg(blob)
+        assert (fw, fh, ch) == (40, 24, 3)
+        err = np.abs(px.astype(int) - smooth.astype(int)).max()
+        assert err <= 20, f"max err {err}"
 
     def test_decode_media_real(self, spark):
         """fake=False over the committed fixture: real decode through the
