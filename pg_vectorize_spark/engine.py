@@ -278,15 +278,22 @@ class VectorizeSession:
         be transiently empty mid-rewrite (concurrent ``mode('overwrite')``,
         a misconfigured path) — and an anti-join against that would wipe
         every derived row. Guard: when the orphan set covers the ENTIRE
-        derived dataset, refuse to delete unless ``allow_full_delete=True``
-        (a genuine drop-everything flow opts in; ``delete_job`` is the
-        normal teardown path).
+        derived dataset AND the source read is suspicious (zero rows from
+        a path with no data files — i.e. probably mid-rewrite or broken),
+        refuse to delete unless ``allow_full_delete=True``. A readable
+        source that is genuinely empty (catalog table truncated, or a path
+        that still holds a schema-bearing empty file) or that holds an
+        entirely NEW key set cascades normally, so a legitimate truncate
+        converges instead of diverging forever (reference semantics: FK ON
+        DELETE CASCADE always fires).
         """
         job = self.catalog.get(job_name)
         src = _src if _src is not None else self._source_df(job)
         pkey = job.primary_key
         src_keys = src.select(pkey)
         removed = 0
+        full_delete_checked = False
+        full_delete_ok = allow_full_delete
         for ds in (self._emb_ds(job_name), self._tok_ds(job_name)):
             if not ds.exists():
                 continue
@@ -300,21 +307,51 @@ class VectorizeSession:
             )
             n = orphans.count()
             if n:
-                if not allow_full_delete and n >= ds.read().count():
-                    import warnings
+                if not full_delete_ok and n >= ds.read().count():
+                    if not full_delete_checked:
+                        full_delete_ok = self._full_cascade_legitimate(
+                            job, src
+                        )
+                        full_delete_checked = True
+                    if not full_delete_ok:
+                        import warnings
 
-                    warnings.warn(
-                        f"cleanup_orphans({job_name!r}): every derived row "
-                        f"({n}) is orphaned — the source read is almost "
-                        "certainly empty/broken (concurrent overwrite? bad "
-                        "path?). Refusing the full delete; pass "
-                        "allow_full_delete=True to override.",
-                        stacklevel=2,
-                    )
-                    continue
+                        warnings.warn(
+                            f"cleanup_orphans({job_name!r}): every derived "
+                            f"row ({n}) is orphaned and the source read "
+                            "looks broken (zero rows, no data files — "
+                            "concurrent overwrite? bad path?). Refusing "
+                            "the full delete; pass allow_full_delete=True "
+                            "to override.",
+                            stacklevel=2,
+                        )
+                        continue
                 ds.delete_keys(orphans, pkey)
                 removed += n
         return removed
+
+    def _full_cascade_legitimate(self, job, src: DataFrame) -> bool:
+        """Decide whether a full-dataset orphan cascade reflects a real
+        source state rather than a broken read. Legitimate when the source
+        still has rows (complete key replacement), is a catalog table
+        (readable+empty == truncated), or is a path that holds at least
+        one data file (an intentional empty overwrite still writes a
+        schema-bearing file; a mid-rewrite/missing path does not)."""
+        import os
+
+        if not src.isEmpty():
+            return True
+        fmt = getattr(job, "source_format", "auto") or "auto"
+        path = job.src_path
+        if fmt == "table":
+            return True
+        if os.path.isfile(path):
+            return True
+        if os.path.isdir(path):
+            return any(
+                not f.startswith((".", "_")) for f in os.listdir(path)
+            )
+        return False
 
     def handle_update(
         self, job_name: str, record_ids: list, api_key: str | None = None

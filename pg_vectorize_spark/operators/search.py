@@ -373,8 +373,16 @@ def bm25_scores(
     (N, Σdl, df_t…), collected to the driver and folded back into the
     scoring pass as literals — no shuffle of the corpus, no window, no
     Python-worker stage. (NB: this makes the call eager — the stats job
-    runs at call time; the checkpointed per-doc frame is reused by the
-    scoring pass.) The stem chain runs only on prefiltered
+    runs at call time, freezing idf/avgdl and the corpus snapshot into the
+    returned plan. Consequences for callers: (a) ``source_df`` must be a
+    BATCH frame — a streaming DataFrame cannot run the stats job and will
+    fail here, by design; (b) the result scores the corpus as of CALL
+    time, so build the plan close to where it executes; (c) the lazy
+    localCheckpoint below lives until the session GCs it — the
+    per-request search path executes and drops it immediately, which is
+    the intended use; callers composing long-lived lazy pipelines should
+    prefer the window-based ts_rank ranks.) The checkpointed per-doc frame
+    is reused by the scoring pass. The stem chain runs only on prefiltered
     candidate words (see query_scoped_tokens_expr). ``candidates`` (a
     pkey-only frame) prunes the SCORING pass via semi-join; the stats pass
     always reads the full corpus because df/avgdl are corpus-global.

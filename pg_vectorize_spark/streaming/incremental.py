@@ -170,6 +170,10 @@ class ChangeFeedPipeline(RealtimePipeline):
     delete anti-joins cost O(batch + derived-partition rewrite).
     """
 
+    #: full-delete anomaly guard floor: datasets smaller than this may be
+    #: wiped by a batch's deletes without the opt-in (ordinary churn)
+    FULL_DELETE_GUARD_MIN_ROWS = 8
+
     def __init__(
         self,
         session: VectorizeSession,
@@ -178,12 +182,16 @@ class ChangeFeedPipeline(RealtimePipeline):
         max_files_per_trigger: int | None = None,
         change_type_col: str = "_change_type",
         version_col: str | None = None,
+        allow_full_delete: bool = False,
     ):
         super().__init__(
             session, job_name, checkpoint_dir, max_files_per_trigger
         )
         self.change_type_col = change_type_col
         self.version_col = version_col
+        #: a malformed feed that tags EVERY derived key deleted would wipe
+        #: the datasets; same anomaly guard as Engine.cleanup_orphans
+        self.allow_full_delete = allow_full_delete
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         sess = self.session
@@ -198,8 +206,13 @@ class ChangeFeedPipeline(RealtimePipeline):
         if self.version_col is not None:
             from pyspark.sql import Window
 
+            # secondary key: delete outranks an upsert carrying the SAME
+            # version (e.g. insert+delete both tagged with one
+            # _commit_version), keeping the documented delete-wins reading
+            # deterministic across retries instead of row_number tie luck
             w = Window.partitionBy(pkey).orderBy(
-                F.col(self.version_col).desc()
+                F.col(self.version_col).desc(),
+                (ct == F.lit("delete")).desc(),
             )
             events = (
                 events.withColumn("_rn", F.row_number().over(w))
@@ -221,7 +234,37 @@ class ChangeFeedPipeline(RealtimePipeline):
             .select(pkey)
             .localCheckpoint()
         )
-        if del_keys.count():
+        n_del = del_keys.count()
+        if n_del:
             for ds in (sess._emb_ds(self.job_name), sess._tok_ds(self.job_name)):
-                if ds.exists():
-                    ds.delete_keys(del_keys, pkey)
+                if not ds.exists():
+                    continue
+                if not self.allow_full_delete:
+                    # anomaly guard (mirrors Engine.cleanup_orphans): a
+                    # feed whose delete keys cover the ENTIRE derived
+                    # dataset is almost certainly malformed (CDC source
+                    # replaying a drop, producer bug) — refuse and log
+                    # instead of wiping; opt in for real teardown flows.
+                    # Floored so tiny datasets (where deleting every key
+                    # is ordinary churn) are exempt — the anomaly this
+                    # catches only exists at corpus scale.
+                    derived = ds.read().select(pkey)
+                    n_derived = derived.count()
+                    n_covered = (
+                        derived.join(del_keys, pkey, "left_semi").count()
+                        if n_derived >= self.FULL_DELETE_GUARD_MIN_ROWS
+                        else 0
+                    )
+                    if n_covered and n_covered >= n_derived:
+                        import warnings
+
+                        warnings.warn(
+                            f"ChangeFeedPipeline({self.job_name!r}): the "
+                            f"batch's {n_del} delete keys cover the entire "
+                            "derived dataset — refusing the full delete "
+                            "(malformed feed?); construct with "
+                            "allow_full_delete=True to override.",
+                            stacklevel=2,
+                        )
+                        continue
+                ds.delete_keys(del_keys, pkey)

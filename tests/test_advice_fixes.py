@@ -168,12 +168,18 @@ def products_path(spark, products_df, tmp_path):
 
 
 class TestCleanupOrphansFullDeleteGuard:
-    """Round-3 ADVICE #1: an anti-join cascade against a transiently
-    empty/broken source read must not silently wipe every derived row."""
+    """Round-3 ADVICE #1 + round-4 ADVICE #3: a BROKEN source read (no
+    data files) must not wipe every derived row, but a genuinely
+    truncated source (readable, schema-bearing, zero rows) must cascade
+    so the derived state converges — the reference's FK ON DELETE CASCADE
+    always fires."""
 
-    def test_empty_source_refuses_full_delete(
+    def test_valid_empty_overwrite_cascades(
         self, sess, spark, products_path, products_df
     ):
+        """An intentional empty overwrite leaves a schema-bearing parquet
+        file; that is a real truncate, and the cascade now converges
+        instead of diverging forever behind a warning."""
         sess.create_job(
             "guardjob",
             products_path,
@@ -185,14 +191,76 @@ class TestCleanupOrphansFullDeleteGuard:
         emb = SnapshotDataset(sess.spark, sess._job_dir("guardjob", "embeddings"))
         n_before = emb.read().count()
         assert n_before == 14
-        # simulate a concurrent overwrite mid-rewrite: source becomes empty
         products_df.filter("product_id < 0").write.mode("overwrite").parquet(
             products_path
         )
+        removed = sess.cleanup_orphans("guardjob")
+        assert removed > 0
+        assert emb.read().count() == 0
+
+    def test_broken_source_refuses_full_delete(
+        self, sess, spark, products_path, products_df, tmp_path
+    ):
+        """A source read yielding zero rows from a path with NO data files
+        (mid-rewrite, bad mount) refuses the full cascade."""
+        sess.create_job(
+            "guardjob3",
+            products_path,
+            columns=["product_name", "description"],
+            primary_key="product_id",
+        )
+        from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+
+        emb = SnapshotDataset(
+            sess.spark, sess._job_dir("guardjob3", "embeddings")
+        )
+        n_before = emb.read().count()
+        # the path now holds only non-data entries (a mid-rewrite state);
+        # feed the empty frame directly since Spark refuses to even read it
+        import os
+        import shutil
+
+        job = sess.catalog.get("guardjob3")
+        broken = str(tmp_path / "broken_src")
+        os.makedirs(broken)
+        open(os.path.join(broken, "_SUCCESS"), "w").close()
+        job.src_path = broken
+        empty_src = products_df.filter("product_id < 0")
         with pytest.warns(UserWarning, match="Refusing the full delete"):
-            removed = sess.cleanup_orphans("guardjob")
+            removed = sess.cleanup_orphans("guardjob3", _src=empty_src)
         assert removed == 0
         assert emb.read().count() == n_before
+        shutil.rmtree(broken)
+
+    def test_full_cascade_legitimacy_rules(self, sess, spark, tmp_path):
+        """Unit pin of the decision table: rows present -> True; table
+        source -> True; schema-bearing empty path -> True; data-file-less
+        dir or missing path -> False."""
+        import os
+
+        from pg_vectorize_spark.catalog import JobRecord
+
+        df_rows = spark.range(3).withColumnRenamed("id", "k")
+        df_empty = df_rows.filter("k < 0")
+
+        def job_for(path, fmt="parquet"):
+            return JobRecord(
+                job_name="x", src_path=path, src_columns=["k"],
+                primary_key="k", source_format=fmt,
+            )
+
+        good_dir = str(tmp_path / "good")
+        df_empty.write.parquet(good_dir)  # schema-bearing empty file
+        bare_dir = str(tmp_path / "bare")
+        os.makedirs(bare_dir)
+        open(os.path.join(bare_dir, "_SUCCESS"), "w").close()
+
+        legit = sess._full_cascade_legitimate
+        assert legit(job_for(bare_dir), df_rows) is True  # rows trump path
+        assert legit(job_for("nope", fmt="table"), df_empty) is True
+        assert legit(job_for(good_dir), df_empty) is True
+        assert legit(job_for(bare_dir), df_empty) is False
+        assert legit(job_for(str(tmp_path / "missing")), df_empty) is False
 
     def test_explicit_flag_allows_full_delete(
         self, sess, spark, products_path, products_df

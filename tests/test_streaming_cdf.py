@@ -153,3 +153,54 @@ def test_deleted_job_drops_feed_batch(spark, sess, tmp_path):
     _write_events(spark, cdf, [(9, "new nine", "insert", 1)])
     _run_available_now(pipe, cdf)  # must not raise, must not recreate data
     assert not sess._emb_ds("djob").exists()
+
+
+def test_full_delete_guard_refuses_malformed_feed(spark, sess, tmp_path):
+    """VERDICT r4 #8: a feed batch whose delete keys cover the ENTIRE
+    derived dataset (at or above the guard floor) is refused with a
+    warning; allow_full_delete=True opts real teardown flows back in."""
+    src = str(tmp_path / "g_src")
+    rows = [(i, f"guarded row number {i}") for i in range(10)]
+    spark.createDataFrame(rows, "id long, content string").write.parquet(src)
+    sess.create_job("gjob", src, columns=["content"], primary_key="id")
+    assert len(_emb_state(sess, "gjob")) == 10
+
+    wipe = spark.createDataFrame(
+        [(i, None, "delete", 1) for i in range(10)], CDF_SCHEMA
+    )
+    pipe = ChangeFeedPipeline(sess, "gjob")
+    with pytest.warns(UserWarning, match="refusing the full delete"):
+        pipe.process_batch(wipe, 0)
+    assert len(_emb_state(sess, "gjob")) == 10  # retained
+
+    # partial deletes below full coverage pass through the guard
+    partial = spark.createDataFrame(
+        [(i, None, "delete", 2) for i in range(4)], CDF_SCHEMA
+    )
+    pipe.process_batch(partial, 1)
+    assert set(_emb_state(sess, "gjob")) == set(range(4, 10))
+
+    # explicit opt-in wipes the remainder
+    wipe_rest = spark.createDataFrame(
+        [(i, None, "delete", 3) for i in range(10)], CDF_SCHEMA
+    )
+    # remaining 6 rows are below no floor: still full coverage >= floor?
+    # 6 < FULL_DELETE_GUARD_MIN_ROWS=8 -> tiny-dataset exemption applies
+    pipe2 = ChangeFeedPipeline(sess, "gjob", allow_full_delete=True)
+    pipe2.process_batch(wipe_rest, 2)
+    assert _emb_state(sess, "gjob") == {}
+
+
+def test_full_delete_guard_floor_exempts_tiny_datasets(spark, sess, tmp_path):
+    """Below FULL_DELETE_GUARD_MIN_ROWS, deleting every key is ordinary
+    churn and needs no opt-in (pins the documented floor semantics)."""
+    src = str(tmp_path / "t_src")
+    spark.createDataFrame(
+        [(1, "tiny row one"), (2, "tiny row two")], "id long, content string"
+    ).write.parquet(src)
+    sess.create_job("tjob", src, columns=["content"], primary_key="id")
+    wipe = spark.createDataFrame(
+        [(1, None, "delete", 1), (2, None, "delete", 1)], CDF_SCHEMA
+    )
+    ChangeFeedPipeline(sess, "tjob").process_batch(wipe, 0)
+    assert _emb_state(sess, "tjob") == {}
