@@ -938,6 +938,83 @@ def q_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate (VERDICT r4 #6): BM25-ranked FTS branch INSIDE the
+    RRF fusion path — ``hybrid_search(rank='bm25')``. The eager corpus
+    stats collect inside bm25_scores runs at plan-build time; this pins
+    its interaction with the union+hash-agg fusion and the broadcast
+    join-back under the hash gate (fts_bm25 and hybrid_weighted are
+    separately green; the composition was previously untested)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("embeddings")
+    )
+    qv = _query_vec(spark, sf_dir)
+    return hybrid_search(
+        docs.select("doc_id", "lang", "n_chars", "text"),
+        emb,
+        "doc_id",
+        qv,
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        window_size=50,
+        rrf_k=60,
+        return_columns=["doc_id", "lang", "n_chars"],
+        tokens_df=docs.select(
+            "doc_id", T.tokens_expr(F.col("text")).alias("search_tokens")
+        ),
+        rank="bm25",
+    )
+
+
+def q_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of ChangeFeedPipeline (VERDICT r4 #5): a synthetic
+    change-event log — preimage/postimage pairs, deletes, resurrection
+    inserts, and SAME-VERSION insert+delete ties — applied over a base
+    snapshot via operators/change.apply_change_events. Registers the
+    latest-event-per-key + delete-wins + cascade semantics under the hash
+    gate; the oracle is DuckDB QUALIFY row_number + anti-joins."""
+    from pg_vectorize_spark.operators.change import apply_change_events
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    ct = "_change_type"
+
+    def ev(df, ctype, version, text_col):
+        return df.select(
+            "doc_id",
+            text_col.alias("text"),
+            F.lit(ctype).alias(ct),
+            F.lit(version).alias("_version"),
+        )
+
+    upd = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 350))
+    sevens = docs.filter((F.col("doc_id") < 300) & (F.col("doc_id") % 7 == 0))
+    fourteens = docs.filter(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 14 == 0)
+    )
+    ties = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    null_text = F.lit(None).cast("string")
+    events = (
+        ev(upd, "update_preimage", 10, F.col("text"))  # dropped by rule 1
+        .unionByName(
+            ev(upd, "update_postimage", 10, F.concat(F.lit("v2 "), "text"))
+        )
+        .unionByName(ev(sevens, "delete", 20, null_text))
+        .unionByName(
+            ev(fourteens, "insert", 30, F.concat(F.lit("back "), "text"))
+        )
+        .unionByName(
+            ev(ties, "update_postimage", 40, F.concat(F.lit("tie "), "text"))
+        )
+        .unionByName(ev(ties, "delete", 40, null_text))  # tie: delete wins
+    )
+    return apply_change_events(
+        base, events, "doc_id", change_type_col=ct, version_col="_version"
+    )
+
+
 def q_fts_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemmed FTS via the default 'english' analyzer and the INLINE
     tokens path (no precomputed tokens_df) — "running" matches "run".
@@ -1271,64 +1348,13 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries (rounds 2-3 covered exactly 50).
-    # Rotation policy (VERDICT r3 #2): queries whose newest driver row is
-    # oldest come FIRST so every operator's driver evidence stays <=1
-    # round stale; new/changed queries also go up front.
-    # --- changed/new this round ---
-    "embedding_pool": q_embedding_pool,  # r3 red (canonicalizer); reshaped
-    "chunked_embed_pool": q_chunked_embed_pool,  # new composite gate
-    # --- only r2 driver rows (rotated out of r3's window) ---
-    "multimodal_meta": q_multimodal_meta,
-    "json_rows": q_json_rows,
-    "append_method_scan": q_append_method_scan,
-    "collect_changed_ids": q_collect_changed_ids,
-    "incremental_scan_events": q_incremental_scan_events,
-    "gopher_flags": q_gopher_flags,
-    "hash_split": q_hash_split,
-    "corpus_mix": q_corpus_mix,
-    "sample_exact": q_sample_exact,
-    "fts_stemmed": q_fts_stemmed,
-    "fts_cover_density": q_fts_cover_density,
-    "fts_bm25": q_fts_bm25,
-    "hybrid_weighted": q_hybrid_weighted,
-    "vocabulary_topk": q_vocabulary_topk,
-    "unigram_logprob": q_unigram_logprob,
-    "events_windowed_agg": q_events_windowed_agg,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_join_bucketed": q_asof_join_bucketed,
-    "attribution_window_join": q_attribution_window_join,
-    # --- r3-green, kept in-window (changed or headline paths) ---
-    "multimodal_decode": q_multimodal_decode,  # extended w/ JPEG fixture
-    "semantic_search_topk": q_semantic_search_topk,
-    "semantic_search_filtered": q_semantic_search_filtered,
-    "fts_search_topk": q_fts_search_topk,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "view_join": q_view_join,
-    "change_detection": q_change_detection,
-    "record_fetch_by_ids": q_record_fetch_by_ids,
-    "token_count": q_token_count,
-    "embed_documents": q_embed_documents,
-    "doc_fingerprint": q_doc_fingerprint,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "repetition_score": q_repetition_score,
-    "pii_scrub": q_pii_scrub,
-    "dedup_exact": q_dedup_exact,
-    "knn_join": q_knn_join,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
-    "dedup_simhash": q_dedup_simhash,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
-    "orphan_cleanup": q_orphan_cleanup,
-    "dup_span_stats": q_dup_span_stats,
-    # --- beyond position 50: freshest r3 evidence, rotate back next round
+    # the FIRST 50 registered queries. Rotation policy (VERDICT r3 #2,
+    # re-run r5 per VERDICT r4 #2): queries whose newest driver row is
+    # oldest come FIRST so no operator's driver evidence goes >=2 rounds
+    # stale; new/changed queries follow them; the balance of the window
+    # refreshes r4-green headliners; everything beyond position 50
+    # carries fresh r4 evidence and rotates forward next round.
+    # --- newest driver rows are r3 (rotated in per VERDICT r4 #2) ---
     "embedding_truncate": q_embedding_truncate,
     "embedding_quantize": q_embedding_quantize,
     "corpus_stats": q_corpus_stats,
@@ -1350,6 +1376,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_table": q_chunk_table,
     "where_sql_filter": q_where_sql_filter,
     "typed_filters_part": q_typed_filters_part,
+    # --- changed/new this round ---
+    "multimodal_decode": q_multimodal_decode,  # + JPEG fixtures (r5)
+    "hybrid_bm25": q_hybrid_bm25,  # new composite gate (VERDICT r4 #6)
+    "cdf_apply": q_cdf_apply,  # new batch CDF gate (VERDICT r4 #5)
+    # --- r4-green headliners kept in-window ---
+    "semantic_search_topk": q_semantic_search_topk,
+    "semantic_search_filtered": q_semantic_search_filtered,
+    "fts_search_topk": q_fts_search_topk,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "hybrid_weighted": q_hybrid_weighted,
+    "fts_bm25": q_fts_bm25,
+    "view_join": q_view_join,
+    "change_detection": q_change_detection,
+    "record_fetch_by_ids": q_record_fetch_by_ids,
+    "append_method_scan": q_append_method_scan,
+    "orphan_cleanup": q_orphan_cleanup,
+    "embed_documents": q_embed_documents,
+    "embedding_pool": q_embedding_pool,
+    "chunked_embed_pool": q_chunked_embed_pool,
+    "dedup_exact": q_dedup_exact,
+    "knn_join": q_knn_join,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
+    "dup_span_stats": q_dup_span_stats,
+    # --- beyond position 50: freshest r4 evidence, rotate next round ---
+    "multimodal_meta": q_multimodal_meta,
+    "json_rows": q_json_rows,
+    "collect_changed_ids": q_collect_changed_ids,
+    "incremental_scan_events": q_incremental_scan_events,
+    "gopher_flags": q_gopher_flags,
+    "hash_split": q_hash_split,
+    "corpus_mix": q_corpus_mix,
+    "sample_exact": q_sample_exact,
+    "fts_stemmed": q_fts_stemmed,
+    "fts_cover_density": q_fts_cover_density,
+    "vocabulary_topk": q_vocabulary_topk,
+    "unigram_logprob": q_unigram_logprob,
+    "events_windowed_agg": q_events_windowed_agg,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_join_bucketed": q_asof_join_bucketed,
+    "attribution_window_join": q_attribution_window_join,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "repetition_score": q_repetition_score,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -1679,6 +1760,137 @@ FROM tok t JOIN bm ON t.doc_id = bm.doc_id
 WHERE {fts_match}
 ORDER BY bm25_score DESC, t.doc_id ASC
 LIMIT 10
+"""
+
+
+def _oracle_hybrid_bm25() -> str:
+    """Hybrid RRF with the BM25-ranked FTS branch: the bm CTEs mirror
+    _oracle_fts_bm25 (same literal doubles, same left-assoc fold), the
+    fusion mirrors _oracle_hybrid."""
+    terms = sorted(set(QUERY_TERMS))
+    k1, b = 1.2, 0.75
+    words = O.sql_words("d.text")
+    stops = O.sql_stop_words()
+    nonstop = f"list_filter({words}, w -> NOT list_contains({stops}, w))"
+    stems = f"list_transform({nonstop}, w -> {O.sql_stem('w')})"
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(stems, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"ln(1.0 + (n::DOUBLE - df{i}::DOUBLE + 0.5) / "
+            f"(df{i}::DOUBLE + 0.5))"
+        )
+        denom = (
+            f"(tf{i}::DOUBLE + {k1!r} * ({1.0 - b!r} + {b!r} * "
+            f"(dl::DOUBLE / (sumdl::DOUBLE / n::DOUBLE))))"
+        )
+        parts.append(f"({idf} * ((tf{i}::DOUBLE * {k1 + 1.0!r}) / {denom}))")
+    score = " + ".join(parts)
+    any_match = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    sim = O.sql_cosine("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS doc_id, similarity_score,
+         ROW_NUMBER() OVER (ORDER BY similarity_score DESC, doc_id ASC)
+           AS semantic_rank
+  FROM (
+    SELECT e.vec_id, {sim} AS similarity_score FROM embeddings e CROSS JOIN q
+  )
+  ORDER BY similarity_score DESC, doc_id ASC
+  LIMIT 50
+),
+bmbase AS MATERIALIZED (
+  SELECT d.doc_id, len({nonstop})::BIGINT AS dl, {stems} AS stems
+  FROM documents d
+),
+tfd AS MATERIALIZED (
+  SELECT doc_id, dl,
+         {tf_defs}
+  FROM bmbase
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+         {df_defs}
+  FROM tfd
+),
+ftsb AS (
+  SELECT doc_id, bm25_score,
+         ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id ASC)
+           AS fts_rank
+  FROM (
+    SELECT doc_id, {score} AS bm25_score
+    FROM tfd, stats
+    WHERE {any_match}
+  )
+  ORDER BY bm25_score DESC, doc_id ASC
+  LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(sem.doc_id, ftsb.doc_id) AS doc_id,
+         sem.similarity_score, sem.semantic_rank, ftsb.fts_rank,
+         COALESCE(1.0 / (60 + sem.semantic_rank), 0.0)
+         + COALESCE(1.0 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
+  FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars, f.rrf_score,
+       f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
+       f.similarity_score
+FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
+ORDER BY f.rrf_score DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_cdf_apply() -> str:
+    return """
+WITH docs AS (SELECT doc_id, text FROM documents),
+base AS (SELECT * FROM docs WHERE doc_id < 300),
+events AS (
+  SELECT doc_id, text, 'update_preimage' AS _change_type, 10 AS _version
+  FROM docs WHERE doc_id >= 250 AND doc_id < 350
+  UNION ALL
+  SELECT doc_id, 'v2 ' || text, 'update_postimage', 10
+  FROM docs WHERE doc_id >= 250 AND doc_id < 350
+  UNION ALL
+  SELECT doc_id, NULL, 'delete', 20
+  FROM docs WHERE doc_id < 300 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'back ' || text, 'insert', 30
+  FROM docs WHERE doc_id < 300 AND doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id, 'tie ' || text, 'update_postimage', 40
+  FROM docs WHERE doc_id >= 100 AND doc_id < 120
+  UNION ALL
+  SELECT doc_id, NULL, 'delete', 40
+  FROM docs WHERE doc_id >= 100 AND doc_id < 120
+),
+ev AS (SELECT * FROM events WHERE _change_type != 'update_preimage'),
+latest AS (
+  SELECT * FROM ev
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY _version DESC, (_change_type = 'delete') DESC
+  ) = 1
+),
+upserts AS (SELECT doc_id, text FROM latest WHERE _change_type != 'delete'),
+dels AS (SELECT doc_id FROM latest WHERE _change_type = 'delete'),
+untouched AS (
+  SELECT b.doc_id, b.text FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.doc_id = b.doc_id)
+),
+unioned AS (
+  SELECT * FROM untouched UNION ALL SELECT * FROM upserts
+)
+SELECT u.doc_id, u.text FROM unioned u
+WHERE NOT EXISTS (SELECT 1 FROM dels WHERE dels.doc_id = u.doc_id)
 """
 
 
@@ -2611,6 +2823,8 @@ WHERE emb_updated_at IS NULL
     "fts_stemmed": _oracle_fts_stemmed(),
     "fts_cover_density": _oracle_fts_cover_density(),
     "fts_bm25": _oracle_fts_bm25(),
+    "hybrid_bm25": _oracle_hybrid_bm25(),
+    "cdf_apply": _oracle_cdf_apply(),
     "gopher_flags": _oracle_gopher_flags(),
     "hash_split": _oracle_hash_split(),
     "corpus_mix": _oracle_corpus_mix(),

@@ -166,3 +166,53 @@ def batch_by_token_budget_distributed(
             / budget
         ).cast("long"),
     )
+
+
+def apply_change_events(
+    base: DataFrame,
+    events: DataFrame,
+    pkey: str,
+    change_type_col: str = "_change_type",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDF-style change-event log over a base snapshot, batch
+    form — the same semantics ChangeFeedPipeline applies per micro-batch
+    (streaming/incremental.py), expressed as one composable plan so the
+    delete-cascade rules sit under the SQL oracle gate, not only pytest.
+
+    Events carry the base columns plus ``change_type_col`` using Delta
+    CDF's public vocabulary ('insert' | 'update_preimage' |
+    'update_postimage' | 'delete'; delete rows need only a valid pkey).
+    Rules (reference parity: trigger-coupled upsert + FK ON DELETE
+    CASCADE, core/src/query.rs:349-354):
+
+    1. ``update_preimage`` rows are dropped (they describe the OLD image);
+    2. with ``version_col``, only the LATEST event per key applies, a
+       delete outranking an upsert that carries the SAME version
+       (deterministic delete-wins tie-break);
+    3. surviving upserts replace/extend the base rows; surviving deletes
+       remove them — a key seeing both (unversioned) nets out deleted.
+
+    Scale shape: one keyed window shuffle over the EVENT log (change-log
+    sized, not corpus sized) + keyed anti-joins against the base; no
+    corpus-wide window, no driver collect.
+    """
+    ct = F.col(change_type_col)
+    ev = events.filter(ct != F.lit("update_preimage"))
+    drop_cols = [change_type_col] + (
+        [version_col] if version_col is not None else []
+    )
+    if version_col is not None:
+        w = Window.partitionBy(pkey).orderBy(
+            F.col(version_col).desc(),
+            (ct == F.lit("delete")).desc(),
+        )
+        ev = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    upserts = ev.filter(ct != F.lit("delete")).drop(*drop_cols)
+    dels = ev.filter(ct == F.lit("delete")).select(pkey)
+    untouched = base.join(ev.select(pkey), pkey, "left_anti")
+    return untouched.unionByName(upserts).join(dels, pkey, "left_anti")

@@ -122,3 +122,42 @@ class TestBatching:
         }
         # exclusive cumsum: 0, 6000, 12000 -> batches 0, 0, 1
         assert got == {1: 0, 2: 0, 3: 1}
+
+
+class TestApplyChangeEvents:
+    """Batch CDF apply (operators/change.apply_change_events) — the
+    versioned path is oracle-gated (cdf_apply); these pin the unversioned
+    conservative mode and preimage handling."""
+
+    def test_unversioned_delete_wins(self, spark):
+        base = spark.createDataFrame(
+            [(1, "one"), (2, "two")], "id long, v string"
+        )
+        ev = spark.createDataFrame(
+            [
+                (2, "two-new", "update_postimage"),
+                (2, None, "delete"),
+                (3, "three", "insert"),
+            ],
+            "id long, v string, _change_type string",
+        )
+        from pg_vectorize_spark.operators.change import apply_change_events
+
+        got = {
+            r["id"]: r["v"]
+            for r in apply_change_events(base, ev, "id").collect()
+        }
+        assert got == {1: "one", 3: "three"}  # 2 nets out deleted
+
+    def test_preimages_never_apply(self, spark):
+        base = spark.createDataFrame([(1, "one")], "id long, v string")
+        ev = spark.createDataFrame(
+            [(1, "OLD", "update_preimage", 5), (1, "NEW", "update_postimage", 5)],
+            "id long, v string, _change_type string, _version long",
+        )
+        from pg_vectorize_spark.operators.change import apply_change_events
+
+        got = apply_change_events(
+            base, ev, "id", version_col="_version"
+        ).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(1, "NEW")]

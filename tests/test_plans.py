@@ -198,3 +198,31 @@ def test_domain_cap_two_phase_windows(spark, entrymod):
     assert rep.text.count("RunningWindowFunction") >= 2 or (
         rep.text.count("Window") >= 2
     ), rep.summary()
+
+
+def test_hybrid_bm25_composite_plan(spark, entrymod):
+    """VERDICT r4 #6: hybrid_search(rank='bm25') — the BM25 branch's
+    literal-folded stats must survive composition with the RRF fusion
+    path: no Python/Arrow stage anywhere in the composite plan, fusion
+    stays union + hash-agg (no SortMergeJoin of the rank lists), and the
+    fused candidate set broadcasts back against the source."""
+    df = entrymod.queries()["hybrid_bm25"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.has_take_ordered, rep.summary()
+    assert rep.n_broadcasts >= 1, rep.summary()
+    assert "SortMergeJoin" not in rep.text, rep.summary()
+    assert "ArrowEvalPython" not in rep.text, rep.summary()
+    assert "BatchEvalPython" not in rep.text, rep.summary()
+    assert "CartesianProduct" not in rep.text, rep.summary()
+
+
+def test_cdf_apply_keyed_exchanges_only(spark, entrymod):
+    """Batch CDF apply: the event-log window and the anti-joins shuffle
+    on the pkey only — no cartesian/nested-loop fan-out, no Python
+    stage; safe when the event log is change-log-sized at 100 TB."""
+    df = entrymod.queries()["cdf_apply"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text, rep.summary()
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.summary()
+    assert "ArrowEvalPython" not in rep.text, rep.summary()
+    assert "BatchEvalPython" not in rep.text, rep.summary()
