@@ -715,3 +715,93 @@ __all__ = [
     "poly_hash_expr",
     "MINHASH_PRIME",
 ]
+
+
+def arrival_order_span_stats(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    ts_col: str,
+    k: int = 20,
+    hash_ngrams: bool = True,
+    prior_windows: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-order reading of ``duplicated_span_stats``: per document,
+    the fraction of its k-word windows already borne by an
+    EARLIER-ARRIVING other document (ordered by ``(ts, pkey)``). The
+    first bearer of a span is innocent — the asymmetry an ingest-time
+    filter needs (the batch audit flags BOTH copies; at ingest the
+    original is already in the corpus and only the replay should drop).
+
+    ``prior_windows`` is an optional (gkey, ts) frame of window keys seen
+    BEFORE every row of ``df`` — the streaming filter's persistent store
+    (streaming/windows.streaming_dup_span_filter); its rows outrank any
+    in-frame row carrying an equal timestamp.
+
+    Output: (pkey, ts, n_windows, n_dup_windows, dup_fraction), one row
+    per input document (0/0/0.0 for docs shorter than k words).
+
+    Scale shape: explode to (doc, window-key) instances, one keyed
+    aggregate to doc-window groups, ONE window function partitioned by
+    the window key (each gkey group is tiny — the docs sharing that exact
+    k-gram), then keyed aggregates back to docs. All equi-shuffles on
+    gkey or pkey; no pair fan-out.
+    """
+    from pg_vectorize_spark.functions.text import (
+        raw_words_expr,
+        word_ngrams_expr,
+    )
+
+    grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
+    win = df.select(
+        F.col(pkey), F.col(ts_col).alias("_ts"), F.explode(grams).alias("gram")
+    )
+    gkey = (
+        F.xxhash64("gram") if hash_ngrams else F.col("gram")
+    ).alias("gkey")
+    inst = (
+        win.select(F.col(pkey), F.col("_ts"), gkey)
+        .groupBy("gkey", pkey, "_ts")
+        .agg(F.count(F.lit(1)).alias("_n_inst"))
+    )
+    cand = inst
+    if prior_windows is not None:
+        prior = prior_windows.select(
+            F.col("gkey"),
+            F.lit(None).cast(inst.schema[pkey].dataType).alias(pkey),
+            F.col("ts").alias("_ts"),
+            F.lit(0).cast("long").alias("_n_inst"),
+        )
+        cand = inst.unionByName(prior)
+    # first bearer per window key: store rows (null pkey) rank before
+    # same-timestamp document rows
+    w = Window.partitionBy("gkey").orderBy(
+        F.col("_ts").asc(), F.col(pkey).asc_nulls_first()
+    )
+    ranked = cand.withColumn("_rn", F.row_number().over(w))
+    dups = (
+        ranked.filter((F.col("_rn") > 1) & F.col(pkey).isNotNull())
+        .groupBy(pkey)
+        .agg(F.sum("_n_inst").alias("n_dup_windows"))
+    )
+    totals = inst.groupBy(pkey).agg(F.sum("_n_inst").alias("n_windows"))
+    return (
+        df.select(F.col(pkey), F.col(ts_col).alias("ts"))
+        .join(totals, pkey, "left")
+        .join(dups, pkey, "left")
+        .select(
+            F.col(pkey),
+            F.col("ts"),
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+            F.when(
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("double")
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

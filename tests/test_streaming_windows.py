@@ -195,3 +195,129 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     key = lambda r: (r["eid"], r["ts_right"], r["score"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) == 30
+
+
+class TestStreamingDupSpanFilter:
+    """Ingest-time exact-substring filter (streaming_dup_span_filter):
+    stream == batch agreement under the arrival-order rule, independence
+    from micro-batch splits, and watermark-bounded span state."""
+
+    K = 5
+    MAX_FRACTION = 0.5
+
+    def _docs(self, spark):
+        base = datetime(2024, 1, 1)
+        shared = " ".join(f"w{i}" for i in range(30))
+        half = " ".join(f"w{i}" for i in range(15))
+        uniq3 = " ".join(f"u{i}" for i in range(15))
+        uniq4 = " ".join(f"v{i}" for i in range(30))
+        rows = [
+            (1, base, shared),                           # first bearer: kept
+            (2, base + timedelta(hours=1), shared),      # full copy: dropped
+            (3, base + timedelta(hours=2), f"{half} {uniq3}"),  # ~0.42: kept
+            (4, base + timedelta(hours=3), uniq4),       # unique: kept
+        ]
+        return spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+
+    def _run_stream(self, spark, tmp_path, tag, n_files, watermark=None):
+        docs = self._docs(spark)
+        src = str(tmp_path / f"src_{tag}")
+        rows = docs.collect()
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        per_file = max(1, len(rows) // n_files)
+        for fi in range(0, len(rows), per_file):
+            chunk = spark.createDataFrame(rows[fi : fi + per_file], docs.schema)
+            chunk.coalesce(1).write.mode("append").parquet(src)
+
+        from pg_vectorize_spark.streaming.windows import (
+            streaming_dup_span_filter,
+        )
+
+        kept_rows = []
+
+        def sink(df, batch_id):
+            kept_rows.extend(df.collect())
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_dup_span_filter(
+            stream,
+            "text",
+            "doc_id",
+            "ts",
+            store_dir=str(tmp_path / f"store_{tag}"),
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+            sink=sink,
+            k=self.K,
+            max_fraction=self.MAX_FRACTION,
+            watermark_seconds=watermark,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return kept_rows
+
+    def _batch_expected(self, spark):
+        from pg_vectorize_spark.operators.dedup import (
+            arrival_order_span_stats,
+        )
+
+        stats = arrival_order_span_stats(
+            self._docs(spark), "text", "doc_id", "ts", k=self.K
+        )
+        return {
+            r["doc_id"]: (
+                r["n_windows"],
+                r["n_dup_windows"],
+                r["dup_fraction"],
+            )
+            for r in stats.collect()
+            if r["dup_fraction"] <= self.MAX_FRACTION
+        }
+
+    def test_batch_rule_arrival_asymmetry(self, spark):
+        """First bearer innocent, replay fully dup, partial overlap in
+        between — the asymmetric reading the batch audit cannot give."""
+        expected = self._batch_expected(spark)
+        assert set(expected) == {1, 3, 4}
+        assert expected[1][2] == 0.0  # first bearer of the shared span
+        n3, d3, f3 = expected[3]
+        assert n3 == 26 and d3 == 11
+        assert abs(f3 - 11 / 26) < 1e-12
+
+    def test_stream_equals_batch_across_splits(self, spark, tmp_path):
+        expected = self._batch_expected(spark)
+        for tag, n_files in (("one", 1), ("perdoc", 4)):
+            kept = self._run_stream(spark, tmp_path, tag, n_files)
+            got = {
+                r["doc_id"]: (
+                    r["n_windows"],
+                    r["n_dup_windows"],
+                    r["dup_fraction"],
+                )
+                for r in kept
+            }
+            assert got == expected, f"split {tag}"
+
+    def test_watermark_prunes_span_store(self, spark, tmp_path):
+        """Span keys older than (max ts - watermark) are evicted, so the
+        state is bounded; a replay arriving after eviction passes (the
+        documented late-data caveat, same as streaming_dedup)."""
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            SnapshotDataset,
+        )
+
+        self._run_stream(
+            spark, tmp_path, "wm", n_files=4, watermark=90 * 60
+        )  # 1.5h: doc 1/2 spans (3h / 2h old) pruned, doc 3/4 retained
+        store = SnapshotDataset(spark, str(tmp_path / "store_wm"))
+        base = datetime(2024, 1, 1)
+        kept_ts = {r["ts"] for r in store.read().select("ts").collect()}
+        assert kept_ts == {
+            base + timedelta(hours=2),
+            base + timedelta(hours=3),
+        }
