@@ -21,6 +21,132 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _percentile(vals: list[float], p: float) -> float:
+    """Nearest-rank percentile over a small sample."""
+    s = sorted(vals)
+    idx = min(len(s) - 1, max(0, int(round(p / 100.0 * (len(s) - 1)))))
+    return s[idx]
+
+
+def _stream_durations(q) -> list[float]:
+    """Per-micro-batch triggerExecution seconds (input batches only)."""
+    durs = []
+    for prog in q.recentProgress:
+        p = json.loads(prog.json) if hasattr(prog, "json") else prog
+        if p.get("numInputRows", 0) > 0:
+            durs.append(p["durationMs"]["triggerExecution"] / 1000.0)
+    return durs
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Micro-batch freshness probe (VERDICT r4 #7): the reference's
+    implied realtime SLO is 2-5 s trigger-to-searchable
+    (server/tests/tests.rs:74-103). Feeds N single-file micro-batches
+    through both realtime modes and reports per-batch latency
+    percentiles — the number a freshness claim needs.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pg_vectorize_spark.engine import VectorizeSession
+    from pg_vectorize_spark.streaming.incremental import (
+        ChangeFeedPipeline,
+        RealtimePipeline,
+    )
+
+    n_batches = 6
+    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    # adapt to the table so every micro-batch has rows at any SF
+    per_batch = max(20, min(200, all_docs.count() // n_batches))
+    docs = all_docs.filter(F.col("id") < n_batches * per_batch)
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="pvs_bench_stream_")
+    try:
+        # ---- file-stream (snapshot) mode ------------------------------
+        src1 = f"{root}/src1"
+        feed1 = f"{root}/feed1"
+        docs.filter("id < 0").write.parquet(src1)  # schema-only seed
+        sess1 = VectorizeSession(spark, workspace=f"{root}/ws1")
+        sess1.create_job(
+            "bench_rt", src1, columns=["content"], primary_key="id",
+            run_initial_load=False,
+        )
+        for i in range(n_batches):
+            docs.filter(
+                (F.col("id") >= i * per_batch)
+                & (F.col("id") < (i + 1) * per_batch)
+            ).coalesce(1).write.mode("append").parquet(feed1)
+        pipe = RealtimePipeline(sess1, "bench_rt", max_files_per_trigger=1)
+        q = pipe.start(source_dir=feed1, available_now=True)
+        q.awaitTermination(300)
+        durs = _stream_durations(q)
+        if durs:
+            out["file_stream"] = {
+                "p50_sec": round(_percentile(durs, 50), 3),
+                "p95_sec": round(_percentile(durs, 95), 3),
+                "n_batches": len(durs),
+                "rows_per_batch": per_batch,
+            }
+
+        # ---- CDF changelog mode (inserts + in-batch deletes) ----------
+        src2 = f"{root}/src2"
+        feed2 = f"{root}/feed2"
+        docs.filter("id < 0").write.parquet(src2)
+        sess2 = VectorizeSession(spark, workspace=f"{root}/ws2")
+        sess2.create_job(
+            "bench_cdf", src2, columns=["content"], primary_key="id",
+            run_initial_load=False,
+        )
+        for i in range(n_batches):
+            batch = docs.filter(
+                (F.col("id") >= i * per_batch)
+                & (F.col("id") < (i + 1) * per_batch)
+            ).select(
+                "id",
+                "content",
+                F.lit("insert").alias("_change_type"),
+                F.lit(i).alias("_version"),
+            )
+            if i > 0:
+                # each batch also deletes 10% of the PREVIOUS batch so the
+                # probe times the in-batch cascade path, not insert-only
+                dels = (
+                    docs.filter(
+                        (F.col("id") >= (i - 1) * per_batch)
+                        & (F.col("id") < (i - 1) * per_batch + per_batch // 10)
+                    )
+                    .select(
+                        "id",
+                        F.lit(None).cast("string").alias("content"),
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(i).alias("_version"),
+                    )
+                )
+                batch = batch.unionByName(dels)
+            batch.coalesce(1).write.mode("append").parquet(feed2)
+        pipe2 = ChangeFeedPipeline(
+            sess2, "bench_cdf", max_files_per_trigger=1,
+            version_col="_version",
+        )
+        q2 = pipe2.start(source_dir=feed2, available_now=True)
+        q2.awaitTermination(300)
+        durs2 = _stream_durations(q2)
+        if durs2:
+            out["cdf"] = {
+                "p50_sec": round(_percentile(durs2, 50), 3),
+                "p95_sec": round(_percentile(durs2, 95), 3),
+                "n_batches": len(durs2),
+                "rows_per_batch": per_batch,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -111,6 +237,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # streaming freshness probe (p50/p95 micro-batch latency, both modes);
+    # SPARK_GRAFT_BENCH_STREAMING=0 skips it for batch-only iteration
+    streaming: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            streaming = _bench_streaming(spark, sf_dir)
+        except Exception as exc:  # a probe failure must not kill the bench
+            streaming = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -121,6 +257,7 @@ def main() -> None:
                 "spread": spreads,
                 "n": n_runs,
                 "sf": sf_val,
+                "streaming_latency": streaming,
             }
         )
     )
