@@ -210,6 +210,18 @@ class TestRealCodec:
         assert (fw, fh, ch) == (w, h, 3)
         assert np.array_equal(px, expected_rgb(yp, cb2, cr2))
 
+        # 4:2:2 (horizontal-only subsampling), chroma constant per 16x8
+        cb3 = ((23 * (xx // 16) + 7 * (yy // 8) + 5) % 256).astype(np.uint8)
+        cr3 = ((31 * (xx // 16) + 19 * (yy // 8) + 3) % 256).astype(
+            np.uint8
+        )
+        blob = encode_jpeg_planes(
+            [yp, cb3, cr3], subsample=(2, 1), quant_tables=(ql, qc)
+        )
+        fw, fh, ch, px = decode_jpeg(blob)
+        assert (fw, fh, ch) == (w, h, 3)
+        assert np.array_equal(px, expected_rgb(yp, cb3, cr3))
+
     def test_jpeg_flat_quant_near_lossless(self):
         """quant=1 tables exercise the full AC Huffman path (run-lengths,
         ZRL, EOB, byte stuffing) on random content; only DCT-coefficient
