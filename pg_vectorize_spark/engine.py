@@ -345,6 +345,11 @@ class VectorizeSession:
         path = job.src_path
         if fmt == "table":
             return True
+        if "://" in path:
+            # remote store (s3a/hdfs/abfss/...): os.path always says "no",
+            # which would refuse every legitimate remote truncate — ask
+            # the Hadoop FileSystem the same question instead
+            return self._remote_path_has_data_files(path)
         if os.path.isfile(path):
             return True
         if os.path.isdir(path):
@@ -352,6 +357,26 @@ class VectorizeSession:
                 not f.startswith((".", "_")) for f in os.listdir(path)
             )
         return False
+
+    def _remote_path_has_data_files(self, path: str) -> bool:
+        """Hadoop-FS version of the data-file check for URI sources."""
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            if not fs.exists(hpath):
+                return False
+            if fs.getFileStatus(hpath).isFile():
+                return True
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if not name.startswith((".", "_")):
+                    return True
+            return False
+        except Exception:
+            return False  # unreadable == suspicious: refuse the cascade
 
     def handle_update(
         self, job_name: str, record_ids: list, api_key: str | None = None

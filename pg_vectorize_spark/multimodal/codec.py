@@ -653,6 +653,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -710,6 +713,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if scan is not None:
+                # a second scan means non-interleaved multi-scan coding;
+                # decoding only one scan would return WRONG pixels, so
+                # fail honestly instead
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG unsupported (one "
+                    "interleaved scan only)"
+                )
             ns = body[0]
             scan_comps = []
             for si in range(ns):

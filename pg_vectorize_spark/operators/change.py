@@ -193,6 +193,13 @@ def apply_change_events(
     3. surviving upserts replace/extend the base rows; surviving deletes
        remove them — a key seeing both (unversioned) nets out deleted.
 
+    Without ``version_col`` there is no event order, so a key carrying
+    several upsert payloads in one log has no "latest": ONE payload is
+    kept per key (the lexicographically greatest over the payload
+    columns — deterministic, but order-unaware; supply ``version_col``
+    when real ordering matters). The output never duplicates a primary
+    key.
+
     Scale shape: one keyed window shuffle over the EVENT log (change-log
     sized, not corpus sized) + keyed anti-joins against the base; no
     corpus-wide window, no driver collect.
@@ -213,6 +220,18 @@ def apply_change_events(
             .drop("_rn")
         )
     upserts = ev.filter(ct != F.lit("delete")).drop(*drop_cols)
+    if version_col is None:
+        # no order to pick a "latest" by: collapse multi-upsert keys
+        # deterministically so the output never duplicates a pkey
+        payload = [c for c in upserts.columns if c != pkey]
+        wq = Window.partitionBy(pkey).orderBy(
+            *[F.col(c).desc_nulls_last() for c in payload]
+        )
+        upserts = (
+            upserts.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     dels = ev.filter(ct == F.lit("delete")).select(pkey)
     untouched = base.join(ev.select(pkey), pkey, "left_anti")
     return untouched.unionByName(upserts).join(dels, pkey, "left_anti")

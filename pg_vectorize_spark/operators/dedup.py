@@ -717,36 +717,18 @@ __all__ = [
 ]
 
 
-def arrival_order_span_stats(
+def span_instances(
     df: DataFrame,
     text_col: str,
     pkey: str,
     ts_col: str,
     k: int = 20,
     hash_ngrams: bool = True,
-    prior_windows: DataFrame | None = None,
 ) -> DataFrame:
-    """Ingest-order reading of ``duplicated_span_stats``: per document,
-    the fraction of its k-word windows already borne by an
-    EARLIER-ARRIVING other document (ordered by ``(ts, pkey)``). The
-    first bearer of a span is innocent — the asymmetry an ingest-time
-    filter needs (the batch audit flags BOTH copies; at ingest the
-    original is already in the corpus and only the replay should drop).
-
-    ``prior_windows`` is an optional (gkey, ts) frame of window keys seen
-    BEFORE every row of ``df`` — the streaming filter's persistent store
-    (streaming/windows.streaming_dup_span_filter); its rows outrank any
-    in-frame row carrying an equal timestamp.
-
-    Output: (pkey, ts, n_windows, n_dup_windows, dup_fraction), one row
-    per input document (0/0/0.0 for docs shorter than k words).
-
-    Scale shape: explode to (doc, window-key) instances, one keyed
-    aggregate to doc-window groups, ONE window function partitioned by
-    the window key (each gkey group is tiny — the docs sharing that exact
-    k-gram), then keyed aggregates back to docs. All equi-shuffles on
-    gkey or pkey; no pair fan-out.
-    """
+    """(gkey, pkey, _ts, _n_inst) doc-window groups — the tokenize +
+    explode + hash pass shared by ``arrival_order_span_stats`` and the
+    streaming filter's store fold (the dominant cost of the job; callers
+    that need it twice should materialize it once)."""
     from pg_vectorize_spark.functions.text import (
         raw_words_expr,
         word_ngrams_expr,
@@ -759,24 +741,73 @@ def arrival_order_span_stats(
     gkey = (
         F.xxhash64("gram") if hash_ngrams else F.col("gram")
     ).alias("gkey")
-    inst = (
+    return (
         win.select(F.col(pkey), F.col("_ts"), gkey)
         .groupBy("gkey", pkey, "_ts")
         .agg(F.count(F.lit(1)).alias("_n_inst"))
     )
-    cand = inst
+
+
+def arrival_order_span_stats(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    ts_col: str,
+    k: int = 20,
+    hash_ngrams: bool = True,
+    prior_windows: DataFrame | None = None,
+    instances: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-order reading of ``duplicated_span_stats``: per document,
+    the fraction of its k-word windows already borne by an
+    EARLIER-ARRIVING other document (ordered by ``(ts, pkey)``). The
+    first bearer of a span is innocent — the asymmetry an ingest-time
+    filter needs (the batch audit flags BOTH copies; at ingest the
+    original is already in the corpus and only the replay should drop).
+
+    ``prior_windows`` is an optional (gkey, ts) frame of window keys seen
+    BEFORE every row of ``df`` — the streaming filter's persistent store
+    (streaming/windows.streaming_dup_span_filter). Store rows outrank
+    EVERY in-frame row, regardless of timestamp: they describe documents
+    already ingested, and an already-emitted document cannot
+    retroactively become the duplicate. (Consequence: a LATE-arriving
+    copy — event time before the stored first-seen ts — is still the one
+    dropped; arrival order is processing order across batches, event
+    time within a batch.)
+
+    Output: (pkey, ts, n_windows, n_dup_windows, dup_fraction), one row
+    per input document (0/0/0.0 for docs shorter than k words).
+
+    ``instances`` lets a caller that already materialized
+    ``span_instances(df, ...)`` (the streaming filter reuses it for the
+    store fold) pass it in instead of re-tokenizing the corpus.
+
+    Scale shape: explode to (doc, window-key) instances, one keyed
+    aggregate to doc-window groups, ONE window function partitioned by
+    the window key (each gkey group is tiny — the docs sharing that exact
+    k-gram), then keyed aggregates back to docs. All equi-shuffles on
+    gkey or pkey; no pair fan-out.
+    """
+    inst = (
+        instances
+        if instances is not None
+        else span_instances(df, text_col, pkey, ts_col, k, hash_ngrams)
+    )
+    cand = inst.withColumn("_prio", F.lit(1))
     if prior_windows is not None:
         prior = prior_windows.select(
             F.col("gkey"),
             F.lit(None).cast(inst.schema[pkey].dataType).alias(pkey),
             F.col("ts").alias("_ts"),
             F.lit(0).cast("long").alias("_n_inst"),
+            F.lit(0).alias("_prio"),
         )
-        cand = inst.unionByName(prior)
-    # first bearer per window key: store rows (null pkey) rank before
-    # same-timestamp document rows
+        cand = cand.unionByName(prior)
+    # first bearer per window key: store rows (_prio 0) rank before ALL
+    # in-frame rows — already-ingested docs cannot become the dup — then
+    # event time + pkey order within the frame
     w = Window.partitionBy("gkey").orderBy(
-        F.col("_ts").asc(), F.col(pkey).asc_nulls_first()
+        F.col("_prio").asc(), F.col("_ts").asc(), F.col(pkey).asc_nulls_first()
     )
     ranked = cand.withColumn("_rn", F.row_number().over(w))
     dups = (

@@ -236,35 +236,94 @@ class ChangeFeedPipeline(RealtimePipeline):
         )
         n_del = del_keys.count()
         if n_del:
+            refused_any = False
             for ds in (sess._emb_ds(self.job_name), sess._tok_ds(self.job_name)):
                 if not ds.exists():
                     continue
-                if not self.allow_full_delete:
-                    # anomaly guard (mirrors Engine.cleanup_orphans): a
-                    # feed whose delete keys cover the ENTIRE derived
-                    # dataset is almost certainly malformed (CDC source
-                    # replaying a drop, producer bug) — refuse and log
-                    # instead of wiping; opt in for real teardown flows.
-                    # Floored so tiny datasets (where deleting every key
-                    # is ordinary churn) are exempt — the anomaly this
-                    # catches only exists at corpus scale.
+                # anomaly guard (mirrors Engine.cleanup_orphans): a feed
+                # whose delete keys cover the ENTIRE derived dataset is
+                # almost certainly malformed (CDC source replaying a drop,
+                # producer bug) — refuse and QUARANTINE instead of wiping;
+                # opt in for real teardown flows. Floored so tiny datasets
+                # (where deleting every key is ordinary churn) are exempt.
+                # Coverage == n_derived needs n_del >= n_derived, so the
+                # corpus-sized semi-join is skipped entirely in the
+                # steady state (few deletes against a large dataset).
+                refuse = False
+                if (
+                    not self.allow_full_delete
+                    and n_del >= self.FULL_DELETE_GUARD_MIN_ROWS
+                ):
                     derived = ds.read().select(pkey)
                     n_derived = derived.count()
-                    n_covered = (
-                        derived.join(del_keys, pkey, "left_semi").count()
-                        if n_derived >= self.FULL_DELETE_GUARD_MIN_ROWS
-                        else 0
-                    )
-                    if n_covered and n_covered >= n_derived:
-                        import warnings
+                    if (
+                        self.FULL_DELETE_GUARD_MIN_ROWS
+                        <= n_derived
+                        <= n_del
+                    ):
+                        n_covered = derived.join(
+                            del_keys, pkey, "left_semi"
+                        ).count()
+                        refuse = n_covered >= n_derived
+                if refuse:
+                    import warnings
 
-                        warnings.warn(
-                            f"ChangeFeedPipeline({self.job_name!r}): the "
-                            f"batch's {n_del} delete keys cover the entire "
-                            "derived dataset — refusing the full delete "
-                            "(malformed feed?); construct with "
-                            "allow_full_delete=True to override.",
-                            stacklevel=2,
-                        )
-                        continue
+                    warnings.warn(
+                        f"ChangeFeedPipeline({self.job_name!r}): the "
+                        f"batch's {n_del} delete keys cover the entire "
+                        "derived dataset — refusing the full delete "
+                        "(malformed feed?). Keys are quarantined; a "
+                        "legitimate full rotation converges via "
+                        "flush_refused_deletes(), or construct with "
+                        "allow_full_delete=True.",
+                        stacklevel=2,
+                    )
+                    refused_any = True
+                    continue
                 ds.delete_keys(del_keys, pkey)
+            if refused_any:
+                # persist the refused keys: without this the streaming
+                # checkpoint commits the batch and the events are never
+                # redelivered, so a LEGITIMATE full churn would diverge
+                # forever (the exact failure cleanup_orphans' truncate
+                # path fixed) — the operator replays the quarantine once
+                # the feed is confirmed genuine
+                self._refused_ds().merge_upsert(
+                    del_keys.withColumn(
+                        "refused_at", F.current_timestamp()
+                    ),
+                    pkey,
+                )
+
+    def _refused_ds(self):
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            SnapshotDataset,
+        )
+
+        return SnapshotDataset(
+            self.session.spark,
+            self.session._job_dir(self.job_name, "refused_deletes"),
+        )
+
+    def flush_refused_deletes(self) -> int:
+        """Apply quarantined delete keys to both derived datasets — the
+        operator's explicit confirmation that a guard-refused full-delete
+        batch was a legitimate rotation/teardown. Returns the number of
+        keys applied; the quarantine is dropped afterwards."""
+        sess = self.session
+        refused = self._refused_ds()
+        if not refused.exists():
+            return 0
+        job = sess.catalog.get(self.job_name)
+        pkey = job.primary_key
+        keys = refused.read().select(pkey).localCheckpoint()
+        n = keys.count()
+        if n:
+            for ds in (
+                sess._emb_ds(self.job_name),
+                sess._tok_ds(self.job_name),
+            ):
+                if ds.exists():
+                    ds.delete_keys(keys, pkey)
+        refused.drop()
+        return n

@@ -292,11 +292,14 @@ def streaming_dup_span_filter(
 
     Semantics are the arrival-order rule
     (operators/dedup.arrival_order_span_stats): the first bearer of a
-    span passes; later bearers accumulate dup_fraction. Within one
-    micro-batch, arrival order is event time ``(ts, pkey)`` — so the
-    result is independent of how the feed is split into micro-batches
-    (stream == batch agreement, asserted in tests) as long as late data
-    does not arrive after the watermark pruned its span keys.
+    span passes; later bearers accumulate dup_fraction. Arrival order is
+    PROCESSING order across batches (span keys in the store always
+    outrank the incoming batch — an already-emitted document cannot
+    retroactively become the duplicate) and event time ``(ts, pkey)``
+    within a batch. For a feed delivered in event-time order the result
+    is therefore independent of how it is split into micro-batches
+    (stream == batch agreement, asserted in tests); a LATE-arriving copy
+    is the one dropped, whatever its event time says.
 
     Why foreachBatch (not chained stateful built-ins): the per-doc dup
     FRACTION needs every window of a doc compared against global seen
@@ -326,12 +329,19 @@ def streaming_dup_span_filter(
     from pg_vectorize_spark.operators.dedup import arrival_order_span_stats
     from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
 
+    from pg_vectorize_spark.operators.dedup import span_instances
+
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         store = SnapshotDataset(spark, store_dir)
         prior = store.read().select("gkey", "ts") if store.exists() else None
+        # tokenize+explode once (the dominant cost); the stats pass and
+        # the store fold both consume the materialized instance frame
+        inst = span_instances(
+            batch_df, text_col, pkey, ts_col, k, hash_ngrams
+        ).localCheckpoint()
         stats = arrival_order_span_stats(
             batch_df,
             text_col,
@@ -340,6 +350,7 @@ def streaming_dup_span_filter(
             k=k,
             hash_ngrams=hash_ngrams,
             prior_windows=prior,
+            instances=inst,
         ).localCheckpoint()
         keep = stats.filter(F.col("dup_fraction") <= max_fraction)
         kept = batch_df.join(
@@ -351,19 +362,7 @@ def streaming_dup_span_filter(
 
         # fold this batch's spans into the store: min first-seen ts per
         # gkey across (prior ∪ batch), then watermark-prune
-        from pg_vectorize_spark.functions.text import (
-            raw_words_expr,
-            word_ngrams_expr,
-        )
-
-        grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
-        batch_wins = batch_df.select(
-            F.col(ts_col).alias("ts"), F.explode(grams).alias("gram")
-        )
-        gkey = (
-            F.xxhash64("gram") if hash_ngrams else F.col("gram")
-        ).alias("gkey")
-        batch_wins = batch_wins.select(gkey, "ts")
+        batch_wins = inst.select("gkey", F.col("_ts").alias("ts"))
         merged = (
             batch_wins
             if prior is None

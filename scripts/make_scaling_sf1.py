@@ -76,13 +76,16 @@ def main() -> None:
             F.length(text).cast("long").alias("n_chars"),
         )
 
+    emb0 = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    emb_dim = len(emb0.first()["embedding"])
+
     def emb_copy(df, ci):
         if ci == 0:
             return df
         # rotate components: distinct vectors, same norm/distribution
-        n = F.size("embedding")
         rotated = F.concat(
-            F.slice("embedding", ci + 1, 4096), F.slice("embedding", 1, ci)
+            F.slice("embedding", ci + 1, emb_dim - ci),
+            F.slice("embedding", 1, ci),
         )
         return df.select(
             (F.col("vec_id") + doc_stride * ci).alias("vec_id"),

@@ -161,3 +161,24 @@ class TestApplyChangeEvents:
             base, ev, "id", version_col="_version"
         ).collect()
         assert [(r["id"], r["v"]) for r in got] == [(1, "NEW")]
+
+    def test_unversioned_multi_upsert_single_row_per_key(self, spark):
+        """Review regression: several upsert payloads for one key in an
+        unversioned log must collapse to ONE row (deterministic pick),
+        never duplicate the primary key in the output snapshot."""
+        base = spark.createDataFrame([(1, "one")], "id long, v string")
+        ev = spark.createDataFrame(
+            [
+                (2, "two-a", "insert"),
+                (2, "two-b", "update_postimage"),
+                (3, "three", "insert"),
+            ],
+            "id long, v string, _change_type string",
+        )
+        from pg_vectorize_spark.operators.change import apply_change_events
+
+        rows = apply_change_events(base, ev, "id").collect()
+        ids = [r["id"] for r in rows]
+        assert sorted(ids) == [1, 2, 3]  # no pkey duplicated
+        got = {r["id"]: r["v"] for r in rows}
+        assert got[2] == "two-b"  # lexicographically greatest payload

@@ -222,6 +222,34 @@ class TestRealCodec:
         assert (fw, fh, ch) == (w, h, 3)
         assert np.array_equal(px, expected_rgb(yp, cb3, cr3))
 
+    def test_jpeg_fill_bytes_and_multiscan(self):
+        """T.81 B.1.1.2 allows 0xFF fill bytes before any marker — they
+        must not desync the marker walk; a second SOS (non-interleaved
+        multi-scan) must fail honestly, never decode partial pixels."""
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        g = (np.arange(16 * 16).reshape(16, 16) % 256).astype(np.uint8)
+        blob = encode_jpeg(g[:, :, None])
+        i = blob.index(b"\xff\xc0")
+        padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+        _, _, _, px1 = decode_jpeg(blob)
+        _, _, _, px2 = decode_jpeg(padded)
+        assert np.array_equal(px1, px2)
+
+        s = blob.index(b"\xff\xda")
+        (slen,) = struct.unpack(">H", blob[s + 2 : s + 4])
+        multi = blob[:s] + blob[s : s + 2 + slen] + blob[s:]
+        with pytest.raises(NotImplementedError, match="multi-scan"):
+            decode_jpeg(multi)
+
     def test_jpeg_flat_quant_near_lossless(self):
         """quant=1 tables exercise the full AC Huffman path (run-lengths,
         ZRL, EOB, byte stuffing) on random content; only DCT-coefficient

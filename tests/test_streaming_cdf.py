@@ -173,6 +173,19 @@ def test_full_delete_guard_refuses_malformed_feed(spark, sess, tmp_path):
         pipe.process_batch(wipe, 0)
     assert len(_emb_state(sess, "gjob")) == 10  # retained
 
+    # refused keys are quarantined: a legitimate rotation converges via
+    # the operator's explicit flush instead of diverging forever
+    assert pipe._refused_ds().read().count() == 10
+    assert pipe.flush_refused_deletes() == 10
+    assert _emb_state(sess, "gjob") == {}
+    assert pipe.flush_refused_deletes() == 0  # idempotent, quarantine gone
+
+    # rebuild the job state for the partial/opt-in phases below
+    sess.delete_job("gjob")
+    sess.create_job("gjob", src, columns=["content"], primary_key="id")
+    assert len(_emb_state(sess, "gjob")) == 10
+    pipe = ChangeFeedPipeline(sess, "gjob")
+
     # partial deletes below full coverage pass through the guard
     partial = spark.createDataFrame(
         [(i, None, "delete", 2) for i in range(4)], CDF_SCHEMA

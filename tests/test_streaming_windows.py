@@ -321,3 +321,57 @@ class TestStreamingDupSpanFilter:
             base + timedelta(hours=2),
             base + timedelta(hours=3),
         }
+
+    def test_late_arriving_copy_is_the_dropped_one(self, spark, tmp_path):
+        """Review regression: a duplicate whose EVENT time predates the
+        stored first-seen ts still loses — store rows outrank every batch
+        row (processing order across batches), so an already-emitted
+        document never retroactively becomes the dup and the stream never
+        ingests both copies."""
+        base = datetime(2024, 1, 1)
+        shared = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, base + timedelta(hours=2), shared)],
+            "doc_id long, ts timestamp, text string",
+        )
+        late = spark.createDataFrame(
+            [(2, base, shared)],  # event-time EARLIER than doc 1
+            "doc_id long, ts timestamp, text string",
+        )
+        src = str(tmp_path / "late_src")
+        docs.coalesce(1).write.mode("append").parquet(src)
+
+        from pg_vectorize_spark.streaming.windows import (
+            streaming_dup_span_filter,
+        )
+
+        kept = []
+
+        def sink(df, batch_id):
+            kept.extend(r["doc_id"] for r in df.collect())
+
+        def run():
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = streaming_dup_span_filter(
+                stream,
+                "text",
+                "doc_id",
+                "ts",
+                store_dir=str(tmp_path / "late_store"),
+                checkpoint_dir=str(tmp_path / "late_ck"),
+                sink=sink,
+                k=self.K,
+                max_fraction=self.MAX_FRACTION,
+                trigger_available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert kept == [1]
+        late.coalesce(1).write.mode("append").parquet(src)
+        run()  # second availableNow run picks up the late file
+        assert kept == [1]  # the late copy was dropped, not double-kept
