@@ -2994,11 +2994,27 @@ jpgrgb AS (
 jpgc_b AS (
   SELECT media_id, (s * 8) // (256 * 3) AS bucket FROM jpgrgb
 ),
+-- palette PNG: idx = (x + 2y + seed) % 64 expanded through the analytic
+-- palette pal[i] = ((5i)%256, (7i+3)%256, (11i+1)%256)
+pal0 AS (
+  SELECT media_id, seed, height, unnest(range(0, width)) AS x
+  FROM m WHERE kind = 'png_palette'
+),
+pal1 AS (
+  SELECT media_id, seed, x, unnest(range(0, height)) AS y FROM pal0
+),
+pal_b AS (
+  SELECT media_id,
+         ((((5*i) % 256) + ((7*i + 3) % 256) + ((11*i + 1) % 256)) * 8)
+           // (256 * 3) AS bucket
+  FROM (SELECT media_id, (x + 2*y + seed) % 64 AS i FROM pal1)
+),
 allb AS (
   SELECT media_id, bucket FROM img_b
   UNION ALL SELECT media_id, bucket FROM wav_b
   UNION ALL SELECT media_id, bucket FROM jpgg_b
   UNION ALL SELECT media_id, bucket FROM jpgc_b
+  UNION ALL SELECT media_id, bucket FROM pal_b
 ),
 counts AS (
   SELECT media_id, bucket, COUNT(*) AS cnt FROM allb GROUP BY 1, 2

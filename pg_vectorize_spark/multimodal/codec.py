@@ -8,7 +8,7 @@ standard library + numpy are implemented for real:
 - PNG: chunk walk -> IHDR dims -> zlib-inflate IDAT -> per-scanline
   unfilter (all five filter types: None/Sub/Up/Average/Paeth, RFC 2083
   §6) -> pixel matrix. 8-bit depth, color types 0 (gray), 2 (RGB),
-  4 (gray+alpha), 6 (RGBA).
+  3 (palette, expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA).
 - JPEG: baseline DCT (ITU T.81 SOF0) — marker walk, DQT/DHT tables,
   canonical Huffman decode of the entropy stream (byte unstuffing +
   restart intervals), dezigzag + dequantize, separable float IDCT,
@@ -38,8 +38,9 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-#: channels per PNG color type (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: channels per PNG color type (8-bit depth only); type 3 (palette)
+#: stores 1-byte indices per pixel and expands to RGB via PLTE
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(data: bytes) -> str | None:
@@ -75,6 +76,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     pos = 8
     width = height = bit_depth = color_type = None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -89,11 +91,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 )
             if color_type not in _PNG_CHANNELS:
                 raise NotImplementedError(
-                    f"PNG color type {color_type} unsupported (palette needs "
-                    "PLTE handling)"
+                    f"PNG color type {color_type} unsupported"
                 )
             if interlace:
                 raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -101,6 +104,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 12 + length  # len + type + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * ch
@@ -136,6 +141,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             cur = res.astype(np.uint8)
         out[y] = cur
         prev = out[y]
+    if color_type == 3:
+        # palette expansion: 1-byte indices -> RGB triples
+        return width, height, 3, palette[out.reshape(height, width)]
     return width, height, ch, out.reshape(height, width, ch)
 
 
@@ -189,6 +197,38 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, filter_type: int = 0
+) -> bytes:
+    """Palette (color type 3) PNG writer for fixtures: indices[h, w]
+    uint8 into palette[n, 3] uint8. Reuses encode_png's filter machinery
+    on the index plane, then splices the PLTE chunk and rewrites the
+    IHDR color type."""
+    h, w = indices.shape
+    base = encode_png(indices[:, :, None], filter_type)
+    # IHDR body starts at offset 16 (magic 8 + len 4 + type 4); color
+    # type is byte 9 of the 13-byte body
+    body = bytearray(base[16 : 16 + 13])
+    body[9] = 3
+    ihdr = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + bytes(body)
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+    )
+    plte_body = palette.astype(np.uint8).tobytes()
+    plte = (
+        struct.pack(">I", len(plte_body))
+        + b"PLTE"
+        + plte_body
+        + struct.pack(
+            ">I", zlib.crc32(b"PLTE" + plte_body) & 0xFFFFFFFF
+        )
+    )
+    rest = base[16 + 13 + 4 :]  # everything after IHDR chunk + its CRC
+    return PNG_MAGIC + ihdr + plte + rest
 
 
 # ---------------------------------------------------------------------------

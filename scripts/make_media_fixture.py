@@ -41,6 +41,7 @@ from pg_vectorize_spark.multimodal.codec import (
     _STD_QUANT_LUMA,
     encode_jpeg_planes,
     encode_png,
+    encode_png_palette,
     encode_wav,
 )
 
@@ -99,6 +100,22 @@ def main() -> None:
     for mid, ch, frames in [(6, 1, 3000), (7, 2, 2000)]:
         s = wav_samples(frames, ch, mid)
         rows.append((mid, "wav", frames, 1, ch, mid, encode_wav(s)))
+    # palette PNG (color type 3): analytic palette + index laws so the
+    # oracle recomputes the expanded RGB from pure arithmetic
+    #   pal[i] = ((5i)%256, (7i+3)%256, (11i+1)%256), idx = (x+2y+seed)%64
+    pal = np.stack(
+        [
+            (5 * np.arange(64)) % 256,
+            (7 * np.arange(64) + 3) % 256,
+            (11 * np.arange(64) + 1) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    py, px_ = np.mgrid[0:20, 0:36]
+    idx = ((px_ + 2 * py + 11) % 64).astype(np.uint8)
+    rows.append(
+        (11, "png_palette", 36, 20, 3, 11, encode_png_palette(idx, pal, 2))
+    )
     # JPEG: grayscale w/ restart intervals, 4:4:4 color, 4:2:0 subsampled
     rows.append(
         (

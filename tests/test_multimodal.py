@@ -413,3 +413,40 @@ class TestCodecRoundtripProperties:
         ).astype(np.uint8)
         _, _, _, got = decode_png(encode_png(px, filter_type=filter_type))
         assert np.array_equal(got, px)
+
+
+class TestPalettePng:
+    def test_palette_roundtrip_all_filters(self):
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        rng = np.random.RandomState(3)
+        pal = rng.randint(0, 256, size=(64, 3)).astype(np.uint8)
+        for ft in range(5):
+            idx = rng.randint(0, 64, size=(21, 33)).astype(np.uint8)
+            w, h, ch, px = decode_png(encode_png_palette(idx, pal, ft))
+            assert (w, h, ch) == (33, 21, 3)
+            assert np.array_equal(px, pal[idx]), f"filter {ft}"
+
+    def test_palette_missing_plte_raises(self):
+        import numpy as np
+        import pytest
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_png,
+            encode_png_palette,
+        )
+
+        pal = np.zeros((4, 3), dtype=np.uint8)
+        idx = np.zeros((8, 8), dtype=np.uint8)
+        blob = encode_png_palette(idx, pal)
+        # strip the PLTE chunk: magic+IHDR(25 bytes) | PLTE(8+12) | rest
+        plte_start = blob.index(b"PLTE") - 4
+        plte_len = 12 + 12  # len+type+4*3 body+crc
+        broken = blob[:plte_start] + blob[plte_start + plte_len :]
+        with pytest.raises(ValueError, match="missing PLTE"):
+            decode_png(broken)
