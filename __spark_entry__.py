@@ -337,6 +337,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "text", "doc_id")
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-aware perplexity filter: per-doc mean CONDITIONAL
+    bigram log-likelihood under the corpus's own add-0.5-smoothed bigram
+    model (operators/curate.bigram_logprob) — one modeling step from
+    unigram_logprob toward the CCNet/KenLM wikipedia-perplexity filter.
+    Same float discipline: libm ln in one Arrow batch over the bigram
+    table, integer nano-log doc sums."""
+    from pg_vectorize_spark.operators.curate import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id")
+
+
 def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic sample: 5 docs per language by hash priority
     (operators/curate.sample_exact) — the reproducible eval-subset draw."""
@@ -1380,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,  # + JPEG fixtures (r5)
     "hybrid_bm25": q_hybrid_bm25,  # new composite gate (VERDICT r4 #6)
     "cdf_apply": q_cdf_apply,  # new batch CDF gate (VERDICT r4 #5)
+    "bigram_logprob": q_bigram_logprob,  # new: order-aware perplexity
     # --- r4-green headliners kept in-window ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1957,6 +1971,40 @@ per AS (
 )
 SELECT doc_id, n_words,
        ((s::DOUBLE / 1000000000.0) / n_words::DOUBLE) AS mean_logprob
+FROM per
+"""
+
+
+def _oracle_bigram_logprob() -> str:
+    # mirrors operators/curate.bigram_logprob: index-paired bigrams over
+    # the same word stream, add-0.5 smoothing with the same float op
+    # order, libm ln, nano-log BIGINT doc sums
+    return f"""
+WITH wl AS (
+  SELECT d.doc_id, {O.sql_words('d.text')} AS ws FROM documents d
+),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wl)
+),
+c12 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY w1, w2
+),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+allw AS (SELECT unnest(ws) AS word FROM wl),
+v AS (SELECT count(DISTINCT word)::BIGINT AS v FROM allw),
+lp AS (
+  SELECT w1, w2,
+         floor(ln((c12::DOUBLE + 0.5) / (c1::DOUBLE + 0.5 * v::DOUBLE))
+               * 1000000000.0)::BIGINT AS lp9
+  FROM c12 JOIN c1 USING (w1), v
+),
+per AS (
+  SELECT b.doc_id, sum(lp9)::BIGINT AS s, count(*)::BIGINT AS n_bigrams
+  FROM big b JOIN lp USING (w1, w2) GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ((s::DOUBLE / 1000000000.0) / n_bigrams::DOUBLE) AS mean_logprob
 FROM per
 """
 
@@ -2830,6 +2878,7 @@ WHERE emb_updated_at IS NULL
     "corpus_mix": _oracle_corpus_mix(),
     "vocabulary_topk": _oracle_vocabulary_topk(),
     "unigram_logprob": _oracle_unigram_logprob(),
+    "bigram_logprob": _oracle_bigram_logprob(),
     "sample_exact": _oracle_sample_exact(),
     "source_divergence": _oracle_source_divergence(),
     "domain_cap": _oracle_domain_cap(),

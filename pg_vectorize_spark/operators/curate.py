@@ -395,6 +395,98 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean CONDITIONAL bigram log-likelihood under the
+    corpus's own add-alpha-smoothed bigram model — one modeling step up
+    from ``unigram_logprob`` toward the CCNet/KenLM perplexity filter
+    (word-order-aware: shuffled or templated text scores far below
+    fluent text with the same word histogram, which the unigram score
+    cannot see).
+
+        p(w2 | w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V)
+
+    with c(w1) the CONTEXT count (sum of bigram counts from w1) and V
+    the corpus vocabulary size. Output: (pkey, n_bigrams, mean_logprob);
+    docs with fewer than two words are absent.
+
+    Float discipline matches unigram_logprob: the ratio is JVM float64
+    (IEEE-exact, mirrored in SQL), ln comes from ONE vectorized Arrow
+    batch over the bigram table (libm, bit-identical to DuckDB), floored
+    into integer nano-log units so the per-doc sum is an exact BIGINT
+    aggregate; only the final mean divides back to float64. ``alpha``
+    defaults to 0.5 (exactly representable — no literal-parsing drift).
+
+    Shape: one keyed window (lead over doc positions) forms bigrams with
+    NO self-join; bigram/context counts are two keyed aggregates; the
+    scoring join is equi on (w1, w2) with one-row V/total broadcasts.
+    Zipf-head skew is partition imbalance on the count shuffle, not
+    fanout — AQE splits it.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    from pg_vectorize_spark.functions.text import raw_words_expr
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    words = ensure_min_partitions(df).select(
+        F.col(pkey),
+        F.posexplode(raw_words_expr(F.col(text_col))).alias("_pos", "w1"),
+    )
+    wnd = Window.partitionBy(pkey).orderBy("_pos")
+    big = (
+        words.withColumn("w2", F.lead("w1").over(wnd))
+        .filter(F.col("w2").isNotNull())
+        .select(pkey, "w1", "w2")
+        .localCheckpoint(eager=False)  # read twice: counts + scoring join
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab_size = words.agg(
+        F.countDistinct("w1").cast("long").alias("_v")
+    )
+    _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
+    lp = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .withColumn(
+            "_lp9",
+            F.floor(
+                _ln(
+                    (F.col("_c12").cast("double") + F.lit(float(alpha)))
+                    / (
+                        F.col("_c1").cast("double")
+                        + F.lit(float(alpha)) * F.col("_v").cast("double")
+                    )
+                )
+                * F.lit(float(LOGPROB_SCALE))
+            ).cast("long"),
+        )
+        .select("w1", "w2", "_lp9")
+    )
+    per = (
+        big.join(lp, ["w1", "w2"])
+        .groupBy(pkey)
+        .agg(
+            F.sum("_lp9").alias("_s"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return per.select(
+        pkey,
+        "n_bigrams",
+        (
+            (F.col("_s").cast("double") / F.lit(float(LOGPROB_SCALE)))
+            / F.col("n_bigrams").cast("double")
+        ).alias("mean_logprob"),
+    )
+
+
 def sample_priority_expr(key: Column, salt: str = "|sample") -> Column:
     """Deterministic per-row sampling priority in [0, 2^32): the
     Fibonacci-mixed salted key hash (see ``bucket_expr``); distinct salts

@@ -396,3 +396,41 @@ class TestSourceDivergence:
         a = sorted(map(tuple, source_divergence(df.coalesce(1), "text", "source").collect()))
         b = sorted(map(tuple, source_divergence(df.repartition(11), "text", "source").collect()))
         assert a == b
+
+
+class TestBigramLogprob:
+    def test_order_awareness(self, spark):
+        """The property unigram scoring cannot see: repeated fluent
+        word ORDER scores above a doc whose words are the same multiset
+        in a never-repeated shuffled order."""
+        fluent = "the quick brown fox jumps over the lazy dog . " * 10
+        words = fluent.split()
+        import random
+
+        rng = random.Random(5)
+        shuffled_words = words[:]
+        rng.shuffle(shuffled_words)
+        shuffled = " ".join(shuffled_words)
+        df = spark.createDataFrame(
+            [(1, fluent), (2, shuffled)] + [(i, fluent) for i in range(3, 8)],
+            "doc_id long, text string",
+        )
+        from pg_vectorize_spark.operators.curate import bigram_logprob
+
+        got = {
+            r["doc_id"]: r["mean_logprob"]
+            for r in bigram_logprob(df, "text", "doc_id").collect()
+        }
+        assert got[1] > got[2]
+
+    def test_short_docs_absent_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only"), (2, ""), (3, "two words"), (4, "a b c d")],
+            "doc_id long, text string",
+        )
+        from pg_vectorize_spark.operators.curate import bigram_logprob
+
+        rows = {r["doc_id"]: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+        assert set(rows) == {3, 4}  # <2-word docs absent
+        assert rows[3]["n_bigrams"] == 1
+        assert rows[4]["n_bigrams"] == 3
