@@ -199,6 +199,9 @@ def main() -> None:
         "vocabulary_topk",
         "asof_join_bucketed",
         "dup_span_stats",
+        "bigram_logprob",
+        "hybrid_bm25",
+        "cdf_apply",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the

@@ -226,3 +226,18 @@ def test_cdf_apply_keyed_exchanges_only(spark, entrymod):
     assert "BroadcastNestedLoopJoin" not in rep.text, rep.summary()
     assert "ArrowEvalPython" not in rep.text, rep.summary()
     assert "BatchEvalPython" not in rep.text, rep.summary()
+
+
+def test_bigram_logprob_keyed_shuffles_only(spark, entrymod):
+    """Bigram LM scoring: lead-window bigram formation + keyed count
+    aggregates + equi scoring join; the only broadcast is the one-row
+    vocabulary stats — no cartesian/nested-loop fan-out beyond it."""
+    df = entrymod.queries()["bigram_logprob"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text, rep.summary()
+    # the only nested-loop join is the ONE-ROW vocabulary-size cross
+    # (IdentityBroadcastMode build). formatted-explain spells each op
+    # twice (tree + details), so count the unique detail headers.
+    n_bnlj = rep.text.count(") BroadcastNestedLoopJoin")
+    assert n_bnlj <= 1, rep.summary()
+    assert "IdentityBroadcastMode" in rep.text, rep.summary()
