@@ -24,6 +24,7 @@ deterministic for the oracle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -323,6 +324,89 @@ def build_ivf_index(
     """
     assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+
+
+def ivf_index_add(
+    emb_df: DataFrame,
+    centroids_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    index_path: str,
+) -> None:
+    """Incremental IVF maintenance: assign NEW vectors to the existing
+    (frozen) coarse quantizer and APPEND their cell files — the
+    ingest-time path that keeps the index fresh without a full rebuild,
+    matching the engine's incremental scan/stream story. pgvector's
+    ivfflat does the same on INSERT: new tuples land in their nearest
+    existing list; the quantizer is only retrained on REINDEX
+    (core/src/query.rs:359-396 precedent for index DDL).
+
+    Append-only: callers feed new pkeys (the upsert path deletes first
+    via ivf_index_delete). Cell skew drifts as the corpus distribution
+    moves away from the trained centroids — retrain + rebuild when probe
+    recall decays (the recall harness measures it).
+
+    Scale shape: one broadcast of the (tiny) centroid table against the
+    NEW batch only; the write touches only the cells the batch lands in.
+    """
+    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+
+
+def ivf_index_delete(
+    spark,
+    index_path: str,
+    keys_df: DataFrame,
+    pkey: str,
+) -> int:
+    """Incremental IVF delete: drop keys from the index by rewriting ONLY
+    the cell partitions that contain them (dynamic partition overwrite) —
+    every untouched cell's files stay in place, so a delete batch costs
+    O(affected cells), not a full index rebuild. Returns rows removed.
+    """
+    index = spark.read.parquet(index_path)
+    keys = keys_df.select(pkey).localCheckpoint()
+    hit_cells = [
+        r["cell"]
+        for r in index.join(keys, pkey, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not hit_cells:
+        return 0
+    affected = index.filter(F.col("cell").isin(hit_cells))
+    n_before = affected.count()
+    survivors = affected.join(keys, pkey, "left_anti").localCheckpoint()
+    n_after = survivors.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(
+            index_path
+        )
+        # a cell whose every row was deleted has no survivor rows, so
+        # dynamic overwrite leaves its old files: clear it explicitly
+        emptied = set(hit_cells) - {
+            r["cell"]
+            for r in survivors.select("cell").distinct().collect()
+        }
+        if emptied:
+            import shutil
+
+            for cell in emptied:
+                shutil.rmtree(
+                    os.path.join(index_path, f"cell={cell}"),
+                    ignore_errors=True,
+                )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    return n_before - n_after
 
 
 def ivf_topk_indexed(

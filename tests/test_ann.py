@@ -204,3 +204,122 @@ class TestSignbitIndex:
         rep = plan_report(indexed)
         pfs = re.findall(r"PartitionFilters: \[(.*?)\]", rep.text)
         assert any("bucket" in pf for pf in pfs), rep.text
+
+
+class TestIvfIncrementalMaintenance:
+    """ivf_index_add / ivf_index_delete: the ingest-time index paths —
+    append lands in the frozen quantizer's cells, delete rewrites only
+    affected cells, and search over the maintained index equals search
+    over a from-scratch build of the same final corpus."""
+
+    def _setup(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            build_ivf_index,
+            default_centroids,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        cents = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+        old = emb.filter(F.col("vec_id") % 2 == 0)
+        new = emb.filter(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "ivf_incr")
+        build_ivf_index(old, cents, "vec_id", "embeddings", idx)
+        return emb, cents, old, new, idx
+
+    def test_add_equals_full_rebuild(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            build_ivf_index,
+            ivf_index_add,
+            ivf_topk_indexed,
+        )
+
+        emb, cents, old, new, idx = self._setup(spark, tmp_path)
+        ivf_index_add(new, cents, "vec_id", "embeddings", idx)
+
+        full_idx = str(tmp_path / "ivf_full")
+        build_ivf_index(emb, cents, "vec_id", "embeddings", full_idx)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embeddings"]
+        ]
+        a = [
+            (r["vec_id"], r["similarity_score"])
+            for r in ivf_topk_indexed(
+                spark, idx, cents, "vec_id", "embeddings", qv, k=10, nprobe=2
+            ).collect()
+        ]
+        b = [
+            (r["vec_id"], r["similarity_score"])
+            for r in ivf_topk_indexed(
+                spark, full_idx, cents, "vec_id", "embeddings", qv, k=10,
+                nprobe=2,
+            ).collect()
+        ]
+        assert a == b
+        # a maintained index must still include odd (added) ids in results
+        assert any(v % 2 == 1 for v, _ in a)
+
+    def test_delete_rewrites_only_affected_cells(self, spark, tmp_path):
+        import os
+
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            ivf_index_add,
+            ivf_index_delete,
+            ivf_topk_indexed,
+        )
+
+        emb, cents, old, new, idx = self._setup(spark, tmp_path)
+        ivf_index_add(new, cents, "vec_id", "embeddings", idx)
+
+        # record per-cell file sets before the delete
+        def cell_files():
+            out = {}
+            for d in os.listdir(idx):
+                if d.startswith("cell="):
+                    out[d] = sorted(os.listdir(os.path.join(idx, d)))
+            return out
+
+        before = cell_files()
+        doomed = emb.filter(F.col("vec_id").isin([1, 2, 3])).select("vec_id")
+        doomed_cells = {
+            f"cell={r['cell']}"
+            for r in spark.read.parquet(idx)
+            .join(doomed, "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        removed = ivf_index_delete(spark, idx, doomed, "vec_id")
+        assert removed == 3
+        after = cell_files()
+        # untouched cells keep their exact files; only hit cells rewrote
+        for cell, files in before.items():
+            if cell not in doomed_cells and cell in after:
+                assert after[cell] == files, f"{cell} rewritten needlessly"
+        left = {r["vec_id"] for r in spark.read.parquet(idx).select("vec_id").collect()}
+        assert left.isdisjoint({1, 2, 3})
+        # search still works over the maintained index
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embeddings"]
+        ]
+        got = ivf_topk_indexed(
+            spark, idx, cents, "vec_id", "embeddings", qv, k=5, nprobe=8
+        ).collect()
+        assert len(got) == 5
+        assert all(r["vec_id"] not in (1, 2, 3) for r in got)
+
+    def test_delete_missing_keys_noop(self, spark, tmp_path):
+        from pg_vectorize_spark.operators.ann import ivf_index_delete
+
+        emb, cents, old, new, idx = self._setup(spark, tmp_path)
+        ghosts = spark.createDataFrame([(999999,)], "vec_id long")
+        assert ivf_index_delete(spark, idx, ghosts, "vec_id") == 0
