@@ -353,50 +353,51 @@ def ivf_index_add(
     assigned.write.mode("append").partitionBy("cell").parquet(index_path)
 
 
-def ivf_index_delete(
+def _partitioned_index_delete(
     spark,
     index_path: str,
     keys_df: DataFrame,
     pkey: str,
+    part_col: str,
 ) -> int:
-    """Incremental IVF delete: drop keys from the index by rewriting ONLY
-    the cell partitions that contain them (dynamic partition overwrite) —
-    every untouched cell's files stay in place, so a delete batch costs
-    O(affected cells), not a full index rebuild. Returns rows removed.
-    """
+    """Shared partition-local delete for the persisted ANN indexes: drop
+    keys by rewriting ONLY the partitions that contain them (dynamic
+    partition overwrite) — every untouched partition's files stay in
+    place, so a delete batch costs O(affected partitions), not a full
+    index rebuild. Returns rows removed."""
     index = spark.read.parquet(index_path)
     keys = keys_df.select(pkey).localCheckpoint()
-    hit_cells = [
-        r["cell"]
+    hit = [
+        r[part_col]
         for r in index.join(keys, pkey, "left_semi")
-        .select("cell")
+        .select(part_col)
         .distinct()
         .collect()
     ]
-    if not hit_cells:
+    if not hit:
         return 0
-    affected = index.filter(F.col("cell").isin(hit_cells))
+    affected = index.filter(F.col(part_col).isin(hit))
     n_before = affected.count()
     survivors = affected.join(keys, pkey, "left_anti").localCheckpoint()
     n_after = survivors.count()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        survivors.write.mode("overwrite").partitionBy("cell").parquet(
+        survivors.write.mode("overwrite").partitionBy(part_col).parquet(
             index_path
         )
-        # a cell whose every row was deleted has no survivor rows, so
-        # dynamic overwrite leaves its old files: clear it explicitly
-        emptied = set(hit_cells) - {
-            r["cell"]
-            for r in survivors.select("cell").distinct().collect()
+        # a partition whose every row was deleted has no survivor rows,
+        # so dynamic overwrite leaves its old files: clear it explicitly
+        emptied = set(hit) - {
+            r[part_col]
+            for r in survivors.select(part_col).distinct().collect()
         }
         if emptied:
             import shutil
 
-            for cell in emptied:
+            for p in emptied:
                 shutil.rmtree(
-                    os.path.join(index_path, f"cell={cell}"),
+                    os.path.join(index_path, f"{part_col}={p}"),
                     ignore_errors=True,
                 )
     finally:
@@ -407,6 +408,49 @@ def ivf_index_delete(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
     return n_before - n_after
+
+
+def ivf_index_delete(
+    spark,
+    index_path: str,
+    keys_df: DataFrame,
+    pkey: str,
+) -> int:
+    """Incremental IVF delete — see _partitioned_index_delete."""
+    return _partitioned_index_delete(
+        spark, index_path, keys_df, pkey, "cell"
+    )
+
+
+def signbit_index_add(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    index_path: str,
+    nbits: int = 8,
+) -> None:
+    """Incremental sign-bit LSH maintenance: bucket NEW vectors with the
+    same hash and append their bucket files (the hash is data-independent
+    so, unlike IVF, there is no quantizer drift — appends never degrade
+    probe quality)."""
+    bucketed = emb_df.select(
+        F.col(pkey),
+        F.col(emb_col),
+        signbit_bucket_expr(F.col(emb_col), nbits).alias("bucket"),
+    )
+    bucketed.write.mode("append").partitionBy("bucket").parquet(index_path)
+
+
+def signbit_index_delete(
+    spark,
+    index_path: str,
+    keys_df: DataFrame,
+    pkey: str,
+) -> int:
+    """Incremental sign-bit LSH delete — see _partitioned_index_delete."""
+    return _partitioned_index_delete(
+        spark, index_path, keys_df, pkey, "bucket"
+    )
 
 
 def ivf_topk_indexed(

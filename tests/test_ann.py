@@ -323,3 +323,41 @@ class TestIvfIncrementalMaintenance:
         emb, cents, old, new, idx = self._setup(spark, tmp_path)
         ghosts = spark.createDataFrame([(999999,)], "vec_id long")
         assert ivf_index_delete(spark, idx, ghosts, "vec_id") == 0
+
+    def test_signbit_add_delete(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            build_signbit_index,
+            signbit_index_add,
+            signbit_index_delete,
+            signbit_lsh_topk_indexed,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        idx = str(tmp_path / "sb_incr")
+        build_signbit_index(
+            emb.filter("vec_id % 2 = 0"), "vec_id", "embeddings", idx
+        )
+        signbit_index_add(
+            emb.filter("vec_id % 2 = 1"), "vec_id", "embeddings", idx
+        )
+        total = spark.read.parquet(idx).count()
+        assert total == emb.count()
+        doomed = spark.createDataFrame([(0,), (7,)], "vec_id long")
+        assert signbit_index_delete(spark, idx, doomed, "vec_id") == 2
+        left = {
+            r["vec_id"]
+            for r in spark.read.parquet(idx).select("vec_id").collect()
+        }
+        assert 0 not in left and 7 not in left
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 2).head()["embeddings"]
+        ]
+        got = signbit_lsh_topk_indexed(
+            spark, idx, "vec_id", "embeddings", qv, k=5, probe_hamming=8
+        ).collect()
+        assert len(got) == 5
