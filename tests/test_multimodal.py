@@ -450,3 +450,105 @@ class TestPalettePng:
         broken = blob[:plte_start] + blob[plte_start + plte_len :]
         with pytest.raises(ValueError, match="missing PLTE"):
             decode_png(broken)
+
+
+class TestJpegRoundtripProperties:
+    """Hypothesis sweeps over the JPEG codec: (a) arbitrary-dim random
+    grayscale through flat-quant tables stays within the DCT-rounding
+    bound; (b) random block-constant multi-config color images with DC
+    quant 8 are bit-exact — the fixture-law contract under random
+    dims/sampling/restart settings, not just the committed fixtures."""
+
+    def test_flat_quant_bound_hypothesis(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        flat = (np.ones(64, dtype=np.int64), np.ones(64, dtype=np.int64))
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(1, 24),
+            w=st.integers(1, 24),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, seed):
+            rng = np.random.RandomState(seed)
+            g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            fw, fh, ch, px = decode_jpeg(
+                encode_jpeg(g[:, :, None], quant_tables=flat)
+            )
+            assert (fw, fh, ch) == (w, h, 1)
+            err = np.abs(px[:, :, 0].astype(int) - g.astype(int)).max()
+            assert err <= 1, (h, w, seed, err)
+
+        check()
+
+    def test_block_constant_exact_hypothesis(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pg_vectorize_spark.multimodal.codec import (
+            _STD_QUANT_CHROMA,
+            _STD_QUANT_LUMA,
+            decode_jpeg,
+            encode_jpeg_planes,
+        )
+
+        ql = _STD_QUANT_LUMA.copy()
+        ql[0] = 8
+        qc = _STD_QUANT_CHROMA.copy()
+        qc[0] = 8
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            bw=st.integers(1, 5),
+            bh=st.integers(1, 5),
+            sub=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+            rst=st.sampled_from([0, 1, 3]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(bw, bh, sub, rst, seed):
+            rng = np.random.RandomState(seed)
+            sh, sv = sub
+            # luma blocks 8x8; chroma constant per (8*sh x 8*sv) region
+            # so decimation + nearest upsample are exact
+            h, w = bh * 8 * sv, bw * 8 * sh
+            yy, xx = np.mgrid[0:h, 0:w]
+            yvals = rng.randint(0, 256, size=(bh * sv, bw * sh))
+            yp = yvals[yy // 8, xx // 8].astype(np.uint8)
+            cbv = rng.randint(0, 256, size=(bh, bw))
+            crv = rng.randint(0, 256, size=(bh, bw))
+            cb = cbv[yy // (8 * sv), xx // (8 * sh)].astype(np.uint8)
+            cr = crv[yy // (8 * sv), xx // (8 * sh)].astype(np.uint8)
+            blob = encode_jpeg_planes(
+                [yp, cb, cr],
+                subsample=sub,
+                restart_interval=rst,
+                quant_tables=(ql, qc),
+            )
+            fw, fh, ch, px = decode_jpeg(blob)
+            assert (fw, fh, ch) == (w, h, 3)
+            yf = yp.astype(np.float64)
+            cbf = cb.astype(np.float64) - 128.0
+            crf = cr.astype(np.float64) - 128.0
+            exp = np.stack(
+                [
+                    np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                    for p in (
+                        yf + 1.402 * crf,
+                        yf - 0.344136 * cbf - 0.714136 * crf,
+                        yf + 1.772 * cbf,
+                    )
+                ],
+                axis=2,
+            )
+            assert np.array_equal(px, exp), (bw, bh, sub, rst, seed)
+
+        check()
