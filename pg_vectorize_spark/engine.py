@@ -88,6 +88,7 @@ class VectorizeSession:
         workspace: str | None = None,
         config: Config | None = None,
         chat_provider: ChatProvider | None = None,
+        storage_buckets: int | None = None,
     ):
         self.spark = spark
         self.config = config or DEFAULT_CONFIG
@@ -95,19 +96,34 @@ class VectorizeSession:
         self.catalog = Catalog(self.workspace)
         self.prompts = PromptRegistry(self.workspace)
         self._chat = chat_provider
+        #: opt-in hash-bucketed derived storage: merges/deletes rewrite
+        #: only the buckets a batch touches (BucketedSnapshotDataset) —
+        #: the configuration an incremental 100-TB deployment runs with;
+        #: None keeps the single-snapshot layout (existing workspaces)
+        self.storage_buckets = storage_buckets
 
     # ------------------------------------------------------------------ io
 
     def _job_dir(self, job_name: str, kind: str) -> str:
         return os.path.join(self.workspace, "jobs", job_name, kind)
 
+    def _ds(self, job_name: str, kind: str) -> SnapshotDataset:
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            BucketedSnapshotDataset,
+        )
+
+        root = self._job_dir(job_name, kind)
+        if self.storage_buckets:
+            return BucketedSnapshotDataset(
+                self.spark, root, n_buckets=self.storage_buckets
+            )
+        return SnapshotDataset(self.spark, root)
+
     def _emb_ds(self, job_name: str) -> SnapshotDataset:
-        return SnapshotDataset(self.spark, self._job_dir(job_name, "embeddings"))
+        return self._ds(job_name, "embeddings")
 
     def _tok_ds(self, job_name: str) -> SnapshotDataset:
-        return SnapshotDataset(
-            self.spark, self._job_dir(job_name, "search_tokens")
-        )
+        return self._ds(job_name, "search_tokens")
 
     def _source_df(self, job: JobRecord) -> DataFrame:
         return read_source(

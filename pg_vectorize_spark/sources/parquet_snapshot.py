@@ -14,13 +14,15 @@ atomically flip the pointer. Readers always resolve the pointer first, so a
 reader never sees a half-written snapshot (parquet files are written to the
 new version dir before the pointer moves).
 
-Scale notes (100 TB): the anti-join rewrite is a full-table shuffle per
-merge — exactly what Delta MERGE avoids via file-level pruning. The engine
-keeps this interface (`merge_upsert(df, key)`) so swapping in Delta is a
-one-class change; at the scales this repo is graded on, snapshot rewrite is
-shuffle-bound on the embeddings table only (pkey-hash partitioned, AQE
-coalesced). For true incremental workloads, partition the dataset by a job
-key or bucket column so only affected partitions rewrite.
+Scale notes (100 TB): the base class's anti-join rewrite is a full-table
+shuffle per merge — exactly what Delta MERGE avoids via file-level
+pruning. ``BucketedSnapshotDataset`` below closes that gap dependency-
+free: key-hash bucket partitions, merges/deletes rewrite ONLY affected
+buckets, untouched buckets hard-link into the new version (O(1)/file).
+``VectorizeSession(storage_buckets=N)`` opts the engine's derived
+datasets into it — the configuration an incremental 100-TB deployment
+runs with. The interface (`merge_upsert(df, key)`) is unchanged either
+way, so swapping in Delta/Iceberg remains a one-class change.
 """
 
 from __future__ import annotations
@@ -113,3 +115,151 @@ class SnapshotDataset:
                     shutil.rmtree(
                         os.path.join(self.root, name), ignore_errors=True
                     )
+
+
+class BucketedSnapshotDataset(SnapshotDataset):
+    """Hash-bucketed snapshot: the partition-local MERGE the module
+    docstring promises for true incremental workloads.
+
+    Layout: ``<root>/v=N/bucket=B/*.parquet``. A merge/delete computes
+    the key-hash buckets its rows land in, rewrites ONLY those bucket
+    partitions, and HARD-LINKS every untouched bucket's immutable files
+    into the new version directory — O(1) per file, no data read or
+    written. Write amplification per batch drops from O(table) to
+    O(affected buckets) ≈ O(batch · table/n_buckets), which is the
+    Delta/Iceberg MERGE file-pruning behavior reproduced dependency-free
+    on the same versioned-pointer isolation (readers still resolve
+    ``_CURRENT`` and never see a half-written version).
+
+    Sizing: pick ``n_buckets`` so one bucket ≈ a comfortable rewrite
+    unit (e.g. 100 TB / 65536 buckets ≈ 1.6 GB). The bucket column also
+    co-locates equi-joins on the key for readers that opt into
+    ``read_raw`` (bucket-wise joins without a full shuffle).
+    """
+
+    BUCKET_COL = "_kb"
+
+    def __init__(
+        self, spark: SparkSession, root: str, n_buckets: int = 16
+    ):
+        super().__init__(spark, root)
+        self.n_buckets = n_buckets
+
+    def _bucket_expr(self, key: str):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    # -- IO ------------------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """API parity with SnapshotDataset: the bucket column is an
+        implementation detail and is dropped."""
+        return self.read_raw().drop(self.BUCKET_COL)
+
+    def read_raw(self) -> DataFrame:
+        """Bucket column retained — for bucket-aware readers."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no current snapshot under {self.root}")
+        return self.spark.read.parquet(self._version_dir(v))
+
+    def write_full(self, df: DataFrame, _key: str | None = None) -> int:
+        key = _key or self._infer_key(df)
+        v = (self.current_version() or 0) + 1
+        (
+            df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(self._version_dir(v))
+        )
+        self._set_version(v)
+        self._gc(keep=2)
+        return v
+
+    def _infer_key(self, df: DataFrame) -> str:
+        # write_full may be called through the base-class API (initial
+        # load) where no key is passed: default to the first column,
+        # which is the pkey for every engine dataset shape
+        return df.columns[0]
+
+    def _link_bucket(self, src_dir: str, dst_dir: str) -> None:
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if name.startswith((".", "_")):
+                continue
+            src = os.path.join(src_dir, name)
+            dst = os.path.join(dst_dir, name)
+            try:
+                os.link(src, dst)  # immutable files: safe to share
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+
+    def _partial_rewrite(
+        self, new_df: DataFrame, key: str, rewrite
+    ) -> int:
+        """Shared merge/delete core: rewrite affected buckets via
+        ``rewrite(current_bucket_rows) -> DataFrame``, link the rest."""
+        from pyspark.sql import functions as F
+
+        cur_v = self.current_version()
+        affected = sorted(
+            r["b"]
+            for r in new_df.select(
+                self._bucket_expr(key).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        v = cur_v + 1
+        new_dir = self._version_dir(v)
+        cur_dir = self._version_dir(cur_v)
+        raw = self.read_raw()
+        tagged = new_df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
+        if affected:
+            cur_hit = raw.filter(F.col(self.BUCKET_COL).isin(affected))
+            out = rewrite(cur_hit, tagged)
+            # write affected buckets into the new version dir; the
+            # localCheckpoint materializes before we link siblings so a
+            # failed write never flips the pointer
+            out.localCheckpoint().write.mode("overwrite").partitionBy(
+                self.BUCKET_COL
+            ).parquet(new_dir)
+        else:
+            os.makedirs(new_dir, exist_ok=True)
+        # link ONLY untouched buckets: an affected bucket absent from the
+        # written set means every row in it was deleted — linking its old
+        # files back would resurrect them
+        affected_dirs = {f"{self.BUCKET_COL}={b}" for b in affected}
+        for name in os.listdir(cur_dir):
+            if (
+                name.startswith(f"{self.BUCKET_COL}=")
+                and name not in affected_dirs
+            ):
+                self._link_bucket(
+                    os.path.join(cur_dir, name), os.path.join(new_dir, name)
+                )
+        self._set_version(v)
+        self._gc(keep=2)
+        return v
+
+    def merge_upsert(self, new_df: DataFrame, key: str) -> int:
+        if not self.exists():
+            return self.write_full(new_df, key)
+        cols = self.read().columns
+
+        def rewrite(cur_hit: DataFrame, tagged: DataFrame) -> DataFrame:
+            kept = cur_hit.join(tagged.select(key), key, "left_anti")
+            return kept.unionByName(
+                tagged.select(*cols, self.BUCKET_COL)
+            )
+
+        return self._partial_rewrite(new_df, key, rewrite)
+
+    def delete_keys(self, keys_df: DataFrame, key: str) -> int:
+        def rewrite(cur_hit: DataFrame, tagged: DataFrame) -> DataFrame:
+            return cur_hit.join(tagged.select(key), key, "left_anti")
+
+        return self._partial_rewrite(keys_df.select(key), key, rewrite)

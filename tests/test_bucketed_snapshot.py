@@ -1,0 +1,162 @@
+"""BucketedSnapshotDataset — partition-local MERGE on the versioned
+pointer: correctness parity with the single-snapshot layout, hard-linked
+untouched buckets (no data rewrite), and no resurrection when a bucket
+empties."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pg_vectorize_spark.sources.parquet_snapshot import (
+    BucketedSnapshotDataset,
+    SnapshotDataset,
+)
+
+
+def _rows(ds):
+    return {
+        (r["k"], r["v"]) for r in ds.read().select("k", "v").collect()
+    }
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    )
+
+
+def test_parity_with_classic(spark, tmp_path, base_df):
+    """Same operation sequence -> identical final row sets."""
+    classic = SnapshotDataset(spark, str(tmp_path / "classic"))
+    bucketed = BucketedSnapshotDataset(
+        spark, str(tmp_path / "bucketed"), n_buckets=8
+    )
+    upd = spark.createDataFrame(
+        [(3, "NEW3"), (17, "NEW17"), (99, "NEW99")], "k long, v string"
+    )
+    dels = spark.createDataFrame([(5,), (99,)], "k long")
+    for ds in (classic, bucketed):
+        ds.write_full(base_df)
+        ds.merge_upsert(upd, "k")
+        ds.delete_keys(dels, "k")
+    assert _rows(classic) == _rows(bucketed)
+    got = _rows(bucketed)
+    assert (3, "NEW3") in got and (17, "NEW17") in got
+    assert not any(k in (5, 99) for k, _ in got)
+
+
+def test_untouched_buckets_hard_linked(spark, tmp_path, base_df):
+    """A merge touching one key rewrites only that key's bucket; every
+    other bucket's files in the new version are the SAME inodes as the
+    previous version (hard links, no data written)."""
+    ds = BucketedSnapshotDataset(spark, str(tmp_path / "b"), n_buckets=8)
+    ds.write_full(base_df)
+    v1 = ds.current_version()
+
+    def bucket_inodes(v):
+        out = {}
+        vdir = ds._version_dir(v)
+        for d in os.listdir(vdir):
+            if d.startswith(f"{ds.BUCKET_COL}="):
+                out[d] = {
+                    os.stat(os.path.join(vdir, d, f)).st_ino
+                    for f in os.listdir(os.path.join(vdir, d))
+                    if not f.startswith((".", "_"))
+                }
+        return out
+
+    before = bucket_inodes(v1)
+    one = spark.createDataFrame([(7, "CHANGED")], "k long, v string")
+    ds.merge_upsert(one, "k")
+    v2 = ds.current_version()
+    after = bucket_inodes(v2)
+    hit = {
+        r["b"]
+        for r in one.select(ds._bucket_expr("k").alias("b")).collect()
+    }
+    hit_dirs = {f"{ds.BUCKET_COL}={b}" for b in hit}
+    assert len(hit_dirs) == 1
+    rewritten = linked = 0
+    for d, inodes in after.items():
+        if d in hit_dirs:
+            assert inodes.isdisjoint(before.get(d, set()))
+            rewritten += 1
+        else:
+            assert inodes == before[d], f"{d} should be hard-linked"
+            linked += 1
+    assert rewritten == 1 and linked >= 5
+    assert (7, "CHANGED") in _rows(ds)
+    assert len(_rows(ds)) == 40
+
+
+def test_bucket_emptied_by_delete_stays_empty(spark, tmp_path):
+    """Deleting every row of a bucket must not hard-link the old files
+    back (the resurrection bug the affected-set exclusion prevents)."""
+    spark_df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "k long, v string"
+    )
+    ds = BucketedSnapshotDataset(spark, str(tmp_path / "e"), n_buckets=4)
+    ds.write_full(spark_df)
+    # delete EVERY key in one bucket
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in spark_df.select(
+            "k", ds._bucket_expr("k").alias("b")
+        ).collect()
+    }
+    target = bucket_of[0]
+    doomed = [k for k, b in bucket_of.items() if b == target]
+    ds.delete_keys(
+        spark.createDataFrame([(k,) for k in doomed], "k long"), "k"
+    )
+    left = {k for k, _ in _rows(ds)}
+    assert left.isdisjoint(doomed)
+    assert left == {k for k, b in bucket_of.items() if b != target}
+
+
+def test_engine_end_to_end_bucketed(spark, tmp_path):
+    """The full engine path on bucketed storage: create -> scan ->
+    incremental update -> search -> orphan cascade."""
+    from pg_vectorize_spark.engine import VectorizeSession
+    from pg_vectorize_spark.sources.parquet_snapshot import (
+        BucketedSnapshotDataset,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 5}") for i in range(30)],
+        "id long, content string",
+    ).write.parquet(src)
+    sess = VectorizeSession(
+        spark, workspace=str(tmp_path / "ws"), storage_buckets=4
+    )
+    sess.create_job("bjob", src, columns=["content"], primary_key="id")
+    assert isinstance(sess._emb_ds("bjob"), BucketedSnapshotDataset)
+    assert sess._emb_ds("bjob").read().count() == 30
+
+    # incremental: one NEW row arrives, re-scan embeds just it — the
+    # merge rewrites only that key's bucket
+    spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 5}") for i in range(30)]
+        + [(30, "brand new pizza document")],
+        "id long, content string",
+    ).write.mode("overwrite").parquet(src)
+    n = sess.scan_job("bjob")
+    assert n == 1
+    hits = sess.search("bjob", "brand new pizza", num_results=3)
+    assert hits[0]["id"] == 30
+
+    # cascade: truncate-to-subset converges on bucketed storage too
+    spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 5}") for i in range(10)],
+        "id long, content string",
+    ).write.mode("overwrite").parquet(src)
+    removed = sess.cleanup_orphans("bjob")
+    assert removed > 0
+    assert sess._emb_ds("bjob").read().count() == 10
+    assert {
+        r["id"] for r in sess._emb_ds("bjob").read().select("id").collect()
+    } == set(range(10))
