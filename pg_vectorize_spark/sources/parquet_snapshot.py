@@ -198,41 +198,64 @@ class BucketedSnapshotDataset(SnapshotDataset):
                 shutil.copy2(src, dst)  # cross-device fallback
 
     def _partial_rewrite(
-        self, new_df: DataFrame, key: str, rewrite
+        self,
+        new_df: DataFrame,
+        key: str,
+        rewrite,
+        affected_from_output: bool,
     ) -> int:
         """Shared merge/delete core: rewrite affected buckets via
-        ``rewrite(current_bucket_rows) -> DataFrame``, link the rest."""
+        ``rewrite(current_bucket_rows, tagged_new_rows)``, link the rest.
+
+        ``affected_from_output=True`` (merge): every affected bucket has
+        at least one new row, so the partitions present in the written
+        output ARE the affected set — no extra Spark job. ``False``
+        (delete): a bucket emptied by the delete writes nothing, so the
+        affected set must be computed from the keys up front (linking an
+        emptied bucket's old files back would resurrect the rows)."""
         from pyspark.sql import functions as F
 
         cur_v = self.current_version()
-        affected = sorted(
-            r["b"]
-            for r in new_df.select(
-                self._bucket_expr(key).alias("b")
-            )
-            .distinct()
-            .collect()
-        )
         v = cur_v + 1
         new_dir = self._version_dir(v)
         cur_dir = self._version_dir(cur_v)
-        raw = self.read_raw()
         tagged = new_df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
-        if affected:
-            cur_hit = raw.filter(F.col(self.BUCKET_COL).isin(affected))
-            out = rewrite(cur_hit, tagged)
-            # write affected buckets into the new version dir; the
-            # localCheckpoint materializes before we link siblings so a
-            # failed write never flips the pointer
-            out.localCheckpoint().write.mode("overwrite").partitionBy(
+        if affected_from_output:
+            affected = None  # derived from the written partitions below
+            cur_hit = self.read_raw().join(
+                tagged.select(self.BUCKET_COL).distinct(),
+                self.BUCKET_COL,
+                "left_semi",
+            )
+        else:
+            affected = sorted(
+                r["b"]
+                for r in tagged.select(
+                    F.col(self.BUCKET_COL).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            cur_hit = self.read_raw().filter(
+                F.col(self.BUCKET_COL).isin(affected)
+            )
+        os.makedirs(new_dir, exist_ok=True)
+        if affected is None or affected:
+            # the write lands in the NEW version dir while reads come
+            # from the current one — no conflict; a failed write never
+            # flips the pointer (set_version is last)
+            rewrite(cur_hit, tagged).write.mode("overwrite").partitionBy(
                 self.BUCKET_COL
             ).parquet(new_dir)
+        if affected is None:
+            affected_dirs = {
+                name
+                for name in os.listdir(new_dir)
+                if name.startswith(f"{self.BUCKET_COL}=")
+            }
         else:
-            os.makedirs(new_dir, exist_ok=True)
-        # link ONLY untouched buckets: an affected bucket absent from the
-        # written set means every row in it was deleted — linking its old
-        # files back would resurrect them
-        affected_dirs = {f"{self.BUCKET_COL}={b}" for b in affected}
+            affected_dirs = {f"{self.BUCKET_COL}={b}" for b in affected}
+        # link ONLY untouched buckets into the new version
         for name in os.listdir(cur_dir):
             if (
                 name.startswith(f"{self.BUCKET_COL}=")
@@ -256,10 +279,14 @@ class BucketedSnapshotDataset(SnapshotDataset):
                 tagged.select(*cols, self.BUCKET_COL)
             )
 
-        return self._partial_rewrite(new_df, key, rewrite)
+        return self._partial_rewrite(
+            new_df, key, rewrite, affected_from_output=True
+        )
 
     def delete_keys(self, keys_df: DataFrame, key: str) -> int:
         def rewrite(cur_hit: DataFrame, tagged: DataFrame) -> DataFrame:
             return cur_hit.join(tagged.select(key), key, "left_anti")
 
-        return self._partial_rewrite(keys_df.select(key), key, rewrite)
+        return self._partial_rewrite(
+            keys_df.select(key), key, rewrite, affected_from_output=False
+        )
