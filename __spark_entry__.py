@@ -350,6 +350,20 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "text", "doc_id")
 
 
+def q_quantized_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine over the int8-quantized embedding store
+    (operators/ann.quantized_topk): integer codes + per-vector min/max
+    replace the float vectors on the scan — the 4x-I/O storage layout a
+    100-TB deployment persists. Dequantized scores mirror DuckDB
+    tree-for-tree, so ranking parity is bit-exact under the gate."""
+    from pg_vectorize_spark.operators.ann import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = V.quantize_table(emb, "embedding", keep_cols=["vec_id"]).drop("_vd")
+    qv = _query_vec(spark, sf_dir)
+    return quantized_topk(qt, "vec_id", qv, k=10)
+
+
 def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k deterministic sample: 5 docs per language by hash priority
     (operators/curate.sample_exact) — the reproducible eval-subset draw."""
@@ -1394,6 +1408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_bm25": q_hybrid_bm25,  # new composite gate (VERDICT r4 #6)
     "cdf_apply": q_cdf_apply,  # new batch CDF gate (VERDICT r4 #5)
     "bigram_logprob": q_bigram_logprob,  # new: order-aware perplexity
+    "quantized_search_topk": q_quantized_search_topk,  # new: int8 scan
     # --- r4-green headliners kept in-window ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -2136,6 +2151,37 @@ FROM qc
 """
 
 
+def _oracle_quantized_search_topk() -> str:
+    # quantize (same tree as _oracle_embedding_quantize) -> dequantize
+    # (mn + c/255*(mx-mn), same op order as dequantize_expr) -> cosine
+    deq = "list_transform(codes, c -> mn + c::DOUBLE / 255.0 * (mx - mn))"
+    sim = O.sql_cosine(deq, "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+v AS MATERIALIZED (
+  SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS vd
+  FROM embeddings e
+),
+mm AS MATERIALIZED (
+  SELECT vec_id, vd,
+         list_aggregate(vd, 'min') AS mn,
+         list_aggregate(vd, 'max') AS mx
+  FROM v
+),
+qc AS MATERIALIZED (
+  SELECT vec_id, mn, mx,
+         list_transform(vd, x -> CASE WHEN (mx - mn) > 0
+             THEN least(floor((x - mn) / (mx - mn) * 255.0)::INT, 255)
+             ELSE 0 END) AS codes
+  FROM mm
+)
+SELECT vec_id, {sim} AS similarity_score
+FROM qc CROSS JOIN q
+ORDER BY similarity_score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def _oracle_embedding_truncate() -> str:
     # mirrors truncate_normalize_table: same staged folds, same order
     sq = "list_reduce(list_prepend(0.0::DOUBLE, list_transform({v}, x -> x*x)), (a, x) -> a + x)"
@@ -2873,6 +2919,7 @@ WHERE emb_updated_at IS NULL
     "fts_bm25": _oracle_fts_bm25(),
     "hybrid_bm25": _oracle_hybrid_bm25(),
     "cdf_apply": _oracle_cdf_apply(),
+    "quantized_search_topk": _oracle_quantized_search_topk(),
     "gopher_flags": _oracle_gopher_flags(),
     "hash_split": _oracle_hash_split(),
     "corpus_mix": _oracle_corpus_mix(),

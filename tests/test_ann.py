@@ -361,3 +361,72 @@ class TestIvfIncrementalMaintenance:
             spark, idx, "vec_id", "embeddings", qv, k=5, probe_hamming=8
         ).collect()
         assert len(got) == 5
+
+
+class TestQuantizedTopk:
+    def test_ranking_close_to_brute_force(self, spark):
+        """int8 scalar quantization keeps top-k ranking near-exact:
+        recall@10 vs float brute force pinned >= 0.9 on the corpus."""
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.functions.vector import quantize_table
+        from pg_vectorize_spark.operators.ann import (
+            brute_force_topk,
+            quantized_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        qt = quantize_table(emb, "embedding", keep_cols=["vec_id"]).drop(
+            "_vd"
+        ).localCheckpoint()
+        hits = 0
+        queries = [0, 5, 11]
+        for qid in queries:
+            qv = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == qid).head()[
+                    "embedding"
+                ]
+            ]
+            exact = {
+                r["vec_id"]
+                for r in brute_force_topk(
+                    emb.withColumnRenamed("embedding", "embeddings"),
+                    "vec_id", "embeddings", qv, 10,
+                ).collect()
+            }
+            quant = {
+                r["vec_id"]
+                for r in quantized_topk(qt, "vec_id", qv, k=10).collect()
+            }
+            hits += len(exact & quant)
+        assert hits / (10 * len(queries)) >= 0.9
+
+    def test_scan_reads_codes_not_floats(self, spark, tmp_path):
+        """Persisted quantized store: the search scan's ReadSchema is
+        codes+mn+mx — the float embedding column never leaves disk."""
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.functions.vector import quantize_table
+        from pg_vectorize_spark.operators.ann import quantized_topk
+        from pg_vectorize_spark.plans.inspect import plan_report
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        store = str(tmp_path / "qstore")
+        quantize_table(emb, "embedding", keep_cols=["vec_id"]).drop(
+            "_vd"
+        ).write.parquet(store)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        df = quantized_topk(spark.read.parquet(store), "vec_id", qv, k=10)
+        rep = plan_report(df)
+        assert rep.has_take_ordered, rep.summary()
+        assert any(
+            "codes" in s and "embedding" not in s for s in rep.read_schemas
+        ), rep.read_schemas
