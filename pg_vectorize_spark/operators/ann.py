@@ -491,6 +491,65 @@ def signbit_index_delete(
     )
 
 
+def compact_index(
+    spark,
+    index_path: str,
+    part_col: str = "cell",
+    max_files: int = 4,
+) -> int:
+    """Small-file hygiene for the appendable indexes: every
+    ``ivf_index_add``/``signbit_index_add`` batch appends one-plus files
+    per touched partition, and a high-frequency ingest loop degrades
+    scans into many-small-file reads. Rewrite (coalesce to one file)
+    ONLY the partitions holding more than ``max_files`` data files;
+    everything else is untouched. Returns partitions compacted.
+
+    Run it like Delta OPTIMIZE — off the ingest path, on a schedule.
+    """
+    if not os.path.isdir(index_path):
+        return 0
+    crowded = []
+    for name in os.listdir(index_path):
+        if not name.startswith(f"{part_col}="):
+            continue
+        pdir = os.path.join(index_path, name)
+        n = sum(
+            1 for f in os.listdir(pdir) if not f.startswith((".", "_"))
+        )
+        if n > max_files:
+            crowded.append(name.split("=", 1)[1])
+    if not crowded:
+        return 0
+    # partition values parse back through the reader's inferred type
+    index = spark.read.parquet(index_path)
+    vals = [
+        r[part_col]
+        for r in index.select(part_col)
+        .distinct()
+        .collect()
+        if str(r[part_col]) in crowded
+    ]
+    rows = (
+        index.filter(F.col(part_col).isin(vals))
+        .coalesce(max(1, len(vals)))
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.repartition(len(vals), F.col(part_col)).write.mode(
+            "overwrite"
+        ).partitionBy(part_col).parquet(index_path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    return len(vals)
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

@@ -430,3 +430,55 @@ class TestQuantizedTopk:
         assert any(
             "codes" in s and "embedding" not in s for s in rep.read_schemas
         ), rep.read_schemas
+
+    def test_compact_index(self, spark, tmp_path):
+        """Repeated appends fragment partitions; compact_index rewrites
+        only crowded ones, preserving content exactly."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import (
+            build_signbit_index,
+            compact_index,
+            signbit_index_add,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        idx = str(tmp_path / "frag")
+        build_signbit_index(
+            emb.filter("vec_id % 6 = 0"), "vec_id", "embeddings", idx
+        )
+        for m in range(1, 6):
+            signbit_index_add(
+                emb.filter(f"vec_id % 6 = {m}"), "vec_id", "embeddings", idx
+            )
+        before_rows = {
+            r["vec_id"]
+            for r in spark.read.parquet(idx).select("vec_id").collect()
+        }
+
+        def max_files():
+            worst = 0
+            for d in os.listdir(idx):
+                if d.startswith("bucket="):
+                    n = sum(
+                        1
+                        for f in os.listdir(os.path.join(idx, d))
+                        if not f.startswith((".", "_"))
+                    )
+                    worst = max(worst, n)
+            return worst
+
+        assert max_files() > 4  # fragmented by the appends
+        n = compact_index(spark, idx, part_col="bucket", max_files=4)
+        assert n > 0
+        assert max_files() <= 4
+        after_rows = {
+            r["vec_id"]
+            for r in spark.read.parquet(idx).select("vec_id").collect()
+        }
+        assert after_rows == before_rows  # content unchanged
+        assert compact_index(spark, idx, part_col="bucket", max_files=4) == 0
