@@ -350,6 +350,22 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "text", "doc_id")
 
 
+def q_maxsim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-matching-chunk retrieval (operators/ann.maxsim_topk): docs
+    are scored by their best chunk vector, not a pooled average — the
+    query-time counterpart of the chunk->embed ingest pipeline. Chunk
+    grouping is synthesized as vec_id // 4 so the oracle is pure SQL
+    over the embeddings table."""
+    from pg_vectorize_spark.operators.ann import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") / 4).cast("long").alias("group_id"),
+        F.col("embedding").alias("embeddings"),
+    )
+    qv = _query_vec(spark, sf_dir)
+    return maxsim_topk(emb, "group_id", "embeddings", qv, k=10)
+
+
 def q_quantized_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine over the int8-quantized embedding store
     (operators/ann.quantized_topk): integer codes + per-vector min/max
@@ -1409,6 +1425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdf_apply": q_cdf_apply,  # new batch CDF gate (VERDICT r4 #5)
     "bigram_logprob": q_bigram_logprob,  # new: order-aware perplexity
     "quantized_search_topk": q_quantized_search_topk,  # new: int8 scan
+    "maxsim_search_topk": q_maxsim_search_topk,  # new: best-chunk retrieval
     # --- r4-green headliners kept in-window ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -2148,6 +2165,25 @@ SELECT vec_id, mn, mx,
             (acc, x) -> acc + x) / len(vd)::DOUBLE
         ELSE 0.0 END) AS recon_err
 FROM qc
+"""
+
+
+def _oracle_maxsim_search_topk() -> str:
+    sim = O.sql_cosine("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT (e.vec_id // 4)::BIGINT AS group_id, {sim} AS s
+  FROM embeddings e CROSS JOIN q
+),
+per AS (
+  SELECT group_id, max(s) AS maxsim_score, count(*)::BIGINT AS n_chunks
+  FROM sc GROUP BY group_id
+)
+SELECT group_id, maxsim_score, n_chunks
+FROM per
+ORDER BY maxsim_score DESC, group_id ASC
+LIMIT 10
 """
 
 
@@ -2920,6 +2956,7 @@ WHERE emb_updated_at IS NULL
     "hybrid_bm25": _oracle_hybrid_bm25(),
     "cdf_apply": _oracle_cdf_apply(),
     "quantized_search_topk": _oracle_quantized_search_topk(),
+    "maxsim_search_topk": _oracle_maxsim_search_topk(),
     "gopher_flags": _oracle_gopher_flags(),
     "hash_split": _oracle_hash_split(),
     "corpus_mix": _oracle_corpus_mix(),

@@ -326,6 +326,40 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
 
 
+def maxsim_topk(
+    chunk_emb_df: DataFrame,
+    doc_col: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Best-matching-chunk document retrieval: score(doc) = MAX over its
+    chunk vectors of cosine(query, chunk) — the single-query-vector form
+    of late-interaction MaxSim (ColBERT's Σ_q max_d reduces to max_d
+    with one query vector), and the standard long-document retrieval
+    mode where pooled document vectors wash out locally-relevant
+    passages (the chunk->embed pipeline's query-time counterpart).
+
+    Output: (doc_col, maxsim_score, n_chunks) top-k.
+
+    Scale shape: one scan scoring every chunk vector (same fold as
+    brute_force_topk), one map-side-combined MAX/COUNT aggregate keyed
+    on the doc, TakeOrderedAndProject — no window, no join.
+    """
+    score = cosine_similarity_to_query(F.col(emb_col), query_vec)
+    per = (
+        chunk_emb_df.select(F.col(doc_col), score.alias("_s"))
+        .groupBy(doc_col)
+        .agg(
+            F.max("_s").alias("maxsim_score"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+    return per.orderBy(
+        F.desc("maxsim_score"), F.asc(doc_col)
+    ).limit(k)
+
+
 def quantized_topk(
     qdf: DataFrame,
     pkey: str,

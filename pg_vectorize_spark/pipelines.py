@@ -192,6 +192,16 @@ class CorpusPipeline:
         scores = unigram_logprob(self._df, self.text_col, self.pkey)
         return self._derive(self._df.join(scores, self.pkey, "left"))
 
+    def with_bigram_logprob(self, alpha: float = 0.5) -> "CorpusPipeline":
+        """Attach the order-aware bigram-LM quality score
+        (n_bigrams, mean_logprob) — see operators/curate.bigram_logprob."""
+        from pg_vectorize_spark.operators.curate import bigram_logprob
+
+        scores = bigram_logprob(
+            self._df, self.text_col, self.pkey, alpha=alpha
+        )
+        return self._derive(self._df.join(scores, self.pkey, "left"))
+
     def filter_gopher(self, min_words: int = 20) -> "CorpusPipeline":
         """Keep only docs passing the Gopher quality rules."""
         from pg_vectorize_spark.functions.text import gopher_flags_exprs

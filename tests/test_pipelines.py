@@ -212,3 +212,24 @@ def test_chunk_embed_pool_step(spark):
     expected = vecs.mean(axis=0)
     got = np.array(out[1]["pooled"])
     assert np.allclose(got, expected, atol=1e-12)
+
+
+def test_with_bigram_logprob(spark):
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "dog lazy the over jumps fox brown quick the " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        CorpusPipeline(spark, df, text_col="text", pkey="doc_id")
+        .with_bigram_logprob()
+        .df()
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == rows[2]["n_bigrams"]
+    assert rows[1]["mean_logprob"] is not None

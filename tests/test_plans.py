@@ -241,3 +241,14 @@ def test_bigram_logprob_keyed_shuffles_only(spark, entrymod):
     n_bnlj = rep.text.count(") BroadcastNestedLoopJoin")
     assert n_bnlj <= 1, rep.summary()
     assert "IdentityBroadcastMode" in rep.text, rep.summary()
+
+
+def test_maxsim_partial_agg_take_ordered(spark, entrymod):
+    """Best-chunk retrieval: scan-score + map-side-combined MAX keyed on
+    the doc + TakeOrdered; no window, no join."""
+    df = entrymod.queries()["maxsim_search_topk"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.has_take_ordered, rep.summary()
+    assert "partial_max" in rep.text or "HashAggregate" in rep.text
+    assert "SortMergeJoin" not in rep.text, rep.summary()
+    assert "CartesianProduct" not in rep.text, rep.summary()
