@@ -202,6 +202,8 @@ def main() -> None:
         "bigram_logprob",
         "hybrid_bm25",
         "cdf_apply",
+        "quantized_search_topk",
+        "maxsim_search_topk",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the
