@@ -350,6 +350,36 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs, "text", "doc_id")
 
 
+PQ_CODEBOOK_PATH = "/root/repo/tests/fixtures/pq_codebook.json"
+
+
+def _pq_codebook():
+    import json
+
+    with open(PQ_CODEBOOK_PATH) as f:
+        return json.load(f)
+
+
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/pq.py): vectors encode
+    to m=8 four-bit codes against the committed codebook (32x smaller
+    than float32); the query folds into per-subspace distance lookup
+    tables as literals, so scoring is eight table lookups per row — the
+    FAISS IVF-PQ scoring kernel re-expressed as Catalyst expressions.
+    The oracle embeds the same codeword/table literals and mirrors the
+    encode+score trees bit-for-bit."""
+    from pg_vectorize_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode_table,
+    )
+
+    cb = _pq_codebook()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode_table(emb, "vec_id", "embedding", cb)
+    qv = _query_vec(spark, sf_dir)
+    return pq_adc_topk(codes, "vec_id", qv, cb, k=10)
+
+
 def q_maxsim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-matching-chunk retrieval (operators/ann.maxsim_topk): docs
     are scored by their best chunk vector, not a pooled average — the
@@ -1426,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,  # new: order-aware perplexity
     "quantized_search_topk": q_quantized_search_topk,  # new: int8 scan
     "maxsim_search_topk": q_maxsim_search_topk,  # new: best-chunk retrieval
+    "pq_adc_search": q_pq_adc_search,  # new: product-quantized ADC
     # --- r4-green headliners kept in-window ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -2165,6 +2196,66 @@ SELECT vec_id, mn, mx,
             (acc, x) -> acc + x) / len(vd)::DOUBLE
         ELSE 0.0 END) AS recon_err
 FROM qc
+"""
+
+
+def _oracle_pq_adc_search() -> str:
+    import json
+
+    with open(PQ_CODEBOOK_PATH) as f:
+        cb = json.load(f)
+    m = len(cb)
+    dsub = len(cb[0][0])
+
+    def dist_expr(j, codeword):
+        lits = ", ".join(f"{float(c)!r}::DOUBLE" for c in codeword)
+        sub = (
+            f"list_transform(e.embedding[{j*dsub+1}:{j*dsub+dsub}], "
+            "x -> x::DOUBLE)"
+        )
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({sub}, [{lits}]), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, v) -> acc + v)"
+        )
+
+    code_exprs = []
+    for j in range(m):
+        dists = ", ".join(dist_expr(j, cw) for cw in cb[j])
+        code_exprs.append(
+            f"(list_position([{dists}], "
+            f"list_aggregate([{dists}], 'min')) - 1) AS c{j}"
+        )
+    # ADC tables: recompute the SAME driver-side python floats
+    from pg_vectorize_spark.operators.pq import pq_distance_tables
+
+    # the query vector is vec_id 0's embedding at GATE sf — the oracle
+    # must use the same literals the Spark side folded in, so read it
+    # from the same parquet the gate query reads
+    import duckdb as _duck
+
+    qv = _duck.sql(
+        "SELECT embedding FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        "WHERE vec_id = 0"
+    ).fetchone()[0]
+    tables = pq_distance_tables([float(x) for x in qv], cb)
+    terms = []
+    for j, row in enumerate(tables):
+        lits = ", ".join(f"{float(v)!r}::DOUBLE" for v in row)
+        terms.append(f"[{lits}][c{j} + 1]")
+    score = " + ".join(terms)
+    codes_sel = ",\n         ".join(code_exprs)
+    return f"""
+WITH codes AS MATERIALIZED (
+  SELECT e.vec_id,
+         {codes_sel}
+  FROM embeddings e
+)
+SELECT vec_id, {score} AS adc_distance
+FROM codes
+ORDER BY adc_distance ASC, vec_id ASC
+LIMIT 10
 """
 
 
@@ -2957,6 +3048,7 @@ WHERE emb_updated_at IS NULL
     "cdf_apply": _oracle_cdf_apply(),
     "quantized_search_topk": _oracle_quantized_search_topk(),
     "maxsim_search_topk": _oracle_maxsim_search_topk(),
+    "pq_adc_search": _oracle_pq_adc_search(),
     "gopher_flags": _oracle_gopher_flags(),
     "hash_split": _oracle_hash_split(),
     "corpus_mix": _oracle_corpus_mix(),

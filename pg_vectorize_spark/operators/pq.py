@@ -1,0 +1,176 @@
+"""Product quantization (PQ) — 32x-compressed vectors with asymmetric
+distance (ADC) scoring, entirely JVM-side.
+
+The vector is split into ``m`` subvectors; each subvector is encoded as
+the index of its nearest codeword in a per-subspace codebook (Jegou et
+al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+the technique behind FAISS IVF-PQ). A 64-d float32 vector becomes m=8
+one-byte codes: 256 bytes -> 8 bytes.
+
+Query time uses ADC: the query's squared distance to every codeword is
+precomputed DRIVER-side into per-subspace lookup tables (m x k floats,
+pure Python arithmetic — no libm), folded into the plan as literals;
+each row's approximate squared L2 distance is then a sum of m table
+lookups on its codes — no vector math per row at all. Same literal-fold
+pattern as the BM25 idf stats (operators/search.py), so the scoring
+expression is reproducible bit-for-bit in DuckDB.
+
+The codebook is a plain nested list (m x k x dsub floats) trained
+offline (scripts/make_pq_codebook.py: deterministic numpy Lloyd's on the
+fixture embeddings) and committed, so the oracle can embed the identical
+literals. At production scale, train per-corpus with MLlib KMeans on a
+sample and persist the codebook next to the encoded table.
+
+Reference precedent: pg_vectorize's index choices are pgvector
+HNSW/DiskANN (core/src/types.rs:63-103); PQ is the published
+compressed-vector counterpart a 100-TB store needs when even int8
+scalar codes (functions/vector.quantize_exprs) are too large to scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_train_numpy(
+    vectors,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    iters: int = 12,
+):
+    """Deterministic per-subspace Lloyd's k-means (numpy float64).
+
+    Returns the codebook as nested Python lists (m x k x dsub) so it can
+    be JSON-committed and embedded as plan literals. Empty clusters keep
+    their previous centroid (standard fix, deterministic).
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    codebook = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebook.append([[float(v) for v in row] for row in cents])
+    return codebook
+
+
+def _sub_slice(emb: Column, j: int, dsub: int) -> Column:
+    """Subvector j as array<double> (cast-then-subtract order is the
+    oracle contract)."""
+    return F.transform(
+        F.slice(emb, j * dsub + 1, dsub), lambda x: x.cast("double")
+    )
+
+
+def pq_encode_expr(emb: Column, codebook) -> Column:
+    """array<int> PQ codes for a vector column; code_j = first argmin of
+    the squared distances to subspace j's codewords (ties -> lowest
+    index, matching DuckDB list_position on the min)."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    codes = []
+    for j in range(m):
+        sub = _sub_slice(emb, j, dsub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(c)) for c in codeword]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for codeword in codebook[j]
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode_table(
+    df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    codebook,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(pkey, keep_cols..., pq_codes) — the stored form: m small ints per
+    vector instead of d floats."""
+    return df.select(
+        F.col(pkey),
+        *[F.col(c) for c in keep_cols],
+        pq_encode_expr(F.col(emb_col), codebook).alias("pq_codes"),
+    )
+
+
+def pq_distance_tables(query_vec: Sequence[float], codebook):
+    """Driver-side ADC tables: tables[j][c] = squared L2 distance from
+    the query's j-th subvector to codeword c. Pure Python float64
+    arithmetic, left-to-right sums — bit-identical when re-evaluated by
+    the oracle from the same literals."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    q = [float(v) for v in query_vec]
+    tables = []
+    for j in range(m):
+        sub = q[j * dsub : (j + 1) * dsub]
+        row = []
+        for codeword in codebook[j]:
+            acc = 0.0
+            for x, c in zip(sub, codeword):
+                acc = acc + (x - c) * (x - c)
+            row.append(acc)
+        tables.append(row)
+    return tables
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    pkey: str,
+    query_vec: Sequence[float],
+    codebook,
+    k: int = 10,
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Top-k by approximate squared L2 distance (ascending): score =
+    t_0[code_0] + t_1[code_1] + ... (left-associated), each t_j a
+    literal lookup table — per row the plan does m element_at calls and
+    m-1 adds, nothing else.
+
+    Scale shape: pure scan over the (tiny) code column + per-row lookup
+    fold + TakeOrderedAndProject; no join, no shuffle, no Python.
+    """
+    tables = pq_distance_tables(query_vec, codebook)
+    score = None
+    for j, row in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]),
+            F.element_at(F.col(codes_col), j + 1) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return (
+        codes_df.select(F.col(pkey), score.alias("adc_distance"))
+        .orderBy(F.asc("adc_distance"), F.asc(pkey))
+        .limit(k)
+    )
