@@ -143,3 +143,25 @@ def test_adc_plan_pure_scan_take_ordered(spark, cb, tmp_path):
     ), rep.read_schemas
     assert "ArrowEvalPython" not in rep.text
     assert "BatchEvalPython" not in rep.text
+
+
+def test_arrow_encode_bit_identical_to_expression(spark, cb):
+    """pq_encode_pandas (production write path) must emit exactly the
+    codes pq_encode_expr (oracle-parity path) emits."""
+    from pg_vectorize_spark.operators.pq import (
+        pq_encode_pandas,
+        pq_encode_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode_table(emb, "vec_id", "embedding", cb).collect()
+    }
+    b = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode_pandas(
+            emb, "vec_id", "embedding", cb
+        ).collect()
+    }
+    assert a == b
