@@ -353,7 +353,10 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_CODEBOOK_PATH = "/root/repo/tests/fixtures/pq_codebook.json"
 
 
-def _pq_codebook():
+def _pq_fixture():
+    """Committed codebook + FIXED query vector: both sides of the gate
+    fold identical literals regardless of sf_dir (the committed-fixture
+    analog of QUERY_TEXT)."""
     import json
 
     with open(PQ_CODEBOOK_PATH) as f:
@@ -373,11 +376,11 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode_table,
     )
 
-    cb = _pq_codebook()
+    fix = _pq_fixture()
+    cb = fix["codebook"]
     emb = _t(spark, sf_dir, "embeddings")
     codes = pq_encode_table(emb, "vec_id", "embedding", cb)
-    qv = _query_vec(spark, sf_dir)
-    return pq_adc_topk(codes, "vec_id", qv, cb, k=10)
+    return pq_adc_topk(codes, "vec_id", fix["query_vec"], cb, k=10)
 
 
 def q_maxsim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2200,10 +2203,8 @@ FROM qc
 
 
 def _oracle_pq_adc_search() -> str:
-    import json
-
-    with open(PQ_CODEBOOK_PATH) as f:
-        cb = json.load(f)
+    fix = _pq_fixture()
+    cb = fix["codebook"]
     m = len(cb)
     dsub = len(cb[0][0])
 
@@ -2226,20 +2227,14 @@ def _oracle_pq_adc_search() -> str:
             f"(list_position([{dists}], "
             f"list_aggregate([{dists}], 'min')) - 1) AS c{j}"
         )
-    # ADC tables: recompute the SAME driver-side python floats
+    # ADC tables: recompute the SAME driver-side python floats from the
+    # fixture's committed query vector (identical to what the Spark side
+    # folded in, at every sf_dir)
     from pg_vectorize_spark.operators.pq import pq_distance_tables
 
-    # the query vector is vec_id 0's embedding at GATE sf — the oracle
-    # must use the same literals the Spark side folded in, so read it
-    # from the same parquet the gate query reads
-    import duckdb as _duck
-
-    qv = _duck.sql(
-        "SELECT embedding FROM "
-        "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
-        "WHERE vec_id = 0"
-    ).fetchone()[0]
-    tables = pq_distance_tables([float(x) for x in qv], cb)
+    tables = pq_distance_tables(
+        [float(x) for x in fix["query_vec"]], cb
+    )
     terms = []
     for j, row in enumerate(tables):
         lits = ", ".join(f"{float(v)!r}::DOUBLE" for v in row)

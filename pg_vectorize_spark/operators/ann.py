@@ -324,6 +324,9 @@ def build_ivf_index(
     """
     assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    _write_index_meta(
+        index_path, {"centroid_fp": _centroid_fingerprint(centroids_df)}
+    )
 
 
 def maxsim_topk(
@@ -421,8 +424,53 @@ def ivf_index_add(
     Scale shape: one broadcast of the (tiny) centroid table against the
     NEW batch only; the write touches only the cells the batch lands in.
     """
+    _check_index_meta(
+        index_path, {"centroid_fp": _centroid_fingerprint(centroids_df)}
+    )
     assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
     assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+
+
+def _write_index_meta(index_path: str, meta: dict) -> None:
+    """Persist the build parameters next to the index so incremental
+    maintenance can refuse a mismatched configuration instead of
+    silently mis-bucketing new vectors."""
+    import json
+
+    os.makedirs(index_path, exist_ok=True)
+    with open(os.path.join(index_path, "_INDEX_META"), "w") as f:
+        json.dump(meta, f)
+
+
+def _check_index_meta(index_path: str, expected: dict) -> None:
+    import json
+
+    try:
+        with open(os.path.join(index_path, "_INDEX_META")) as f:
+            meta = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return  # pre-metadata index: caller's responsibility (legacy)
+    for k, v in expected.items():
+        if meta.get(k) != v:
+            raise ValueError(
+                f"index at {index_path} was built with {k}="
+                f"{meta.get(k)!r}; incremental maintenance was called "
+                f"with {k}={v!r} — new vectors would be bucketed "
+                "inconsistently and become unfindable. Rebuild or pass "
+                "the original parameters."
+            )
+
+
+def _centroid_fingerprint(centroids_df: DataFrame) -> str:
+    """Deterministic digest of the (tiny) centroid table: catches an
+    ivf_index_add against different centroids than the build used."""
+    import hashlib
+
+    rows = sorted(
+        (int(r["centroid_id"]), tuple(float(x) for x in r["centroid_vec"]))
+        for r in centroids_df.collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()
 
 
 def _partitioned_index_delete(
@@ -436,7 +484,16 @@ def _partitioned_index_delete(
     keys by rewriting ONLY the partitions that contain them (dynamic
     partition overwrite) — every untouched partition's files stay in
     place, so a delete batch costs O(affected partitions), not a full
-    index rebuild. Returns rows removed."""
+    index rebuild. Returns rows removed.
+
+    Consistency contract (UNLIKE SnapshotDataset's versioned pointer):
+    maintenance rewrites the live index path in place, so it requires an
+    exclusive writer, and a crash mid-rewrite can leave a partially
+    updated index — a secondary structure that is REBUILDABLE from the
+    primary store by construction (the same contract as a pgvector
+    REINDEX after a crash). Callers needing concurrent readers during
+    maintenance should point queries at a snapshot copy or rebuild into
+    a fresh path and swap."""
     index = spark.read.parquet(index_path)
     keys = keys_df.select(pkey).localCheckpoint()
     hit = [
@@ -505,6 +562,7 @@ def signbit_index_add(
     same hash and append their bucket files (the hash is data-independent
     so, unlike IVF, there is no quantizer drift — appends never degrade
     probe quality)."""
+    _check_index_meta(index_path, {"nbits": nbits})
     bucketed = emb_df.select(
         F.col(pkey),
         F.col(emb_col),
@@ -633,6 +691,7 @@ def build_signbit_index(
         signbit_bucket_expr(F.col(emb_col), nbits).alias("bucket"),
     )
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+    _write_index_meta(index_path, {"nbits": nbits})
 
 
 def signbit_lsh_topk_indexed(

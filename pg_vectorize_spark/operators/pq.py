@@ -217,14 +217,17 @@ def pq_encode_pandas(
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for j in range(m):
                 sub = vecs[:, j * dsub : (j + 1) * dsub]
-                # ||x||^2 terms constant per row: argmin over
-                # ||x-c||^2 == argmin over full expansion; computed the
-                # straightforward way for exact tie parity with the
-                # expression path
-                d2 = (
-                    (sub[:, None, :] - np_book[j][None, :, :]) ** 2
-                ).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                # explicit LEFT-TO-RIGHT accumulation over the dsub
+                # terms: numpy's .sum() uses pairwise summation, whose
+                # different rounding can flip argmin when two codewords
+                # are within an ulp — the expression path and the DuckDB
+                # oracle both fold strictly left-to-right, and code
+                # parity is the contract
+                acc = np.zeros((len(vecs), np_book[j].shape[0]))
+                for t in range(dsub):
+                    diff = sub[:, t, None] - np_book[j][None, :, t]
+                    acc = acc + diff * diff
+                codes[:, j] = acc.argmin(axis=1)
             out = {pkey: pdf[pkey]}
             for c in keep_cols:
                 out[c] = pdf[c]

@@ -152,6 +152,60 @@ class BucketedSnapshotDataset(SnapshotDataset):
             "int"
         )
 
+    # -- layout metadata ------------------------------------------------------
+    #
+    # The bucket count and key are properties of the ON-DISK layout, not
+    # of whoever happens to open it: a reopen with a different n_buckets
+    # would compute affected buckets with the wrong modulus and hard-link
+    # stale same-key rows back as duplicates. Persist both on first
+    # write, validate on every subsequent one.
+
+    @property
+    def _layout_path(self) -> str:
+        return os.path.join(self.root, "_LAYOUT")
+
+    def _load_layout(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._layout_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _check_layout(self, key: str) -> str:
+        """Validate/persist layout; returns the authoritative key."""
+        import json
+
+        layout = self._load_layout()
+        if layout is None:
+            if self.exists():
+                raise ValueError(
+                    f"{self.root} holds an UNBUCKETED snapshot (no "
+                    "_LAYOUT); opening it as BucketedSnapshotDataset "
+                    "would mis-merge — migrate with write_full(read()) "
+                    "through a bucketed instance on a fresh root"
+                )
+            os.makedirs(self.root, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_LAYOUT.")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"n_buckets": self.n_buckets, "key": key}, f)
+            os.replace(tmp, self._layout_path)
+            return key
+        if layout["n_buckets"] != self.n_buckets:
+            raise ValueError(
+                f"{self.root} was bucketed with n_buckets="
+                f"{layout['n_buckets']}; this instance was opened with "
+                f"{self.n_buckets} — a mismatched merge would resurrect "
+                "stale rows. Reopen with the stored count."
+            )
+        if layout["key"] != key:
+            raise ValueError(
+                f"{self.root} is bucketed on key {layout['key']!r}, not "
+                f"{key!r}"
+            )
+        return layout["key"]
+
     # -- IO ------------------------------------------------------------------
 
     def read(self) -> DataFrame:
@@ -167,7 +221,9 @@ class BucketedSnapshotDataset(SnapshotDataset):
         return self.spark.read.parquet(self._version_dir(v))
 
     def write_full(self, df: DataFrame, _key: str | None = None) -> int:
-        key = _key or self._infer_key(df)
+        layout = self._load_layout()
+        key = _key or (layout or {}).get("key") or self._infer_key(df)
+        key = self._check_layout(key)
         v = (self.current_version() or 0) + 1
         (
             df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
@@ -180,9 +236,10 @@ class BucketedSnapshotDataset(SnapshotDataset):
         return v
 
     def _infer_key(self, df: DataFrame) -> str:
-        # write_full may be called through the base-class API (initial
-        # load) where no key is passed: default to the first column,
-        # which is the pkey for every engine dataset shape
+        # first bucketed write through the base-class API (initial load)
+        # with no key given: default to the first column, which is the
+        # pkey for every engine dataset shape; persisted in _LAYOUT so
+        # every later write uses the SAME key regardless of column order
         return df.columns[0]
 
     def _link_bucket(self, src_dir: str, dst_dir: str) -> None:
@@ -215,6 +272,7 @@ class BucketedSnapshotDataset(SnapshotDataset):
         emptied bucket's old files back would resurrect the rows)."""
         from pyspark.sql import functions as F
 
+        key = self._check_layout(key)
         cur_v = self.current_version()
         v = cur_v + 1
         new_dir = self._version_dir(v)

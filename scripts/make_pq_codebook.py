@@ -24,11 +24,18 @@ def main() -> None:
     ).fetchall()
     vectors = [r[0] for r in rows]
     codebook = pq_train_numpy(vectors, m=8, k=16, seed=7, iters=12)
+    # the FIXED query vector (vec_id 0 at training sf) rides the fixture
+    # so the gate query and the oracle fold identical literals at EVERY
+    # sf_dir — the same fixed-query-constant philosophy as QUERY_TEXT
+    fixture = {
+        "codebook": codebook,
+        "query_vec": [float(x) for x in vectors[0]],
+    }
     with open("/root/repo/tests/fixtures/pq_codebook.json", "w") as f:
-        json.dump(codebook, f)
+        json.dump(fixture, f)
     print(
         f"trained on {len(vectors)} vectors -> m={len(codebook)} "
-        f"k={len(codebook[0])} dsub={len(codebook[0][0])}"
+        f"k={len(codebook[0])} dsub={len(codebook[0][0])} + query_vec"
     )
 
 

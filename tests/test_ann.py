@@ -482,3 +482,37 @@ class TestQuantizedTopk:
         }
         assert after_rows == before_rows  # content unchanged
         assert compact_index(spark, idx, part_col="bucket", max_files=4) == 0
+
+    def test_mismatched_build_params_rejected(self, spark, tmp_path):
+        """Review regression: incremental maintenance against an index
+        built with different parameters must fail loudly, not silently
+        bucket new vectors where probes never look."""
+        import pyspark.sql.functions as F
+        import pytest
+
+        from pg_vectorize_spark.operators.ann import (
+            build_ivf_index,
+            build_signbit_index,
+            default_centroids,
+            ivf_index_add,
+            signbit_index_add,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        sb = str(tmp_path / "sb_meta")
+        build_signbit_index(emb, "vec_id", "embeddings", sb, nbits=10)
+        with pytest.raises(ValueError, match="nbits"):
+            signbit_index_add(emb, "vec_id", "embeddings", sb)  # default 8
+
+        ivf = str(tmp_path / "ivf_meta")
+        c8 = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+        c4 = default_centroids(emb, "vec_id", "embeddings", n_centroids=4)
+        build_ivf_index(emb, c8, "vec_id", "embeddings", ivf)
+        with pytest.raises(ValueError, match="centroid_fp"):
+            ivf_index_add(emb, c4, "vec_id", "embeddings", ivf)
+        # matching params still work
+        ivf_index_add(
+            emb.filter("vec_id < 3"), c8, "vec_id", "embeddings", ivf
+        )

@@ -160,3 +160,30 @@ def test_engine_end_to_end_bucketed(spark, tmp_path):
     assert {
         r["id"] for r in sess._emb_ds("bjob").read().select("id").collect()
     } == set(range(10))
+
+
+def test_layout_mismatch_rejected(spark, tmp_path, base_df):
+    """Reopening with a different n_buckets (or key) must fail loudly —
+    a mismatched merge would hard-link stale same-key rows back as
+    duplicates. Opening an unbucketed root as bucketed fails too."""
+    root = str(tmp_path / "layout")
+    BucketedSnapshotDataset(spark, root, n_buckets=16).write_full(base_df)
+    wrong = BucketedSnapshotDataset(spark, root, n_buckets=32)
+    upd = spark.createDataFrame([(3, "X")], "k long, v string")
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        wrong.merge_upsert(upd, "k")
+    wrong_key = BucketedSnapshotDataset(spark, root, n_buckets=16)
+    with pytest.raises(ValueError, match="bucketed on key"):
+        wrong_key.merge_upsert(
+            upd.withColumnRenamed("k", "kk"), "kk"
+        )
+    # correct reopen still works
+    ok = BucketedSnapshotDataset(spark, root, n_buckets=16)
+    ok.merge_upsert(upd, "k")
+    assert (3, "X") in _rows(ok)
+
+    plain_root = str(tmp_path / "plain")
+    SnapshotDataset(spark, plain_root).write_full(base_df)
+    as_bucketed = BucketedSnapshotDataset(spark, plain_root, n_buckets=8)
+    with pytest.raises(ValueError, match="UNBUCKETED"):
+        as_bucketed.merge_upsert(upd, "k")

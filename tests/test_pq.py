@@ -12,9 +12,14 @@ CODEBOOK = "/root/repo/tests/fixtures/pq_codebook.json"
 
 
 @pytest.fixture(scope="module")
-def cb():
+def fixture():
     with open(CODEBOOK) as f:
         return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def cb(fixture):
+    return fixture["codebook"]
 
 
 def test_codebook_shape(cb):
