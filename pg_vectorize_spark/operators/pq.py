@@ -236,3 +236,44 @@ def pq_encode_pandas(
 
     cols = [pkey, *keep_cols, emb_col]
     return df.select(*cols).mapInPandas(encode, schema=out_fields)
+
+
+def pq_adc_rerank_topk(
+    codes_df: DataFrame,
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    codebook,
+    k: int = 10,
+    rerank_candidates: int = 100,
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """The production PQ deployment shape: ADC over the compressed codes
+    prunes to ``rerank_candidates`` ids, then ONLY those rows' float
+    vectors are read for an exact cosine rerank — the FAISS
+    refine/rerank pattern. Measured on the clustered 2k x 64d corpus:
+    top-100 + rerank = 0.96 recall@10 while reading 5% of the float
+    data (SCALING.md table); raw ADC ranking alone is 0.47 at this
+    compression (m=8, k=16 = 32x).
+
+    Scale shape: compressed-scan + TakeOrdered for candidates, a keyed
+    semi-join into the float table (partition-prunable when the float
+    store is bucketed on the key), exact rescore of ``rerank_candidates``
+    rows.
+    """
+    from pg_vectorize_spark.functions.vector import (
+        cosine_similarity_to_query,
+    )
+
+    cand = pq_adc_topk(
+        codes_df, pkey, query_vec, codebook,
+        k=rerank_candidates, codes_col=codes_col,
+    ).select(pkey)
+    pruned = emb_df.join(cand, pkey, "left_semi")
+    score = cosine_similarity_to_query(F.col(emb_col), query_vec)
+    return (
+        pruned.select(F.col(pkey), score.alias("similarity_score"))
+        .orderBy(F.desc("similarity_score"), F.asc(pkey))
+        .limit(k)
+    )

@@ -170,3 +170,54 @@ def test_arrow_encode_bit_identical_to_expression(spark, cb):
         ).collect()
     }
     assert a == b
+
+
+def test_adc_rerank_recall_floor(spark, cb):
+    """The production shape (ADC prune -> exact rerank) recovers most of
+    the recall raw ADC ranking loses: floor pinned on the clustered
+    corpus at the measured level (0.96 @ top-100 on 2k x 64d)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from ann_recall import clustered_vectors
+
+    import pyspark.sql.functions as F
+
+    from pg_vectorize_spark.operators.ann import brute_force_topk
+    from pg_vectorize_spark.operators.pq import (
+        pq_adc_rerank_topk,
+        pq_encode_pandas,
+        pq_train_numpy,
+    )
+
+    rows = clustered_vectors()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    book = pq_train_numpy([r[1] for r in rows], m=8, k=16, seed=7, iters=12)
+    codes = pq_encode_pandas(
+        emb, "vec_id", "embedding", book
+    ).localCheckpoint()
+    bf = emb.withColumnRenamed("embedding", "embeddings")
+    hits = 0
+    qids = [0, 266, 532, 798, 1064]
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                bf, "vec_id", "embeddings", qv, 10
+            ).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in pq_adc_rerank_topk(
+                codes, emb, "vec_id", "embedding", qv, book,
+                k=10, rerank_candidates=100,
+            ).collect()
+        }
+        hits += len(exact & got)
+    assert hits / 50 >= 0.85
