@@ -387,15 +387,18 @@ def q_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ deployment shape under the gate (operators/pq.
     pq_adc_rerank_topk): compressed-scan ADC prunes to 50 candidates,
     a keyed semi-join pulls only those rows' float vectors, exact cosine
-    reranks to top-10 — 0.96 recall@10 at 5% float reads on the
-    clustered corpus (SCALING.md). Oracle composes the ADC CTE with the
-    exact-cosine rerank in SQL."""
-    from pg_vectorize_spark.operators.pq import pq_adc_rerank_topk
+    reranks to top-10 — measured 0.90 recall@10 at 2.5% float reads on
+    the clustered corpus at this candidate count (0.96 at top-100;
+    SCALING.md table). Oracle composes the ADC CTE with the exact-cosine
+    rerank in SQL."""
+    from pg_vectorize_spark.operators.pq import (
+        pq_adc_rerank_topk,
+        pq_encode_table,
+    )
 
     fix = _pq_fixture()
     cb = fix["codebook"]
     emb = _t(spark, sf_dir, "embeddings")
-    from pg_vectorize_spark.operators.pq import pq_encode_table
 
     codes = pq_encode_table(emb, "vec_id", "embedding", cb)
     return pq_adc_rerank_topk(
@@ -2224,7 +2227,11 @@ FROM qc
 """
 
 
-def _oracle_pq_adc_search() -> str:
+def _pq_adc_sql_parts() -> tuple[str, str]:
+    """Shared ADC SQL fragments for both PQ oracles: (codes_sel — one
+    cN argmin-encode expression per subspace; adc — the literal
+    lookup-table distance sum). ONE definition: the encode/ADC
+    expression contract must never diverge between the two gates."""
     fix = _pq_fixture()
     cb = fix["codebook"]
     m = len(cb)
@@ -2261,8 +2268,11 @@ def _oracle_pq_adc_search() -> str:
     for j, row in enumerate(tables):
         lits = ", ".join(f"{float(v)!r}::DOUBLE" for v in row)
         terms.append(f"[{lits}][c{j} + 1]")
-    score = " + ".join(terms)
-    codes_sel = ",\n         ".join(code_exprs)
+    return ",\n         ".join(code_exprs), " + ".join(terms)
+
+
+def _oracle_pq_adc_search() -> str:
+    codes_sel, score = _pq_adc_sql_parts()
     return f"""
 WITH codes AS MATERIALIZED (
   SELECT e.vec_id,
@@ -2277,42 +2287,10 @@ LIMIT 10
 
 
 def _oracle_pq_rerank_search() -> str:
-    """ADC candidate CTE (same literals as _oracle_pq_adc_search) ->
-    exact-cosine rerank against the committed query vector."""
-    fix = _pq_fixture()
-    cb = fix["codebook"]
-    m = len(cb)
-    dsub = len(cb[0][0])
-
-    def dist_expr(j, codeword):
-        lits = ", ".join(f"{float(c)!r}::DOUBLE" for c in codeword)
-        sub = (
-            f"list_transform(e.embedding[{j*dsub+1}:{j*dsub+dsub}], "
-            "x -> x::DOUBLE)"
-        )
-        return (
-            "list_reduce(list_prepend(0.0::DOUBLE, "
-            f"list_transform(list_zip({sub}, [{lits}]), "
-            "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, v) -> acc + v)"
-        )
-
-    code_exprs = []
-    for j in range(m):
-        dists = ", ".join(dist_expr(j, cw) for cw in cb[j])
-        code_exprs.append(
-            f"(list_position([{dists}], "
-            f"list_aggregate([{dists}], 'min')) - 1) AS c{j}"
-        )
-    from pg_vectorize_spark.operators.pq import pq_distance_tables
-
-    qv = [float(x) for x in fix["query_vec"]]
-    tables = pq_distance_tables(qv, cb)
-    terms = []
-    for j, row in enumerate(tables):
-        lits = ", ".join(f"{float(v)!r}::DOUBLE" for v in row)
-        terms.append(f"[{lits}][c{j} + 1]")
-    adc = " + ".join(terms)
-    codes_sel = ",\n         ".join(code_exprs)
+    """ADC candidate CTE (shared fragments with _oracle_pq_adc_search)
+    -> exact-cosine rerank against the committed query vector."""
+    codes_sel, adc = _pq_adc_sql_parts()
+    qv = [float(x) for x in _pq_fixture()["query_vec"]]
     qv_lits = ", ".join(f"{v!r}::DOUBLE" for v in qv)
     sim = O.sql_cosine("e.embedding", "q.qv")
     return f"""

@@ -178,8 +178,8 @@ def test_adc_rerank_recall_floor(spark, cb):
     corpus at the measured level (0.96 @ top-100 on 2k x 64d)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/scripts")
-    from ann_recall import clustered_vectors
+    sys.path.insert(0, "/root/repo")
+    from scripts.ann_recall import clustered_vectors
 
     import pyspark.sql.functions as F
 
@@ -198,7 +198,6 @@ def test_adc_rerank_recall_floor(spark, cb):
     codes = pq_encode_pandas(
         emb, "vec_id", "embedding", book
     ).localCheckpoint()
-    bf = emb.withColumnRenamed("embedding", "embeddings")
     hits = 0
     qids = [0, 266, 532, 798, 1064]
     for qid in qids:
@@ -209,7 +208,7 @@ def test_adc_rerank_recall_floor(spark, cb):
         exact = {
             r["vec_id"]
             for r in brute_force_topk(
-                bf, "vec_id", "embeddings", qv, 10
+                emb, "vec_id", "embedding", qv, 10
             ).collect()
         }
         got = {
