@@ -277,3 +277,101 @@ def pq_adc_rerank_topk(
         .orderBy(F.desc("similarity_score"), F.asc(pkey))
         .limit(k)
     )
+
+
+def build_ivfpq_index(
+    emb_df: DataFrame,
+    centroids_df: DataFrame,
+    codebook,
+    pkey: str,
+    emb_col: str,
+    index_path: str,
+) -> None:
+    """IVF-PQ index build: coarse cell assignment (partition pruning at
+    probe time) + PQ codes (32x-compressed payload) — the two pruning
+    axes of the FAISS IVF-PQ architecture composed from this repo's
+    parts. The stored index holds ONLY (pkey, pq_codes) per cell
+    partition; the float vectors stay in the primary store and are
+    touched solely by the final rerank.
+
+    This is the non-residual variant (codes over raw vectors, one global
+    codebook); classic IVF-PQ encodes the residual from the cell
+    centroid for tighter quantization — a codebook-training upgrade that
+    changes nothing structural here.
+    """
+    from pg_vectorize_spark.operators.ann import (
+        _centroid_fingerprint,
+        _write_index_meta,
+        assign_ivf_cells,
+    )
+
+    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    coded = assigned.select(
+        F.col(pkey),
+        pq_encode_expr(F.col(emb_col), codebook).alias("pq_codes"),
+        F.col("cell"),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    _write_index_meta(
+        index_path,
+        {
+            "centroid_fp": _centroid_fingerprint(centroids_df),
+            "pq_m": len(codebook),
+            "pq_k": len(codebook[0]),
+        },
+    )
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    centroids_df: DataFrame,
+    emb_df: DataFrame,
+    codebook,
+    pkey: str,
+    emb_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_candidates: int = 100,
+) -> DataFrame:
+    """IVF-PQ search: probe ``nprobe`` cells driver-side (the centroid
+    table is tiny), scan ONLY those partitions' 8-byte codes (partition
+    pruning x compression — nprobe/n_centroids of 1/32 of the data),
+    ADC-rank to ``rerank_candidates``, exact-rerank their float vectors
+    from the primary store.
+
+    Scale shape: partition-pruned compressed scan + TakeOrdered, then a
+    keyed semi-join reading ``rerank_candidates`` float rows. At 100 TB
+    with 4096 cells and nprobe=4 the per-query scan is ~24 GB of codes
+    instead of 100 TB of floats.
+    """
+    from pg_vectorize_spark.functions.vector import (
+        cosine_similarity_to_query,
+    )
+
+    probed = (
+        centroids_df.select(
+            F.col("centroid_id"),
+            cosine_similarity_to_query(
+                F.col("centroid_vec"), query_vec
+            ).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    cells = [int(r["centroid_id"]) for r in probed]
+    codes = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(cells)
+    )
+    cand = pq_adc_topk(
+        codes, pkey, query_vec, codebook, k=rerank_candidates
+    ).select(pkey)
+    pruned = emb_df.join(cand, pkey, "left_semi")
+    score = cosine_similarity_to_query(F.col(emb_col), query_vec)
+    return (
+        pruned.select(F.col(pkey), score.alias("similarity_score"))
+        .orderBy(F.desc("similarity_score"), F.asc(pkey))
+        .limit(k)
+    )

@@ -220,3 +220,72 @@ def test_adc_rerank_recall_floor(spark, cb):
         }
         hits += len(exact & got)
     assert hits / 50 >= 0.85
+
+
+def test_ivfpq_end_to_end(spark, tmp_path):
+    """IVF-PQ composite: partition-pruned compressed probe + ADC + exact
+    rerank — recall floor on the clustered corpus, plus the plan-level
+    pruning check (the probed-cell filter reaches the parquet source as
+    a partition filter; the scan reads codes, never floats)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pyspark.sql.functions as F
+    from scripts.ann_recall import clustered_vectors
+
+    from pg_vectorize_spark.operators.ann import (
+        brute_force_topk,
+        train_ivf_centroids_kmeans,
+    )
+    from pg_vectorize_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        pq_train_numpy,
+    )
+
+    rows = clustered_vectors()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    cents = train_ivf_centroids_kmeans(
+        emb, "vec_id", "embedding", n_centroids=16, seed=11
+    ).localCheckpoint()
+    book = pq_train_numpy([r[1] for r in rows], m=8, k=16, seed=7, iters=12)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, cents, book, "vec_id", "embedding", idx)
+
+    hits = 0
+    qids = [0, 266, 532, 798, 1064]
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                emb, "vec_id", "embedding", qv, 10
+            ).collect()
+        }
+        got = ivfpq_topk(
+            spark, idx, cents, emb, book, "vec_id", "embedding", qv,
+            k=10, nprobe=4, rerank_candidates=100,
+        )
+        hits += len(exact & {r["vec_id"] for r in got.collect()})
+    assert hits / 50 >= 0.7  # nprobe=4/16 cells AND 32x codes AND rerank
+
+    # plan: the code scan is partition-filtered on the probed cells and
+    # reads pq_codes, never the float embedding column
+    qv = [float(x) for x in rows[0][1]]
+    df = ivfpq_topk(
+        spark, idx, cents, emb, book, "vec_id", "embedding", qv,
+        k=10, nprobe=2,
+    )
+    from pg_vectorize_spark.plans.inspect import plan_report
+
+    rep = plan_report(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", rep.text), rep.text
+    assert any(
+        "pq_codes" in s and "embedding" not in s for s in rep.read_schemas
+    ), rep.read_schemas
