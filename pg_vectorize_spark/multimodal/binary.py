@@ -178,3 +178,65 @@ def frame_sample(
             "frame_bytes"
         ),
     )
+
+
+def mp4_metadata(
+    df: DataFrame, bin_col: str, pkey: str
+) -> DataFrame:
+    """Container-level MP4 metadata per blob (codec.parse_mp4_metadata
+    behind Arrow batches): (pkey, brand, duration_seconds, n_tracks,
+    video_width, video_height, has_audio). The corpus-routing pass for
+    video columns — length caps, resolution buckets, audio demux —
+    with zero frame decoding. Non-MP4 blobs yield NULL metadata rather
+    than failing the batch (a mixed media column is the normal case)."""
+    import pandas as pd
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from struct import error as struct_error
+
+        from pg_vectorize_spark.multimodal.codec import parse_mp4_metadata
+
+        for pdf in batches:
+            out = {
+                "pkey": list(pdf["pkey"]),
+                "brand": [],
+                "duration_seconds": [],
+                "n_tracks": [],
+                "video_width": [],
+                "video_height": [],
+                "has_audio": [],
+            }
+            for blob in pdf[bin_col]:
+                try:
+                    meta = parse_mp4_metadata(bytes(blob or b""))
+                except (ValueError, struct_error):
+                    for k in (
+                        "brand", "duration_seconds", "n_tracks",
+                        "video_width", "video_height", "has_audio",
+                    ):
+                        out[k].append(None)
+                    continue
+                vid = next(
+                    (t for t in meta["tracks"] if t["handler"] == "vide"),
+                    None,
+                )
+                out["brand"].append(meta["brand"])
+                out["duration_seconds"].append(meta["duration_seconds"])
+                out["n_tracks"].append(meta["n_tracks"])
+                out["video_width"].append(vid["width"] if vid else None)
+                out["video_height"].append(vid["height"] if vid else None)
+                out["has_audio"].append(
+                    any(t["handler"] == "soun" for t in meta["tracks"])
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(pkey).alias("pkey"), F.col(bin_col)
+    ).mapInPandas(
+        parse,
+        schema=(
+            "pkey long, brand string, duration_seconds double, "
+            "n_tracks int, video_width int, video_height int, "
+            "has_audio boolean"
+        ),
+    )

@@ -18,8 +18,10 @@ standard library + numpy are implemented for real:
 - WAV: RIFF/PCM via the stdlib ``wave`` module; 8/16/32-bit integer
   samples decoded with numpy ``frombuffer``.
 
-Anything else (MP3, video containers...) still raises
-NotImplementedError — the honest stub is retained, not silently faked.
+MP4/ISO-BMFF containers get REAL metadata parsing (box walk: duration,
+tracks, video dimensions — parse_mp4_metadata) while frame DECODE, like
+MP3, still raises NotImplementedError — the honest stub is retained for
+everything needing codec libraries, never silently faked.
 
 Decode is driven per-blob inside Arrow batches (``decode_media`` in
 binary.py); nothing here touches Spark. Features are a normalized
@@ -44,13 +46,17 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'png' | 'jpg' | 'wav' | None from magic bytes."""
+    """'png' | 'jpg' | 'wav' | 'mp4' | None from magic bytes. NB: 'mp4'
+    is metadata-parseable only (parse_mp4_metadata); frame decode stays
+    NotImplementedError."""
     if data[:8] == PNG_MAGIC:
         return "png"
     if data[:2] == b"\xff\xd8":
         return "jpg"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -969,3 +975,158 @@ def decode_features(
         "formats require codec libraries not present in this environment "
         "(pass fake=True for the deterministic stub)"
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF — metadata only (box walk; frame DECODE stays an honest
+# stub: H.264/H.265 entropy decoding needs codec libraries this container
+# does not have)
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """Container-level metadata from the ISO base-media box structure
+    (ISO/IEC 14496-12): duration (mvhd timescale + duration), per-track
+    handler type and track id (hdlr/tkhd), and the video track's
+    presentation dimensions (tkhd 16.16 fixed-point width/height).
+
+    -> {"brand": str, "duration_seconds": float, "n_tracks": int,
+        "tracks": [{"track_id", "handler", "width", "height"}, ...]}
+
+    A corpus pipeline needs this to filter/route video blobs (length
+    caps, resolution buckets, audio-vs-video demux) without decoding a
+    single frame; the decode itself remains NotImplementedError.
+    """
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 file (missing ftyp)")
+    out: dict = {
+        "brand": data[8:12].decode("ascii", "replace"),
+        "duration_seconds": 0.0,
+        "n_tracks": 0,
+        "tracks": [],
+    }
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr:
+                raise ValueError("malformed MP4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(buf, start, end, wanted):
+        for btype, b0, b1 in boxes(buf, start, end):
+            if btype == wanted:
+                return b0, b1
+        return None
+
+    moov = find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    m0, m1 = moov
+    mvhd = find(data, m0, m1, b"mvhd")
+    if mvhd is not None:
+        v = data[mvhd[0]]
+        if v == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", data[mvhd[0] + 20 : mvhd[0] + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", data[mvhd[0] + 12 : mvhd[0] + 20]
+            )
+        if timescale:
+            out["duration_seconds"] = duration / timescale
+    for btype, t0, t1 in boxes(data, m0, m1):
+        if btype != b"trak":
+            continue
+        track: dict = {
+            "track_id": None,
+            "handler": None,
+            "width": 0,
+            "height": 0,
+        }
+        tkhd = find(data, t0, t1, b"tkhd")
+        if tkhd is not None:
+            v = data[tkhd[0]]
+            if v == 1:
+                (track["track_id"],) = struct.unpack(
+                    ">I", data[tkhd[0] + 20 : tkhd[0] + 24]
+                )
+                dim_off = tkhd[0] + 88
+            else:
+                (track["track_id"],) = struct.unpack(
+                    ">I", data[tkhd[0] + 12 : tkhd[0] + 16]
+                )
+                dim_off = tkhd[0] + 76
+            w_fix, h_fix = struct.unpack(
+                ">II", data[dim_off : dim_off + 8]
+            )
+            track["width"] = w_fix >> 16  # 16.16 fixed point
+            track["height"] = h_fix >> 16
+        mdia = find(data, t0, t1, b"mdia")
+        if mdia is not None:
+            hdlr = find(data, mdia[0], mdia[1], b"hdlr")
+            if hdlr is not None:
+                track["handler"] = data[
+                    hdlr[0] + 8 : hdlr[0] + 12
+                ].decode("ascii", "replace")
+        out["tracks"].append(track)
+    out["n_tracks"] = len(out["tracks"])
+    return out
+
+
+def encode_minimal_mp4(
+    duration_seconds: float,
+    width: int,
+    height: int,
+    with_audio: bool = False,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal spec-conformant MP4 box skeleton for fixtures/tests: ftyp
+    + moov{mvhd, trak{tkhd, mdia{hdlr}}...}. No media data — exactly the
+    structure parse_mp4_metadata reads."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    dur = int(round(duration_seconds * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,  # rate/volume/reserved/matrix/next_track_id
+    )
+
+    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", track_id)
+            + b"\x00" * 4
+            + struct.pack(">I", dur)
+            + b"\x00" * 52  # reserved/layer/volume/matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(
+            b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
+        )
+        mdia = box(b"mdia", hdlr)
+        return box(b"trak", tkhd + mdia)
+
+    traks = trak(1, b"vide", width, height)
+    if with_audio:
+        traks += trak(2, b"soun", 0, 0)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov

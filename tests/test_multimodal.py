@@ -552,3 +552,59 @@ class TestJpegRoundtripProperties:
             assert np.array_equal(px, exp), (bw, bh, sub, rst, seed)
 
         check()
+
+
+class TestMp4Metadata:
+    def test_parse_roundtrip(self):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_minimal_mp4,
+            parse_mp4_metadata,
+            sniff_format,
+        )
+
+        blob = encode_minimal_mp4(12.5, 640, 360, with_audio=True)
+        assert sniff_format(blob) == "mp4"
+        meta = parse_mp4_metadata(blob)
+        assert meta["brand"] == "isom"
+        assert meta["duration_seconds"] == 12.5
+        assert meta["n_tracks"] == 2
+        vid = meta["tracks"][0]
+        assert (vid["handler"], vid["width"], vid["height"]) == (
+            "vide", 640, 360,
+        )
+        assert meta["tracks"][1]["handler"] == "soun"
+
+    def test_decode_features_still_honest_for_mp4(self):
+        import pytest
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_features,
+            encode_minimal_mp4,
+        )
+
+        with pytest.raises(NotImplementedError):
+            decode_features(encode_minimal_mp4(1.0, 64, 64))
+
+    def test_spark_mp4_metadata_mixed_column(self, spark):
+        """Mixed media column: MP4 rows parse, non-MP4 rows yield NULLs
+        instead of failing the batch."""
+        from pg_vectorize_spark.multimodal.binary import mp4_metadata
+        from pg_vectorize_spark.multimodal.codec import encode_minimal_mp4
+
+        rows = [
+            (1, bytearray(encode_minimal_mp4(30.0, 1280, 720))),
+            (2, bytearray(encode_minimal_mp4(5.25, 320, 240, True))),
+            (3, bytearray(b"\x89PNG not really a video")),
+            (4, bytearray(b"")),
+        ]
+        df = spark.createDataFrame(rows, "id long, content binary")
+        got = {
+            r["pkey"]: r for r in mp4_metadata(df, "content", "id").collect()
+        }
+        assert got[1]["duration_seconds"] == 30.0
+        assert (got[1]["video_width"], got[1]["video_height"]) == (1280, 720)
+        assert got[1]["has_audio"] is False
+        assert got[2]["has_audio"] is True
+        assert got[2]["n_tracks"] == 2
+        assert got[3]["brand"] is None
+        assert got[4]["brand"] is None
