@@ -1512,7 +1512,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
     "dup_span_stats": q_dup_span_stats,
-    # --- beyond position 50: freshest r4 evidence, rotate next round ---
+    # --- beyond position 50: freshest driver evidence is r4 — ROTATE
+    # ALL of these into positions 1-28 next round (r6), ahead of any
+    # new/changed queries, so no gate evidence goes >=2 rounds stale ---
     "multimodal_meta": q_multimodal_meta,
     "json_rows": q_json_rows,
     "collect_changed_ids": q_collect_changed_ids,
