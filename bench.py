@@ -212,11 +212,14 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-3 per query with the spread recorded: single-shot timings on a
-    # shared box swing ±20% from transient load; the min measures the
+    # best-of-N per query with the spread recorded: single-shot timings on
+    # a shared box swing ±20% from transient load (observed spikes to
+    # +200% under host-level noisy neighbors); the min measures the
     # engine, and (max-min)/min tells the reader whether a cross-round
-    # delta is signal or noise
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # delta is signal or noise. Default raised 3 -> 5: under sustained
+    # external load even the min of 3 inflates, and the extra two runs
+    # cost ~1 min at sf0.1.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in bench_names:
