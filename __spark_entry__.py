@@ -1448,73 +1448,18 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Rotation policy (VERDICT r3 #2,
-    # re-run r5 per VERDICT r4 #2): queries whose newest driver row is
-    # oldest come FIRST so no operator's driver evidence goes >=2 rounds
-    # stale; new/changed queries follow them; the balance of the window
-    # refreshes r4-green headliners; everything beyond position 50
-    # carries fresh r4 evidence and rotates forward next round.
-    # --- newest driver rows are r3 (rotated in per VERDICT r4 #2) ---
-    "embedding_truncate": q_embedding_truncate,
-    "embedding_quantize": q_embedding_quantize,
-    "corpus_stats": q_corpus_stats,
-    "domain_cap": q_domain_cap,
-    "search_tokens": q_search_tokens,
-    "quality_filter": q_quality_filter,
-    "inverted_index": q_inverted_index,
-    "decontaminate": q_decontaminate,
-    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
-    "frame_sample": q_frame_sample,
-    "text_normalize": q_text_normalize,
-    "orders_rollup": q_orders_rollup,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "dedup_survivors": q_dedup_survivors,
-    "source_divergence": q_source_divergence,
-    "dedup_transitive": q_dedup_transitive,
-    "batch_texts": q_batch_texts,
-    "token_budget_batches": q_token_budget_batches,
-    "chunk_table": q_chunk_table,
-    "where_sql_filter": q_where_sql_filter,
-    "typed_filters_part": q_typed_filters_part,
-    # --- changed/new this round ---
-    "multimodal_decode": q_multimodal_decode,  # + JPEG fixtures (r5)
-    "hybrid_bm25": q_hybrid_bm25,  # new composite gate (VERDICT r4 #6)
-    "cdf_apply": q_cdf_apply,  # new batch CDF gate (VERDICT r4 #5)
-    "bigram_logprob": q_bigram_logprob,  # new: order-aware perplexity
-    "quantized_search_topk": q_quantized_search_topk,  # new: int8 scan
-    "maxsim_search_topk": q_maxsim_search_topk,  # new: best-chunk retrieval
-    "pq_adc_search": q_pq_adc_search,  # new: product-quantized ADC
-    "pq_rerank_search": q_pq_rerank_search,  # new: PQ prune + rerank
-    # --- r4-green headliners kept in-window ---
-    "semantic_search_topk": q_semantic_search_topk,
-    "semantic_search_filtered": q_semantic_search_filtered,
-    "fts_search_topk": q_fts_search_topk,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "hybrid_weighted": q_hybrid_weighted,
-    "fts_bm25": q_fts_bm25,
-    "view_join": q_view_join,
-    "change_detection": q_change_detection,
-    "record_fetch_by_ids": q_record_fetch_by_ids,
-    "append_method_scan": q_append_method_scan,
-    "orphan_cleanup": q_orphan_cleanup,
-    "embed_documents": q_embed_documents,
-    "embedding_pool": q_embedding_pool,
-    "chunked_embed_pool": q_chunked_embed_pool,
-    "dedup_exact": q_dedup_exact,
-    "knn_join": q_knn_join,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
-    "dedup_simhash": q_dedup_simhash,
+    # the FIRST 50 registered queries. Rotation policy (standing, VERDICT
+    # r3 #2 / r4 #2 / r5 #5): queries whose newest driver row is oldest
+    # come FIRST so no operator's driver evidence goes >=2 rounds stale;
+    # new/changed queries follow them; the balance of the window refreshes
+    # last-round headliners; everything beyond position 50 carries fresh
+    # last-round evidence and rotates forward next round.
+    # --- positions 1-28: newest driver rows are r4 (rotated in r6) ---
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
     "dup_span_stats": q_dup_span_stats,
-    # --- beyond position 50: freshest driver evidence is r4 — ROTATE
-    # ALL of these into positions 1-28 next round (r6), ahead of any
-    # new/changed queries, so no gate evidence goes >=2 rounds stale ---
     "multimodal_meta": q_multimodal_meta,
     "json_rows": q_json_rows,
     "collect_changed_ids": q_collect_changed_ids,
@@ -1538,6 +1483,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "repetition_score": q_repetition_score,
     "pii_scrub": q_pii_scrub,
+    # --- new/changed this round (r6) ---
+    # (index-backed engine search gate registered here when added)
+    # --- r5-green queries filling the window to 50 ---
+    "semantic_search_topk": q_semantic_search_topk,
+    "semantic_search_filtered": q_semantic_search_filtered,
+    "fts_search_topk": q_fts_search_topk,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "hybrid_weighted": q_hybrid_weighted,
+    "fts_bm25": q_fts_bm25,
+    "hybrid_bm25": q_hybrid_bm25,
+    "cdf_apply": q_cdf_apply,
+    "view_join": q_view_join,
+    "change_detection": q_change_detection,
+    "record_fetch_by_ids": q_record_fetch_by_ids,
+    "append_method_scan": q_append_method_scan,
+    "orphan_cleanup": q_orphan_cleanup,
+    "embed_documents": q_embed_documents,
+    "embedding_pool": q_embedding_pool,
+    "chunked_embed_pool": q_chunked_embed_pool,
+    "dedup_exact": q_dedup_exact,
+    "knn_join": q_knn_join,
+    "quantized_search_topk": q_quantized_search_topk,
+    "maxsim_search_topk": q_maxsim_search_topk,
+    "pq_adc_search": q_pq_adc_search,
+    "pq_rerank_search": q_pq_rerank_search,
+    # --- beyond position 50: freshest driver evidence is r5 — rotate
+    # these into the leading positions next round (r7) ---
+    "multimodal_decode": q_multimodal_decode,
+    "bigram_logprob": q_bigram_logprob,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_truncate": q_embedding_truncate,
+    "embedding_quantize": q_embedding_quantize,
+    "corpus_stats": q_corpus_stats,
+    "domain_cap": q_domain_cap,
+    "search_tokens": q_search_tokens,
+    "quality_filter": q_quality_filter,
+    "inverted_index": q_inverted_index,
+    "decontaminate": q_decontaminate,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
+    "frame_sample": q_frame_sample,
+    "text_normalize": q_text_normalize,
+    "orders_rollup": q_orders_rollup,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "dedup_survivors": q_dedup_survivors,
+    "source_divergence": q_source_divergence,
+    "dedup_transitive": q_dedup_transitive,
+    "batch_texts": q_batch_texts,
+    "token_budget_batches": q_token_budget_batches,
+    "chunk_table": q_chunk_table,
+    "where_sql_filter": q_where_sql_filter,
+    "typed_filters_part": q_typed_filters_part,
 }
 
 

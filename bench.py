@@ -255,6 +255,24 @@ def main() -> None:
         except Exception as exc:  # a probe failure must not kill the bench
             streaming = {"error": str(exc)[:200]}
 
+    # Two lines, detail FIRST: the driver tail-captures stdout and parses
+    # the LAST JSON line — r5's single fat line (medians + spreads +
+    # streaming percentiles) outgrew the capture buffer and the round
+    # recorded no parsed bench at all. The final line carries only the
+    # total + per-query medians (compact separators, bounded size);
+    # spreads / run-count / streaming live on the preceding line for
+    # human + bench_diff consumption.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "spread": spreads,
+                "n": n_runs,
+                "streaming_latency": streaming,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
@@ -262,11 +280,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spreads,
-                "n": n_runs,
                 "sf": sf_val,
-                "streaming_latency": streaming,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -230,12 +230,15 @@ def mp4_metadata(
                 )
             yield pd.DataFrame(out)
 
+    # key type follows the source table (same contract as decode_media's
+    # decode_schema) — a string/int pkey must not hit an Arrow long cast
+    key_type = df.schema[pkey].dataType.simpleString()
     return df.select(
         F.col(pkey).alias("pkey"), F.col(bin_col)
     ).mapInPandas(
         parse,
         schema=(
-            "pkey long, brand string, duration_seconds double, "
+            f"pkey {key_type}, brand string, duration_seconds double, "
             "n_tracks int, video_width int, video_height int, "
             "has_audio boolean"
         ),

@@ -448,8 +448,17 @@ def _check_index_meta(index_path: str, expected: dict) -> None:
     try:
         with open(os.path.join(index_path, "_INDEX_META")) as f:
             meta = json.load(f)
-    except (FileNotFoundError, ValueError):
+    except FileNotFoundError:
         return  # pre-metadata index: caller's responsibility (legacy)
+    except ValueError as exc:
+        # a corrupted/truncated meta file must NOT silently disable the
+        # mis-bucketing guard the way a legacy index does — the index
+        # HAS metadata, we just can't read it
+        raise ValueError(
+            f"index metadata at {index_path}/_INDEX_META is unreadable "
+            f"({exc}); refusing incremental maintenance — rebuild the "
+            "index or restore the metadata file."
+        ) from exc
     for k, v in expected.items():
         if meta.get(k) != v:
             raise ValueError(
@@ -600,7 +609,9 @@ def compact_index(
     """
     if not os.path.isdir(index_path):
         return 0
-    crowded = []
+    from urllib.parse import unquote
+
+    crowded = set()
     for name in os.listdir(index_path):
         if not name.startswith(f"{part_col}="):
             continue
@@ -609,7 +620,13 @@ def compact_index(
             1 for f in os.listdir(pdir) if not f.startswith((".", "_"))
         )
         if n > max_files:
-            crowded.append(name.split("=", 1)[1])
+            # Spark escapes partition values into dir names with %XX
+            # percent-encoding (':', '=', spaces, ...); decode so the
+            # string form matches str(value) for non-trivial values —
+            # raw suffix kept too as a belt-and-braces fallback
+            raw = name.split("=", 1)[1]
+            crowded.add(raw)
+            crowded.add(unquote(raw))
     if not crowded:
         return 0
     # partition values parse back through the reader's inferred type

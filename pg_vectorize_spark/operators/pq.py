@@ -211,6 +211,15 @@ def pq_encode_pandas(
     def encode(batches):
         np_book = np.asarray(book)  # (m, k, dsub)
         for pdf in batches:
+            if not len(pdf):
+                # empty Arrow batch: np.asarray of [] is shape (0,) and
+                # the 2-D subvector slice below would raise IndexError
+                out = {pkey: pdf[pkey]}
+                for c in keep_cols:
+                    out[c] = pdf[c]
+                out["pq_codes"] = []
+                yield pd.DataFrame(out)
+                continue
             vecs = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
             )

@@ -365,3 +365,73 @@ class TestHammingBallClamp:
             warnings.simplefilter("error")
             out = _hamming_ball(0, 8, 1)
         assert len(out) == 9
+
+
+class TestRound5AdviceFixes:
+    """Round-5 advisor findings (ADVICE.md r5): mp4_metadata pkey typing,
+    corrupted _INDEX_META, compact_index partition-name escaping, and
+    pq_encode_pandas on empty batches."""
+
+    def test_mp4_metadata_string_pkey(self, spark):
+        from pg_vectorize_spark.multimodal.binary import mp4_metadata
+
+        df = spark.createDataFrame(
+            [("doc-a", b"\x00\x01"), ("doc-b", None)],
+            "doc string, blob binary",
+        )
+        out = mp4_metadata(df, "blob", "doc")
+        assert out.schema["pkey"].dataType.simpleString() == "string"
+        rows = {r["pkey"]: r for r in out.collect()}
+        assert set(rows) == {"doc-a", "doc-b"}
+        assert rows["doc-a"]["brand"] is None  # non-MP4 -> NULL metadata
+
+    def test_corrupted_index_meta_raises(self, tmp_path):
+        from pg_vectorize_spark.operators.ann import _check_index_meta
+
+        idx = tmp_path / "idx"
+        idx.mkdir()
+        (idx / "_INDEX_META").write_text('{"nbits": 8')  # truncated JSON
+        with pytest.raises(ValueError, match="unreadable"):
+            _check_index_meta(str(idx), {"nbits": 8})
+        # a genuinely missing meta file stays legacy-permissive
+        (idx / "_INDEX_META").unlink()
+        _check_index_meta(str(idx), {"nbits": 8})
+
+    def test_compact_index_escaped_partition_values(self, spark, tmp_path):
+        from pg_vectorize_spark.operators.ann import compact_index
+
+        idx = str(tmp_path / "idx")
+        df = spark.createDataFrame(
+            [(1, "a:b"), (2, "a:b"), (3, "plain")], "id long, grp string"
+        )
+        # two appends -> 2+ files in each partition; ':' is escaped to
+        # %3A in the directory name, which the pre-fix matcher never
+        # mapped back to the value
+        for _ in range(2):
+            df.coalesce(1).write.mode("append").partitionBy("grp").parquet(idx)
+        n = compact_index(spark, idx, part_col="grp", max_files=1)
+        assert n == 2  # BOTH partitions compacted, incl. the escaped one
+        back = spark.read.parquet(idx)
+        assert back.count() == 6
+        assert set(r["grp"] for r in back.select("grp").distinct().collect()) == {
+            "a:b",
+            "plain",
+        }
+
+    def test_pq_encode_pandas_empty_input(self, spark):
+        from pg_vectorize_spark.operators.pq import (
+            pq_encode_expr,
+            pq_encode_pandas,
+        )
+        import pyspark.sql.functions as F
+
+        codebook = [
+            [[0.0, 0.0], [1.0, 1.0]],
+            [[0.0, 1.0], [1.0, 0.0]],
+        ]
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2, 0.9, 0.1])], "id long, emb array<double>"
+        ).filter(F.col("id") < 0)
+        out = pq_encode_pandas(df, "id", "emb", codebook)
+        assert out.collect() == []
+        assert out.schema["pq_codes"].dataType.simpleString() == "array<int>"
