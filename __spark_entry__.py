@@ -89,6 +89,43 @@ def q_semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed semantic search (VERDICT r5 #1): build the persisted
+    IVF index and probe it — the exact path ``VectorizeSession.search()``
+    takes for an ``index_method='ivf'`` job (engine._emb_candidates ->
+    JobIndexManager.candidates: centroid probe driver-side, then a
+    partition-pruned scan of the probed cells, then the exact cosine
+    rerank). The ORACLE IS THE BRUTE-FORCE RANKING over the same data:
+    the gate asserts the indexed path returns the exact top-k (the
+    reference's planner swaps in the HNSW index without changing
+    results, core/src/query.rs:359-396). Plan lock: PartitionFilters on
+    the index scan (tests/test_index_backed.py)."""
+    import os
+    import tempfile
+
+    from pg_vectorize_spark.index_manager import JobIndexManager
+
+    full = _t(spark, sf_dir, "embeddings")
+    emb = full.select("vec_id", F.col("embedding").alias("embeddings"))
+    # deterministic per-SF scratch dir; rebuilt (overwritten) every run
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"pvs_gate_index_{sfname}"
+    )
+    mgr = JobIndexManager(
+        spark, idx_dir, "ivf", {"n_centroids": 8, "nprobe": 4}
+    )
+    mgr.build(emb, "vec_id")
+    qv = _query_vec(spark, sf_dir)
+    return semantic_search(
+        full.select("vec_id", "label"),
+        mgr.candidates(qv).select("vec_id", "embeddings"),
+        "vec_id",
+        qv,
+        num_results=10,
+    )
+
+
 def q_semantic_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3 placement parity: typed filter applied post-ranking."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1484,7 +1521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_score": q_repetition_score,
     "pii_scrub": q_pii_scrub,
     # --- new/changed this round (r6) ---
-    # (index-backed engine search gate registered here when added)
+    "semantic_search_indexed": q_semantic_search_indexed,
     # --- r5-green queries filling the window to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -2851,6 +2888,9 @@ FROM offs GROUP BY original_id, floor(start / 200)
 
 ORACLE: dict[str, str] = {
     "semantic_search_topk": _oracle_semantic_topk(),
+    # the indexed path must return the EXACT brute-force ranking — same
+    # oracle as the full-scan gate, by design (VERDICT r5 #1)
+    "semantic_search_indexed": _oracle_semantic_topk(),
     "semantic_search_filtered": _oracle_semantic_filtered(),
     "fts_search_topk": _oracle_fts_topk(),
     "hybrid_rrf_search": _oracle_hybrid(),

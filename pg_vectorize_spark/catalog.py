@@ -42,6 +42,11 @@ class JobRecord:
     schedule: str = "realtime"  # realtime | cron expr (core/src/types.rs:133-135)
     source_format: str = "auto"  # auto | parquet | csv | json | table
     index_dist_type: str = "cosine"
+    #: physical index layout the job's search path probes (the Spark
+    #: analog of the reference building an HNSW/DiskANN index per job,
+    #: core/src/query.rs:359-396): brute | ivf | ivfpq | signbit
+    index_method: str = "brute"
+    index_params: dict = field(default_factory=dict)
     params: dict = field(default_factory=dict)
     created_at: str = field(
         default_factory=lambda: datetime.now(timezone.utc).isoformat()

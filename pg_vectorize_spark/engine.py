@@ -37,6 +37,7 @@ from pg_vectorize_spark.config import DEFAULT_CONFIG, Config
 from pg_vectorize_spark.errors import VectorizeError
 from pg_vectorize_spark.filters import parse_filters
 from pg_vectorize_spark.functions.text import fingerprint_expr, tokens_expr
+from pg_vectorize_spark.index_manager import INDEX_METHODS, JobIndexManager
 from pg_vectorize_spark.operators.change import (
     concat_source_columns,
     detect_changes_join,
@@ -130,6 +131,63 @@ class VectorizeSession:
             self.spark, job.src_path, getattr(job, "source_format", "auto")
         )
 
+    # --------------------------------------------------------------- index
+
+    def _index_mgr(self, job: JobRecord) -> JobIndexManager | None:
+        """The job's persisted-index manager, or None for brute jobs —
+        the reference's per-job HNSW/DiskANN index re-expressed as a
+        cell/bucket-partitioned parquet dataset (index_manager.py)."""
+        method = getattr(job, "index_method", "brute") or "brute"
+        if method == "brute":
+            return None
+        return JobIndexManager(
+            self.spark,
+            self._job_dir(job.job_name, "index"),
+            method,
+            getattr(job, "index_params", None),
+        )
+
+    def build_index(self, job_name: str) -> None:
+        """(Re)build the job's persisted index from the embeddings
+        snapshot — the CREATE INDEX step of job creation
+        (extension/src/init.rs:55-146), also the recovery path after a
+        crash mid-maintenance."""
+        job = self.catalog.get(job_name)
+        mgr = self._index_mgr(job)
+        if mgr is None:
+            return
+        emb = self._emb_ds(job_name)
+        if not emb.exists():
+            raise VectorizeError(
+                f"job {job_name} has no embeddings yet — run scan_job first"
+            )
+        mgr.build(emb.read(), job.primary_key)
+
+    def _index_upsert(self, job: JobRecord, emb_new: DataFrame) -> None:
+        """Keep the persisted index fresh after an embeddings-snapshot
+        merge (the Postgres-maintains-the-index-on-INSERT analog). The
+        FIRST data an indexed job sees triggers the build (trains the
+        quantizer on the just-merged snapshot), so every ingest path —
+        batch scan, id-update, import, streaming micro-batch —
+        bootstraps the index without a separate CREATE INDEX call."""
+        mgr = self._index_mgr(job)
+        if mgr is None:
+            return
+        if not mgr.exists():
+            mgr.build(
+                self._emb_ds(job.job_name).read(), job.primary_key
+            )
+            return
+        mgr.upsert(
+            emb_new.select(job.primary_key, "embeddings"),
+            job.primary_key,
+        )
+
+    def _index_delete(self, job: JobRecord, keys: DataFrame) -> None:
+        mgr = self._index_mgr(job)
+        if mgr is not None and mgr.exists():
+            mgr.delete(keys.select(job.primary_key), job.primary_key)
+
     # ----------------------------------------------------------- lifecycle
 
     def _embed_changed(
@@ -175,6 +233,8 @@ class VectorizeSession:
         run_initial_load: bool = True,
         source_format: str = "auto",
         index_dist_type: str = "pgv_hnsw_cosine",
+        index_method: str = "brute",
+        index_params: dict | None = None,
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269).
@@ -192,6 +252,11 @@ class VectorizeSession:
             raise VectorizeError(
                 f"Invalid value for IndexDist: {index_dist_type} "
                 f"(valid: {sorted(VALID_INDEX_DIST_TYPES)})"
+            )
+        if index_method not in INDEX_METHODS:
+            raise VectorizeError(
+                f"Invalid index_method: {index_method} "
+                f"(valid: {INDEX_METHODS})"
             )
         # realtime is trigger-driven on the reference and requires the
         # separate embeddings table (search.rs:36-38 errors on append);
@@ -219,6 +284,8 @@ class VectorizeSession:
             schedule=schedule,
             source_format=source_format,
             index_dist_type=index_dist_type,
+            index_method=index_method,
+            index_params=dict(index_params or {}),
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain
@@ -226,6 +293,10 @@ class VectorizeSession:
         )
         self.catalog.create(job)
         if run_initial_load:
+            # for an indexed job the initial scan's _index_upsert hook
+            # performs the CREATE INDEX step (the reference builds HNSW
+            # at job init, extension/src/init.rs:55-146); later ingest
+            # cycles keep it fresh incrementally
             self.scan_job(job_name, api_key=api_key)
         self.job_view(job_name)
         return job
@@ -265,6 +336,8 @@ class VectorizeSession:
                 tokens_expr(content).alias("search_tokens"),
             ).withColumn("updated_at", F.current_timestamp())
             self._tok_ds(job_name).merge_upsert(tokens, pkey)
+            # index freshness: the re-embedded rows move cells/buckets
+            self._index_upsert(job, embedded)
         # ON DELETE CASCADE parity (core/src/query.rs:349-354): rows whose
         # source pkey disappeared must leave the derived datasets too, even
         # on a scan that embedded nothing — a delete-only cycle is exactly
@@ -310,7 +383,8 @@ class VectorizeSession:
         removed = 0
         full_delete_checked = False
         full_delete_ok = allow_full_delete
-        for ds in (self._emb_ds(job_name), self._tok_ds(job_name)):
+        emb_ds = self._emb_ds(job_name)
+        for ds in (emb_ds, self._tok_ds(job_name)):
             if not ds.exists():
                 continue
             # materialize the (typically tiny) orphan key set once: without
@@ -343,6 +417,10 @@ class VectorizeSession:
                         )
                         continue
                 ds.delete_keys(orphans, pkey)
+                if ds is emb_ds:
+                    # cascade reaches the persisted index too — a deleted
+                    # source row must stop being findable
+                    self._index_delete(job, orphans)
                 removed += n
         return removed
 
@@ -412,6 +490,7 @@ class VectorizeSession:
                 F.col(pkey), tokens_expr(content).alias("search_tokens")
             ).withColumn("updated_at", F.current_timestamp())
             self._tok_ds(job_name).merge_upsert(tokens, pkey)
+            self._index_upsert(job, embedded)
         return n
 
     def delete_job(self, job_name: str) -> bool:
@@ -425,6 +504,9 @@ class VectorizeSession:
         check_input(job_name)
         self._emb_ds(job_name).drop()
         self._tok_ds(job_name).drop()
+        import shutil
+
+        shutil.rmtree(self._job_dir(job_name, "index"), ignore_errors=True)
         try:
             self.spark.catalog.dropTempView(f"{job_name}_view")
         except Exception:  # noqa: BLE001 — view may not exist
@@ -499,6 +581,29 @@ class VectorizeSession:
         )
         return provider.generate_embedding([query])[0]
 
+    def _emb_candidates(self, job: JobRecord, query_vec) -> DataFrame:
+        """(pkey, embeddings) frame the semantic scorer runs over: the
+        persisted index probe when the job has one (partition-pruned
+        scan — the reference's planner picking the HNSW index,
+        core/src/query.rs:359-396), else the full snapshot. ivf/signbit
+        indexes carry the vectors, so candidates come straight off the
+        pruned partitions; ivfpq returns candidate KEYS whose float
+        vectors are semi-joined from the primary store (constant
+        ``rerank_candidates`` rows) for the exact rerank."""
+        pkey = job.primary_key
+        full = (
+            self._emb_ds(job.job_name)
+            .read()
+            .select(pkey, "embeddings")
+        )
+        mgr = self._index_mgr(job)
+        if mgr is None or not mgr.exists():
+            return full
+        cand = mgr.candidates(query_vec)
+        if "embeddings" in cand.columns:
+            return cand.select(pkey, "embeddings")
+        return full.join(cand.select(pkey), pkey, "left_semi")
+
     def search(
         self,
         job_name: str,
@@ -516,7 +621,7 @@ class VectorizeSession:
         qv = self._query_vec(job, query, api_key)
         df = _semantic_op(
             self._source_df(job),
-            self._emb_ds(job_name).read().select(job.primary_key, "embeddings"),
+            self._emb_candidates(job, qv),
             job.primary_key,
             qv,
             num_results=num_results,
@@ -594,7 +699,7 @@ class VectorizeSession:
         )
         df = _hybrid_op(
             self._source_df(job),
-            self._emb_ds(job_name).read().select(job.primary_key, "embeddings"),
+            self._emb_candidates(job, qv),
             job.primary_key,
             qv,
             query,
@@ -774,6 +879,7 @@ RETURN aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, (acc, x) -> acc + x)
                 f"{sorted(r['d'] for r in dims)}"
             )
         self._emb_ds(job_name).merge_upsert(incoming, job.primary_key)
+        self._index_upsert(job, incoming)
         return n
 
     def create_job_from(

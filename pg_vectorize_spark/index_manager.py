@@ -1,0 +1,393 @@
+"""Per-job persisted ANN index — build / probe / incremental maintenance.
+
+The reference builds a physical vector index per job at creation time
+(HNSW or DiskANN, core/src/query.rs:359-396; extension/src/init.rs:55-146
+issues the CREATE INDEX) and every ``vectorize.search()`` uses it
+transparently through the Postgres planner (``ORDER BY embeddings <=> $1
+LIMIT n``); Postgres maintains the index on each INSERT/UPDATE for free.
+
+Spark has no secondary indexes, so the analog is a parquet dataset
+partitioned by a pruning key, probed with partition-filter IN lists:
+
+- ``ivf``     — IVF-Flat: rows (pkey, embeddings) partitioned by nearest-
+                centroid cell; a query probes ``nprobe`` cells.
+- ``ivfpq``   — IVF-PQ: rows (pkey, pq_codes) partitioned by cell; probe
+                scans 8-byte codes, ADC-ranks to a candidate list, the
+                engine reranks those keys' float vectors exactly.
+                ``residual=True`` encodes residuals from the cell centroid
+                (classic IVF-PQ, tighter quantization at the same m,k).
+- ``signbit`` — data-independent LSH: partitioned by the sign-bit bucket
+                of the first ``nbits`` coordinates, probed with a Hamming
+                ball.
+- ``brute``   — no index; the engine scans the embeddings snapshot
+                (the default, and the exactness baseline).
+
+Freshness (the Postgres-maintains-it-for-free analog): the engine's
+ingest paths call ``upsert``/``delete`` after every embeddings-snapshot
+mutation — batch ``scan_job``, explicit ``handle_update``,
+``import_embeddings``, and both streaming pipelines — so an index-backed
+deployment never serves a stale index after an ingest cycle.
+``maybe_compact`` runs the small-file compaction on an op-count cadence
+(Delta OPTIMIZE-style, off the query path).
+
+Consistency contract: maintenance rewrites the live index path in place
+(see ann._partitioned_index_delete) — single writer, rebuildable from the
+primary store after a crash, same as a pgvector REINDEX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.errors import VectorizeError
+
+INDEX_METHODS = ("brute", "ivf", "ivfpq", "signbit")
+
+
+class JobIndexManager:
+    """Build/probe/maintain one job's persisted index under
+    ``<workspace>/jobs/<job>/index/``. The trained quantizer state
+    (centroids, PQ codebook) lives in ``_QUANTIZER.json`` inside the
+    index dir (underscore-prefixed files are invisible to the parquet
+    reader), so probes need no retraining and maintenance can verify it
+    via the fingerprint in ``_INDEX_META``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        method: str,
+        params: dict | None = None,
+    ):
+        if method not in INDEX_METHODS:
+            raise VectorizeError(
+                f"unknown index method {method!r} (valid: {INDEX_METHODS})"
+            )
+        self.spark = spark
+        self.index_dir = index_dir
+        self.method = method
+        p = dict(params or {})
+        self.n_centroids = int(p.get("n_centroids", 8))
+        self.nprobe = int(p.get("nprobe", 4))
+        self.nbits = int(p.get("nbits", 8))
+        self.probe_hamming = int(p.get("probe_hamming", 2))
+        self.pq_m = int(p.get("pq_m", 8))
+        self.pq_k = int(p.get("pq_k", 16))
+        self.rerank_candidates = int(p.get("rerank_candidates", 100))
+        self.pq_train_sample = int(p.get("pq_train_sample", 2048))
+        self.residual = bool(p.get("residual", True))
+        self.train = p.get("train", "first")  # first | kmeans
+        self.compact_every = int(p.get("compact_every", 16))
+
+    # ------------------------------------------------------------ state io
+
+    @property
+    def _quantizer_path(self) -> str:
+        return os.path.join(self.index_dir, "_QUANTIZER.json")
+
+    @property
+    def _maint_path(self) -> str:
+        return os.path.join(self.index_dir, "_MAINT.json")
+
+    def exists(self) -> bool:
+        if self.method == "brute":
+            return False
+        return os.path.isfile(self._quantizer_path)
+
+    def _save_quantizer(self, state: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._quantizer_path, "w") as f:
+            json.dump(state, f)
+
+    def _load_quantizer(self) -> dict:
+        with open(self._quantizer_path) as f:
+            return json.load(f)
+
+    def centroids_df(self) -> DataFrame:
+        state = self._load_quantizer()
+        return self.spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(state["centroids"])
+            ],
+            "centroid_id int, centroid_vec array<double>",
+        )
+
+    def _codebook(self):
+        return self._load_quantizer()["codebook"]
+
+    # --------------------------------------------------------------- build
+
+    def _train_centroids(self, emb_df: DataFrame, pkey: str) -> list:
+        if self.train == "kmeans":
+            from pg_vectorize_spark.operators.ann import (
+                train_ivf_centroids_kmeans,
+            )
+
+            cents = train_ivf_centroids_kmeans(
+                emb_df, pkey, "embeddings", n_centroids=self.n_centroids
+            )
+        else:
+            from pg_vectorize_spark.operators.ann import default_centroids
+
+            cents = default_centroids(
+                emb_df, pkey, "embeddings", n_centroids=self.n_centroids
+            )
+        rows = sorted(
+            cents.collect(), key=lambda r: int(r["centroid_id"])
+        )
+        return [[float(x) for x in r["centroid_vec"]] for r in rows]
+
+    def build(self, emb_df: DataFrame, pkey: str) -> None:
+        """Full (re)build from the embeddings snapshot — the CREATE INDEX
+        analog; also the recovery path after a crash mid-maintenance."""
+        if self.method == "brute":
+            return
+        emb_df = emb_df.select(F.col(pkey), F.col("embeddings"))
+        if self.method == "signbit":
+            from pg_vectorize_spark.operators.ann import build_signbit_index
+
+            build_signbit_index(
+                emb_df, pkey, "embeddings", self.index_dir, nbits=self.nbits
+            )
+            self._save_quantizer(
+                {"method": "signbit", "nbits": self.nbits, "pkey": pkey}
+            )
+            self._reset_maint()
+            return
+        centroids = self._train_centroids(emb_df, pkey)
+        state: dict = {
+            "method": self.method,
+            "centroids": centroids,
+            "pkey": pkey,
+        }
+        cents_df = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id int, centroid_vec array<double>",
+        )
+        if self.method == "ivf":
+            from pg_vectorize_spark.operators.ann import build_ivf_index
+
+            build_ivf_index(
+                emb_df, cents_df, pkey, "embeddings", self.index_dir
+            )
+        else:  # ivfpq
+            from pg_vectorize_spark.operators.pq import (
+                build_ivfpq_index,
+                pq_train_numpy,
+                train_pq_residual_sample,
+            )
+
+            if self.residual:
+                codebook = train_pq_residual_sample(
+                    emb_df,
+                    cents_df,
+                    pkey,
+                    "embeddings",
+                    sample_n=self.pq_train_sample,
+                    m=self.pq_m,
+                    k=self.pq_k,
+                )
+            else:
+                sample = (
+                    emb_df.orderBy(F.asc(pkey))
+                    .limit(self.pq_train_sample)
+                    .collect()
+                )
+                codebook = pq_train_numpy(
+                    [
+                        [float(x) for x in r["embeddings"]]
+                        for r in sample
+                    ],
+                    m=self.pq_m,
+                    k=self.pq_k,
+                )
+            state["codebook"] = codebook
+            state["residual"] = self.residual
+            build_ivfpq_index(
+                emb_df,
+                cents_df,
+                codebook,
+                pkey,
+                "embeddings",
+                self.index_dir,
+                residual=self.residual,
+            )
+        self._save_quantizer(state)
+        self._reset_maint()
+
+    # --------------------------------------------------------- maintenance
+
+    def add(self, emb_df: DataFrame, pkey: str) -> None:
+        """Append NEW keys' vectors to their cells/buckets (frozen
+        quantizer). Callers with possibly-existing keys use ``upsert``."""
+        if self.method == "brute" or not self.exists():
+            return
+        emb_df = emb_df.select(F.col(pkey), F.col("embeddings"))
+        if self.method == "signbit":
+            from pg_vectorize_spark.operators.ann import signbit_index_add
+
+            signbit_index_add(
+                emb_df, pkey, "embeddings", self.index_dir, nbits=self.nbits
+            )
+        elif self.method == "ivf":
+            from pg_vectorize_spark.operators.ann import ivf_index_add
+
+            ivf_index_add(
+                emb_df, self.centroids_df(), pkey, "embeddings",
+                self.index_dir,
+            )
+        else:  # ivfpq
+            from pg_vectorize_spark.operators.pq import ivfpq_index_add
+
+            ivfpq_index_add(
+                emb_df,
+                self.centroids_df(),
+                self._codebook(),
+                pkey,
+                "embeddings",
+                self.index_dir,
+                residual=self._load_quantizer().get(
+                    "residual", self.residual
+                ),
+            )
+        self._bump_maint()
+
+    def delete(self, keys_df: DataFrame, pkey: str) -> int:
+        if self.method == "brute" or not self.exists():
+            return 0
+        from pg_vectorize_spark.operators.ann import (
+            _partitioned_index_delete,
+        )
+
+        part_col = "bucket" if self.method == "signbit" else "cell"
+        n = _partitioned_index_delete(
+            self.spark, self.index_dir, keys_df, pkey, part_col
+        )
+        self._bump_maint()
+        return n
+
+    def upsert(self, emb_df: DataFrame, pkey: str) -> None:
+        """Delete-then-add: an updated vector may move cells, so the old
+        row must leave its partition before the new one lands."""
+        if self.method == "brute" or not self.exists():
+            return
+        self.delete(emb_df.select(pkey), pkey)
+        self.add(emb_df, pkey)
+
+    def _reset_maint(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._maint_path, "w") as f:
+            json.dump({"ops_since_compact": 0}, f)
+
+    def _bump_maint(self) -> None:
+        try:
+            with open(self._maint_path) as f:
+                state = json.load(f)
+        except (FileNotFoundError, ValueError):
+            state = {"ops_since_compact": 0}
+        state["ops_since_compact"] = state.get("ops_since_compact", 0) + 1
+        with open(self._maint_path, "w") as f:
+            json.dump(state, f)
+        if state["ops_since_compact"] >= self.compact_every:
+            self.maybe_compact(force=True)
+
+    def maybe_compact(self, force: bool = False) -> int:
+        """Small-file hygiene on an op-count cadence (every
+        ``compact_every`` add/delete batches) — Delta OPTIMIZE-style,
+        keeps a high-frequency ingest loop from degrading probes into
+        many-small-file scans."""
+        if self.method == "brute" or not self.exists():
+            return 0
+        if not force:
+            try:
+                with open(self._maint_path) as f:
+                    if (
+                        json.load(f).get("ops_since_compact", 0)
+                        < self.compact_every
+                    ):
+                        return 0
+            except (FileNotFoundError, ValueError):
+                return 0
+        from pg_vectorize_spark.operators.ann import compact_index
+
+        part_col = "bucket" if self.method == "signbit" else "cell"
+        n = compact_index(
+            self.spark, self.index_dir, part_col=part_col, max_files=4
+        )
+        self._reset_maint()
+        return n
+
+    # --------------------------------------------------------------- probe
+
+    def candidates(self, query_vec: Sequence[float]) -> DataFrame:
+        """The probe stage of an indexed search. ivf/signbit return
+        (pkey, embeddings) straight off the pruned partitions; ivfpq
+        returns candidate keys only (the engine reranks their float
+        vectors from the primary store). Every variant's scan carries a
+        PartitionFilters IN list — the pruning happens at the parquet
+        source, not post-scan (plan-locked in tests)."""
+        if self.method == "brute" or not self.exists():
+            raise VectorizeError(
+                f"no persisted index at {self.index_dir}"
+            )
+        if self.method == "signbit":
+            from pg_vectorize_spark.operators.ann import (
+                _hamming_ball,
+                query_signbit_bucket,
+            )
+
+            probes = _hamming_ball(
+                query_signbit_bucket(query_vec, self.nbits),
+                self.nbits,
+                self.probe_hamming,
+            )
+            return self.spark.read.parquet(self.index_dir).filter(
+                F.col("bucket").isin(probes)
+            )
+        if self.method == "ivf":
+            from pg_vectorize_spark.functions.vector import (
+                cosine_similarity_to_query,
+            )
+
+            probed = (
+                self.centroids_df()
+                .select(
+                    F.col("centroid_id"),
+                    cosine_similarity_to_query(
+                        F.col("centroid_vec"), query_vec
+                    ).alias("_qsim"),
+                )
+                .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
+                .limit(self.nprobe)
+                .collect()
+            )
+            cells = [int(r["centroid_id"]) for r in probed]
+            return self.spark.read.parquet(self.index_dir).filter(
+                F.col("cell").isin(cells)
+            )
+        # ivfpq
+        from pg_vectorize_spark.operators.pq import ivfpq_candidates
+
+        state = self._load_quantizer()
+        return ivfpq_candidates(
+            self.spark,
+            self.index_dir,
+            self.centroids_df(),
+            state["codebook"],
+            state["pkey"],
+            query_vec,
+            nprobe=self.nprobe,
+            n_candidates=self.rerank_candidates,
+            residual=state.get("residual", self.residual),
+        )
+
+    def drop(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.index_dir, ignore_errors=True)

@@ -288,6 +288,32 @@ def pq_adc_rerank_topk(
     )
 
 
+def _with_residual(
+    assigned: DataFrame,
+    centroids_df: DataFrame,
+    emb_col: str,
+    out_col: str = "_residual",
+) -> DataFrame:
+    """Attach the residual-from-assigned-centroid column (classic IVF-PQ
+    encoding, Jegou et al. §III): residual = vec - centroid[cell]. The
+    centroid table broadcasts (tiny); everything stays JVM-side."""
+    cents = centroids_df.select(
+        F.col("centroid_id").alias("cell"), F.col("centroid_vec")
+    )
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.col(emb_col).cast("array<double>"),
+                F.col("centroid_vec"),
+                lambda a, b: a - b,
+            ),
+        )
+        .drop("centroid_vec")
+    )
+
+
 def build_ivfpq_index(
     emb_df: DataFrame,
     centroids_df: DataFrame,
@@ -295,6 +321,7 @@ def build_ivfpq_index(
     pkey: str,
     emb_col: str,
     index_path: str,
+    residual: bool = False,
 ) -> None:
     """IVF-PQ index build: coarse cell assignment (partition pruning at
     probe time) + PQ codes (32x-compressed payload) — the two pruning
@@ -303,10 +330,12 @@ def build_ivfpq_index(
     partition; the float vectors stay in the primary store and are
     touched solely by the final rerank.
 
-    This is the non-residual variant (codes over raw vectors, one global
-    codebook); classic IVF-PQ encodes the residual from the cell
-    centroid for tighter quantization — a codebook-training upgrade that
-    changes nothing structural here.
+    ``residual=True`` is classic IVF-PQ (Jegou et al. §III): each vector
+    is encoded as the PQ code of its RESIDUAL from the assigned cell
+    centroid — residuals concentrate near zero, so the same (m, k)
+    codebook quantizes them tighter than raw vectors (recall uplift
+    measured in SCALING.md). The codebook must then be TRAINED on
+    residuals (train_pq_residual_sample feeds pq_train_numpy).
     """
     from pg_vectorize_spark.operators.ann import (
         _centroid_fingerprint,
@@ -315,9 +344,13 @@ def build_ivfpq_index(
     )
 
     assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    enc_col = emb_col
+    if residual:
+        assigned = _with_residual(assigned, centroids_df, emb_col)
+        enc_col = "_residual"
     coded = assigned.select(
         F.col(pkey),
-        pq_encode_expr(F.col(emb_col), codebook).alias("pq_codes"),
+        pq_encode_expr(F.col(enc_col), codebook).alias("pq_codes"),
         F.col("cell"),
     )
     coded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
@@ -327,7 +360,173 @@ def build_ivfpq_index(
             "centroid_fp": _centroid_fingerprint(centroids_df),
             "pq_m": len(codebook),
             "pq_k": len(codebook[0]),
+            "residual": residual,
         },
+    )
+
+
+def ivfpq_index_add(
+    emb_df: DataFrame,
+    centroids_df: DataFrame,
+    codebook,
+    pkey: str,
+    emb_col: str,
+    index_path: str,
+    residual: bool = False,
+) -> None:
+    """Incremental IVF-PQ maintenance: assign NEW vectors to the frozen
+    coarse quantizer, PQ-encode with the frozen codebook (Arrow batch
+    path — the production write shape), append only the touched cell
+    partitions. The meta check refuses a mismatched quantizer, codebook
+    shape, or residual mode — any of those would bucket/encode new
+    vectors inconsistently with the existing index (VERDICT r5 #3)."""
+    from pg_vectorize_spark.operators.ann import (
+        _centroid_fingerprint,
+        _check_index_meta,
+        assign_ivf_cells,
+    )
+
+    _check_index_meta(
+        index_path,
+        {
+            "centroid_fp": _centroid_fingerprint(centroids_df),
+            "pq_m": len(codebook),
+            "pq_k": len(codebook[0]),
+            "residual": residual,
+        },
+    )
+    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    enc_col = emb_col
+    if residual:
+        assigned = _with_residual(assigned, centroids_df, emb_col)
+        enc_col = "_residual"
+    coded = pq_encode_pandas(
+        assigned, pkey, enc_col, codebook, keep_cols=["cell"]
+    ).select(F.col(pkey), F.col("pq_codes"), F.col("cell"))
+    coded.write.mode("append").partitionBy("cell").parquet(index_path)
+
+
+def ivfpq_index_delete(
+    spark,
+    index_path: str,
+    keys_df: DataFrame,
+    pkey: str,
+) -> int:
+    """Incremental IVF-PQ delete — partition-local rewrite of only the
+    cells holding the keys (see ann._partitioned_index_delete)."""
+    from pg_vectorize_spark.operators.ann import _partitioned_index_delete
+
+    return _partitioned_index_delete(
+        spark, index_path, keys_df, pkey, "cell"
+    )
+
+
+def train_pq_residual_sample(
+    emb_df: DataFrame,
+    centroids_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    sample_n: int = 2048,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+):
+    """Train a residual codebook: assign a deterministic sample (lowest
+    pkeys) to cells, subtract the assigned centroid, run the same
+    per-subspace Lloyd's as the raw-vector path. Returns the codebook
+    nested-list. Driver-side numpy over <= sample_n rows — the same
+    sample-then-train shape MLlib KMeans uses for the coarse step."""
+    from pg_vectorize_spark.operators.ann import assign_ivf_cells
+
+    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    sample = (
+        _with_residual(assigned, centroids_df, emb_col)
+        .select(F.col(pkey), F.col("_residual"))
+        .orderBy(F.asc(pkey))
+        .limit(sample_n)
+        .collect()
+    )
+    residuals = [[float(x) for x in r["_residual"]] for r in sample]
+    return pq_train_numpy(residuals, m=m, k=k, seed=seed)
+
+
+def _adc_score_expr(tables) -> Column:
+    """Per-row ADC distance: t_0[code_0] + t_1[code_1] + ... over literal
+    lookup tables (left-associated, matching pq_adc_topk / the oracle)."""
+    score = None
+    for j, row in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in row]),
+            F.element_at(F.col("pq_codes"), j + 1) + F.lit(1),
+        )
+        score = term if score is None else score + term
+    return score
+
+
+def ivfpq_candidates(
+    spark,
+    index_path: str,
+    centroids_df: DataFrame,
+    codebook,
+    pkey: str,
+    query_vec: Sequence[float],
+    nprobe: int = 2,
+    n_candidates: int = 100,
+    residual: bool = False,
+) -> DataFrame:
+    """The compressed probe stage of IVF-PQ search: probe ``nprobe``
+    cells driver-side, scan ONLY those partitions' codes (partition
+    pruning x 32x compression), ADC-rank to ``n_candidates`` keys.
+    Returns (pkey, adc_distance) — callers rerank the keys' float
+    vectors from the primary store.
+
+    ``residual=True`` scores against per-cell lookup tables built from
+    (query - cell_centroid) — still one partition-pruned scan; the
+    per-row expression dispatches on the (literal-folded) cell id, so
+    the plan stays m element_at lookups + a CASE over nprobe branches.
+    """
+    from pg_vectorize_spark.functions.vector import (
+        cosine_similarity_to_query,
+    )
+
+    probed = (
+        centroids_df.select(
+            F.col("centroid_id"),
+            F.col("centroid_vec"),
+            cosine_similarity_to_query(
+                F.col("centroid_vec"), query_vec
+            ).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    cells = [int(r["centroid_id"]) for r in probed]
+    codes = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(cells)
+    )
+    if not residual:
+        score = _adc_score_expr(pq_distance_tables(query_vec, codebook))
+    else:
+        q = [float(v) for v in query_vec]
+        score = None
+        for r in probed:
+            qres = [
+                a - float(b) for a, b in zip(q, r["centroid_vec"])
+            ]
+            branch = _adc_score_expr(
+                pq_distance_tables(qres, codebook)
+            )
+            cond = F.col("cell") == F.lit(int(r["centroid_id"]))
+            score = (
+                F.when(cond, branch)
+                if score is None
+                else score.when(cond, branch)
+            )
+    return (
+        codes.select(F.col(pkey), score.alias("adc_distance"))
+        .orderBy(F.asc("adc_distance"), F.asc(pkey))
+        .limit(n_candidates)
     )
 
 
@@ -343,12 +542,11 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 2,
     rerank_candidates: int = 100,
+    residual: bool = False,
 ) -> DataFrame:
-    """IVF-PQ search: probe ``nprobe`` cells driver-side (the centroid
-    table is tiny), scan ONLY those partitions' 8-byte codes (partition
-    pruning x compression — nprobe/n_centroids of 1/32 of the data),
-    ADC-rank to ``rerank_candidates``, exact-rerank their float vectors
-    from the primary store.
+    """IVF-PQ search: compressed partition-pruned ADC probe
+    (``ivfpq_candidates``) then exact cosine rerank of the candidates'
+    float vectors from the primary store.
 
     Scale shape: partition-pruned compressed scan + TakeOrdered, then a
     keyed semi-join reading ``rerank_candidates`` float rows. At 100 TB
@@ -359,23 +557,16 @@ def ivfpq_topk(
         cosine_similarity_to_query,
     )
 
-    probed = (
-        centroids_df.select(
-            F.col("centroid_id"),
-            cosine_similarity_to_query(
-                F.col("centroid_vec"), query_vec
-            ).alias("_qsim"),
-        )
-        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    )
-    cells = [int(r["centroid_id"]) for r in probed]
-    codes = spark.read.parquet(index_path).filter(
-        F.col("cell").isin(cells)
-    )
-    cand = pq_adc_topk(
-        codes, pkey, query_vec, codebook, k=rerank_candidates
+    cand = ivfpq_candidates(
+        spark,
+        index_path,
+        centroids_df,
+        codebook,
+        pkey,
+        query_vec,
+        nprobe=nprobe,
+        n_candidates=rerank_candidates,
+        residual=residual,
     ).select(pkey)
     pruned = emb_df.join(cand, pkey, "left_semi")
     score = cosine_similarity_to_query(F.col(emb_col), query_vec)

@@ -1,0 +1,398 @@
+"""Index-backed job search (VERDICT r5 #1-#3): the engine's search()
+routes through the persisted per-job index, ingest paths keep it fresh,
+and IVF-PQ has incremental maintenance.
+
+Reference behavior being reproduced: job creation builds a physical
+vector index (core/src/query.rs:359-396, extension/src/init.rs:55-146),
+vectorize.search() uses it transparently via the Postgres planner, and
+Postgres maintains it on every INSERT/UPDATE/DELETE. Parity bar in these
+tests: with probe parameters covering the whole corpus, an index-backed
+search must return EXACTLY the brute-force ranking — same ids, same
+scores — after any sequence of ingest mutations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.engine import VectorizeSession
+from pg_vectorize_spark.operators.search import semantic_search
+
+QUERY = "spark window merge batch data"
+
+#: full-coverage probe parameters per method: every cell/bucket probed
+#: (ivf/signbit) or every row in the rerank window (ivfpq), so the
+#: indexed result is provably the exact ranking and the parity check is
+#: deterministic for ANY corpus — the plumbing is what's under test
+FULL_COVERAGE = {
+    "ivf": {"n_centroids": 4, "nprobe": 4},
+    "signbit": {"nbits": 3, "probe_hamming": 3},
+    "ivfpq": {
+        "n_centroids": 4,
+        "nprobe": 4,
+        "rerank_candidates": 1000,
+        "pq_m": 8,
+        "pq_k": 8,
+        "residual": False,
+    },
+    "ivfpq_residual": {
+        "n_centroids": 4,
+        "nprobe": 4,
+        "rerank_candidates": 1000,
+        "pq_m": 8,
+        "pq_k": 8,
+        "residual": True,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_src(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idxsrc")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("content"))
+        .filter(F.col("id") < 150)
+    )
+    path = str(root / "docs")
+    docs.write.parquet(path)
+    return path
+
+
+def _mk_job(spark, tmp_path, corpus_src, method, params, name="ijob"):
+    sess = VectorizeSession(spark, workspace=str(tmp_path / f"ws_{name}"))
+    sess.create_job(
+        name,
+        corpus_src,
+        columns=["content"],
+        primary_key="id",
+        index_method=method,
+        index_params=params,
+    )
+    return sess
+
+
+def _brute_expected(sess, job_name, query, k=10, **kw):
+    """The exact ranking over the job's CURRENT embeddings snapshot —
+    what a brute job would return."""
+    job = sess.catalog.get(job_name)
+    qv = sess._query_vec(job, query, None)
+    df = semantic_search(
+        sess._source_df(job),
+        sess._emb_ds(job_name).read().select(job.primary_key, "embeddings"),
+        job.primary_key,
+        qv,
+        num_results=k,
+        pre_normalized=True,
+        **kw,
+    )
+    return [
+        (r["id"], round(r["similarity_score"], 10)) for r in df.collect()
+    ]
+
+
+def _indexed_actual(sess, job_name, query, k=10, **kw):
+    out = sess.search(job_name, query, num_results=k, **kw)
+    return [(r["id"], round(r["similarity_score"], 10)) for r in out]
+
+
+class TestIndexedSearchParity:
+    @pytest.mark.parametrize("variant", sorted(FULL_COVERAGE))
+    def test_search_equals_brute(
+        self, spark, tmp_path, corpus_src, variant
+    ):
+        method = "ivfpq" if variant.startswith("ivfpq") else variant
+        sess = _mk_job(
+            spark, tmp_path, corpus_src, method, FULL_COVERAGE[variant],
+            name=f"par_{variant}",
+        )
+        job = sess.catalog.get(f"par_{variant}")
+        assert sess._index_mgr(job).exists()  # built by the initial scan
+        assert _indexed_actual(sess, f"par_{variant}", QUERY) == (
+            _brute_expected(sess, f"par_{variant}", QUERY)
+        )
+
+    def test_filter_placement_matches_brute(
+        self, spark, tmp_path, corpus_src
+    ):
+        """Post-ranking where_sql placement is unchanged by the index
+        routing (reference: filters apply to the scored join,
+        core/src/query.rs:653-701)."""
+        sess = _mk_job(
+            spark, tmp_path, corpus_src, "ivf", FULL_COVERAGE["ivf"],
+            name="filt",
+        )
+        kw = {"where_sql": "id % 2 = 0"}
+        assert _indexed_actual(sess, "filt", QUERY, **kw) == (
+            _brute_expected(sess, "filt", QUERY, **kw)
+        )
+
+    def test_delete_job_drops_index(self, spark, tmp_path, corpus_src):
+        import os
+
+        sess = _mk_job(
+            spark, tmp_path, corpus_src, "ivf", FULL_COVERAGE["ivf"],
+            name="drop",
+        )
+        idx_dir = sess._job_dir("drop", "index")
+        assert os.path.isdir(idx_dir)
+        sess.delete_job("drop")
+        assert not os.path.isdir(idx_dir)
+
+    def test_invalid_method_rejected(self, spark, tmp_path, corpus_src):
+        from pg_vectorize_spark.errors import VectorizeError
+
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_bad"))
+        with pytest.raises(VectorizeError, match="index_method"):
+            sess.create_job(
+                "bad", corpus_src, columns=["content"], primary_key="id",
+                index_method="hnsw",
+            )
+
+
+class TestIndexFreshness:
+    """VERDICT r5 #2 done-criterion: a stream of insert/update/delete
+    micro-batches leaves the indexed search identical to the exact
+    ranking over the resulting snapshot after EVERY batch."""
+
+    def _batches(self, spark):
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select(
+                F.col("doc_id").alias("id"), F.col("text").alias("content")
+            )
+        )
+        ins = docs.filter((F.col("id") >= 150) & (F.col("id") < 200)).select(
+            "id", "content", F.lit("insert").alias("_change_type")
+        )
+        upd = docs.filter(F.col("id") < 30).select(
+            "id",
+            F.concat(F.lit("updated "), "content").alias("content"),
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        dele = docs.filter((F.col("id") % 5 == 0) & (F.col("id") < 100)).select(
+            "id",
+            F.lit(None).cast("string").alias("content"),
+            F.lit("delete").alias("_change_type"),
+        )
+        return [ins, upd, dele]
+
+    @pytest.mark.parametrize("method", ["ivf", "ivfpq"])
+    def test_stream_batches_keep_index_exact(
+        self, spark, tmp_path, corpus_src, method
+    ):
+        from pg_vectorize_spark.streaming.incremental import (
+            ChangeFeedPipeline,
+        )
+
+        params = FULL_COVERAGE[method]
+        name = f"fresh_{method}"
+        sess = _mk_job(
+            spark, tmp_path, corpus_src, method, params, name=name
+        )
+        pipe = ChangeFeedPipeline(sess, name)
+        for i, batch in enumerate(self._batches(spark)):
+            pipe.process_batch(batch, i)
+            assert _indexed_actual(sess, name, QUERY) == (
+                _brute_expected(sess, name, QUERY)
+            ), f"divergence after batch {i}"
+        # physical checks: deleted keys left the index, inserts landed
+        idx = spark.read.parquet(sess._job_dir(name, "index"))
+        ids = {r["id"] for r in idx.select("id").collect()}
+        assert not any(i % 5 == 0 and i < 100 for i in ids)
+        assert any(i >= 150 for i in ids)
+        # snapshot and index hold the same key set
+        snap_ids = {
+            r["id"] for r in sess._emb_ds(name).read().select("id").collect()
+        }
+        assert ids == snap_ids
+
+    def test_scan_job_keeps_index_exact(self, spark, tmp_path):
+        """Batch-path freshness: source overwrite (updates + deletes) ->
+        scan_job -> indexed search still the exact ranking; the orphan
+        cascade pruned the index."""
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select(
+                F.col("doc_id").alias("id"), F.col("text").alias("content")
+            )
+            .filter(F.col("id") < 150)
+        )
+        src = str(tmp_path / "mut_src")
+        docs.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_scan"))
+        sess.create_job(
+            "scanjob", src, columns=["content"], primary_key="id",
+            update_time_col=None,
+            index_method="ivf", index_params=FULL_COVERAGE["ivf"],
+        )
+        # mutate: drop ids % 7 == 0, rewrite text of ids < 20
+        new = docs.filter(F.col("id") % 7 != 0).withColumn(
+            "content",
+            F.when(
+                F.col("id") < 20, F.concat(F.lit("v2 "), "content")
+            ).otherwise(F.col("content")),
+        )
+        new.write.mode("overwrite").parquet(src)
+        sess.scan_job("scanjob")
+        assert _indexed_actual(sess, "scanjob", QUERY) == (
+            _brute_expected(sess, "scanjob", QUERY)
+        )
+        idx_ids = {
+            r["id"]
+            for r in spark.read.parquet(sess._job_dir("scanjob", "index"))
+            .select("id")
+            .collect()
+        }
+        assert not any(i % 7 == 0 for i in idx_ids)
+
+
+class TestIvfPqIncrementalMaintenance:
+    """Operator-level IVF-PQ maintenance (VERDICT r5 #3), mirroring
+    TestIvfIncrementalMaintenance: add lands in the frozen quantizer's
+    cells with the frozen codebook, delete rewrites only affected cells,
+    and search over the maintained index equals a from-scratch build of
+    the same final corpus."""
+
+    def _setup(self, spark, tmp_path, residual=False):
+        from pg_vectorize_spark.operators.ann import default_centroids
+        from pg_vectorize_spark.operators.pq import (
+            build_ivfpq_index,
+            pq_train_numpy,
+            train_pq_residual_sample,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        cents = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+        if residual:
+            codebook = train_pq_residual_sample(
+                emb, cents, "vec_id", "embeddings", m=8, k=8
+            )
+        else:
+            sample = emb.orderBy("vec_id").limit(512).collect()
+            codebook = pq_train_numpy(
+                [[float(x) for x in r["embeddings"]] for r in sample],
+                m=8,
+                k=8,
+            )
+        old = emb.filter(F.col("vec_id") % 2 == 0)
+        new = emb.filter(F.col("vec_id") % 2 == 1)
+        idx = str(tmp_path / "ivfpq_incr")
+        build_ivfpq_index(
+            old, cents, codebook, "vec_id", "embeddings", idx,
+            residual=residual,
+        )
+        return emb, cents, codebook, old, new, idx
+
+    def _topk(self, spark, idx, cents, emb, codebook, residual, k=10):
+        from pg_vectorize_spark.operators.pq import ivfpq_topk
+
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embeddings"]
+        ]
+        return [
+            (r["vec_id"], round(r["similarity_score"], 10))
+            for r in ivfpq_topk(
+                spark, idx, cents, emb, codebook, "vec_id", "embeddings",
+                qv, k=k, nprobe=8, rerank_candidates=4000,
+                residual=residual,
+            ).collect()
+        ]
+
+    @pytest.mark.parametrize("residual", [False, True])
+    def test_add_equals_full_rebuild(self, spark, tmp_path, residual):
+        from pg_vectorize_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_index_add,
+        )
+
+        emb, cents, codebook, old, new, idx = self._setup(
+            spark, tmp_path, residual
+        )
+        ivfpq_index_add(
+            new, cents, codebook, "vec_id", "embeddings", idx,
+            residual=residual,
+        )
+        full_idx = str(tmp_path / "ivfpq_full")
+        build_ivfpq_index(
+            emb, cents, codebook, "vec_id", "embeddings", full_idx,
+            residual=residual,
+        )
+        a = self._topk(spark, idx, cents, emb, codebook, residual)
+        b = self._topk(spark, full_idx, cents, emb, codebook, residual)
+        assert a == b
+        assert any(v % 2 == 1 for v, _ in a)  # added ids are findable
+        # incremental codes must be BIT-IDENTICAL to build-time codes
+        inc = {
+            r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+            for r in spark.read.parquet(idx).collect()
+        }
+        full = {
+            r["vec_id"]: (list(r["pq_codes"]), r["cell"])
+            for r in spark.read.parquet(full_idx).collect()
+        }
+        assert inc == full
+
+    def test_delete_prunes_and_meta_guard(self, spark, tmp_path):
+        from pg_vectorize_spark.operators.pq import (
+            ivfpq_index_add,
+            ivfpq_index_delete,
+            pq_train_numpy,
+        )
+
+        emb, cents, codebook, old, new, idx = self._setup(spark, tmp_path)
+        keys = old.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+        n = ivfpq_index_delete(spark, idx, keys, "vec_id")
+        assert n == keys.count()
+        left = {
+            r["vec_id"] for r in spark.read.parquet(idx).collect()
+        }
+        assert not any(v % 10 == 0 for v in left)
+        # a mismatched codebook shape must be refused, not mis-encoded
+        other = pq_train_numpy(
+            [[float(i) / 64 for i in range(64)] for _ in range(16)],
+            m=4,
+            k=4,
+        )
+        with pytest.raises(ValueError, match="pq_m"):
+            ivfpq_index_add(
+                new, cents, other, "vec_id", "embeddings", idx
+            )
+
+    def test_residual_mode_mismatch_refused(self, spark, tmp_path):
+        from pg_vectorize_spark.operators.pq import ivfpq_index_add
+
+        emb, cents, codebook, old, new, idx = self._setup(
+            spark, tmp_path, residual=True
+        )
+        with pytest.raises(ValueError, match="residual"):
+            ivfpq_index_add(
+                new, cents, codebook, "vec_id", "embeddings", idx,
+                residual=False,
+            )
+
+
+class TestIndexedGatePlan:
+    def test_gate_query_partition_prunes_index_scan(self, spark):
+        """The semantic_search_indexed gate's index scan must prune at
+        the parquet SOURCE (PartitionFilters on cell), and plan as scan
+        -> broadcast join -> TakeOrdered with no shuffle — the plan that
+        reads nprobe/n_centroids of the data at 100 TB."""
+        import re
+
+        import __spark_entry__ as entrymod
+        from pg_vectorize_spark.plans.inspect import plan_report
+
+        df = entrymod.queries()["semantic_search_indexed"](
+            spark, "/root/testdata/sf0.001"
+        )
+        rep = plan_report(df)
+        assert re.search(r"PartitionFilters: \[[^\]]*cell", rep.text), (
+            rep.text
+        )
+        assert rep.has_take_ordered, rep.summary()
+        assert rep.n_exchanges == 0, rep.summary()
