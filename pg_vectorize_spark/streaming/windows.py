@@ -283,6 +283,7 @@ def streaming_dup_span_filter(
     hash_ngrams: bool = True,
     query_name: str | None = None,
     trigger_available_now: bool = False,
+    store_buckets: int = 64,
 ):
     """Ingest-time exact-substring contamination filter (VERDICT r3 #8 /
     r4 #3): the streaming analog of ``CorpusPipeline.filter_dup_spans``.
@@ -308,26 +309,32 @@ def streaming_dup_span_filter(
     closes, delaying ingest by the full watermark. Documents arrive
     whole in one batch, so the per-doc aggregate is batch-local and
     exact; only the SEEN-SPAN SET is cross-batch state, held in a
-    versioned SnapshotDataset of (gkey, ts) rows — 16 bytes per distinct
-    span with ``hash_ngrams``.
+    hash-BUCKETED snapshot of (gkey, ts) rows — 16 bytes per distinct
+    span with ``hash_ngrams``, keyed on gkey in ``store_buckets``
+    buckets (BucketedSnapshotDataset), so each batch's fold rewrites
+    ONLY the buckets its new spans land in and hard-links the rest —
+    O(batch · store/n_buckets) write amplification instead of the full
+    store per micro-batch (VERDICT r5 #7).
 
     ``watermark_seconds`` bounds that store: span keys whose first-seen
-    ts falls behind (max ts seen - watermark) are pruned each batch, the
-    same state-bounding contract as ``streaming_dedup``. Unset, the
-    store grows with distinct-span cardinality (fine for bounded
-    corpora; set it for unbounded feeds).
+    ts falls behind (max ts seen - watermark) are pruned each batch via
+    a bucket-local keyed delete, the same state-bounding contract as
+    ``streaming_dedup``. Unset, the store grows with distinct-span
+    cardinality (fine for bounded corpora; set it for unbounded feeds).
 
     Scale shape per batch: the batch's exploded windows (batch-sized)
-    rank against the store via one keyed window on gkey; the store
-    rewrite is a keyed min-aggregate. At 100 TB the store would live in
-    a bucketed/Delta table keyed on gkey so the join co-locates;
-    the SnapshotDataset pointer swap stands in for that here.
+    rank against the store via one keyed window on gkey; the store fold
+    is an insert of keys whose first-seen ts improved (usually only the
+    UNSEEN spans — arrival order means existing keys already hold an
+    earlier-or-equal ts), merged into the affected buckets only.
 
     ``sink(kept_df, batch_id)`` receives the surviving documents with
     their dup stats attached (n_windows, n_dup_windows, dup_fraction).
     """
     from pg_vectorize_spark.operators.dedup import arrival_order_span_stats
-    from pg_vectorize_spark.sources.parquet_snapshot import SnapshotDataset
+    from pg_vectorize_spark.sources.parquet_snapshot import (
+        BucketedSnapshotDataset,
+    )
 
     from pg_vectorize_spark.operators.dedup import span_instances
 
@@ -335,7 +342,9 @@ def streaming_dup_span_filter(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        store = SnapshotDataset(spark, store_dir)
+        store = BucketedSnapshotDataset(
+            spark, store_dir, n_buckets=store_buckets
+        )
         prior = store.read().select("gkey", "ts") if store.exists() else None
         # tokenize+explode once (the dominant cost); the stats pass and
         # the store fold both consume the materialized instance frame
@@ -360,15 +369,32 @@ def streaming_dup_span_filter(
         )
         sink(kept, batch_id)
 
-        # fold this batch's spans into the store: min first-seen ts per
-        # gkey across (prior ∪ batch), then watermark-prune
-        batch_wins = inst.select("gkey", F.col("_ts").alias("ts"))
-        merged = (
-            batch_wins
-            if prior is None
-            else batch_wins.unionByName(prior)
-        )
-        merged = merged.groupBy("gkey").agg(F.min("ts").alias("ts"))
+        # fold this batch's spans into the store, bucket-locally: the
+        # semantics are still "min first-seen ts per gkey across
+        # (prior ∪ batch)", but only keys whose min CHANGED (new spans,
+        # plus late arrivals with an earlier event ts) are upserted —
+        # so the rewrite touches O(changed-key buckets), not the store
+        batch_wins = inst.select(
+            "gkey", F.col("_ts").alias("ts")
+        ).groupBy("gkey").agg(F.min("ts").alias("ts"))
+        if prior is None:
+            store.write_full(batch_wins.localCheckpoint(), "gkey")
+        else:
+            improved = (
+                batch_wins.join(
+                    prior.withColumnRenamed("ts", "_prior_ts"),
+                    "gkey",
+                    "left",
+                )
+                .filter(
+                    F.col("_prior_ts").isNull()
+                    | (F.col("ts") < F.col("_prior_ts"))
+                )
+                .select("gkey", "ts")
+                .localCheckpoint()
+            )
+            if improved.head(1):
+                store.merge_upsert(improved, "gkey")
         if watermark_seconds is not None:
             horizon_row = (
                 batch_df.agg(F.max(F.col(ts_col)).alias("m")).first()
@@ -382,8 +408,15 @@ def streaming_dup_span_filter(
                     if isinstance(horizon, _dt.datetime)
                     else horizon - watermark_seconds
                 )
-                merged = merged.filter(F.col("ts") >= F.lit(cutoff))
-        store.write_full(merged.localCheckpoint())
+                # bucket-local delete of expired span keys
+                expired = (
+                    store.read()
+                    .filter(F.col("ts") < F.lit(cutoff))
+                    .select("gkey")
+                    .localCheckpoint()
+                )
+                if expired.head(1):
+                    store.delete_keys(expired, "gkey")
 
     writer = stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

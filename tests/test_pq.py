@@ -289,3 +289,75 @@ def test_ivfpq_end_to_end(spark, tmp_path):
     assert any(
         "pq_codes" in s and "embedding" not in s for s in rep.read_schemas
     ), rep.read_schemas
+
+
+def test_residual_recall_uplift(spark, tmp_path):
+    """Residual IVF-PQ (VERDICT r5 #6): codebook trained on residuals
+    from the assigned cell centroid quantizes tighter at the same m,k —
+    floors pinned at the measured levels (SCALING.md residual table:
+    ADC-only 0.553 vs 0.473 raw; rerank@50 0.973 vs 0.933)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import pyspark.sql.functions as F
+    from scripts.ann_recall import clustered_vectors
+
+    from pg_vectorize_spark.operators.ann import (
+        brute_force_topk,
+        train_ivf_centroids_kmeans,
+    )
+    from pg_vectorize_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_candidates,
+        ivfpq_topk,
+        train_pq_residual_sample,
+    )
+
+    rows = clustered_vectors()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+    cents = train_ivf_centroids_kmeans(
+        emb, "vec_id", "embedding", n_centroids=16
+    ).localCheckpoint()
+    book = train_pq_residual_sample(
+        emb, cents, "vec_id", "embedding", sample_n=2048, m=8, k=16
+    )
+    idx = str(tmp_path / "res_idx")
+    build_ivfpq_index(
+        emb, cents, book, "vec_id", "embedding", idx, residual=True
+    )
+    qids = list(range(0, 2000, 133))[:15]
+    adc_hits = rerank_hits = 0
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                emb, "vec_id", "embedding", qv, 10
+            ).collect()
+        }
+        adc = {
+            r["vec_id"]
+            for r in ivfpq_candidates(
+                spark, idx, cents, book, "vec_id", qv,
+                nprobe=4, n_candidates=10, residual=True,
+            ).collect()
+        }
+        rer = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                spark, idx, cents, emb, book, "vec_id", "embedding", qv,
+                k=10, nprobe=4, rerank_candidates=50, residual=True,
+            ).collect()
+        }
+        adc_hits += len(exact & adc)
+        rerank_hits += len(exact & rer)
+    n = 10 * len(qids)
+    # raw-codebook ADC measured 0.473 on this protocol: the residual
+    # floor sits ABOVE it, so the uplift itself is what's pinned
+    assert adc_hits / n >= 0.50, adc_hits / n
+    assert rerank_hits / n >= 0.92, rerank_hits / n
