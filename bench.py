@@ -170,6 +170,10 @@ def main() -> None:
     bench_names = [
         "embed_documents",
         "semantic_search_topk",
+        # build + probe of the persisted per-job index (the engine's
+        # index-backed search path); the build dominates at sf0.1 —
+        # the per-query probe cost is the partition-pruned scan alone
+        "semantic_search_indexed",
         "fts_search_topk",
         "hybrid_rrf_search",
         "semantic_search_filtered",

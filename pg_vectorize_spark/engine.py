@@ -528,6 +528,7 @@ class VectorizeSession:
                 j.dim,
                 j.table_method,
                 j.schedule,
+                getattr(j, "index_method", "brute") or "brute",
                 j.created_at,
             )
             for j in jobs
@@ -536,7 +537,8 @@ class VectorizeSession:
             rows,
             "job_name string, src_path string, src_columns array<string>, "
             "primary_key string, update_time_col string, model string, "
-            "dim int, table_method string, schedule string, created_at string",
+            "dim int, table_method string, schedule string, "
+            "index_method string, created_at string",
         )
         if register_view:
             df.createOrReplaceTempView("vectorize_jobs")

@@ -311,6 +311,11 @@ class _Handler(BaseHTTPRequestHandler):
                     table_method=body.get("table_method", "join"),
                     schedule=body.get("schedule", "realtime"),
                     api_key=body.get("api_key"),
+                    # the reference's POST /table accepts index params in
+                    # its JobParams; here they select the persisted-index
+                    # layout the job's search path probes
+                    index_method=body.get("index_method", "brute"),
+                    index_params=body.get("index_params"),
                 )
                 self._send(200, {"id": job.job_name, "dim": job.dim})
             except KeyError as e:

@@ -222,3 +222,49 @@ class TestEmbeddingService:
         base, _ = served
         code, _body = _get(f"{base}/v1/info/")
         assert code == 422
+
+
+def test_create_indexed_table_and_search(served):
+    """POST /table accepts index_method/index_params; the indexed job's
+    GET /search routes through the persisted index and still returns
+    the exact ranking (full-coverage probe params)."""
+    base, src = served
+    code, body = _post(
+        base + "/api/v1/table",
+        {
+            "job_name": "items_idx",
+            "src_path": src,
+            "columns": ["content"],
+            "primary_key": "id",
+            "index_method": "ivf",
+            "index_params": {"n_centroids": 2, "nprobe": 2},
+        },
+    )
+    assert code == 200, body
+    code, brute = _post(
+        base + "/api/v1/table",
+        {
+            "job_name": "items_brute",
+            "src_path": src,
+            "columns": ["content"],
+            "primary_key": "id",
+        },
+    )
+    assert code == 200, brute
+    code, a = _get(base + "/api/v1/search?job_name=items_idx&query=pizza&limit=3")
+    code2, b = _get(base + "/api/v1/search?job_name=items_brute&query=pizza&limit=3")
+    assert code == 200 and code2 == 200
+    assert [(r["id"], r["similarity_score"]) for r in a] == [
+        (r["id"], r["similarity_score"]) for r in b
+    ]
+    code, _ = _post(
+        base + "/api/v1/table",
+        {
+            "job_name": "bad_idx",
+            "src_path": src,
+            "columns": ["content"],
+            "primary_key": "id",
+            "index_method": "hnsw",
+        },
+    )
+    assert code == 400
