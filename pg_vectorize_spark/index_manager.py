@@ -177,12 +177,19 @@ class JobIndexManager:
                 emb_df, cents_df, pkey, "embeddings", self.index_dir
             )
         else:  # ivfpq
+            from pg_vectorize_spark.operators.ann import assign_ivf_cells
             from pg_vectorize_spark.operators.pq import (
                 build_ivfpq_index,
                 pq_train_numpy,
                 train_pq_residual_sample,
             )
 
+            # assign once: codebook training AND the index write both
+            # consume the (crossJoin + keyed-window) assignment — the
+            # most expensive build stage must not run twice
+            assigned = assign_ivf_cells(
+                emb_df, cents_df, pkey, "embeddings"
+            ).localCheckpoint()
             if self.residual:
                 codebook = train_pq_residual_sample(
                     emb_df,
@@ -192,6 +199,7 @@ class JobIndexManager:
                     sample_n=self.pq_train_sample,
                     m=self.pq_m,
                     k=self.pq_k,
+                    assigned_df=assigned,
                 )
             else:
                 sample = (
@@ -217,6 +225,7 @@ class JobIndexManager:
                 "embeddings",
                 self.index_dir,
                 residual=self.residual,
+                assigned_df=assigned,
             )
         self._save_quantizer(state)
         self._reset_maint()
@@ -351,21 +360,10 @@ class JobIndexManager:
                 F.col("bucket").isin(probes)
             )
         if self.method == "ivf":
-            from pg_vectorize_spark.functions.vector import (
-                cosine_similarity_to_query,
-            )
+            from pg_vectorize_spark.operators.ann import probe_cells
 
-            probed = (
-                self.centroids_df()
-                .select(
-                    F.col("centroid_id"),
-                    cosine_similarity_to_query(
-                        F.col("centroid_vec"), query_vec
-                    ).alias("_qsim"),
-                )
-                .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
-                .limit(self.nprobe)
-                .collect()
+            probed = probe_cells(
+                self.centroids_df(), query_vec, self.nprobe
             )
             cells = [int(r["centroid_id"]) for r in probed]
             return self.spark.read.parquet(self.index_dir).filter(

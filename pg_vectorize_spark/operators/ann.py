@@ -659,6 +659,32 @@ def compact_index(
     return len(vals)
 
 
+def probe_cells(
+    centroids_df: DataFrame,
+    query_vec: Sequence[float],
+    nprobe: int,
+) -> list:
+    """Driver-side centroid probe shared by EVERY IVF-family search path
+    (flat ivf_topk_indexed, pq.ivfpq_candidates, the engine's
+    JobIndexManager.candidates): rank centroids by cosine to the query,
+    ties broken by lowest id, return the top-``nprobe`` rows
+    (centroid_id, centroid_vec, _qsim). One definition — the probe
+    ordering determines WHICH cells get scanned, so a divergence between
+    paths would silently change search results."""
+    return (
+        centroids_df.select(
+            F.col("centroid_id"),
+            F.col("centroid_vec"),
+            cosine_similarity_to_query(
+                F.col("centroid_vec"), query_vec
+            ).alias("_qsim"),
+        )
+        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,
@@ -672,17 +698,7 @@ def ivf_topk_indexed(
     """IVF search over a persisted index: probe centroids driver-side (the
     centroid table is tiny and already local), then scan ONLY the probed
     cell partitions via an IN filter that prunes at the parquet source."""
-    probed_rows = (
-        centroids_df.select(
-            F.col("centroid_id"),
-            cosine_similarity_to_query(F.col("centroid_vec"), query_vec).alias(
-                "_qsim"
-            ),
-        )
-        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    )
+    probed_rows = probe_cells(centroids_df, query_vec, nprobe)
     cells = [int(r["centroid_id"]) for r in probed_rows]
     candidates = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     return brute_force_topk(candidates, pkey, emb_col, query_vec, k)

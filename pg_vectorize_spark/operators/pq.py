@@ -162,13 +162,7 @@ def pq_adc_topk(
     fold + TakeOrderedAndProject; no join, no shuffle, no Python.
     """
     tables = pq_distance_tables(query_vec, codebook)
-    score = None
-    for j, row in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(v)) for v in row]),
-            F.element_at(F.col(codes_col), j + 1) + F.lit(1),
-        )
-        score = term if score is None else score + term
+    score = _adc_score_expr(tables, codes_col)
     return (
         codes_df.select(F.col(pkey), score.alias("adc_distance"))
         .orderBy(F.asc("adc_distance"), F.asc(pkey))
@@ -322,6 +316,7 @@ def build_ivfpq_index(
     emb_col: str,
     index_path: str,
     residual: bool = False,
+    assigned_df: DataFrame | None = None,
 ) -> None:
     """IVF-PQ index build: coarse cell assignment (partition pruning at
     probe time) + PQ codes (32x-compressed payload) — the two pruning
@@ -336,6 +331,10 @@ def build_ivfpq_index(
     codebook quantizes them tighter than raw vectors (recall uplift
     measured in SCALING.md). The codebook must then be TRAINED on
     residuals (train_pq_residual_sample feeds pq_train_numpy).
+
+    ``assigned_df`` (pkey, emb_col, cell) skips the assignment pass —
+    callers that already assigned cells (e.g. to train the residual
+    codebook) pass it so the full-corpus crossJoin+window runs ONCE.
     """
     from pg_vectorize_spark.operators.ann import (
         _centroid_fingerprint,
@@ -343,7 +342,11 @@ def build_ivfpq_index(
         assign_ivf_cells,
     )
 
-    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    assigned = (
+        assigned_df
+        if assigned_df is not None
+        else assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    )
     enc_col = emb_col
     if residual:
         assigned = _with_residual(assigned, centroids_df, emb_col)
@@ -430,15 +433,22 @@ def train_pq_residual_sample(
     m: int = 8,
     k: int = 16,
     seed: int = 7,
+    assigned_df: DataFrame | None = None,
 ):
     """Train a residual codebook: assign a deterministic sample (lowest
     pkeys) to cells, subtract the assigned centroid, run the same
     per-subspace Lloyd's as the raw-vector path. Returns the codebook
     nested-list. Driver-side numpy over <= sample_n rows — the same
-    sample-then-train shape MLlib KMeans uses for the coarse step."""
+    sample-then-train shape MLlib KMeans uses for the coarse step.
+    ``assigned_df`` reuses a precomputed cell assignment (see
+    build_ivfpq_index)."""
     from pg_vectorize_spark.operators.ann import assign_ivf_cells
 
-    assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    assigned = (
+        assigned_df
+        if assigned_df is not None
+        else assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+    )
     sample = (
         _with_residual(assigned, centroids_df, emb_col)
         .select(F.col(pkey), F.col("_residual"))
@@ -450,14 +460,17 @@ def train_pq_residual_sample(
     return pq_train_numpy(residuals, m=m, k=k, seed=seed)
 
 
-def _adc_score_expr(tables) -> Column:
+def _adc_score_expr(tables, codes_col: str = "pq_codes") -> Column:
     """Per-row ADC distance: t_0[code_0] + t_1[code_1] + ... over literal
-    lookup tables (left-associated, matching pq_adc_topk / the oracle)."""
+    lookup tables (left-associated). The SINGLE definition of the ADC
+    scoring fold — pq_adc_topk and ivfpq_candidates both build their
+    score from it, so oracle bit-parity cannot silently diverge between
+    the flat and IVF paths."""
     score = None
     for j, row in enumerate(tables):
         term = F.element_at(
             F.array(*[F.lit(float(v)) for v in row]),
-            F.element_at(F.col("pq_codes"), j + 1) + F.lit(1),
+            F.element_at(F.col(codes_col), j + 1) + F.lit(1),
         )
         score = term if score is None else score + term
     return score
@@ -485,22 +498,9 @@ def ivfpq_candidates(
     per-row expression dispatches on the (literal-folded) cell id, so
     the plan stays m element_at lookups + a CASE over nprobe branches.
     """
-    from pg_vectorize_spark.functions.vector import (
-        cosine_similarity_to_query,
-    )
+    from pg_vectorize_spark.operators.ann import probe_cells
 
-    probed = (
-        centroids_df.select(
-            F.col("centroid_id"),
-            F.col("centroid_vec"),
-            cosine_similarity_to_query(
-                F.col("centroid_vec"), query_vec
-            ).alias("_qsim"),
-        )
-        .orderBy(F.desc("_qsim"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    )
+    probed = probe_cells(centroids_df, query_vec, nprobe)
     cells = [int(r["centroid_id"]) for r in probed]
     codes = spark.read.parquet(index_path).filter(
         F.col("cell").isin(cells)

@@ -173,24 +173,28 @@ class BucketedSnapshotDataset(SnapshotDataset):
         except (FileNotFoundError, ValueError):
             return None
 
-    def _check_layout(self, key: str) -> str:
-        """Validate/persist layout; returns the authoritative key."""
+    def _write_layout(self, key: str) -> None:
         import json
 
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_LAYOUT.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "key": key}, f)
+        os.replace(tmp, self._layout_path)
+
+    def _check_layout(self, key: str) -> str:
+        """Validate/persist layout; returns the authoritative key."""
         layout = self._load_layout()
         if layout is None:
             if self.exists():
                 raise ValueError(
                     f"{self.root} holds an UNBUCKETED snapshot (no "
                     "_LAYOUT); opening it as BucketedSnapshotDataset "
-                    "would mis-merge — migrate with write_full(read()) "
+                    "would mis-merge — call migrate_from_unbucketed() "
+                    "(in-place, crash-safe) or write_full(read()) "
                     "through a bucketed instance on a fresh root"
                 )
-            os.makedirs(self.root, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_LAYOUT.")
-            with os.fdopen(fd, "w") as f:
-                json.dump({"n_buckets": self.n_buckets, "key": key}, f)
-            os.replace(tmp, self._layout_path)
+            self._write_layout(key)
             return key
         if layout["n_buckets"] != self.n_buckets:
             raise ValueError(
@@ -205,6 +209,29 @@ class BucketedSnapshotDataset(SnapshotDataset):
                 f"{key!r}"
             )
         return layout["key"]
+
+    def migrate_from_unbucketed(self, key: str) -> int | None:
+        """One-time IN-PLACE migration of a legacy (base SnapshotDataset)
+        store to the bucketed layout: read the current snapshot, persist
+        the layout, rewrite it as a NEW bucketed version. Crash-safe via
+        the versioned pointer — the old version stays current until the
+        bucketed one is fully written; a crash between the layout write
+        and the data write is healed on re-run (detected by the current
+        version lacking the bucket column). Returns the new version, or
+        None when there is nothing to migrate (no data, or already
+        bucketed)."""
+        if not self.exists():
+            return None
+        layout = self._load_layout()
+        if (
+            layout is not None
+            and self.BUCKET_COL in self.read_raw().columns
+        ):
+            return None  # already bucketed
+        df = self.read().localCheckpoint()
+        if layout is None:
+            self._write_layout(key)
+        return self.write_full(df, key)
 
     # -- IO ------------------------------------------------------------------
 

@@ -338,13 +338,33 @@ def streaming_dup_span_filter(
 
     from pg_vectorize_spark.operators.dedup import span_instances
 
+    def _open_store(spark) -> BucketedSnapshotDataset:
+        """The ON-DISK layout is authoritative: a deployment restarted
+        with a different ``store_buckets`` must keep merging with the
+        persisted modulus, not brick on a mismatch."""
+        store = BucketedSnapshotDataset(
+            spark, store_dir, n_buckets=store_buckets
+        )
+        layout = store._load_layout()
+        if (
+            layout is not None
+            and layout.get("n_buckets") != store.n_buckets
+        ):
+            store = BucketedSnapshotDataset(
+                spark, store_dir, n_buckets=layout["n_buckets"]
+            )
+        return store
+
+    # one-time, crash-safe migration of a span store written by the
+    # pre-bucketed version of this filter (full rewrite; every later
+    # fold is bucket-local)
+    _open_store(stream_df.sparkSession).migrate_from_unbucketed("gkey")
+
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        store = BucketedSnapshotDataset(
-            spark, store_dir, n_buckets=store_buckets
-        )
+        store = _open_store(spark)
         prior = store.read().select("gkey", "ts") if store.exists() else None
         # tokenize+explode once (the dominant cost); the stats pass and
         # the store fold both consume the materialized instance frame

@@ -24,14 +24,38 @@ def main() -> int:
         if a.startswith("--threshold"):
             threshold = float(a.split("=", 1)[1])
     def load(path):
-        d = json.load(open(path))
-        # the driver's BENCH_r{N}.json wraps the bench line in "parsed"
-        return d.get("parsed", d)
+        # Accepts: the driver's BENCH_r{N}.json ({"parsed": {...}}), a
+        # single bench JSON object, or bench.py's RAW stdout (detail
+        # line + summary line) — multiple JSON lines are merged so the
+        # summary's queries and the detail's spread both land.
+        text = open(path).read()
+        try:
+            d = json.loads(text)
+            return d.get("parsed") or d
+        except json.JSONDecodeError:
+            merged: dict = {}
+            for line in text.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        merged.update(json.loads(line))
+                    except json.JSONDecodeError:
+                        continue
+            if "queries" not in merged:
+                raise
+            return merged
 
     old = load(args[0])
     new = load(args[1])
     oq, nq = old["queries"], new["queries"]
     spread = new.get("spread", {})
+    if not spread:
+        print(
+            "note: no per-query spread in NEW file (driver artifacts "
+            "carry only the summary line) — regression flags are not "
+            "noise-gated; diff against bench.py's raw 2-line output "
+            "for spread-aware gating"
+        )
     shared = sorted(set(oq) & set(nq))
     regressions = []
     print(f"{'query':<28} {'old':>8} {'new':>8} {'delta':>8}  flag")

@@ -440,3 +440,75 @@ class TestDupSpanStoreBucketed:
         assert new_b < (new_b + linked_b) * 0.25, (
             f"batch rewrote {new_b}/{new_b + linked_b} bytes"
         )
+
+    def test_legacy_unbucketed_store_migrates_in_place(self, spark, tmp_path):
+        """A span store written by the pre-bucketed filter version must
+        migrate on stream start instead of bricking every batch; a
+        restart with a different store_buckets must keep the persisted
+        modulus."""
+        import os
+        from datetime import datetime, timedelta
+
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            BucketedSnapshotDataset,
+            SnapshotDataset,
+        )
+        from pg_vectorize_spark.streaming.windows import (
+            streaming_dup_span_filter,
+        )
+
+        base = datetime(2024, 1, 1)
+        store = str(tmp_path / "store")
+        # legacy store: (gkey, ts) written by the base class
+        legacy = spark.createDataFrame(
+            [(hash(f"s{i}") & 0x7FFFFFFF, base) for i in range(50)],
+            "gkey long, ts timestamp",
+        )
+        SnapshotDataset(spark, store).write_full(legacy)
+        legacy_keys = {r["gkey"] for r in legacy.collect()}
+
+        schema = "doc_id long, ts timestamp, text string"
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, base + timedelta(hours=1), "q1 q2 q3 q4 q5 q6")], schema
+        ).coalesce(1).write.parquet(src)
+        q = streaming_dup_span_filter(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "text",
+            "doc_id",
+            "ts",
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ck"),
+            sink=lambda df, bid: df.count(),
+            k=5,
+            trigger_available_now=True,
+            store_buckets=32,
+        )
+        q.awaitTermination(300)
+        migrated = BucketedSnapshotDataset(spark, store, n_buckets=32)
+        got = {r["gkey"] for r in migrated.read().select("gkey").collect()}
+        assert legacy_keys <= got  # legacy state survived the migration
+        assert len(got) > len(legacy_keys)  # new batch's spans folded in
+        # restart with a DIFFERENT bucket count: persisted layout wins
+        src2 = str(tmp_path / "src2")
+        spark.createDataFrame(
+            [(2, base + timedelta(hours=2), "r1 r2 r3 r4 r5 r6")], schema
+        ).coalesce(1).write.parquet(src2)
+        q2 = streaming_dup_span_filter(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src2),
+            "text",
+            "doc_id",
+            "ts",
+            store_dir=store,
+            checkpoint_dir=str(tmp_path / "ck2"),
+            sink=lambda df, bid: df.count(),
+            k=5,
+            trigger_available_now=True,
+            store_buckets=999,  # mismatched on purpose
+        )
+        q2.awaitTermination(300)
+        assert migrated._load_layout()["n_buckets"] == 32
