@@ -583,7 +583,9 @@ class VectorizeSession:
         )
         return provider.generate_embedding([query])[0]
 
-    def _emb_candidates(self, job: JobRecord, query_vec) -> DataFrame:
+    def _emb_candidates(
+        self, job: JobRecord, query_vec, num_results: int | None = None
+    ) -> DataFrame:
         """(pkey, embeddings) frame the semantic scorer runs over: the
         persisted index probe when the job has one (partition-pruned
         scan — the reference's planner picking the HNSW index,
@@ -591,7 +593,11 @@ class VectorizeSession:
         indexes carry the vectors, so candidates come straight off the
         pruned partitions; ivfpq returns candidate KEYS whose float
         vectors are semi-joined from the primary store (constant
-        ``rerank_candidates`` rows) for the exact rerank."""
+        ``rerank_candidates`` rows) for the exact rerank.
+        ``num_results`` auto-widens a too-thin probe so a top-k search
+        never returns fewer than k rows just because the query landed
+        in a sparse cell (the reference's HNSW yields k whenever the
+        corpus has them)."""
         pkey = job.primary_key
         full = (
             self._emb_ds(job.job_name)
@@ -601,7 +607,7 @@ class VectorizeSession:
         mgr = self._index_mgr(job)
         if mgr is None or not mgr.exists():
             return full
-        cand = mgr.candidates(query_vec)
+        cand = mgr.candidates(query_vec, min_rows=num_results)
         if "embeddings" in cand.columns:
             return cand.select(pkey, "embeddings")
         return full.join(cand.select(pkey), pkey, "left_semi")
@@ -623,7 +629,7 @@ class VectorizeSession:
         qv = self._query_vec(job, query, api_key)
         df = _semantic_op(
             self._source_df(job),
-            self._emb_candidates(job, qv),
+            self._emb_candidates(job, qv, num_results),
             job.primary_key,
             qv,
             num_results=num_results,
@@ -701,7 +707,10 @@ class VectorizeSession:
         )
         df = _hybrid_op(
             self._source_df(job),
-            self._emb_candidates(job, qv),
+            # the semantic branch ranks its own top-window_size, so the
+            # probe floor is the window (falls back to 5x num_results,
+            # operators/search.py default) rather than num_results
+            self._emb_candidates(job, qv, window_size or 5 * num_results),
             job.primary_key,
             qv,
             query,

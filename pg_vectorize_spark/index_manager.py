@@ -334,45 +334,104 @@ class JobIndexManager:
 
     # --------------------------------------------------------------- probe
 
-    def candidates(self, query_vec: Sequence[float]) -> DataFrame:
+    def candidates(
+        self,
+        query_vec: Sequence[float],
+        min_rows: int | None = None,
+    ) -> DataFrame:
         """The probe stage of an indexed search. ivf/signbit return
         (pkey, embeddings) straight off the pruned partitions; ivfpq
         returns candidate keys only (the engine reranks their float
         vectors from the primary store). Every variant's scan carries a
         PartitionFilters IN list — the pruning happens at the parquet
-        source, not post-scan (plan-locked in tests)."""
+        source, not post-scan (plan-locked in tests).
+
+        ``min_rows`` auto-widens the probe: when the probed cells /
+        Hamming ball hold fewer candidates than requested (sparse cells
+        near the query), the probe widens (nprobe doubles / radius
+        grows) until the floor is met or the whole index is covered —
+        so a top-k search never silently returns fewer than k rows just
+        because the query landed in a thin cell (the reference's HNSW
+        index always yields k when the corpus has them). Each widening
+        step costs one count over the pruned scan; the steady state
+        (well-filled cells) pays a single count."""
         if self.method == "brute" or not self.exists():
             raise VectorizeError(
                 f"no persisted index at {self.index_dir}"
             )
         if self.method == "signbit":
-            from pg_vectorize_spark.operators.ann import (
-                _hamming_ball,
-                query_signbit_bucket,
-            )
-
-            probes = _hamming_ball(
-                query_signbit_bucket(query_vec, self.nbits),
-                self.nbits,
-                self.probe_hamming,
-            )
-            return self.spark.read.parquet(self.index_dir).filter(
-                F.col("bucket").isin(probes)
-            )
+            cand = self._signbit_candidates(query_vec, self.probe_hamming)
+            if min_rows is not None:
+                radius = self.probe_hamming
+                while cand.count() < min_rows and radius < self.nbits:
+                    radius += 1
+                    cand = self._signbit_candidates(query_vec, radius)
+            return cand
         if self.method == "ivf":
-            from pg_vectorize_spark.operators.ann import probe_cells
+            cand = self._ivf_candidates(query_vec, self.nprobe)
+            if min_rows is not None:
+                nprobe = self.nprobe
+                while (
+                    cand.count() < min_rows
+                    and nprobe < self.n_centroids
+                ):
+                    nprobe = min(2 * nprobe, self.n_centroids)
+                    cand = self._ivf_candidates(query_vec, nprobe)
+            return cand
+        # ivfpq: the ADC candidate list is keys-only; widening raises
+        # nprobe the same way (n_candidates >= min_rows is implied by
+        # rerank_candidates >= k in any sane config, but enforce it)
+        state = self._load_quantizer()
+        n_cand = self.rerank_candidates
+        if min_rows is not None:
+            n_cand = max(n_cand, min_rows)
+        cand = self._ivfpq_candidates(query_vec, state, self.nprobe, n_cand)
+        if min_rows is not None:
+            nprobe = self.nprobe
+            while cand.count() < min_rows and nprobe < self.n_centroids:
+                nprobe = min(2 * nprobe, self.n_centroids)
+                cand = self._ivfpq_candidates(
+                    query_vec, state, nprobe, n_cand
+                )
+        return cand
 
-            probed = probe_cells(
-                self.centroids_df(), query_vec, self.nprobe
-            )
-            cells = [int(r["centroid_id"]) for r in probed]
-            return self.spark.read.parquet(self.index_dir).filter(
-                F.col("cell").isin(cells)
-            )
-        # ivfpq
+    def _signbit_candidates(
+        self, query_vec: Sequence[float], radius: int
+    ) -> DataFrame:
+        from pg_vectorize_spark.operators.ann import (
+            _hamming_ball,
+            query_signbit_bucket,
+        )
+
+        probes = _hamming_ball(
+            query_signbit_bucket(query_vec, self.nbits),
+            self.nbits,
+            radius,
+        )
+        return self.spark.read.parquet(self.index_dir).filter(
+            F.col("bucket").isin(probes)
+        )
+
+    def _ivf_candidates(
+        self, query_vec: Sequence[float], nprobe: int
+    ) -> DataFrame:
+        from pg_vectorize_spark.operators.ann import probe_cells
+
+        probed = probe_cells(self.centroids_df(), query_vec, nprobe)
+        cells = [int(r["centroid_id"]) for r in probed]
+        return self.spark.read.parquet(self.index_dir).filter(
+            F.col("cell").isin(cells)
+        )
+
+    def _ivfpq_candidates(
+        self,
+        query_vec: Sequence[float],
+        state: dict,
+        nprobe: int,
+        n_candidates: int,
+    ) -> DataFrame:
         from pg_vectorize_spark.operators.pq import ivfpq_candidates
 
-        state = self._load_quantizer()
         return ivfpq_candidates(
             self.spark,
             self.index_dir,
@@ -380,8 +439,8 @@ class JobIndexManager:
             state["codebook"],
             state["pkey"],
             query_vec,
-            nprobe=self.nprobe,
-            n_candidates=self.rerank_candidates,
+            nprobe=nprobe,
+            n_candidates=n_candidates,
             residual=state.get("residual", self.residual),
         )
 

@@ -396,3 +396,68 @@ class TestIndexedGatePlan:
         )
         assert rep.has_take_ordered, rep.summary()
         assert rep.n_exchanges == 0, rep.summary()
+
+
+class TestProbeAutoWiden:
+    """A top-k search against a thin cell must widen the probe until k
+    candidates exist (the reference's HNSW always yields k when the
+    corpus has them), instead of silently returning fewer rows."""
+
+    def _sparse_corpus(self, spark):
+        # cluster A: 3 vectors near e1; cluster B: 37 vectors near e2 —
+        # a query at e1 probes A first, which holds fewer than k=10
+        rows = []
+        for i in range(3):
+            v = [0.0] * 8
+            v[0] = 1.0
+            v[1] = 0.001 * i
+            rows.append((i, v))
+        for i in range(3, 40):
+            v = [0.0] * 8
+            v[1] = 1.0
+            v[2] = 0.001 * i
+            rows.append((i, v))
+        return spark.createDataFrame(
+            rows, "id long, embeddings array<double>"
+        )
+
+    def test_ivf_widen_reaches_k(self, spark, tmp_path):
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        emb = self._sparse_corpus(spark)
+        mgr = JobIndexManager(
+            spark,
+            str(tmp_path / "widx"),
+            "ivf",
+            {"n_centroids": 4, "nprobe": 1, "train": "kmeans"},
+        )
+        mgr.build(emb, "id")
+        q = [1.0] + [0.0] * 7
+        thin = mgr.candidates(q)
+        assert thin.count() < 10  # the un-widened probe IS too thin
+        widened = mgr.candidates(q, min_rows=10)
+        assert widened.count() >= 10
+
+    def test_engine_search_returns_k_from_thin_cell(self, spark, tmp_path):
+        """End-to-end: an indexed job whose query lands in a sparse cell
+        still returns num_results rows, matching the brute ranking's
+        row count."""
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select(F.col("doc_id").alias("id"), F.col("text").alias("content"))
+            .filter(F.col("id") < 60)
+        )
+        src = str(tmp_path / "src")
+        docs.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        # nprobe=1 of 8 cells over hash embeddings: high chance of a
+        # thin first cell; the floor must still produce 10 rows
+        sess.create_job(
+            "thin", src, columns=["content"], primary_key="id",
+            index_method="ivf",
+            index_params={"n_centroids": 8, "nprobe": 1},
+        )
+        out = sess.search("thin", QUERY, num_results=10)
+        assert len(out) == 10
