@@ -461,3 +461,36 @@ class TestProbeAutoWiden:
         )
         out = sess.search("thin", QUERY, num_results=10)
         assert len(out) == 10
+
+
+class TestEnginePlanLock:
+    def test_engine_indexed_search_partition_prunes(
+        self, spark, tmp_path, corpus_src
+    ):
+        """The ENGINE's own indexed search plan (not just the gate's)
+        must prune cell partitions at the parquet source and keep the
+        scan-broadcast-TakeOrdered shape."""
+        import re
+
+        from pg_vectorize_spark.operators.search import semantic_search
+        from pg_vectorize_spark.plans.inspect import plan_report
+
+        sess = _mk_job(
+            spark, tmp_path, corpus_src, "ivf",
+            {"n_centroids": 8, "nprobe": 2}, name="plan",
+        )
+        job = sess.catalog.get("plan")
+        qv = sess._query_vec(job, QUERY, None)
+        df = semantic_search(
+            sess._source_df(job),
+            sess._emb_candidates(job, qv, 10),
+            "id",
+            qv,
+            num_results=10,
+            pre_normalized=True,
+        )
+        rep = plan_report(df)
+        assert re.search(r"PartitionFilters: \[[^\]]*cell", rep.text), (
+            rep.text
+        )
+        assert rep.has_take_ordered and rep.n_exchanges == 0, rep.summary()
