@@ -796,6 +796,66 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 frame extraction under the hash gate: per document a
+    deterministic MP4 is assembled (codec.encode_mp4_with_samples —
+    full stts/stss/stsc/stsz/stco sample tables + mdat payloads), then
+    ``mp4_frame_sample`` walks the ISO-BMFF tables and slices each coded
+    sample's exact byte range back out. The oracle recomputes offsets
+    from the spec-derived closed form for the box sizes
+    (payload_start = 441 + 4*(n + n_chunks + n_keyframes)), sizes/
+    timestamps/keyframes from the generation laws, and the payload md5
+    from the repeated-character law — independent arithmetic, not a
+    re-run of the codec."""
+    import pandas as pd
+
+    from pg_vectorize_spark.multimodal.binary import mp4_frame_sample
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp4_with_samples,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "video": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 3 + d % 5
+                ke = 2 + d % 3
+                samples = [
+                    bytes([97 + (d + i) % 26]) * (10 + (d * 3 + i * 7) % 23)
+                    for i in range(n)
+                ]
+                out["doc_id"].append(d)
+                out["video"].append(
+                    encode_mp4_with_samples(
+                        samples,
+                        samples_per_chunk=2,
+                        fps=10,
+                        keyframe_every=ke,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, video binary")
+    frames = mp4_frame_sample(blobs, "video", "doc_id")
+    return frames.select(
+        F.col("pkey").alias("doc_id"),
+        "frame_idx",
+        "offset",
+        F.col("size").alias("frame_size"),
+        "ts_seconds",
+        "keyframe",
+        F.md5("frame_bytes").alias("frame_hash"),
+    )
+
+
 def q_batch_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 count batching: batch aggregates over documents (batch_size=100)."""
     from pg_vectorize_spark.operators.change import batch_by_count
@@ -1557,6 +1617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     # --- new/changed this round (r6) ---
     "semantic_search_indexed": q_semantic_search_indexed,
+    "mp4_frame_extract": q_mp4_frame_extract,
     # --- r5-green queries filling the window to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1573,7 +1634,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_documents": q_embed_documents,
     "embedding_pool": q_embedding_pool,
     "chunked_embed_pool": q_chunked_embed_pool,
-    "dedup_exact": q_dedup_exact,
     "knn_join": q_knn_join,
     "quantized_search_topk": q_quantized_search_topk,
     "maxsim_search_topk": q_maxsim_search_topk,
@@ -1582,6 +1642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- beyond position 50: freshest driver evidence is r5 — rotate
     # these into the leading positions next round (r7) ---
     "view_join": q_view_join,
+    "dedup_exact": q_dedup_exact,
     "multimodal_decode": q_multimodal_decode,
     "bigram_logprob": q_bigram_logprob,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3030,6 +3091,39 @@ SELECT doc_id,
        len(substr(text, (fi * 256 + 1)::INT, 256))::BIGINT AS frame_len,
        md5(substr(text, (fi * 256 + 1)::INT, 256)) AS frame_hash
 FROM f
+""",
+    # spec-derived closed form, independent of the codec code:
+    # payload_start = 441 + 4*(n + n_chunks + n_keyframes) for the
+    # minimal stts/stss/stsc/stsz/stco layout (constants re-added from
+    # ISO/IEC 14496-12 box sizes by hand); sample i's offset adds the
+    # cumulative sizes of earlier samples (chunks are contiguous in
+    # mdat, so chunking cancels out of the offset)
+    "mp4_frame_extract": """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n, 2 + doc_id % 3 AS ke
+  FROM documents WHERE doc_id < 40
+),
+f AS (
+  SELECT doc_id, n, ke, unnest(range(0, n)) AS i FROM d
+),
+sized AS (
+  SELECT doc_id, n, ke, i,
+         10 + (doc_id * 3 + i * 7) % 23 AS sz,
+         chr((97 + (doc_id + i) % 26)::INT) AS ch
+  FROM f
+)
+SELECT doc_id,
+       i::INT AS frame_idx,
+       (441 + 4 * (n + ((n + 1) // 2) + ((n - 1) // ke + 1))
+        + coalesce(sum(sz) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       )::BIGINT AS offset,
+       sz::BIGINT AS frame_size,
+       (i * 100) / 1000.0 AS ts_seconds,
+       (i % ke) = 0 AS keyframe,
+       md5(repeat(ch, sz::INT)) AS frame_hash
+FROM sized
 """,
     "batch_texts": """
 WITH b AS (

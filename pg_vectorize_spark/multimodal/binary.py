@@ -243,3 +243,81 @@ def mp4_metadata(
             "has_audio boolean"
         ),
     )
+
+
+def mp4_frame_sample(
+    df: DataFrame,
+    bin_col: str,
+    pkey: str,
+    keyframes_only: bool = False,
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL video frame sampling at the container level: one output row
+    per coded video sample of each MP4 blob, with the exact payload
+    bytes sliced out of mdat via the ISO-BMFF sample tables
+    (codec.parse_mp4_samples — stsz/stco/stsc/stts/stss, no codec
+    work). The upgrade over the byte-stride ``frame_sample``: offsets,
+    sizes, timestamps, and keyframe flags are the CONTAINER's, so
+    "extract keyframes" / "1 frame per second" corpus passes operate on
+    true frame boundaries. Decoding the extracted H.264/H.265 payload
+    remains the honest NotImplementedError.
+
+    ``keyframes_only`` keeps sync samples (stss) only; ``every_n``
+    then keeps every n-th surviving frame. Non-MP4 / malformed blobs
+    contribute zero rows (a mixed media column is the normal case —
+    route with ``mp4_metadata``/``binary_metadata`` first).
+
+    Output: (pkey, frame_idx, offset, size, ts_seconds, keyframe,
+    frame_bytes). Scale shape: pure mapInPandas over (pkey, blob) —
+    no shuffle; downstream per-frame work partitions on (pkey,
+    frame_idx).
+    """
+    import pandas as pd
+
+    key_type = df.schema[pkey].dataType.simpleString()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from struct import error as struct_error
+
+        from pg_vectorize_spark.multimodal.codec import parse_mp4_samples
+
+        for pdf in batches:
+            out = {
+                "pkey": [],
+                "frame_idx": [],
+                "offset": [],
+                "size": [],
+                "ts_seconds": [],
+                "keyframe": [],
+                "frame_bytes": [],
+            }
+            for key, blob in zip(pdf["pkey"], pdf[bin_col]):
+                raw = bytes(blob or b"")
+                try:
+                    samples = parse_mp4_samples(raw)
+                except (ValueError, struct_error):
+                    continue
+                if keyframes_only:
+                    samples = [s for s in samples if s["keyframe"]]
+                samples = samples[:: max(1, every_n)]
+                for s in samples:
+                    out["pkey"].append(key)
+                    out["frame_idx"].append(s["index"])
+                    out["offset"].append(s["offset"])
+                    out["size"].append(s["size"])
+                    out["ts_seconds"].append(s["ts_seconds"])
+                    out["keyframe"].append(s["keyframe"])
+                    out["frame_bytes"].append(
+                        raw[s["offset"] : s["offset"] + s["size"]]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(pkey).alias("pkey"), F.col(bin_col)
+    ).mapInPandas(
+        extract,
+        schema=(
+            f"pkey {key_type}, frame_idx int, offset long, size long, "
+            "ts_seconds double, keyframe boolean, frame_bytes binary"
+        ),
+    )

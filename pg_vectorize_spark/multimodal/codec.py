@@ -1130,3 +1130,273 @@ def encode_minimal_mp4(
     moov = box(b"moov", mvhd + traks)
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     return ftyp + moov
+
+
+def parse_mp4_samples(data: bytes) -> list[dict]:
+    """Per-sample (frame) layout of the FIRST video track from the
+    ISO-BMFF sample tables (ISO/IEC 14496-12 §8.5-8.7): stsz (sizes),
+    stco/co64 (chunk offsets), stsc (sample→chunk runs), stts (decode
+    timestamps), stss (sync/keyframe samples; absent ⇒ all sync).
+
+    -> [{"index", "offset", "size", "ts_seconds", "keyframe"}, ...]
+
+    This is REAL frame extraction at the container level: each entry is
+    the exact byte range of one coded video sample inside mdat, so a
+    pipeline can pull keyframes / every-nth frame out of a video corpus
+    with zero codec work. Decoding the extracted H.264/H.265 payload
+    stays the honest NotImplementedError (no codec libs here).
+    """
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 file (missing ftyp)")
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr:
+                raise ValueError("malformed MP4 box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(buf, start, end, wanted):
+        for btype, b0, b1 in boxes(buf, start, end):
+            if btype == wanted:
+                return b0, b1
+        return None
+
+    moov = find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for btype, t0, t1 in boxes(data, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        mdia = find(data, t0, t1, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(data, mdia[0], mdia[1], b"hdlr")
+        if (
+            hdlr is None
+            or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide"
+        ):
+            continue
+        # media timescale (mdhd)
+        timescale = 1
+        mdhd = find(data, mdia[0], mdia[1], b"mdhd")
+        if mdhd is not None:
+            v = data[mdhd[0]]
+            off = mdhd[0] + (20 if v == 1 else 12)
+            (timescale,) = struct.unpack(">I", data[off : off + 4])
+            timescale = timescale or 1
+        minf = find(data, mdia[0], mdia[1], b"minf")
+        if minf is None:
+            continue
+        stbl = find(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+
+        def full(box_name):
+            b = find(data, stbl[0], stbl[1], box_name)
+            return None if b is None else b[0]
+
+        stsz = full(b"stsz")
+        stsc = full(b"stsc")
+        stco, wide = full(b"stco"), False
+        if stco is None:
+            stco, wide = full(b"co64"), True
+        if stsz is None or stsc is None or stco is None:
+            raise ValueError("video track missing stsz/stsc/stco")
+        fixed, n_samples = struct.unpack(">II", data[stsz + 4 : stsz + 12])
+        sizes = (
+            [fixed] * n_samples
+            if fixed
+            else list(
+                struct.unpack(
+                    f">{n_samples}I",
+                    data[stsz + 12 : stsz + 12 + 4 * n_samples],
+                )
+            )
+        )
+        (n_chunks,) = struct.unpack(">I", data[stco + 4 : stco + 8])
+        fmt, step = (">Q", 8) if wide else (">I", 4)
+        chunk_offsets = [
+            struct.unpack(
+                fmt, data[stco + 8 + i * step : stco + 8 + (i + 1) * step]
+            )[0]
+            for i in range(n_chunks)
+        ]
+        (n_runs,) = struct.unpack(">I", data[stsc + 4 : stsc + 8])
+        runs = [
+            struct.unpack(
+                ">III", data[stsc + 8 + i * 12 : stsc + 20 + i * 12]
+            )
+            for i in range(n_runs)
+        ]  # (first_chunk 1-based, samples_per_chunk, desc_idx)
+        # per-chunk sample counts from the stsc run-length table
+        per_chunk = []
+        for i, (first, spc, _d) in enumerate(runs):
+            last = (
+                runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+            )
+            per_chunk.extend([spc] * (last - first + 1))
+        # decode timestamps (stts run-length deltas)
+        deltas: list[int] = []
+        stts = full(b"stts")
+        if stts is not None:
+            (n_tt,) = struct.unpack(">I", data[stts + 4 : stts + 8])
+            for i in range(n_tt):
+                cnt, delta = struct.unpack(
+                    ">II", data[stts + 8 + i * 8 : stts + 16 + i * 8]
+                )
+                deltas.extend([delta] * cnt)
+        deltas += [0] * (n_samples - len(deltas))
+        # sync table (stss, 1-based); absent => every sample is sync
+        sync: set[int] | None = None
+        stss = full(b"stss")
+        if stss is not None:
+            (n_ss,) = struct.unpack(">I", data[stss + 4 : stss + 8])
+            sync = {
+                struct.unpack(
+                    ">I", data[stss + 8 + i * 4 : stss + 12 + i * 4]
+                )[0]
+                for i in range(n_ss)
+            }
+        out = []
+        si = 0
+        ts = 0
+        for ci, spc in enumerate(per_chunk):
+            if ci >= len(chunk_offsets):
+                break
+            off = chunk_offsets[ci]
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                out.append(
+                    {
+                        "index": si,
+                        "offset": off,
+                        "size": sizes[si],
+                        "ts_seconds": ts / timescale,
+                        "keyframe": sync is None or (si + 1) in sync,
+                    }
+                )
+                off += sizes[si]
+                ts += deltas[si]
+                si += 1
+        return out
+    raise ValueError("MP4 has no video track")
+
+
+def encode_mp4_with_samples(
+    samples: list[bytes],
+    samples_per_chunk: int = 2,
+    fps: int = 10,
+    keyframe_every: int = 4,
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 1000,
+) -> bytes:
+    """Fixture encoder: a playable-shaped MP4 whose video track carries
+    ``samples`` as real mdat payloads with full sample tables (stsd-less
+    minimal stbl: stts/stss/stsc/stsz/stco) — exactly the structure
+    parse_mp4_samples reads back. Sample i is a keyframe when
+    ``i % keyframe_every == 0``."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    n = len(samples)
+    delta = timescale // fps
+    dur = n * delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+
+    stts = box(
+        b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, delta)
+    )
+    keys = [i + 1 for i in range(n) if i % keyframe_every == 0]
+    stss = box(
+        b"stss",
+        b"\x00" * 4
+        + struct.pack(">I", len(keys))
+        + b"".join(struct.pack(">I", k) for k in keys),
+    )
+    stsc = box(
+        b"stsc",
+        b"\x00" * 4 + struct.pack(">IIII", 1, 1, samples_per_chunk, 1),
+    )
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+
+    def assemble(stco_box: bytes) -> tuple[bytes, int]:
+        stbl = box(b"stbl", stts + stss + stsc + stsz + stco_box)
+        minf = box(b"minf", stbl)
+        hdlr = box(
+            b"hdlr",
+            b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 13,
+        )
+        mdhd = box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur)
+            + b"\x00" * 4,
+        )
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1)
+            + b"\x00" * 4
+            + struct.pack(">I", dur)
+            + b"\x00" * 52
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        trak = box(b"trak", tkhd + mdia)
+        mvhd = box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur)
+            + b"\x00" * 80,
+        )
+        moov = box(b"moov", mvhd + trak)
+        payload_start = len(ftyp) + len(moov) + 8  # + mdat header
+        return moov, payload_start
+
+    # chunk offsets are absolute file positions, which depend on moov's
+    # own size — assemble once with a placeholder stco BODY of the final
+    # size (version/flags + count + n_chunks offsets) to learn where the
+    # mdat payload starts, then assemble for real
+    _, payload_start = assemble(
+        box(b"stco", b"\x00" * (8 + 4 * n_chunks))
+    )
+    offsets = []
+    pos = payload_start
+    for ci in range(n_chunks):
+        offsets.append(pos)
+        for s in samples[
+            ci * samples_per_chunk : (ci + 1) * samples_per_chunk
+        ]:
+            pos += len(s)
+    stco = box(
+        b"stco",
+        b"\x00" * 4
+        + struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    moov, payload_start2 = assemble(stco)
+    assert payload_start2 == payload_start  # stco size is count-fixed
+    mdat = box(b"mdat", b"".join(samples))
+    return ftyp + moov + mdat

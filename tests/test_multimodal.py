@@ -608,3 +608,67 @@ class TestMp4Metadata:
         assert got[2]["n_tracks"] == 2
         assert got[3]["brand"] is None
         assert got[4]["brand"] is None
+
+
+class TestMp4FrameExtraction:
+    """Container-level frame extraction (parse_mp4_samples +
+    mp4_frame_sample): exact sample byte ranges, timestamps, and
+    keyframe flags from the ISO-BMFF sample tables."""
+
+    def _blob(self, n=7, ke=3, spc=2):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp4_with_samples,
+        )
+
+        samples = [bytes([65 + i]) * (10 + (3 * i) % 23) for i in range(n)]
+        return samples, encode_mp4_with_samples(
+            samples, samples_per_chunk=spc, fps=10, keyframe_every=ke
+        )
+
+    def test_sample_roundtrip_payloads_exact(self):
+        from pg_vectorize_spark.multimodal.codec import parse_mp4_samples
+
+        samples, blob = self._blob()
+        got = parse_mp4_samples(blob)
+        assert [s["index"] for s in got] == list(range(7))
+        for i, s in enumerate(got):
+            assert blob[s["offset"] : s["offset"] + s["size"]] == samples[i]
+            assert s["keyframe"] == (i % 3 == 0)
+            assert abs(s["ts_seconds"] - i * 0.1) < 1e-12
+
+    def test_not_a_video_raises(self):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_minimal_mp4,
+            parse_mp4_samples,
+        )
+
+        with pytest.raises(ValueError):
+            parse_mp4_samples(b"\x00" * 40)
+        # metadata-only MP4 (no stbl sample tables on its video track)
+        with pytest.raises(ValueError, match="stsz|video"):
+            parse_mp4_samples(encode_minimal_mp4(1.0, 64, 64))
+
+    def test_spark_extractor_keyframes_and_stride(self, spark):
+        from pg_vectorize_spark.multimodal.binary import mp4_frame_sample
+
+        samples, blob = self._blob(n=8, ke=2)
+        df = spark.createDataFrame(
+            [("vid-1", blob), ("not-a-video", b"junk"), ("null-row", None)],
+            "mid string, video binary",
+        )
+        allf = mp4_frame_sample(df, "video", "mid")
+        assert allf.schema["pkey"].dataType.simpleString() == "string"
+        rows = allf.collect()
+        assert {r["pkey"] for r in rows} == {"vid-1"}  # junk -> zero rows
+        assert len(rows) == 8
+        by_idx = {r["frame_idx"]: r for r in rows}
+        for i, payload in enumerate(samples):
+            assert bytes(by_idx[i]["frame_bytes"]) == payload
+        keys = mp4_frame_sample(
+            df, "video", "mid", keyframes_only=True
+        ).collect()
+        assert sorted(r["frame_idx"] for r in keys) == [0, 2, 4, 6]
+        every2 = mp4_frame_sample(
+            df, "video", "mid", keyframes_only=True, every_n=2
+        ).collect()
+        assert sorted(r["frame_idx"] for r in every2) == [0, 4]
