@@ -1409,8 +1409,10 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec decode gate: PNG (zlib inflate + five-filter unfilter),
-    JPEG (baseline DCT: Huffman entropy decode, restart intervals, 4:4:4
-    and 4:2:0 sampling, chroma upsample, JFIF YCbCr->RGB) and WAV (PCM)
+    JPEG (baseline AND progressive DCT: Huffman entropy decode, restart
+    intervals, 4:4:4 and 4:2:0 sampling, SOF2 spectral-selection +
+    successive-approximation scans, chroma upsample, JFIF YCbCr->RGB)
+    and WAV (PCM)
     blobs from the committed fixture are decoded by the stdlib codec
     (multimodal/codec.py) and reduced to amplitude/intensity histograms.
     The fixture media follow closed-form pixel/sample laws (JPEG rows are
@@ -3407,7 +3409,7 @@ wav_b AS (
 -- transform with floor(x+0.5) rounding — same arithmetic as the decoder
 jpgg0 AS (
   SELECT media_id, seed, height, unnest(range(0, width)) AS x
-  FROM m WHERE kind = 'jpg_gray'
+  FROM m WHERE kind IN ('jpg_gray', 'jpg_prog_gray')
 ),
 jpgg1 AS (
   SELECT media_id, seed, x, unnest(range(0, height)) AS y FROM jpgg0
@@ -3419,9 +3421,10 @@ jpgg_b AS (
 ),
 jpgc0 AS (
   SELECT media_id, seed, height,
-         CASE WHEN kind = 'jpg_420' THEN 16 ELSE 8 END AS cblk,
+         CASE WHEN kind IN ('jpg_420', 'jpg_prog_420') THEN 16 ELSE 8
+           END AS cblk,
          unnest(range(0, width)) AS x
-  FROM m WHERE kind IN ('jpg_444', 'jpg_420')
+  FROM m WHERE kind IN ('jpg_444', 'jpg_420', 'jpg_prog_420')
 ),
 jpgc1 AS (
   SELECT media_id, seed, cblk, x, unnest(range(0, height)) AS y FROM jpgc0

@@ -500,22 +500,13 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg_planes(
+def _plan_jpeg_components(
     planes: list[np.ndarray],
-    subsample: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
-) -> bytes:
-    """Baseline sequential JPEG writer over component planes.
-
-    ``planes`` is ``[Y]`` (grayscale) or ``[Y, Cb, Cr]`` at FULL
-    resolution; chroma is decimated (top-left sample) by the luma
-    ``subsample`` factors ``(h, v)`` — (1,1)=4:4:4, (2,1)=4:2:2,
-    (2,2)=4:2:0. ``quant_tables`` overrides the Annex-K example tables
-    (row-major 64-long arrays, luma + chroma). Used for fixtures (where
-    block-constant planes + DC quant 8 make the round trip bit-exact) and
-    roundtrip tests; not a production encoder.
-    """
+    subsample: tuple[int, int],
+    quant_tables: tuple[np.ndarray, np.ndarray] | None,
+):
+    """Shared encoder front half: component metadata, quant tables, and
+    MCU-grid-padded level-shifted planes (edge replication)."""
     h, w = planes[0].shape
     ncomp = len(planes)
     if ncomp not in (1, 3):
@@ -551,6 +542,37 @@ def encode_jpeg_planes(
         if src_h < ph:
             p[src_h:, :] = p[src_h - 1 : src_h, :]
         padded.append((p - 128.0, ch_, cv_, tq))
+    return h, w, ncomp, comps, qtabs, padded, hmax, vmax, mcus_x, mcus_y
+
+
+def encode_jpeg_planes(
+    planes: list[np.ndarray],
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Baseline sequential JPEG writer over component planes.
+
+    ``planes`` is ``[Y]`` (grayscale) or ``[Y, Cb, Cr]`` at FULL
+    resolution; chroma is decimated (top-left sample) by the luma
+    ``subsample`` factors ``(h, v)`` — (1,1)=4:4:4, (2,1)=4:2:2,
+    (2,2)=4:2:0. ``quant_tables`` overrides the Annex-K example tables
+    (row-major 64-long arrays, luma + chroma). Used for fixtures (where
+    block-constant planes + DC quant 8 make the round trip bit-exact) and
+    roundtrip tests; not a production encoder.
+    """
+    (
+        h,
+        w,
+        ncomp,
+        comps,
+        qtabs,
+        padded,
+        hmax,
+        vmax,
+        mcus_x,
+        mcus_y,
+    ) = _plan_jpeg_components(planes, subsample, quant_tables)
 
     dc_tabs = [_huffman_codes(*_STD_DC_LUMA), _huffman_codes(*_STD_DC_CHROMA)]
     ac_tabs = [_huffman_codes(*_STD_AC_LUMA), _huffman_codes(*_STD_AC_CHROMA)]
@@ -651,6 +673,237 @@ def encode_jpeg_planes(
     return bytes(out)
 
 
+def encode_jpeg_planes_progressive(
+    planes: list[np.ndarray],
+    subsample: tuple[int, int] = (1, 1),
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+    al_first: int = 1,
+    band_split: int = 5,
+) -> bytes:
+    """Progressive (SOF2) JPEG writer over component planes — the same
+    quantized coefficients as ``encode_jpeg_planes`` (identical DCT +
+    quant math via the shared front half), reorganized into the
+    standard progressive scan script:
+
+      1. DC first, interleaved, successive approximation Al=``al_first``
+      2. per component: AC first, band [1, band_split],   Al=``al_first``
+      3. per component: AC first, band [band_split+1,63], Al=``al_first``
+      4. per component: AC refine, band [1, band_split],   Ah=1 -> Al=0
+      5. per component: AC refine, band [band_split+1,63], Ah=1 -> Al=0
+      6. DC refine, interleaved, Ah=1 -> Al=0
+
+    Every progressive coding device is exercised: spectral selection,
+    DC/AC successive approximation, newly-significant + correction-bit
+    refinement coding, EOB runs (emitted per-block, the EOBn=0 form),
+    and ZRL in both scan kinds. Because the coefficients are identical
+    to the sequential encoding, ``decode_jpeg`` must produce pixel-
+    identical output for both byte streams (asserted in tests).
+    """
+    (
+        h,
+        w,
+        ncomp,
+        comps,
+        qtabs,
+        padded,
+        hmax,
+        vmax,
+        mcus_x,
+        mcus_y,
+    ) = _plan_jpeg_components(planes, subsample, quant_tables)
+
+    # quantized zigzag coefficients per component over the padded grid
+    qcoef = []
+    for plane, ch_, cv_, tq in padded:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        q = qtabs[tq].reshape(8, 8).astype(np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = _DCT_M @ block @ _DCT_M.T
+                quant = np.floor(coeffs / q + 0.5).astype(np.int64)
+                arr[by, bx] = quant.ravel()[_ZIGZAG]
+        qcoef.append(arr)
+
+    dc_tabs = [_huffman_codes(*_STD_DC_LUMA), _huffman_codes(*_STD_DC_CHROMA)]
+    ac_tabs = [_huffman_codes(*_STD_AC_LUMA), _huffman_codes(*_STD_AC_CHROMA)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            th = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (th << 4) | th])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_pl, ch_, cv_, _tq) in enumerate(padded):
+                    tid = 0 if ci == 0 else 1
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            v = int(
+                                qcoef[ci][my * cv_ + by, mx * ch_ + bx, 0]
+                            ) >> al  # arithmetic shift (T.81 G.1.2.1)
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            size = _category(diff)
+                            code, length = dc_tabs[tid][size]
+                            wtr.write(code, length)
+                            if size:
+                                raw = (
+                                    diff
+                                    if diff >= 0
+                                    else diff + (1 << size) - 1
+                                )
+                                wtr.write(raw, size)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_pl, ch_, cv_, _tq) in enumerate(padded):
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            v = int(
+                                qcoef[ci][my * cv_ + by, mx * ch_ + bx, 0]
+                            )
+                            wtr.write((v >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def _comp_block_grid(ci: int) -> tuple[int, int]:
+        _pl, ch_, cv_, _tq = padded[ci]
+        comp_w = -(-w * ch_ // hmax)
+        comp_h = -(-h * cv_ // vmax)
+        return -(-comp_h // 8), -(-comp_w // 8)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        tid = 0 if ci == 0 else 1
+        wtr = _BitWriter()
+        bh, bw = _comp_block_grid(ci)
+        for byx in range(bh * bw):
+            by, bx = divmod(byx, bw)
+            zz = qcoef[ci][by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tabs[tid][0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                size = _category(t)
+                code, length = ac_tabs[tid][(run << 4) | size]
+                wtr.write(code, length)
+                raw = t if t >= 0 else t + (1 << size) - 1
+                wtr.write(raw, size)
+                run = 0
+            if run:
+                code, length = ac_tabs[tid][0x00]  # EOB (EOBn, n=0)
+                wtr.write(code, length)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        tid = 0 if ci == 0 else 1
+        wtr = _BitWriter()
+        bh, bw = _comp_block_grid(ci)
+        for byx in range(bh * bw):
+            by, bx = divmod(byx, bw)
+            zz = qcoef[ci][by, bx]
+            run = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                # drain pending ZRLs at EVERY nonzero coefficient —
+                # correction positions included — so each buffered
+                # correction bit lands after the symbol whose zero-run
+                # crosses its position (the decoder reads bits in
+                # position order while walking the run)
+                while run > 15:
+                    code, length = ac_tabs[tid][0xF0]
+                    wtr.write(code, length)
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                    run -= 16
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant this scan
+                code, length = ac_tabs[tid][(run << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(1 if v > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run = 0
+            if run or br:
+                code, length = ac_tabs[tid][0x00]  # EOB
+                wtr.write(code, length)
+                for b in br:
+                    wtr.write(b, 1)
+        wtr.flush()
+        return bytes(wtr.out)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tq, qt in enumerate(qtabs):
+        zzq = qt[_ZIGZAG]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zzq))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_, ch_, cv_, tq) in enumerate(comps):
+        sof += bytes([ci + 1, (ch_ << 4) | cv_, tq])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for tc, tabs in (
+        (0, (_STD_DC_LUMA, _STD_DC_CHROMA)),
+        (1, (_STD_AC_LUMA, _STD_AC_CHROMA)),
+    ):
+        for th in range(2 if ncomp == 3 else 1):
+            bits, values = tabs[th]
+            out += seg(
+                0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+            )
+
+    all_ids = list(range(ncomp))
+    out += sos_header(all_ids, 0, 0, 0, al_first)
+    out += dc_first_scan(al_first)
+    for ci in range(ncomp):
+        out += sos_header([ci], 1, band_split, 0, al_first)
+        out += ac_first_scan(ci, 1, band_split, al_first)
+        out += sos_header([ci], band_split + 1, 63, 0, al_first)
+        out += ac_first_scan(ci, band_split + 1, 63, al_first)
+    for al in range(al_first - 1, -1, -1):
+        for ci in range(ncomp):
+            out += sos_header([ci], 1, band_split, al + 1, al)
+            out += ac_refine_scan(ci, 1, band_split, al)
+            out += sos_header([ci], band_split + 1, 63, al + 1, al)
+            out += ac_refine_scan(ci, band_split + 1, 63, al)
+        out += sos_header(all_ids, 0, 0, al + 1, al)
+        out += dc_refine_scan(al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     subsample: tuple[int, int] = (1, 1),
@@ -674,11 +927,36 @@ def encode_jpeg(
     )
 
 
+def _collect_entropy(data: bytes, ep: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy-coded bytes following a scan header, split at
+    RST markers; returns (segments, position of the terminating marker)."""
+    segments: list[bytearray] = [bytearray()]
+    while ep < len(data):
+        b = data[ep]
+        if b != 0xFF:
+            segments[-1].append(b)
+            ep += 1
+            continue
+        nxt = data[ep + 1] if ep + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            segments[-1].append(0xFF)
+            ep += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytearray())
+            ep += 2
+        else:
+            break  # real marker: end of scan
+    return [bytes(s) for s in segments], ep
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Baseline-DCT JPEG decode -> (width, height, n_channels,
-    pixels[h, w, ch] uint8). Grayscale -> 1 channel; 3-component scans ->
-    RGB via the JFIF inverse transform (floor(x+0.5) rounding). Raises
-    NotImplementedError for progressive/arithmetic/hierarchical/12-bit.
+    """Huffman DCT JPEG decode -> (width, height, n_channels,
+    pixels[h, w, ch] uint8): baseline/extended sequential (SOF0/SOF1)
+    AND progressive (SOF2 — spectral selection, successive approximation
+    with DC/AC first+refinement scans, EOB runs, restart intervals).
+    Grayscale -> 1 channel; 3-component scans -> RGB via the JFIF
+    inverse transform (floor(x+0.5) rounding). Raises
+    NotImplementedError for arithmetic/hierarchical/12-bit coding.
 
     Reference precedent: pg_vectorize treats media decode as an external
     provider concern (vector-serve handles text only); this decoder is the
@@ -691,8 +969,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
+    progressive = False
     frame = None  # (h, w, [(comp_id, sh, sv, tq), ...])
     scan = None  # ([(comp_idx, td, ta), ...], entropy_segments)
+    prog_scans: list[tuple] = []
 
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -737,29 +1017,30 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 table = _huffman_decode_table(bits, values)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 bp += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             precision, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError(
                     f"JPEG precision {precision} unsupported (8-bit only)"
                 )
+            progressive = marker == 0xC2
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended-sequential Huffman JPEG (SOF0/SOF1) "
-                f"is supported, got SOF marker 0x{marker:02X}"
+                "only Huffman sequential (SOF0/SOF1) and progressive "
+                f"(SOF2) JPEG are supported, got SOF marker 0x{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            if scan is not None:
+            if scan is not None and not progressive:
                 # a second scan means non-interleaved multi-scan coding;
                 # decoding only one scan would return WRONG pixels, so
                 # fail honestly instead
@@ -775,33 +1056,33 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     i for i, c in enumerate(frame[2]) if c[0] == cs
                 )
                 scan_comps.append((comp_idx, tdta >> 4, tdta & 0x0F))
-            # entropy-coded data follows: unstuff, split at RST markers
-            ep = pos + 2 + length
-            segments: list[bytearray] = [bytearray()]
-            while ep < len(data):
-                b = data[ep]
-                if b != 0xFF:
-                    segments[-1].append(b)
-                    ep += 1
-                    continue
-                nxt = data[ep + 1] if ep + 1 < len(data) else 0xD9
-                if nxt == 0x00:
-                    segments[-1].append(0xFF)
-                    ep += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    segments.append(bytearray())
-                    ep += 2
-                else:
-                    break  # real marker: end of scan
-            scan = (scan_comps, [bytes(s) for s in segments])
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            segments, ep = _collect_entropy(data, pos + 2 + length)
+            if progressive:
+                # snapshot the Huffman tables + DRI as of THIS scan
+                # (later DHT/DRI segments may redefine them)
+                prog_scans.append(
+                    (
+                        scan_comps,
+                        segments,
+                        ss,
+                        se,
+                        ahal >> 4,
+                        ahal & 0x0F,
+                        dict(dc_tables),
+                        dict(ac_tables),
+                        restart_interval,
+                    )
+                )
+            else:
+                scan = (scan_comps, segments)
             pos = ep
             continue
         pos += 2 + length
 
-    if frame is None or scan is None:
+    if frame is None or (scan is None and not prog_scans):
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
-    scan_comps, segments = scan
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
@@ -814,6 +1095,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
         )
 
+    if progressive:
+        for pscan in prog_scans:
+            _apply_progressive_scan(
+                coef, comps, fh, fw, hmax, vmax, mcus_x, mcus_y, *pscan
+            )
+        return _jpeg_reconstruct(
+            coef, comps, qtables, fh, fw, hmax, vmax
+        )
+
+    scan_comps, segments = scan
     seg_i = 0
     reader = _BitReader(segments[0])
     dc_pred = [0] * len(comps)
@@ -855,7 +1146,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                         coef[comp_idx][my * sv + by, mx * sh + bx] = zz
             mcu_in_interval += 1
 
-    # dequantize + IDCT per component (vectorized over all blocks)
+    return _jpeg_reconstruct(coef, comps, qtables, fh, fw, hmax, vmax)
+
+
+def _jpeg_reconstruct(
+    coef, comps, qtables, fh, fw, hmax, vmax
+) -> tuple[int, int, int, np.ndarray]:
+    """Shared sequential/progressive back half: dequantize + IDCT per
+    component (vectorized over all blocks), upsample, color transform."""
     planes = []
     for ci, (_, sh, sv, tq) in enumerate(comps):
         by_, bx_ = coef[ci].shape[:2]
@@ -887,6 +1185,171 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     raise NotImplementedError(
         f"JPEG with {len(planes)} components unsupported (1 or 3)"
     )
+
+
+def _apply_progressive_scan(
+    coef,
+    comps,
+    fh,
+    fw,
+    hmax,
+    vmax,
+    mcus_x,
+    mcus_y,
+    scan_comps,
+    segments,
+    ss,
+    se,
+    ah,
+    al,
+    dc_tables,
+    ac_tables,
+    restart_interval,
+) -> None:
+    """Decode one progressive scan into the persistent coefficient store
+    (T.81 G.2): DC first (Ah=0, Ss=0) / DC refinement (Ah>0) for
+    interleaved or single-component scans; AC first / AC refinement
+    (always single-component) with spectral band [Ss, Se], successive
+    approximation bit position Al, and EOB runs. Restart markers reset
+    the DC predictors and the EOB run."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    # per-scan mutable state shared across the unit iteration
+    state = {"eobrun": 0, "dc_pred": [0] * len(comps)}
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    units = 0  # MCUs (interleaved) or blocks (single-component)
+
+    def maybe_restart():
+        nonlocal seg_i, reader
+        if restart_interval and units and units % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG truncated at restart interval")
+            reader = _BitReader(segments[seg_i])
+            state["dc_pred"] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    _scan_td = {ci: td for ci, td, _ta in scan_comps}
+    _scan_ta = {ci: ta for ci, _td, ta in scan_comps}
+
+    def dc_unit(comp_idx, by, bx):
+        zz = coef[comp_idx][by, bx]
+        if ah == 0:  # first DC scan: DPCM of (coef >> Al)
+            size = _decode_huff_symbol(
+                reader, dc_tables[_scan_td[comp_idx]]
+            )
+            diff = _extend(reader.read_bits(size), size)
+            state["dc_pred"][comp_idx] += diff
+            zz[0] = state["dc_pred"][comp_idx] << al
+        else:  # refinement: one magnitude bit
+            if reader.read_bit():
+                zz[0] |= 1 << al
+
+    if is_dc and len(scan_comps) > 1:
+        # interleaved DC scan: MCU order over all components
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for comp_idx, _td, _ta in scan_comps:
+                    _, sh, sv, _tq = comps[comp_idx]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc_unit(
+                                comp_idx, my * sv + by, mx * sh + bx
+                            )
+                units += 1
+        return
+
+    # single-component scan: the component's OWN block grid (ceil of its
+    # sample dimensions, T.81 A.2.2 — not the MCU-padded grid)
+    comp_idx = scan_comps[0][0]
+    _, sh, sv, _tq = comps[comp_idx]
+    comp_w = -(-fw * sh // hmax)
+    comp_h = -(-fh * sv // vmax)
+    bw = -(-comp_w // 8)
+    bh = -(-comp_h // 8)
+    act = ac_tables.get(_scan_ta[comp_idx])
+    p1, m1 = 1 << al, -1 << al
+
+    for byx in range(bh * bw):
+        maybe_restart()
+        by, bx = divmod(byx, bw)
+        zz = coef[comp_idx][by, bx]
+        if is_dc:
+            dc_unit(comp_idx, by, bx)
+            units += 1
+            continue
+        if ah == 0:
+            # AC first scan (G.1.2.2): band values at precision Al
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                units += 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff_symbol(reader, act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << run) + reader.read_bits(run) - 1
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                zz[k] = _extend(reader.read_bits(size), size) << al
+                k += 1
+        else:
+            # AC refinement (G.1.2.3)
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = _decode_huff_symbol(reader, act)
+                    run, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run != 15:
+                            state["eobrun"] = (
+                                (1 << run) + reader.read_bits(run)
+                            )
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if size != 1:
+                            raise ValueError(
+                                "invalid AC refinement magnitude"
+                            )
+                        newval = p1 if reader.read_bit() else m1
+                    # advance over `run` zero-history coefficients,
+                    # emitting correction bits for nonzero-history ones
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if state["eobrun"] > 0:
+                # inside an EOB run: correction bits only, for the
+                # remaining nonzero-history coefficients of the band
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+        units += 1
 
 
 # ---------------------------------------------------------------------------

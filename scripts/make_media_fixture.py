@@ -40,6 +40,7 @@ from pg_vectorize_spark.multimodal.codec import (
     _STD_QUANT_CHROMA,
     _STD_QUANT_LUMA,
     encode_jpeg_planes,
+    encode_jpeg_planes_progressive,
     encode_png,
     encode_png_palette,
     encode_wav,
@@ -157,6 +158,38 @@ def main() -> None:
             10,
             encode_jpeg_planes(
                 jpeg_planes(32, 32, 10, chroma_block=16),
+                subsample=(2, 2),
+                quant_tables=(JPEG_QL, JPEG_QC),
+            ),
+        )
+    )
+    # progressive (SOF2) variants: same block-constant laws, so the
+    # identical pixels must come back through the multi-scan decode
+    # (spectral selection + successive approximation + EOB runs)
+    rows.append(
+        (
+            12,
+            "jpg_prog_gray",
+            48,
+            32,
+            1,
+            12,
+            encode_jpeg_planes_progressive(
+                [jpeg_gray(48, 32, 12)],
+                quant_tables=(JPEG_QL, JPEG_QC),
+            ),
+        )
+    )
+    rows.append(
+        (
+            13,
+            "jpg_prog_420",
+            32,
+            32,
+            3,
+            13,
+            encode_jpeg_planes_progressive(
+                jpeg_planes(32, 32, 13, chroma_block=16),
                 subsample=(2, 2),
                 quant_tables=(JPEG_QL, JPEG_QC),
             ),

@@ -127,22 +127,24 @@ class TestRealCodec:
         with pytest.raises(NotImplementedError, match="PNG, JPEG and WAV"):
             decode_features(b"ID3\x04\x00 fake mp3 bytes")
 
-    def test_progressive_jpeg_raises(self):
+    def test_arithmetic_jpeg_raises(self):
         import struct
 
         import pytest
 
         from pg_vectorize_spark.multimodal.codec import decode_jpeg
 
-        # minimal SOF2 (progressive) frame header -> explicit unsupported
-        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        # arithmetic-coded frame (SOF9) -> explicit unsupported; the
+        # progressive Huffman marker (SOF2) is now a REAL decode path
+        # (TestProgressiveJpeg)
+        sof9 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
         blob = (
             b"\xff\xd8"
-            + struct.pack(">BBH", 0xFF, 0xC2, len(sof2) + 2)
-            + sof2
+            + struct.pack(">BBH", 0xFF, 0xC9, len(sof9) + 2)
+            + sof9
             + b"\xff\xd9"
         )
-        with pytest.raises(NotImplementedError, match="SOF marker 0xC2"):
+        with pytest.raises(NotImplementedError, match="SOF marker 0xC9"):
             decode_jpeg(blob)
 
     def test_jpeg_block_constant_exact(self):
@@ -672,3 +674,94 @@ class TestMp4FrameExtraction:
             df, "video", "mid", keyframes_only=True, every_n=2
         ).collect()
         assert sorted(r["frame_idx"] for r in every2) == [0, 4]
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode: the progressive byte stream carries
+    the SAME quantized coefficients as the sequential one (shared DCT +
+    quant front half), so decode must be PIXEL-IDENTICAL to the
+    baseline decode — across subsampling modes, odd dimensions, band
+    splits, and successive-approximation depths."""
+
+    def _identical(self, planes, sub=(1, 1), **kw):
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_jpeg,
+            encode_jpeg_planes,
+            encode_jpeg_planes_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg_planes(planes, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_planes_progressive(planes, subsample=sub, **kw)
+        )
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+    def test_grayscale_odd_dims(self):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        self._identical([rng.randint(0, 256, (13, 17)).astype(np.uint8)])
+
+    @pytest.mark.parametrize("sub", [(1, 1), (2, 1), (1, 2), (2, 2)])
+    def test_color_all_subsampling(self, sub):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        planes = [
+            rng.randint(0, 256, (20, 28)).astype(np.uint8) for _ in range(3)
+        ]
+        self._identical(planes, sub=sub)
+
+    @pytest.mark.parametrize("al_first", [1, 2, 3])
+    def test_successive_approximation_depths(self, al_first):
+        import numpy as np
+
+        rng = np.random.RandomState(al_first)
+        planes = [
+            rng.randint(0, 256, (24, 24)).astype(np.uint8) for _ in range(3)
+        ]
+        self._identical(planes, sub=(2, 2), al_first=al_first)
+
+    @pytest.mark.parametrize("band_split", [1, 20, 62])
+    def test_narrow_spectral_bands(self, band_split):
+        """Degenerate bands ([1,1] / [63,63]) exercise the EOB-run and
+        ZRL-with-correction-bits interleave that desyncs naive
+        refinement coders."""
+        import numpy as np
+
+        rng = np.random.RandomState(band_split)
+        self._identical(
+            [rng.randint(0, 256, (17, 32)).astype(np.uint8)],
+            band_split=band_split,
+        )
+
+    def test_sparse_spike_block(self):
+        """Near-constant plane with one spike: long zero runs -> EOB
+        runs in every scan kind."""
+        import numpy as np
+
+        p = np.full((40, 40), 77, dtype=np.uint8)
+        p[20, 20] = 255
+        self._identical([p])
+
+    def test_decode_features_routes_progressive(self):
+        """The decode_features front door (the multimodal_decode gate's
+        engine) accepts progressive bytes transparently."""
+        import numpy as np
+
+        from pg_vectorize_spark.multimodal.codec import (
+            decode_features,
+            encode_jpeg_planes,
+            encode_jpeg_planes_progressive,
+        )
+
+        rng = np.random.RandomState(9)
+        planes = [
+            rng.randint(0, 256, (16, 16)).astype(np.uint8) for _ in range(3)
+        ]
+        a = decode_features(encode_jpeg_planes(planes), 8)
+        b = decode_features(encode_jpeg_planes_progressive(planes), 8)
+        assert a == b
