@@ -856,6 +856,45 @@ def q_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    the embeddings (deterministic first-8 centroids — the IVF assignment
+    stage), then mark rows with a lower-key same-cluster neighbor at
+    cosine >= threshold as duplicates. Threshold sized to the synthetic
+    corpus (max pairwise cosine ~0.51). The oracle replicates the
+    argmax-cosine assignment (ties -> lowest centroid) and the pair rule
+    in SQL."""
+    from pg_vectorize_spark.operators.ann import default_centroids
+    from pg_vectorize_spark.operators.dedup import semantic_cluster_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("embeddings")
+    )
+    cents = default_centroids(emb, "vec_id", "embeddings", n_centroids=8)
+    return semantic_cluster_dedup(
+        emb, "vec_id", "embeddings", cents, threshold=0.35
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed importance weights (Xie et al. 2023): every document
+    scored by ln p_target/p_raw over hashed unigram buckets — target =
+    the English slice, raw = the whole corpus, so positive weights read
+    "more target-like than average". Per-bucket log-ratios are floored
+    to integer nano-units (one Arrow libm batch), making the per-doc
+    sum an exact BIGINT aggregate the oracle reproduces bit-for-bit."""
+    from pg_vectorize_spark.operators.curate import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "text",
+        "doc_id",
+        n_buckets=256,
+    )
+
+
 def q_batch_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 count batching: batch aggregates over documents (batch_size=100)."""
     from pg_vectorize_spark.operators.change import batch_by_count
@@ -1620,6 +1659,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new/changed this round (r6) ---
     "semantic_search_indexed": q_semantic_search_indexed,
     "mp4_frame_extract": q_mp4_frame_extract,
+    "dedup_semantic_cluster": q_dedup_semantic_cluster,
+    "dsir_weights": q_dsir_weights,
     # --- r5-green queries filling the window to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1634,9 +1675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "append_method_scan": q_append_method_scan,
     "orphan_cleanup": q_orphan_cleanup,
     "embed_documents": q_embed_documents,
-    "embedding_pool": q_embedding_pool,
     "chunked_embed_pool": q_chunked_embed_pool,
-    "knn_join": q_knn_join,
     "quantized_search_topk": q_quantized_search_topk,
     "maxsim_search_topk": q_maxsim_search_topk,
     "pq_adc_search": q_pq_adc_search,
@@ -1645,6 +1684,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # these into the leading positions next round (r7) ---
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
+    "embedding_pool": q_embedding_pool,
+    "knn_join": q_knn_join,
     "multimodal_decode": q_multimodal_decode,
     "bigram_logprob": q_bigram_logprob,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3093,6 +3134,78 @@ SELECT doc_id,
        len(substr(text, (fi * 256 + 1)::INT, 256))::BIGINT AS frame_len,
        md5(substr(text, (fi * 256 + 1)::INT, 256)) AS frame_hash
 FROM f
+""",
+    # SemDeDup: argmax-cosine assignment to the first-8 centroids (ties
+    # -> lowest centroid id, matching ann.assign_ivf_cells' window) +
+    # lower-key same-cell neighbor rule
+    "dedup_semantic_cluster": f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+c AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         embedding AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {O.sql_cosine('e.embedding', 'c.cv')} AS cs
+  FROM e CROSS JOIN c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY cs DESC, centroid_id
+           ) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ea AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, s.cell
+  FROM e a JOIN assign s ON s.vec_id = a.vec_id
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM ea a JOIN ea b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {O.sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+)
+SELECT s.vec_id, s.cell::INT AS cell,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+""",
+    # DSIR: add-1-smoothed hashed-unigram distributions, nano-unit
+    # floored log-ratio per bucket, exact BIGINT doc sum
+    "dsir_weights": f"""
+WITH rw AS MATERIALIZED (
+  SELECT doc_id, {O.sql_hash_bucket('w', 256)} AS b
+  FROM (SELECT doc_id, unnest({O.sql_words('text')}) AS w
+        FROM documents)
+),
+tb AS MATERIALIZED (
+  SELECT {O.sql_hash_bucket('w', 256)} AS b
+  FROM (SELECT unnest({O.sql_words('text')}) AS w
+        FROM documents WHERE lang = 'en')
+),
+buckets AS (SELECT unnest(range(0, 256)) AS b),
+counts AS (
+  SELECT bk.b,
+         coalesce(tc.n, 0) AS nt,
+         coalesce(rc.n, 0) AS nr
+  FROM buckets bk
+  LEFT JOIN (SELECT b, count(*) AS n FROM tb GROUP BY b) tc ON tc.b = bk.b
+  LEFT JOIN (SELECT b, count(*) AS n FROM rw GROUP BY b) rc ON rc.b = bk.b
+),
+tot AS (SELECT sum(nt) AS tt, sum(nr) AS tr FROM counts),
+delta AS MATERIALIZED (
+  SELECT b,
+         floor((ln((nt::DOUBLE + 1.0) / (tt::DOUBLE + 256.0))
+              - ln((nr::DOUBLE + 1.0) / (tr::DOUBLE + 256.0)))
+               * 1000000000.0)::BIGINT AS d9
+  FROM counts, tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       (sum(d9)::DOUBLE / 1000000000.0) AS log_weight
+FROM rw JOIN delta USING (b)
+GROUP BY doc_id
 """,
     # spec-derived closed form, independent of the codec code:
     # payload_start = 441 + 4*(n + n_chunks + n_keyframes) for the

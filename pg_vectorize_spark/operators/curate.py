@@ -600,3 +600,129 @@ def source_divergence(
             "kl_nats"
         ),
     )
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    pkey: str,
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR hashed importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", 2023): score every raw
+    document by how target-like its hashed-token distribution is,
+
+        log w(x) = Σ_b c_b(x) · (ln p_target[b] − ln p_raw[b]),
+
+    where c_b(x) counts the document's words landing in hash bucket b
+    and the bucket distributions are add-``smoothing`` estimates from
+    the target/raw corpora. Sampling proportionally to w (Gumbel top-k
+    over log_weight, operators/curate.sample_exact precedent) is the
+    paper's importance-resampling step; the weights are the reusable
+    part.
+
+    Output: (pkey, n_tokens, log_weight) for raw_df rows with >= 1
+    token.
+
+    Float discipline (the unigram_logprob contract): the per-bucket
+    ``ln p_t − ln p_r`` delta is computed in ONE Arrow batch over the
+    <= n_buckets rows with Python's libm log (bit-identical to DuckDB's
+    ``ln``), floored into integer nano-log units, so the per-document
+    sum is an exact BIGINT aggregate — associative and shuffle-order-
+    free — and only the final result divides back to float64.
+
+    Scale shape: two explode+groupBy bucket counts (bounded at
+    n_buckets rows each), a broadcast of the tiny delta table against
+    the raw postings, one keyed doc-sum shuffle. n_buckets is the
+    memory/bias knob (the paper uses 10^4-10^5 for unigram+bigram).
+    """
+    import math as _math
+
+    from pg_vectorize_spark.functions.text import raw_words_expr
+    from pg_vectorize_spark.functions.vector import hash_bucket_expr
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    spark = raw_df.sparkSession
+
+    def _bucket_counts(df: DataFrame) -> DataFrame:
+        words = ensure_min_partitions(df).select(
+            F.explode(raw_words_expr(F.col(text_col))).alias("_w")
+        )
+        return (
+            words.select(
+                hash_bucket_expr(F.col("_w"), n_buckets).alias("_b")
+            )
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+
+    full = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    tgt = (
+        full.join(_bucket_counts(target_df), "_b", "left")
+        .select("_b", F.coalesce("_n", F.lit(0)).alias("_nt"))
+    )
+    raw = (
+        full.join(_bucket_counts(raw_df), "_b", "left")
+        .select("_b", F.coalesce("_n", F.lit(0)).alias("_nr"))
+    )
+    # smoothed distributions + nano-unit delta, one Arrow batch
+    stats = (
+        tgt.join(raw, "_b")
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(F.sum("_nt").alias("_tt")).crossJoin(
+                    raw.agg(F.sum("_nr").alias("_tr"))
+                )
+            )
+        )
+    )
+    s = float(smoothing)
+    nb = float(n_buckets)
+
+    def _delta(nt, nr, tt, tr):
+        import pandas as pd
+
+        out = []
+        for a, b, c, d in zip(nt, nr, tt, tr):
+            pt = (float(a) + s) / (float(c) + s * nb)
+            pr = (float(b) + s) / (float(d) + s * nb)
+            out.append(
+                _math.floor(
+                    (_math.log(pt) - _math.log(pr)) * 1_000_000_000.0
+                )
+            )
+        return pd.Series(out)
+
+    delta_udf = F.pandas_udf(_delta, "long")
+    deltas = stats.select(
+        "_b",
+        delta_udf(
+            F.col("_nt"),
+            F.col("_nr"),
+            F.col("_tt"),
+            F.col("_tr"),
+        ).alias("_d9"),
+    )
+    postings = ensure_min_partitions(raw_df).select(
+        F.col(pkey),
+        F.explode(raw_words_expr(F.col(text_col))).alias("_w"),
+    ).select(
+        F.col(pkey), hash_bucket_expr(F.col("_w"), n_buckets).alias("_b")
+    )
+    return (
+        postings.join(F.broadcast(deltas), "_b")
+        .groupBy(pkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_d9").alias("_s9"),
+        )
+        .select(
+            F.col(pkey),
+            F.col("n_tokens"),
+            (
+                F.col("_s9").cast("double") / F.lit(1_000_000_000.0)
+            ).alias("log_weight"),
+        )
+    )

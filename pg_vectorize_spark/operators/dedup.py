@@ -836,3 +836,60 @@ def arrival_order_span_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def semantic_cluster_dedup(
+    emb_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    centroids_df: DataFrame,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
+    then mark within-cluster near-duplicates — a row is a duplicate when
+    a LOWER-key row in the SAME cluster sits at cosine >= ``threshold``
+    (the paper keeps one representative per epsilon-ball; lowest-key-
+    survives is the deterministic analog of its random choice).
+
+    Output: (pkey, cell, is_dup) for every input row.
+
+    Scale shape: the pair generator is a per-cell equi-join — with k
+    balanced clusters the candidate space is n^2/k instead of n^2, and
+    the cluster count is the knob that keeps the join tractable at
+    corpus scale (SemDeDup runs k in the tens of thousands); the
+    centroid assignment is the same broadcast + keyed-window stage the
+    IVF index uses (ann.assign_ivf_cells).
+    """
+    from pg_vectorize_spark.operators.ann import assign_ivf_cells
+
+    assigned = assign_ivf_cells(
+        emb_df, centroids_df, pkey, emb_col
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col(pkey).alias("_a"),
+        F.col(emb_col).alias("_ea"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(pkey).alias("_b"),
+        F.col(emb_col).alias("_eb"),
+    )
+    dup_keys = (
+        a.join(b, "cell")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(
+            cosine_similarity(F.col("_ea"), F.col("_eb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_b").alias(pkey))
+        .distinct()
+    )
+    return assigned.select(F.col(pkey), F.col("cell")).join(
+        dup_keys.withColumn("_d", F.lit(True)), pkey, "left"
+    ).select(
+        F.col(pkey),
+        F.col("cell"),
+        F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+    )

@@ -434,3 +434,59 @@ class TestBigramLogprob:
         assert set(rows) == {3, 4}  # <2-word docs absent
         assert rows[3]["n_bigrams"] == 1
         assert rows[4]["n_bigrams"] == 3
+
+
+class TestDsirWeights:
+    """DSIR hashed importance weights: target-like documents score
+    higher; zero-token docs are absent; token counts are exact."""
+
+    def test_target_like_docs_score_higher(self, spark):
+        from pg_vectorize_spark.operators.curate import dsir_log_weights
+
+        sci = "neural network gradient training model loss epoch"
+        spam = "buy cheap now click here winner prize offer"
+        rows = (
+            [(i, f"{sci} doc {i}") for i in range(10)]
+            + [(100 + i, f"{spam} doc {i}") for i in range(10)]
+            + [(900, "   ")]  # zero tokens after tokenization? "   " -> none
+        )
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = spark.createDataFrame(
+            [(i, f"{sci} reference {i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dsir_log_weights(
+                raw, target, "text", "doc_id", n_buckets=64
+            ).collect()
+        }
+        assert 900 not in out  # no tokens -> no row
+        sci_w = [out[i]["log_weight"] for i in range(10)]
+        spam_w = [out[100 + i]["log_weight"] for i in range(10)]
+        assert min(sci_w) > max(spam_w)
+        assert out[0]["n_tokens"] == 9  # 7 sci words + "doc" + "0"
+
+    def test_weights_deterministic_across_partitionings(self, spark):
+        from pg_vectorize_spark.operators.curate import dsir_log_weights
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang")
+            .filter("doc_id < 100")
+        )
+        tgt = docs.filter("lang = 'en'")
+        a = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_log_weights(
+                docs, tgt, "text", "doc_id", n_buckets=128
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_log_weights(
+                docs.repartition(7), tgt.repartition(3), "text", "doc_id",
+                n_buckets=128,
+            ).collect()
+        }
+        assert a == b  # integer nano-unit sums: shuffle-order-free

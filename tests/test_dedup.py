@@ -272,3 +272,46 @@ def test_duplicated_span_stats(spark):
         for d, r in rows.items()
     }
     assert hashed == exact
+
+
+class TestSemanticClusterDedup:
+    """SemDeDup-style cluster-scoped dedup: near-dups inside a cluster
+    are dropped (lowest key survives); an equal vector in a DIFFERENT
+    cluster is untouched — the cluster scoping that bounds the pair
+    join is also the semantic the paper specifies."""
+
+    def test_cluster_scoped_rule(self, spark):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.dedup import (
+            semantic_cluster_dedup,
+        )
+
+        def v(main, eps=0.0):
+            x = [0.0] * 4
+            x[main] = 1.0
+            x[(main + 1) % 4] = eps
+            return x
+
+        rows = [
+            (0, v(0)),          # cluster A representative
+            (1, v(0, 0.01)),    # near-dup of 0 -> dropped
+            (2, v(0, 0.02)),    # near-dup of 0 -> dropped
+            (3, v(1)),          # cluster B representative
+            (4, v(1, 0.3)),     # same cluster, below threshold -> kept
+        ]
+        emb = spark.createDataFrame(rows, "id long, emb array<double>")
+        cents = spark.createDataFrame(
+            [(0, v(0)), (1, v(1))],
+            "centroid_id int, centroid_vec array<double>",
+        )
+        out = {
+            r["id"]: r
+            for r in semantic_cluster_dedup(
+                emb, "id", "emb", cents, threshold=0.995
+            ).collect()
+        }
+        assert not out[0]["is_dup"] and out[0]["cell"] == 0
+        assert out[1]["is_dup"] and out[2]["is_dup"]
+        assert not out[3]["is_dup"] and out[3]["cell"] == 1
+        assert not out[4]["is_dup"]  # similar cluster, cosine too low
