@@ -364,6 +364,41 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C4_LINED = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "replace(text, '. ', '.' || chr(10)) || chr(10) || 'if (x) { return }' "
+    "WHEN doc_id % 13 = 0 THEN "
+    "replace(text, '. ', '.' || chr(10)) || chr(10) || "
+    "'and then Lorem ipsum dolor sit' "
+    "ELSE replace(text, '. ', '.' || chr(10)) END"
+)
+
+
+def q_c4_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level terminal-
+    punctuation + min-word filter, sentence-count floor, lorem-ipsum and
+    code-brace page markers. The corpus is single-line, so sentence
+    boundaries are turned into newlines first and marker lines injected
+    deterministically (same SQL expression evaluated by both engines);
+    the surviving clean_text is hash-compared."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .withColumn("_lined", F.expr(_C4_LINED))
+    )
+    flags = T.c4_flags_exprs(F.col("_lined"), min_sentences=3)
+    return docs.select(
+        "doc_id",
+        flags["n_lines"].alias("n_lines"),
+        flags["n_kept_lines"].alias("n_kept_lines"),
+        flags["n_sentences"].alias("n_sentences"),
+        flags["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        flags["has_brace"].alias("has_brace"),
+        flags["pass_c4"].alias("pass_c4"),
+        F.md5(flags["clean_text"]).alias("clean_hash"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by key hash
     (operators/curate.hash_split): stable across reruns, cluster sizes and
@@ -1661,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp4_frame_extract": q_mp4_frame_extract,
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "dsir_weights": q_dsir_weights,
+    "c4_flags": q_c4_flags,
     # --- r5-green queries filling the window to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1675,7 +1711,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "append_method_scan": q_append_method_scan,
     "orphan_cleanup": q_orphan_cleanup,
     "embed_documents": q_embed_documents,
-    "chunked_embed_pool": q_chunked_embed_pool,
     "quantized_search_topk": q_quantized_search_topk,
     "maxsim_search_topk": q_maxsim_search_topk,
     "pq_adc_search": q_pq_adc_search,
@@ -1685,6 +1720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
     "embedding_pool": q_embedding_pool,
+    "chunked_embed_pool": q_chunked_embed_pool,
     "knn_join": q_knn_join,
     "multimodal_decode": q_multimodal_decode,
     "bigram_logprob": q_bigram_logprob,
@@ -3134,6 +3170,41 @@ SELECT doc_id,
        len(substr(text, (fi * 256 + 1)::INT, 256))::BIGINT AS frame_len,
        md5(substr(text, (fi * 256 + 1)::INT, 256)) AS frame_hash
 FROM f
+""",
+    # C4 rules over the SAME line-synthesis expression both engines
+    # evaluate (_C4_LINED); list lambdas mirror the Spark filters
+    "c4_flags": f"""
+WITH lined AS MATERIALIZED (
+  SELECT doc_id, {_C4_LINED} AS t
+  FROM documents WHERE doc_id < 400
+),
+parts AS MATERIALIZED (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines,
+    list_filter(string_split_regex(t, '[.!?]'),
+                x -> trim(x) <> '') AS sentences
+  FROM lined
+),
+kept AS MATERIALIZED (
+  SELECT doc_id, t, lines, sentences,
+    list_filter(lines, x ->
+      (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+       OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+      AND len(list_filter(
+            string_split_regex(lower(x), '[^a-z0-9]+'),
+            w -> w <> '')) >= 3) AS keep_lines
+  FROM parts
+)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  len(keep_lines)::BIGINT AS n_kept_lines,
+  len(sentences)::BIGINT AS n_sentences,
+  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(t, '{{') AS has_brace,
+  (len(sentences) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(t, '{{')) AS pass_c4,
+  md5(coalesce(array_to_string(keep_lines, chr(10)), '')) AS clean_hash
+FROM kept
 """,
     # SemDeDup: argmax-cosine assignment to the first-8 centroids (ties
     # -> lowest centroid id, matching ann.assign_ivf_cells' window) +

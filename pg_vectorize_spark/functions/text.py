@@ -579,3 +579,66 @@ def strip_html_expr(text: Column) -> Column:
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return normalize_ws_expr(t)
+
+
+def c4_flags_exprs(
+    text: Column,
+    min_sentences: int = 5,
+    min_line_words: int = 3,
+) -> dict[str, Column]:
+    """C4 cleaning rules (Raffel et al. 2020, §2.2 "Colossal Clean
+    Crawled Corpus") as per-document expressions:
+
+    - ``clean_text``: only lines that end in a terminal punctuation mark
+      (. ! ? ") AND hold at least ``min_line_words`` words survive;
+    - ``n_lines`` / ``n_kept_lines``: before/after the line filter;
+    - ``n_sentences``: terminal-punctuation splits with content;
+    - ``has_lorem_ipsum`` / ``has_brace``: placeholder-text and code
+      markers (C4 drops pages containing either);
+    - ``pass_c4``: >= ``min_sentences`` sentences and no markers.
+
+    Pure per-row JVM expressions over identical trees in Spark and the
+    DuckDB oracle — no UDF, no shuffle, prunes at the scan.
+    """
+    t = F.coalesce(text, F.lit(""))
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    def _terminal(x: Column) -> Column:
+        tr = F.trim(x)
+        return (
+            tr.endswith(".")
+            | tr.endswith("!")
+            | tr.endswith("?")
+            | tr.endswith('"')
+        )
+
+    def _n_words(x: Column) -> Column:
+        return F.size(
+            F.filter(
+                F.split(F.lower(x), "[^a-z0-9]+"), lambda w: w != F.lit("")
+            )
+        )
+
+    kept = F.filter(
+        lines,
+        lambda x: _terminal(x) & (_n_words(x) >= F.lit(min_line_words)),
+    )
+    sentences = F.filter(
+        F.split(t, "[.!?]"), lambda x: F.trim(x) != F.lit("")
+    )
+    lower = F.lower(t)
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_sent = F.size(sentences).cast("long")
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sent,
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "clean_text": F.array_join(kept, "\n"),
+        "pass_c4": (n_sent >= F.lit(min_sentences))
+        & ~has_lorem
+        & ~has_brace,
+    }

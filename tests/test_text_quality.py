@@ -156,3 +156,50 @@ class TestNormalization:
         assert df.select(
             normalize_ws_expr(F.col("t")).alias("o")
         ).head()["o"] == ""
+
+
+class TestC4Flags:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): line-level terminal
+    punctuation + min-word filter, sentence floor, page markers."""
+
+    def test_line_filter_and_markers(self, spark):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.functions.text import c4_flags_exprs
+
+        text = (
+            "A good sentence with enough words.\n"
+            "short.\n"                       # terminal but < 3 words
+            "no terminal punctuation here\n"
+            'He said "stop right there."\n'
+            "Another proper line ends here!\n"
+        )
+        df = spark.createDataFrame(
+            [
+                (1, text),
+                (2, "Lorem ipsum dolor sit amet. More text follows here."),
+                (3, "var f = function() { return 1; }. Ok then. Fine."),
+                (4, None),
+            ],
+            "id long, text string",
+        )
+        flags = c4_flags_exprs(F.col("text"), min_sentences=2)
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id", *[flags[k].alias(k) for k in sorted(flags)]
+            ).collect()
+        }
+        r1 = out[1]
+        assert r1["n_lines"] == 5
+        assert r1["n_kept_lines"] == 3  # drops 'short.' and no-punct line
+        assert r1["clean_text"].splitlines() == [
+            "A good sentence with enough words.",
+            'He said "stop right there."',
+            "Another proper line ends here!",
+        ]
+        assert r1["pass_c4"]
+        assert out[2]["has_lorem_ipsum"] and not out[2]["pass_c4"]
+        assert out[3]["has_brace"] and not out[3]["pass_c4"]
+        r4 = out[4]
+        assert r4["n_lines"] == 0 and not r4["pass_c4"]
