@@ -659,13 +659,18 @@ def dsir_log_weights(
         )
 
     full = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    # each count table feeds its own total AND the stats join; the
+    # frames are <= n_buckets rows — materialize instead of re-running
+    # the corpus explode+count per consumer
     tgt = (
         full.join(_bucket_counts(target_df), "_b", "left")
         .select("_b", F.coalesce("_n", F.lit(0)).alias("_nt"))
+        .localCheckpoint()
     )
     raw = (
         full.join(_bucket_counts(raw_df), "_b", "left")
         .select("_b", F.coalesce("_n", F.lit(0)).alias("_nr"))
+        .localCheckpoint()
     )
     # smoothed distributions + nano-unit delta, one Arrow batch
     stats = (

@@ -863,9 +863,12 @@ def semantic_cluster_dedup(
     """
     from pg_vectorize_spark.operators.ann import assign_ivf_cells
 
+    # the assignment (broadcast crossJoin + keyed window) feeds THREE
+    # consumers (both pair sides + the output join): materialize once
+    # instead of re-running the window per consumer
     assigned = assign_ivf_cells(
         emb_df, centroids_df, pkey, emb_col
-    )
+    ).localCheckpoint()
     a = assigned.select(
         F.col("cell"),
         F.col(pkey).alias("_a"),
