@@ -124,9 +124,8 @@ def q_semantic_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = os.path.join(
         tempfile.gettempdir(), f"pvs_gate_index_{sfname}"
     )
-    mgr = JobIndexManager(
-        spark, idx_dir, "ivf", {"n_centroids": 8, "nprobe": 6}
-    )
+    index_cfg = {"n_centroids": 8, "nprobe": 6}
+    mgr = JobIndexManager(spark, idx_dir, "ivf", index_cfg)
     src = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(src):
         fp = repr(
@@ -140,6 +139,10 @@ def q_semantic_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         st = os.stat(src)
         fp = repr((st.st_size, st.st_mtime_ns))
+    # the INDEX CONFIG is part of the fingerprint: an edited
+    # n_centroids/method must force a rebuild, not silently probe the
+    # stale layout
+    fp += repr(sorted(index_cfg.items()))
     fp_path = os.path.join(idx_dir, "_SOURCE_FP")
     fresh = False
     try:

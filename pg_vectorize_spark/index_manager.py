@@ -360,24 +360,18 @@ class JobIndexManager:
                 f"no persisted index at {self.index_dir}"
             )
         if self.method == "signbit":
-            cand = self._signbit_candidates(query_vec, self.probe_hamming)
+            radius = self.probe_hamming
             if min_rows is not None:
-                radius = self.probe_hamming
-                while cand.count() < min_rows and radius < self.nbits:
-                    radius += 1
-                    cand = self._signbit_candidates(query_vec, radius)
-            return cand
-        if self.method == "ivf":
-            cand = self._ivf_candidates(query_vec, self.nprobe)
-            if min_rows is not None:
-                nprobe = self.nprobe
                 while (
-                    cand.count() < min_rows
-                    and nprobe < self.n_centroids
+                    radius < self.nbits
+                    and self._pruned_rows(query_vec, radius=radius)
+                    < min_rows
                 ):
-                    nprobe = min(2 * nprobe, self.n_centroids)
-                    cand = self._ivf_candidates(query_vec, nprobe)
-            return cand
+                    radius += 1
+            return self._signbit_candidates(query_vec, radius)
+        if self.method == "ivf":
+            nprobe = self._widened_nprobe(query_vec, min_rows)
+            return self._ivf_candidates(query_vec, nprobe)
         # ivfpq: the ADC candidate list is keys-only; widening raises
         # nprobe the same way (n_candidates >= min_rows is implied by
         # rerank_candidates >= k in any sane config, but enforce it)
@@ -385,15 +379,52 @@ class JobIndexManager:
         n_cand = self.rerank_candidates
         if min_rows is not None:
             n_cand = max(n_cand, min_rows)
-        cand = self._ivfpq_candidates(query_vec, state, self.nprobe, n_cand)
-        if min_rows is not None:
-            nprobe = self.nprobe
-            while cand.count() < min_rows and nprobe < self.n_centroids:
-                nprobe = min(2 * nprobe, self.n_centroids)
-                cand = self._ivfpq_candidates(
-                    query_vec, state, nprobe, n_cand
-                )
-        return cand
+        nprobe = self._widened_nprobe(query_vec, min_rows)
+        return self._ivfpq_candidates(query_vec, state, nprobe, n_cand)
+
+    def _widened_nprobe(
+        self, query_vec: Sequence[float], min_rows: int | None
+    ) -> int:
+        nprobe = self.nprobe
+        if min_rows is None:
+            return nprobe
+        while (
+            nprobe < self.n_centroids
+            and self._pruned_rows(query_vec, nprobe=nprobe) < min_rows
+        ):
+            nprobe = min(2 * nprobe, self.n_centroids)
+        return nprobe
+
+    def _pruned_rows(
+        self,
+        query_vec: Sequence[float],
+        nprobe: int | None = None,
+        radius: int | None = None,
+    ) -> int:
+        """Row count of the pruned index scan at the given probe width —
+        the widening check's metric. count(*) over a parquet scan with
+        only partition filters resolves from row-group METADATA (no
+        vector column is read, and for ivfpq no ADC work runs), so the
+        steady-state search pays one cheap metadata job, not a second
+        full probe."""
+        idx = self.spark.read.parquet(self.index_dir)
+        if radius is not None:
+            from pg_vectorize_spark.operators.ann import (
+                _hamming_ball,
+                query_signbit_bucket,
+            )
+
+            probes = _hamming_ball(
+                query_signbit_bucket(query_vec, self.nbits),
+                self.nbits,
+                radius,
+            )
+            return idx.filter(F.col("bucket").isin(probes)).count()
+        from pg_vectorize_spark.operators.ann import probe_cells
+
+        probed = probe_cells(self.centroids_df(), query_vec, nprobe)
+        cells = [int(r["centroid_id"]) for r in probed]
+        return idx.filter(F.col("cell").isin(cells)).count()
 
     def _signbit_candidates(
         self, query_vec: Sequence[float], radius: int

@@ -209,7 +209,7 @@ def mp4_metadata(
             for blob in pdf[bin_col]:
                 try:
                     meta = parse_mp4_metadata(bytes(blob or b""))
-                except (ValueError, struct_error):
+                except (ValueError, struct_error, IndexError, MemoryError):
                     for k in (
                         "brand", "duration_seconds", "n_tracks",
                         "video_width", "video_height", "has_audio",
@@ -295,7 +295,7 @@ def mp4_frame_sample(
                 raw = bytes(blob or b"")
                 try:
                     samples = parse_mp4_samples(raw)
-                except (ValueError, struct_error):
+                except (ValueError, struct_error, IndexError, MemoryError):
                     continue
                 if keyframes_only:
                     samples = [s for s in samples if s["keyframe"]]

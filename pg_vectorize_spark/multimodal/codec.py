@@ -1496,7 +1496,7 @@ def parse_mp4_metadata(data: bytes) -> dict:
         raise ValueError("MP4 missing moov box")
     m0, m1 = moov
     mvhd = find(data, m0, m1, b"mvhd")
-    if mvhd is not None:
+    if mvhd is not None and mvhd[0] < len(data):
         v = data[mvhd[0]]
         if v == 1:
             timescale, duration = struct.unpack(
@@ -1518,7 +1518,7 @@ def parse_mp4_metadata(data: bytes) -> dict:
             "height": 0,
         }
         tkhd = find(data, t0, t1, b"tkhd")
-        if tkhd is not None:
+        if tkhd is not None and tkhd[0] < len(data):
             v = data[tkhd[0]]
             if v == 1:
                 (track["track_id"],) = struct.unpack(
@@ -1652,7 +1652,7 @@ def parse_mp4_samples(data: bytes) -> list[dict]:
         # media timescale (mdhd)
         timescale = 1
         mdhd = find(data, mdia[0], mdia[1], b"mdhd")
-        if mdhd is not None:
+        if mdhd is not None and mdhd[0] < len(data):
             v = data[mdhd[0]]
             off = mdhd[0] + (20 if v == 1 else 12)
             (timescale,) = struct.unpack(">I", data[off : off + 4])
@@ -1666,27 +1666,44 @@ def parse_mp4_samples(data: bytes) -> list[dict]:
 
         def full(box_name):
             b = find(data, stbl[0], stbl[1], box_name)
-            return None if b is None else b[0]
+            return (None, None) if b is None else b
 
-        stsz = full(b"stsz")
-        stsc = full(b"stsc")
-        stco, wide = full(b"stco"), False
+        def checked_count(n, start, end, entry_bytes, what):
+            # declared table counts must FIT their box — a corrupt blob
+            # declaring 2^31 samples must raise, not allocate gigabytes
+            if n < 0 or n * entry_bytes > (end - start):
+                raise ValueError(
+                    f"MP4 {what} count {n} exceeds its box"
+                )
+            return n
+
+        stsz, stsz_end = full(b"stsz")
+        stsc, stsc_end = full(b"stsc")
+        (stco, stco_end), wide = full(b"stco"), False
         if stco is None:
-            stco, wide = full(b"co64"), True
+            (stco, stco_end), wide = full(b"co64"), True
         if stsz is None or stsc is None or stco is None:
             raise ValueError("video track missing stsz/stsc/stco")
         fixed, n_samples = struct.unpack(">II", data[stsz + 4 : stsz + 12])
-        sizes = (
-            [fixed] * n_samples
-            if fixed
-            else list(
+        if fixed:
+            # fixed-size mode has no table to bound against: a sample
+            # occupies bytes in THIS blob, so more samples than bytes
+            # is definitionally corrupt
+            if n_samples > len(data):
+                raise ValueError(
+                    f"MP4 sample count {n_samples} exceeds blob size"
+                )
+            sizes = [fixed] * n_samples
+        else:
+            checked_count(n_samples, stsz + 12, stsz_end, 4, "stsz")
+            sizes = list(
                 struct.unpack(
                     f">{n_samples}I",
                     data[stsz + 12 : stsz + 12 + 4 * n_samples],
                 )
             )
-        )
         (n_chunks,) = struct.unpack(">I", data[stco + 4 : stco + 8])
+        checked_count(n_chunks, stco + 8, stco_end, 8 if wide else 4, "stco")
         fmt, step = (">Q", 8) if wide else (">I", 4)
         chunk_offsets = [
             struct.unpack(
@@ -1695,6 +1712,7 @@ def parse_mp4_samples(data: bytes) -> list[dict]:
             for i in range(n_chunks)
         ]
         (n_runs,) = struct.unpack(">I", data[stsc + 4 : stsc + 8])
+        checked_count(n_runs, stsc + 8, stsc_end, 12, "stsc")
         runs = [
             struct.unpack(
                 ">III", data[stsc + 8 + i * 12 : stsc + 20 + i * 12]
@@ -1707,23 +1725,35 @@ def parse_mp4_samples(data: bytes) -> list[dict]:
             last = (
                 runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
             )
-            per_chunk.extend([spc] * (last - first + 1))
+            # spc may legitimately exceed the remaining samples (the
+            # final chunk holds the remainder); the emit loop is bounded
+            # by n_samples, so only the RUN SHAPE needs validating
+            span = last - first + 1
+            if span < 0 or spc < 0:
+                raise ValueError("malformed MP4 stsc run")
+            per_chunk.extend([spc] * span)
         # decode timestamps (stts run-length deltas)
         deltas: list[int] = []
-        stts = full(b"stts")
+        stts, stts_end = full(b"stts")
         if stts is not None:
             (n_tt,) = struct.unpack(">I", data[stts + 4 : stts + 8])
+            checked_count(n_tt, stts + 8, stts_end, 8, "stts")
             for i in range(n_tt):
                 cnt, delta = struct.unpack(
                     ">II", data[stts + 8 + i * 8 : stts + 16 + i * 8]
                 )
+                if cnt > n_samples:
+                    raise ValueError("malformed MP4 stts run")
                 deltas.extend([delta] * cnt)
+                if len(deltas) >= n_samples:
+                    break  # only the first n_samples deltas are used
         deltas += [0] * (n_samples - len(deltas))
         # sync table (stss, 1-based); absent => every sample is sync
         sync: set[int] | None = None
-        stss = full(b"stss")
+        stss, stss_end = full(b"stss")
         if stss is not None:
             (n_ss,) = struct.unpack(">I", data[stss + 4 : stss + 8])
+            checked_count(n_ss, stss + 8, stss_end, 4, "stss")
             sync = {
                 struct.unpack(
                     ">I", data[stss + 8 + i * 4 : stss + 12 + i * 4]

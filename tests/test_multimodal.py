@@ -765,3 +765,70 @@ class TestProgressiveJpeg:
         a = decode_features(encode_jpeg_planes(planes), 8)
         b = decode_features(encode_jpeg_planes_progressive(planes), 8)
         assert a == b
+
+
+class TestMp4Hardening:
+    """Corrupt/adversarial blobs must yield clean errors (codec) and
+    zero rows (Spark operators) — never multi-GB allocations or
+    uncaught IndexError killing the task."""
+
+    def _adversarial_blob(self):
+        import struct
+
+        def box(t, b):
+            return struct.pack(">I", len(b) + 8) + t + b
+
+        # stsz declares fixed sample size 100 x 2^31 samples in a
+        # 150-byte blob
+        stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 100, 1 << 31))
+        stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 0))
+        stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 0))
+        stbl = box(b"stbl", stsz + stsc + stco)
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+        mdia = box(b"mdia", hdlr + box(b"minf", stbl))
+        return box(b"ftyp", b"isom" + b"\x00" * 12) + box(
+            b"moov", box(b"trak", mdia)
+        )
+
+    def test_declared_count_bounded(self):
+        from pg_vectorize_spark.multimodal.codec import parse_mp4_samples
+
+        with pytest.raises(ValueError, match="exceeds"):
+            parse_mp4_samples(self._adversarial_blob())
+
+    def test_truncated_blobs_raise_clean_errors_only(self):
+        from struct import error as struct_error
+
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp4_with_samples,
+            parse_mp4_samples,
+        )
+
+        blob = encode_mp4_with_samples([b"x" * 20 for _ in range(3)])
+        # moov is in the prefix: truncations may parse (mdat clipped) or
+        # raise an error the Spark operators CATCH (ValueError /
+        # struct.error) — never an uncaught IndexError/MemoryError
+        for cut in range(8, len(blob), 7):
+            try:
+                parse_mp4_samples(blob[:cut])
+            except (ValueError, struct_error):
+                pass
+
+    def test_spark_operator_survives_adversarial_blob(self, spark):
+        from pg_vectorize_spark.multimodal.binary import (
+            mp4_frame_sample,
+            mp4_metadata,
+        )
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp4_with_samples,
+        )
+
+        good = encode_mp4_with_samples([b"ok" * 10])
+        df = spark.createDataFrame(
+            [(1, self._adversarial_blob()), (2, good)],
+            "id long, video binary",
+        )
+        rows = mp4_frame_sample(df, "video", "id").collect()
+        assert {r["pkey"] for r in rows} == {2}  # bad blob: zero rows
+        meta = {r["pkey"]: r for r in mp4_metadata(df, "video", "id").collect()}
+        assert len(meta) == 2  # metadata row exists (NULLs ok) for both
