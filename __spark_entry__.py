@@ -771,6 +771,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per anchor,
+    the top-5 most-similar corpus vectors with a DIFFERENT label
+    (ann.hard_negative_mining) — broadcast anchors x one corpus scan,
+    per-anchor rank window."""
+    from pg_vectorize_spark.operators.ann import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    return hard_negative_mining(
+        emb.select("vec_id", "embedding", "label"),
+        anchors,
+        "vec_id",
+        "embedding",
+        "label",
+        k=5,
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat: 8 deterministic centroids, probe 2 cells, exact rescore."""
     from pg_vectorize_spark.operators.ann import default_centroids, ivf_topk
@@ -1700,6 +1723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "dsir_weights": q_dsir_weights,
     "c4_flags": q_c4_flags,
+    "hard_negatives": q_hard_negatives,
     # --- r5-green queries filling the window to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1713,7 +1737,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "record_fetch_by_ids": q_record_fetch_by_ids,
     "append_method_scan": q_append_method_scan,
     "orphan_cleanup": q_orphan_cleanup,
-    "embed_documents": q_embed_documents,
     "quantized_search_topk": q_quantized_search_topk,
     "maxsim_search_topk": q_maxsim_search_topk,
     "pq_adc_search": q_pq_adc_search,
@@ -1722,6 +1745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # these into the leading positions next round (r7) ---
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
+    "embed_documents": q_embed_documents,
     "embedding_pool": q_embedding_pool,
     "chunked_embed_pool": q_chunked_embed_pool,
     "knn_join": q_knn_join,
@@ -3208,6 +3232,27 @@ SELECT doc_id,
    AND NOT contains(t, '{{')) AS pass_c4,
   md5(coalesce(array_to_string(keep_lines, chr(10)), '')) AS clean_hash
 FROM kept
+""",
+    "hard_negatives": f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS al
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         {O.sql_cosine('a.av', 'e.embedding')} AS sim
+  FROM a JOIN embeddings e
+    ON e.vec_id <> a.anchor_id AND e.label <> a.al
+),
+ranked AS (
+  SELECT anchor_id, vec_id, sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY sim DESC, vec_id
+         ) AS rank
+  FROM scored
+)
+SELECT anchor_id, vec_id, sim, rank::INT AS rank
+FROM ranked WHERE rank <= 5
 """,
     # SemDeDup: argmax-cosine assignment to the first-8 centroids (ties
     # -> lowest centroid id, matching ann.assign_ivf_cells' window) +

@@ -780,3 +780,46 @@ def ivf_topk(
     )
     candidates = assigned_df.join(F.broadcast(probed), "cell", "left_semi")
     return brute_force_topk(candidates, pkey, emb_col, query_vec, k)
+
+
+def hard_negative_mining(
+    emb_df: DataFrame,
+    anchors_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    label_col: str,
+    k: int = 5,
+    anchor_key: str = "anchor_id",
+    anchor_vec: str = "anchor_vec",
+    anchor_label: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training data: for
+    each anchor, the top-``k`` most-similar corpus items with a
+    DIFFERENT label — the near-miss negatives that make contrastive
+    losses learn (the in-batch-negatives upgrade every dense-retrieval
+    recipe ships, e.g. DPR/ANCE-style mined negatives).
+
+    ``anchors_df``: (anchor_key, anchor_vec, anchor_label). Output:
+    (anchor_key, pkey, sim, rank), rank 1..k per anchor.
+
+    Scale shape: the anchor table BROADCASTS against one corpus scan
+    (anchors are query-batch-sized); scoring is a per-row fold; the
+    per-anchor top-k runs post-filter on a window keyed by anchor — at
+    large anchor counts swap the window for the IVF probe per anchor
+    (candidates()) exactly like the search path.
+    """
+    pairs = F.broadcast(anchors_df).crossJoin(emb_df).filter(
+        (F.col(anchor_key) != F.col(pkey))
+        & (F.col(anchor_label) != F.col(label_col))
+    )
+    scored = pairs.select(
+        F.col(anchor_key),
+        F.col(pkey),
+        cosine_similarity(F.col(anchor_vec), F.col(emb_col)).alias("sim"),
+    )
+    w = Window.partitionBy(anchor_key).orderBy(F.desc("sim"), F.asc(pkey))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_key, pkey, "sim", "rank")
+    )

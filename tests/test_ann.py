@@ -516,3 +516,32 @@ class TestQuantizedTopk:
         ivf_index_add(
             emb.filter("vec_id < 3"), c8, "vec_id", "embeddings", ivf
         )
+
+
+class TestHardNegativeMining:
+    def test_label_exclusion_and_ranking(self, spark):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.operators.ann import hard_negative_mining
+
+        def v(x):
+            return [float(x), 1.0 - float(x)]
+
+        rows = [
+            (0, v(0.0), "a"),   # anchor
+            (1, v(0.05), "a"),  # closest, SAME label -> excluded
+            (2, v(0.1), "b"),   # closest different-label -> rank 1
+            (3, v(0.2), "b"),   # rank 2
+            (4, v(0.9), "c"),   # rank 3
+        ]
+        emb = spark.createDataFrame(rows, "id long, emb array<double>, lab string")
+        anchors = emb.filter(F.col("id") == 0).select(
+            F.col("id").alias("anchor_id"),
+            F.col("emb").alias("anchor_vec"),
+            F.col("lab").alias("anchor_label"),
+        )
+        out = hard_negative_mining(
+            emb, anchors, "id", "emb", "lab", k=3
+        ).orderBy("rank").collect()
+        assert [(r["id"], r["rank"]) for r in out] == [(2, 1), (3, 2), (4, 3)]
+        assert all(r["anchor_id"] == 0 for r in out)
