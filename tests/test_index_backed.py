@@ -494,3 +494,50 @@ class TestEnginePlanLock:
             rep.text
         )
         assert rep.has_take_ordered and rep.n_exchanges == 0, rep.summary()
+
+
+class TestCompactionCadence:
+    def test_adds_trigger_compaction_on_cadence(self, spark, tmp_path):
+        """Every add/delete bumps the maintenance counter; hitting
+        compact_every coalesces crowded partitions back to few files —
+        the Delta-OPTIMIZE-style hygiene that keeps a high-frequency
+        ingest loop from degrading probes into many-small-file scans."""
+        import json
+        import os
+
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        def vecs(lo, hi):
+            return spark.createDataFrame(
+                [(i, [1.0, float(i) / 100, 0.0, 0.0]) for i in range(lo, hi)],
+                "id long, embeddings array<double>",
+            )
+
+        mgr = JobIndexManager(
+            spark,
+            str(tmp_path / "cidx"),
+            "ivf",
+            {"n_centroids": 1, "nprobe": 1, "compact_every": 3},
+        )
+        mgr.build(vecs(0, 20), "id")
+
+        def nfiles():
+            cell_dir = os.path.join(str(tmp_path / "cidx"), "cell=0")
+            return sum(
+                1 for f in os.listdir(cell_dir)
+                if not f.startswith((".", "_"))
+            )
+
+        # each add appends file(s) into the single cell; the 3rd op
+        # crosses the cadence and compacts back down
+        for i in range(3):
+            mgr.add(vecs(20 + i * 5, 25 + i * 5), "id")
+        assert nfiles() <= 4  # compacted (un-compacted would be ~7+)
+        with open(os.path.join(str(tmp_path / "cidx"), "_MAINT.json")) as f:
+            assert json.load(f)["ops_since_compact"] == 0  # counter reset
+        # index contents intact after compaction
+        got = {
+            r["id"]
+            for r in spark.read.parquet(str(tmp_path / "cidx")).collect()
+        }
+        assert got == set(range(35))
