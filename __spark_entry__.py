@@ -367,6 +367,32 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARA_LINED = "replace(text, '. ', '.' || chr(10))"
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (CCNet granularity, Wenzek et al.
+    2020): the first bearer of each paragraph — ordered by (doc_id,
+    position) — survives; documents are reassembled from surviving
+    paragraphs (dedup.paragraph_dedup). Sentence boundaries synthesize
+    the paragraphs (the corpus is single-line); the reassembled text is
+    hash-compared."""
+    from pg_vectorize_spark.operators.dedup import paragraph_dedup
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .withColumn("_lined", F.expr(_PARA_LINED))
+    )
+    out = paragraph_dedup(docs, "_lined", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
 _C4_LINED = (
     "CASE WHEN doc_id % 11 = 0 THEN "
     "replace(text, '. ', '.' || chr(10)) || chr(10) || 'if (x) { return }' "
@@ -1724,6 +1750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "c4_flags": q_c4_flags,
     "hard_negatives": q_hard_negatives,
+    "paragraph_dedup": q_paragraph_dedup,
     # --- r5-green queries filling the window to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
@@ -1734,7 +1761,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_bm25": q_hybrid_bm25,
     "cdf_apply": q_cdf_apply,
     "change_detection": q_change_detection,
-    "record_fetch_by_ids": q_record_fetch_by_ids,
     "append_method_scan": q_append_method_scan,
     "orphan_cleanup": q_orphan_cleanup,
     "quantized_search_topk": q_quantized_search_topk,
@@ -1745,6 +1771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # these into the leading positions next round (r7) ---
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
+    "record_fetch_by_ids": q_record_fetch_by_ids,
     "embed_documents": q_embed_documents,
     "embedding_pool": q_embedding_pool,
     "chunked_embed_pool": q_chunked_embed_pool,
@@ -3232,6 +3259,30 @@ SELECT doc_id,
    AND NOT contains(t, '{{')) AS pass_c4,
   md5(coalesce(array_to_string(keep_lines, chr(10)), '')) AS clean_hash
 FROM kept
+""",
+    "paragraph_dedup": f"""
+WITH lined AS MATERIALIZED (
+  SELECT doc_id, {_PARA_LINED} AS t
+  FROM documents WHERE doc_id < 400
+),
+p AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, string_split(t, chr(10))[i] AS para
+  FROM lined, unnest(range(1, len(string_split(t, chr(10))) + 1)) AS r(i)
+  WHERE trim(string_split(t, chr(10))[i]) <> ''
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (
+           PARTITION BY para ORDER BY doc_id, pos
+         ) AS rn
+  FROM p
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10) ORDER BY pos), '')) AS clean_hash
+FROM marked GROUP BY doc_id
 """,
     "hard_negatives": f"""
 WITH a AS (

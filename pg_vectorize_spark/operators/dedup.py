@@ -896,3 +896,65 @@ def semantic_cluster_dedup(
         F.col("cell"),
         F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (the CCNet/RedPajama
+    preprocessing granularity, Wenzek et al. 2020): every paragraph
+    that already appeared in an earlier position of the corpus —
+    ordered by (document key, paragraph position) — is dropped, and
+    each document is reassembled from its surviving paragraphs.
+
+    Output: (pkey, n_paras, n_kept, clean_text); documents whose every
+    paragraph was seen before come back with clean_text = ''.
+
+    Scale shape: one explode, one hash-keyed window picking the first
+    bearer per paragraph (the same first-occurrence rule as
+    arrival_order_span_stats, at paragraph instead of k-gram
+    granularity), one keyed reassembly aggregate. Paragraph text rides
+    the shuffle once; swap the sort-within-group concat for a
+    collect_list+array_sort — both are a single exchange on pkey.
+    """
+    paras = df.select(
+        F.col(pkey),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+        .alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != F.lit(""))
+    w = Window.partitionBy(F.col("para")).orderBy(
+        F.asc(pkey), F.asc("pos")
+    )
+    marked = paras.withColumn("_rn", F.row_number().over(w))
+    kept = (
+        marked.groupBy(pkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+    return kept.select(
+        F.col(pkey),
+        F.col("n_paras").cast("long"),
+        F.col("n_kept").cast("long"),
+        F.col("clean_text"),
+    )

@@ -315,3 +315,21 @@ class TestSemanticClusterDedup:
         assert out[1]["is_dup"] and out[2]["is_dup"]
         assert not out[3]["is_dup"] and out[3]["cell"] == 1
         assert not out[4]["is_dup"]  # similar cluster, cosine too low
+
+
+class TestParagraphDedup:
+    def test_first_bearer_survives_and_reassembly(self, spark):
+        from pg_vectorize_spark.operators.dedup import paragraph_dedup
+
+        rows = [
+            (1, "alpha one\nshared para\nbeta two"),
+            (2, "shared para\ngamma three"),     # 'shared para' dropped
+            (3, "shared para\n\n  \n"),          # everything seen/blank
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {r["id"]: r for r in paragraph_dedup(df, "text", "id").collect()}
+        assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+        assert out[1]["clean_text"] == "alpha one\nshared para\nbeta two"
+        assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+        assert out[2]["clean_text"] == "gamma three"
+        assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
