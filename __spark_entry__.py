@@ -384,7 +384,10 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 400)
         .withColumn("_lined", F.expr(_PARA_LINED))
     )
-    out = paragraph_dedup(docs, "_lined", "doc_id")
+    # exact-string window keys: the mode the oracle mirrors verbatim
+    # (hash_keys=True is the production default — same result modulo
+    # 64-bit collisions, which a hash oracle cannot express)
+    out = paragraph_dedup(docs, "_lined", "doc_id", hash_keys=False)
     return out.select(
         "doc_id",
         "n_paras",
@@ -688,24 +691,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine kNN join: top-3 neighbors for each of the first 10 vectors."""
+    """Cosine kNN join: top-3 neighbors for each of the first 10 vectors
+    — the label_col=None form of ann.hard_negative_mining (one shared
+    definition of the broadcast-anchors + per-anchor-rank shape, so the
+    tie-break contract has a single home)."""
+    from pg_vectorize_spark.operators.ann import hard_negative_mining
+
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
-    pairs = F.broadcast(probes).crossJoin(emb).filter(
-        F.col("probe_id") != F.col("vec_id")
-    )
-    scored = pairs.select(
-        "probe_id",
+    return hard_negative_mining(
+        emb.select("vec_id", "embedding"),
+        probes,
         "vec_id",
-        V.cosine_similarity(F.col("probe_vec"), F.col("embedding")).alias("sim"),
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("probe_id", "vec_id", "sim", "rank")
+        "embedding",
+        label_col=None,
+        k=3,
+        anchor_key="probe_id",
+        anchor_vec="probe_vec",
     )
 
 
@@ -3293,7 +3297,7 @@ scored AS (
   SELECT a.anchor_id, e.vec_id,
          {O.sql_cosine('a.av', 'e.embedding')} AS sim
   FROM a JOIN embeddings e
-    ON e.vec_id <> a.anchor_id AND e.label <> a.al
+    ON e.vec_id <> a.anchor_id AND e.label IS DISTINCT FROM a.al
 ),
 ranked AS (
   SELECT anchor_id, vec_id, sim,

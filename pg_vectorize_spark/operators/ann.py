@@ -787,11 +787,12 @@ def hard_negative_mining(
     anchors_df: DataFrame,
     pkey: str,
     emb_col: str,
-    label_col: str,
+    label_col: str | None = None,
     k: int = 5,
     anchor_key: str = "anchor_id",
     anchor_vec: str = "anchor_vec",
     anchor_label: str = "anchor_label",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training data: for
     each anchor, the top-``k`` most-similar corpus items with a
@@ -799,8 +800,19 @@ def hard_negative_mining(
     losses learn (the in-batch-negatives upgrade every dense-retrieval
     recipe ships, e.g. DPR/ANCE-style mined negatives).
 
-    ``anchors_df``: (anchor_key, anchor_vec, anchor_label). Output:
+    ``anchors_df``: (anchor_key, anchor_vec[, anchor_label]). Output:
     (anchor_key, pkey, sim, rank), rank 1..k per anchor.
+
+    - ``label_col=None`` skips the label filter entirely — the operator
+      is then a plain cosine kNN join (one definition for both shapes).
+    - The label comparison is NULL-SAFE "is distinct from": an
+      UNLABELED corpus row (NULL label) is a valid negative for any
+      labeled anchor, and two NULLs count as the same label — a plain
+      ``!=`` would silently drop every NULL-label pair.
+    - ``exclude_self`` drops corpus rows whose key equals the anchor's;
+      set False when anchors live in a DIFFERENT keyspace than the
+      corpus (external query vectors), where an id collision would
+      wrongly suppress a valid neighbor.
 
     Scale shape: the anchor table BROADCASTS against one corpus scan
     (anchors are query-batch-sized); scoring is a per-row fold; the
@@ -808,10 +820,13 @@ def hard_negative_mining(
     large anchor counts swap the window for the IVF probe per anchor
     (candidates()) exactly like the search path.
     """
-    pairs = F.broadcast(anchors_df).crossJoin(emb_df).filter(
-        (F.col(anchor_key) != F.col(pkey))
-        & (F.col(anchor_label) != F.col(label_col))
-    )
+    pairs = F.broadcast(anchors_df).crossJoin(emb_df)
+    if exclude_self:
+        pairs = pairs.filter(F.col(anchor_key) != F.col(pkey))
+    if label_col is not None:
+        pairs = pairs.filter(
+            ~F.col(anchor_label).eqNullSafe(F.col(label_col))
+        )
     scored = pairs.select(
         F.col(anchor_key),
         F.col(pkey),

@@ -903,6 +903,7 @@ def paragraph_dedup(
     text_col: str,
     pkey: str,
     sep: str = "\n",
+    hash_keys: bool = True,
 ) -> DataFrame:
     """Corpus-wide paragraph-level deduplication (the CCNet/RedPajama
     preprocessing granularity, Wenzek et al. 2020): every paragraph
@@ -910,22 +911,39 @@ def paragraph_dedup(
     ordered by (document key, paragraph position) — is dropped, and
     each document is reassembled from its surviving paragraphs.
 
-    Output: (pkey, n_paras, n_kept, clean_text); documents whose every
-    paragraph was seen before come back with clean_text = ''.
+    Output: ONE row per input document — (pkey, n_paras, n_kept,
+    clean_text); documents whose every paragraph was seen before (or
+    that were NULL/empty/blank) come back with counts 0-or-more and
+    clean_text = ''.
 
-    Scale shape: one explode, one hash-keyed window picking the first
-    bearer per paragraph (the same first-occurrence rule as
-    arrival_order_span_stats, at paragraph instead of k-gram
-    granularity), one keyed reassembly aggregate. Paragraph text rides
-    the shuffle once; swap the sort-within-group concat for a
-    collect_list+array_sort — both are a single exchange on pkey.
+    ``sep`` is a LITERAL separator (regex metacharacters are quoted
+    before the split and the rejoin uses the raw string, so the two
+    stay consistent). ``hash_keys=True`` (default) shuffles the
+    first-bearer window on xxhash64 of the paragraph instead of the
+    full text — the only shape that matters at 100 TB (same contract
+    as arrival_order_span_stats' hash_ngrams: an astronomically
+    unlikely 64-bit collision merges two paragraphs); False keeps the
+    exact-string key the oracle gate mirrors.
+
+    Scale shape: one explode, one keyed window picking the first bearer
+    per paragraph, one keyed reassembly aggregate, a broadcast-able
+    join back to the document keys. Paragraph text rides the shuffle
+    once; the sort-within-group concat is collect_list+array_sort —
+    a single exchange on pkey.
     """
     paras = df.select(
         F.col(pkey),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
-        .alias("pos", "para"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + sep + "\\E",  # literal, never a regex
+            )
+        ).alias("pos", "para"),
     ).filter(F.trim(F.col("para")) != F.lit(""))
-    w = Window.partitionBy(F.col("para")).orderBy(
+    group_key = (
+        F.xxhash64(F.col("para")) if hash_keys else F.col("para")
+    )
+    w = Window.partitionBy(group_key).orderBy(
         F.asc(pkey), F.asc("pos")
     )
     marked = paras.withColumn("_rn", F.row_number().over(w))
@@ -952,9 +970,13 @@ def paragraph_dedup(
             ).alias("clean_text"),
         )
     )
-    return kept.select(
+    # one row per INPUT document: blank/NULL/empty docs have no exploded
+    # paragraphs, so they must be joined back in with zero counts — a
+    # reassembly operator that shrinks corpus cardinality silently would
+    # corrupt any keyed join-back
+    return df.select(F.col(pkey)).join(kept, pkey, "left").select(
         F.col(pkey),
-        F.col("n_paras").cast("long"),
-        F.col("n_kept").cast("long"),
-        F.col("clean_text"),
+        F.coalesce(F.col("n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )

@@ -325,11 +325,43 @@ class TestParagraphDedup:
             (1, "alpha one\nshared para\nbeta two"),
             (2, "shared para\ngamma three"),     # 'shared para' dropped
             (3, "shared para\n\n  \n"),          # everything seen/blank
+            (4, None),                           # NULL text
+            (5, ""),                             # empty text
         ]
         df = spark.createDataFrame(rows, "id long, text string")
         out = {r["id"]: r for r in paragraph_dedup(df, "text", "id").collect()}
+        assert set(out) == {1, 2, 3, 4, 5}  # one row per INPUT doc
+        for i in (4, 5):
+            assert (out[i]["n_paras"], out[i]["n_kept"], out[i]["clean_text"]) == (0, 0, "")
         assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
         assert out[1]["clean_text"] == "alpha one\nshared para\nbeta two"
         assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
         assert out[2]["clean_text"] == "gamma three"
         assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+    def test_literal_separator_and_hash_keys_agree(self, spark):
+        from pg_vectorize_spark.operators.dedup import paragraph_dedup
+
+        # '||' is an empty-alternation regex — as a LITERAL separator it
+        # must split on the two-char token, not between every character
+        rows = [(1, "first para||second para"), (2, "second para||third")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {
+            r["id"]: r
+            for r in paragraph_dedup(df, "text", "id", sep="||").collect()
+        }
+        assert out[1]["clean_text"] == "first para||second para"
+        assert out[2]["clean_text"] == "third"
+        # hash-keyed (production) and exact-string windows agree
+        a = sorted(
+            map(tuple, paragraph_dedup(df, "text", "id", sep="||").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                paragraph_dedup(
+                    df, "text", "id", sep="||", hash_keys=False
+                ).collect(),
+            )
+        )
+        assert a == b
