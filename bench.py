@@ -208,6 +208,11 @@ def main() -> None:
         "cdf_apply",
         "quantized_search_topk",
         "maxsim_search_topk",
+        "dsir_weights",
+        "paragraph_dedup",
+        "c4_flags",
+        "hard_negatives",
+        "mp4_frame_extract",
     ]
 
     # untimed warmup: absorb JVM/codegen/parquet-footer startup costs so the
