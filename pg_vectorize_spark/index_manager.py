@@ -72,17 +72,30 @@ class JobIndexManager:
         self.index_dir = index_dir
         self.method = method
         p = dict(params or {})
-        self.n_centroids = int(p.get("n_centroids", 8))
-        self.nprobe = int(p.get("nprobe", 4))
-        self.nbits = int(p.get("nbits", 8))
-        self.probe_hamming = int(p.get("probe_hamming", 2))
-        self.pq_m = int(p.get("pq_m", 8))
-        self.pq_k = int(p.get("pq_k", 16))
-        self.rerank_candidates = int(p.get("rerank_candidates", 100))
-        self.pq_train_sample = int(p.get("pq_train_sample", 2048))
+
+        def _pos(name: str, default: int) -> int:
+            # nprobe=0 would loop _widened_nprobe forever (2*0 stays 0);
+            # zero centroids/bits/codebook sizes are equally nonsensical —
+            # reject non-positive values at construction, not probe time
+            v = int(p.get(name, default))
+            if v < 1:
+                raise VectorizeError(
+                    f"index_params[{name!r}] must be >= 1, got {v}"
+                )
+            return v
+
+        self.n_centroids = _pos("n_centroids", 8)
+        self.nprobe = _pos("nprobe", 4)
+        self.nbits = _pos("nbits", 8)
+        # probe_hamming=0 is a valid single-bucket probe
+        self.probe_hamming = max(0, int(p.get("probe_hamming", 2)))
+        self.pq_m = _pos("pq_m", 8)
+        self.pq_k = _pos("pq_k", 16)
+        self.rerank_candidates = _pos("rerank_candidates", 100)
+        self.pq_train_sample = _pos("pq_train_sample", 2048)
         self.residual = bool(p.get("residual", True))
         self.train = p.get("train", "first")  # first | kmeans
-        self.compact_every = int(p.get("compact_every", 16))
+        self.compact_every = _pos("compact_every", 16)
 
     # ------------------------------------------------------------ state io
 

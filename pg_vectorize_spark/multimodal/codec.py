@@ -9,12 +9,14 @@ standard library + numpy are implemented for real:
   unfilter (all five filter types: None/Sub/Up/Average/Paeth, RFC 2083
   §6) -> pixel matrix. 8-bit depth, color types 0 (gray), 2 (RGB),
   3 (palette, expanded to RGB via PLTE), 4 (gray+alpha), 6 (RGBA).
-- JPEG: baseline DCT (ITU T.81 SOF0) — marker walk, DQT/DHT tables,
-  canonical Huffman decode of the entropy stream (byte unstuffing +
-  restart intervals), dezigzag + dequantize, separable float IDCT,
-  level shift, nearest-neighbor chroma upsampling, JFIF YCbCr->RGB.
-  Grayscale and 3-component scans, any sampling factors. Progressive
-  (SOF2) / arithmetic / 12-bit remain NotImplementedError.
+- JPEG: baseline DCT (ITU T.81 SOF0/SOF1) AND progressive (SOF2:
+  spectral-selection + successive-approximation scans, DC/AC refinement,
+  EOB runs) — marker walk, DQT/DHT tables, canonical Huffman decode of
+  the entropy stream (byte unstuffing + restart intervals), dezigzag +
+  dequantize, separable float IDCT, level shift, nearest-neighbor chroma
+  upsampling, JFIF YCbCr->RGB. Grayscale and 3-component scans, any
+  sampling factors. Arithmetic / hierarchical / 12-bit remain
+  NotImplementedError.
 - WAV: RIFF/PCM via the stdlib ``wave`` module; 8/16/32-bit integer
   samples decoded with numpy ``frombuffer``.
 
@@ -247,8 +249,10 @@ def encode_png_palette(
 # separable float IDCT -> +128 level shift -> nearest-neighbor chroma
 # upsample -> JFIF YCbCr->RGB with floor(x+0.5) rounding (deterministic,
 # and reproducible in SQL by the oracle). Grayscale and 3-component scans,
-# arbitrary sampling factors. Progressive (SOF2), arithmetic, hierarchical
-# and 12-bit frames raise NotImplementedError.
+# arbitrary sampling factors. Progressive (SOF2) frames are fully decoded
+# too (spectral-selection/successive-approximation scan accumulation, see
+# decode_jpeg); arithmetic, hierarchical and 12-bit frames raise
+# NotImplementedError.
 
 #: zigzag index -> (row-major flat index) for an 8x8 block
 _ZIGZAG = np.array(

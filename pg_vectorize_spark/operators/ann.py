@@ -815,10 +815,15 @@ def hard_negative_mining(
       wrongly suppress a valid neighbor.
 
     Scale shape: the anchor table BROADCASTS against one corpus scan
-    (anchors are query-batch-sized); scoring is a per-row fold; the
-    per-anchor top-k runs post-filter on a window keyed by anchor — at
-    large anchor counts swap the window for the IVF probe per anchor
-    (candidates()) exactly like the search path.
+    (anchors are query-batch-sized); scoring is a per-row fold. The
+    per-anchor top-k is TWO-STAGE: a local window keyed by (anchor,
+    source partition) first reduces each corpus partition's pairs to
+    <= k rows per anchor, so the global per-anchor window receives
+    O(k * n_partitions) rows instead of O(corpus) — with few anchors
+    over a large corpus, a single-stage window would funnel every
+    anchor's entire corpus-sized pair list through one shuffle
+    partition. At large anchor counts use
+    ``hard_negative_mining_indexed`` (the IVF-probe variant) instead.
     """
     pairs = F.broadcast(anchors_df).crossJoin(emb_df)
     if exclude_self:
@@ -832,9 +837,30 @@ def hard_negative_mining(
         F.col(pkey),
         cosine_similarity(F.col(anchor_vec), F.col(emb_col)).alias("sim"),
     )
-    w = Window.partitionBy(anchor_key).orderBy(F.desc("sim"), F.asc(pkey))
+    return _per_anchor_topk(scored, anchor_key, pkey, k)
+
+
+def _per_anchor_topk(
+    scored: DataFrame, anchor_key: str, pkey: str, k: int
+) -> DataFrame:
+    """Skew-safe per-anchor top-k over (anchor_key, pkey, sim) pairs:
+    local top-k per (anchor, input partition) first — the classic
+    salted two-phase pattern — then the exact global top-k on the
+    pre-reduced <= k * n_partitions rows per anchor."""
+    order = [F.desc("sim"), F.asc(pkey)]
+    local = (
+        scored.withColumn("_part", F.spark_partition_id())
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy(anchor_key, "_part").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_lr") <= k)
+    )
+    w = Window.partitionBy(anchor_key).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(anchor_key, pkey, "sim", "rank")
     )

@@ -852,6 +852,17 @@ def semantic_cluster_dedup(
     (the paper keeps one representative per epsilon-ball; lowest-key-
     survives is the deterministic analog of its random choice).
 
+    Chain-removal semantics (deliberate deviation from the paper's
+    representative-per-ball rule): the lower-key test runs against ALL
+    same-cluster rows, not only surviving representatives, so on a
+    similarity CHAIN a~b, b~c with a!~c BOTH b and c are marked
+    duplicates even though c's only near-neighbor (b) is itself
+    removed. This is the transitive/aggressive variant — one
+    self-join, no iteration; it removes a superset of the paper's
+    choice (stricter dedup, never a missed duplicate). Callers needing
+    ball-exact survivors should feed the pair list through
+    ``connected_components`` + ``dedup_survivors`` instead.
+
     Output: (pkey, cell, is_dup) for every input row.
 
     Scale shape: the pair generator is a per-cell equi-join — with k
@@ -931,12 +942,22 @@ def paragraph_dedup(
     once; the sort-within-group concat is collect_list+array_sort —
     a single exchange on pkey.
     """
+    # Per-character escaping, NOT \Q...\E: a separator containing the
+    # literal sequence "\E" would terminate a quote block early and the
+    # remainder would be parsed as regex, desynchronizing the split from
+    # the literal rejoin below. Backslash-escaping every ASCII
+    # non-alphanumeric covers all Java regex metacharacters; alphanumerics
+    # (and non-ASCII) are left bare — escaping a letter is itself a Java
+    # regex error.
+    sep_re = "".join(
+        c if (c.isalnum() or not c.isascii()) else "\\" + c for c in sep
+    )
     paras = df.select(
         F.col(pkey),
         F.posexplode(
             F.split(
                 F.coalesce(F.col(text_col), F.lit("")),
-                "\\Q" + sep + "\\E",  # literal, never a regex
+                sep_re,  # literal, never a regex
             )
         ).alias("pos", "para"),
     ).filter(F.trim(F.col("para")) != F.lit(""))

@@ -33,6 +33,59 @@ from pyspark.sql.types import (
 )
 
 
+def _ts_lb_path(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "_TS_LB")
+
+
+def _ts_lb_load(store_dir: str):
+    """Conservative LOWER BOUND on the span store's minimum first-seen
+    ts (underscore sidecar, invisible to the parquet reader). Bound
+    maintenance is O(1) per batch: folds lower it to the batch min,
+    expiry raises it to the cutoff (survivors are all >= cutoff). A
+    missing/unreadable sidecar means 'unknown' — callers must scan."""
+    import datetime as _dt
+    import json
+
+    try:
+        with open(_ts_lb_path(store_dir)) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if d.get("type") == "dt":
+        try:
+            return _dt.datetime.fromisoformat(d["v"])
+        except ValueError:
+            return None
+    return d.get("v")
+
+
+def _ts_lb_set(store_dir: str, value) -> None:
+    import datetime as _dt
+    import json
+    import os
+
+    if value is None:
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    if isinstance(value, _dt.datetime):
+        d = {"type": "dt", "v": value.isoformat()}
+    else:
+        d = {"type": "num", "v": value}
+    with open(_ts_lb_path(store_dir), "w") as f:
+        json.dump(d, f)
+
+
+def _ts_lb_update(store_dir: str, batch_min) -> None:
+    """Lower the bound to include a just-folded batch's min ts."""
+    if batch_min is None:
+        return
+    cur = _ts_lb_load(store_dir)
+    if cur is None or batch_min < cur:
+        _ts_lb_set(store_dir, batch_min)
+
+
 def windowed_event_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -394,11 +447,19 @@ def streaming_dup_span_filter(
         # (prior ∪ batch)", but only keys whose min CHANGED (new spans,
         # plus late arrivals with an earlier event ts) are upserted —
         # so the rewrite touches O(changed-key buckets), not the store
-        batch_wins = inst.select(
-            "gkey", F.col("_ts").alias("ts")
-        ).groupBy("gkey").agg(F.min("ts").alias("ts"))
+        batch_wins = (
+            inst.select("gkey", F.col("_ts").alias("ts"))
+            .groupBy("gkey")
+            .agg(F.min("ts").alias("ts"))
+            .localCheckpoint()
+        )
+        # one tiny agg over the batch-sized wins frame maintains the
+        # store's min-ts LOWER BOUND sidecar, letting the expiry below
+        # skip its full-store scan when nothing can have expired
+        brow = batch_wins.agg(F.min("ts").alias("m")).first()
         if prior is None:
-            store.write_full(batch_wins.localCheckpoint(), "gkey")
+            store.write_full(batch_wins, "gkey")
+            _ts_lb_update(store_dir, brow["m"])
         else:
             improved = (
                 batch_wins.join(
@@ -415,6 +476,7 @@ def streaming_dup_span_filter(
             )
             if improved.head(1):
                 store.merge_upsert(improved, "gkey")
+                _ts_lb_update(store_dir, brow["m"])
         if watermark_seconds is not None:
             horizon_row = (
                 batch_df.agg(F.max(F.col(ts_col)).alias("m")).first()
@@ -428,15 +490,23 @@ def streaming_dup_span_filter(
                     if isinstance(horizon, _dt.datetime)
                     else horizon - watermark_seconds
                 )
-                # bucket-local delete of expired span keys
-                expired = (
-                    store.read()
-                    .filter(F.col("ts") < F.lit(cutoff))
-                    .select("gkey")
-                    .localCheckpoint()
-                )
-                if expired.head(1):
-                    store.delete_keys(expired, "gkey")
+                # skip the expiry scan entirely when the sidecar lower
+                # bound proves no stored span can be older than the
+                # cutoff — the steady-state (nothing expired) cost is
+                # then one file read, not a full-store scan per batch
+                lb = _ts_lb_load(store_dir)
+                if lb is None or lb < cutoff:
+                    # bucket-local delete of expired span keys
+                    expired = (
+                        store.read()
+                        .filter(F.col("ts") < F.lit(cutoff))
+                        .select("gkey")
+                        .localCheckpoint()
+                    )
+                    if expired.head(1):
+                        store.delete_keys(expired, "gkey")
+                    # every surviving ts is >= cutoff: raise the bound
+                    _ts_lb_set(store_dir, cutoff)
 
     writer = stream_df.writeStream.foreachBatch(_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -435,3 +435,129 @@ class TestRound5AdviceFixes:
         out = pq_encode_pandas(df, "id", "emb", codebook)
         assert out.collect() == []
         assert out.schema["pq_codes"].dataType.simpleString() == "array<int>"
+
+
+class TestRound7AdviceFixes:
+    """Round-7 advisor findings: non-positive index params, paragraph_dedup
+    separator quoting, hard-negative top-k skew, span-store expiry bound."""
+
+    def test_nonpositive_index_params_rejected(self, spark, tmp_path):
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        for bad in ({"nprobe": 0}, {"n_centroids": -1}, {"nbits": 0},
+                    {"pq_m": 0}, {"rerank_candidates": 0}):
+            with pytest.raises(VectorizeError, match="must be >= 1"):
+                JobIndexManager(spark, str(tmp_path / "i"), "ivf", bad)
+        # probe_hamming=0 is a legitimate single-bucket probe
+        mgr = JobIndexManager(
+            spark, str(tmp_path / "i2"), "signbit", {"probe_hamming": 0}
+        )
+        assert mgr.probe_hamming == 0
+
+    def test_paragraph_dedup_separator_with_quote_terminator(self, spark):
+        from pg_vectorize_spark.operators.dedup import paragraph_dedup
+
+        # a separator containing the literal sequence \E used to terminate
+        # the \Q...\E quote early, leaving "|x" parsed as regex
+        sep = "\\E|x"
+        df = spark.createDataFrame(
+            [(1, f"alpha{sep}beta{sep}alpha"), (2, f"beta{sep}gamma")],
+            "id long, text string",
+        )
+        out = {r["id"]: r for r in paragraph_dedup(
+            df, "text", "id", sep=sep
+        ).collect()}
+        # doc 1: alpha, beta, alpha -> alpha+beta kept (2nd alpha is a dup)
+        assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+        assert out[1]["clean_text"] == f"alpha{sep}beta"
+        # doc 2: beta already seen in doc 1; gamma survives
+        assert out[2]["n_kept"] == 1
+        assert out[2]["clean_text"] == "gamma"
+
+    def test_paragraph_dedup_regex_metachar_separator(self, spark):
+        from pg_vectorize_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a.*b.*a")], "id long, text string"
+        )
+        out = paragraph_dedup(df, "text", "id", sep=".*").collect()[0]
+        assert out["n_paras"] == 3 and out["n_kept"] == 2
+        assert out["clean_text"] == "a.*b"
+
+    def test_hard_negative_topk_two_stage_matches_global(self, spark):
+        """The salted two-stage top-k must be exactly the single-stage
+        result (row_number determinism via the pkey tiebreaker)."""
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from pg_vectorize_spark.operators.ann import hard_negative_mining
+
+        rng = random.Random(7)
+        corpus = spark.createDataFrame(
+            [
+                (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+                for i in range(200)
+            ],
+            "vec_id long, emb array<double>, label int",
+        ).repartition(8)
+        anchors = spark.createDataFrame(
+            [
+                (100 + j, [rng.uniform(-1, 1) for _ in range(8)], 0)
+                for j in range(2)
+            ],
+            "anchor_id long, anchor_vec array<double>, anchor_label int",
+        )
+        out = hard_negative_mining(
+            corpus, anchors, "vec_id", "emb", label_col="label", k=5
+        )
+        rows = out.orderBy("anchor_id", "rank").collect()
+        assert len(rows) == 10
+        # reference computation: plain global window
+        from pg_vectorize_spark.functions.vector import cosine_similarity
+
+        pairs = anchors.crossJoin(corpus).filter(
+            (F.col("anchor_id") != F.col("vec_id"))
+            & ~F.col("anchor_label").eqNullSafe(F.col("label"))
+        )
+        scored = pairs.select(
+            "anchor_id",
+            "vec_id",
+            cosine_similarity(F.col("anchor_vec"), F.col("emb")).alias("sim"),
+        )
+        w = Window.partitionBy("anchor_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        ref = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .orderBy("anchor_id", "rank")
+            .collect()
+        )
+        assert [(r["anchor_id"], r["vec_id"], r["rank"]) for r in rows] == [
+            (r["anchor_id"], r["vec_id"], r["rank"]) for r in ref
+        ]
+
+    def test_ts_lb_sidecar_roundtrip(self, tmp_path):
+        import datetime as dt
+
+        from pg_vectorize_spark.streaming.windows import (
+            _ts_lb_load,
+            _ts_lb_set,
+            _ts_lb_update,
+        )
+
+        d = str(tmp_path / "store")
+        assert _ts_lb_load(d) is None
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        _ts_lb_update(d, t0)
+        assert _ts_lb_load(d) == t0
+        # update with a LATER ts must not raise the lower bound
+        _ts_lb_update(d, t0 + dt.timedelta(hours=1))
+        assert _ts_lb_load(d) == t0
+        _ts_lb_update(d, t0 - dt.timedelta(hours=1))
+        assert _ts_lb_load(d) == t0 - dt.timedelta(hours=1)
+        # expiry raises the bound to the cutoff
+        _ts_lb_set(d, t0)
+        assert _ts_lb_load(d) == t0
