@@ -217,6 +217,115 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_fingerprint(src: str) -> str:
+    """File names/sizes/mtimes digest of a parquet fixture — the
+    build-once-probe-many cache key shared by the indexed gates."""
+    import os
+
+    if os.path.isdir(src):
+        return repr(
+            sorted(
+                (f, st.st_size, st.st_mtime_ns)
+                for f in os.listdir(src)
+                if not f.startswith((".", "_"))
+                for st in [os.stat(os.path.join(src, f))]
+            )
+        )
+    st = os.stat(src)
+    return repr((st.st_size, st.st_mtime_ns))
+
+
+def _fts_gate_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the persisted FTS postings index over the
+    documents fixture — the per-SF scratch-dir + source-fingerprint
+    pattern of the semantic indexed gate: repeated invocations (bench
+    best-of-N) time the PROBE path, not a redundant rebuild."""
+    import os
+    import tempfile
+
+    from pg_vectorize_spark.fts_index import JobFtsIndexManager
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"pvs_gate_fts_index_{sfname}"
+    )
+    index_cfg = {"term_buckets": 64}
+    mgr = JobFtsIndexManager(spark, idx_dir, index_cfg)
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp += repr(sorted(index_cfg.items()))
+    fp_path = os.path.join(idx_dir, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            fresh = fh.read() == fp and mgr.exists()
+    except OSError:
+        pass
+    if not fresh:
+        docs = _t(spark, sf_dir, "documents")
+        mgr.build(
+            docs.select(
+                "doc_id", T.tokens_expr(F.col("text")).alias("search_tokens")
+            ),
+            "doc_id",
+        )
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    return mgr
+
+
+def q_fts_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed full-text search (VERDICT r6 #1): the persisted
+    term-bucketed postings index (fts_index.py — the GIN-index analog,
+    core/src/query.rs:242-252 creates it at job init; the Postgres
+    planner probes it per query) replaces the full tokens-snapshot
+    arrays_overlap scan. The probe is LOSSLESS: the matched set and
+    overlap scores are identical to the scan's by construction (stored
+    tokens are distinct per document, so the pruned postings aggregate
+    counts exactly the intersection the scan computes) — the ORACLE IS
+    THE FULL-SCAN RANKING. Plan lock: PartitionFilters on tb
+    (tests/test_fts_index.py); the scan reads |query term buckets| of
+    64 partitions at the parquet source."""
+    docs = _t(spark, sf_dir, "documents")
+    mgr = _fts_gate_index(spark, sf_dir)
+    return full_text_search(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        fts_scored_df=mgr.probe_scores(QUERY_TERMS),
+    )
+
+
+def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the FTS branch routed through the postings index
+    (VERDICT r6 #2): same fusion semantics, same oracle as
+    hybrid_rrf_search — the probe is lossless, so RRF ranks are
+    bit-identical while the text branch scans a bounded partition
+    subset instead of the tokens table. (The engine's
+    ``hybrid_search`` on an index_method+fts_index job prunes BOTH
+    branches; the semantic side's pruning is gated separately by
+    semantic_search_indexed.)"""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("embeddings")
+    )
+    qv = _query_vec(spark, sf_dir)
+    mgr = _fts_gate_index(spark, sf_dir)
+    return hybrid_search(
+        docs.select("doc_id", "lang", "n_chars"),
+        emb,
+        "doc_id",
+        qv,
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        window_size=50,
+        rrf_k=60,
+        fts_scored_df=mgr.probe_scores(QUERY_TERMS),
+    )
+
+
 def q_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: the <job>_view projection — source ⋈ embeddings on pkey."""
     docs = _t(spark, sf_dir, "documents")
@@ -1808,6 +1917,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_table": q_chunk_table,
     "where_sql_filter": q_where_sql_filter,
     "typed_filters_part": q_typed_filters_part,
+    "fts_search_indexed": q_fts_search_indexed,
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
 }
 
 
@@ -3127,6 +3238,10 @@ ORACLE: dict[str, str] = {
     "semantic_search_filtered": _oracle_semantic_filtered(),
     "fts_search_topk": _oracle_fts_topk(),
     "hybrid_rrf_search": _oracle_hybrid(),
+    # the postings-index probe is LOSSLESS (unlike the ANN probe), so the
+    # indexed FTS/hybrid gates share the full-scan oracles bit-for-bit
+    "fts_search_indexed": _oracle_fts_topk(),
+    "hybrid_rrf_indexed": _oracle_hybrid(),
     "view_join": """
 SELECT d.doc_id, d.lang, e.label, len(e.embedding)::INT AS dim
 FROM documents d INNER JOIN embeddings e ON d.doc_id = e.vec_id

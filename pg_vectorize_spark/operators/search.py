@@ -141,6 +141,7 @@ def full_text_search(
     tokens_df: DataFrame | None = None,
     analyzer: str = "english",
     rank: str = "overlap",
+    fts_scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full-text top-k over an analyzed text column.
 
@@ -155,32 +156,49 @@ def full_text_search(
     ts_rank_cd analog) and orders by ``rank_cd = fts_score + cd_score``,
     appending both columns to the output; 'bm25' orders by the Okapi BM25
     score (``bm25_scores``), appending ``bm25_score``.
+
+    ``fts_scored_df`` (pkey, fts_score) is a precomputed match/score
+    frame from the persisted postings index
+    (``JobFtsIndexManager.probe_scores`` — the GIN-index probe analog):
+    it REPLACES the tokens-snapshot scan entirely (the probe's matched
+    set and overlap scores are lossless-identical to the scan's), and
+    its keys prune the cover_density / bm25 re-scoring passes.
     """
     terms = _analyze(query, analyzer)
-    if tokens_df is not None:
-        toks = tokens_df.select(pkey, "search_tokens")
-        base = source_df.join(toks, pkey, "inner")
+    if fts_scored_df is not None:
+        scored = source_df.join(fts_scored_df, pkey, "inner")
+        matched_keys: DataFrame | None = fts_scored_df.select(pkey)
     else:
-        concat = F.concat_ws(
-            " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
-        )
-        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+        if tokens_df is not None:
+            toks = tokens_df.select(pkey, "search_tokens")
+            base = source_df.join(toks, pkey, "inner")
+        else:
+            concat = F.concat_ws(
+                " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+            )
+            from pg_vectorize_spark.operators.skew import (
+                ensure_min_partitions,
+            )
 
-        base = ensure_min_partitions(source_df).withColumn(
-            "search_tokens", _match_tokens(concat, analyzer, terms)
+            base = ensure_min_partitions(source_df).withColumn(
+                "search_tokens", _match_tokens(concat, analyzer, terms)
+            )
+        matched = base.filter(fts_match_expr(F.col("search_tokens"), terms))
+        scored = matched.withColumn(
+            "fts_score", fts_score_expr(F.col("search_tokens"), terms)
         )
-    matched = base.filter(fts_match_expr(F.col("search_tokens"), terms))
-    scored = matched.withColumn(
-        "fts_score", fts_score_expr(F.col("search_tokens"), terms)
-    )
+        # With a stored tokens table the matched set is known cheaply —
+        # it prunes the positional/bm25 re-scoring passes. Without one,
+        # the matched set itself costs a full tokenize, so those passes
+        # scan the corpus once instead.
+        matched_keys = (
+            matched.select(pkey) if tokens_df is not None else None
+        )
     if filters:
         scored = apply_filters(scored, filters)
     cols = list(return_columns) if return_columns else list(source_df.columns)
     if rank == "cover_density":
-        # With a stored tokens table the matched set is known cheaply —
-        # prune the positional pass to it. Without one, the matched set
-        # itself costs a full tokenize, so scan the corpus once instead.
-        cand = matched.select(pkey) if tokens_df is not None else None
+        cand = matched_keys
         cd = cover_density_scores(
             source_df, pkey, query, text_cols, analyzer, candidates=cand
         )
@@ -195,7 +213,7 @@ def full_text_search(
             *cols, "fts_score", "cd_score", "rank_cd"
         ).limit(num_results)
     if rank == "bm25":
-        if tokens_df is None:
+        if matched_keys is None:
             # Fused inline path: tf>0 for some term ⇔ the distinct-token
             # overlap match, and the overlap score is the count of terms
             # with tf>0 — so match, fts_score and bm25_score all come from
@@ -220,15 +238,15 @@ def full_text_search(
             return ordered.select(
                 *cols, "fts_score", "bm25_score"
             ).limit(num_results)
-        # Stored-tokens path: the matched set is known cheaply and prunes
-        # the scoring pass (stats stay corpus-global).
+        # Stored-tokens / postings-index path: the matched set is known
+        # cheaply and prunes the scoring pass (stats stay corpus-global).
         bm = bm25_scores(
             source_df,
             pkey,
             query,
             text_cols,
             analyzer,
-            candidates=matched.select(pkey),
+            candidates=matched_keys,
         )
         scored = scored.join(bm, pkey, "inner")
         ordered = scored.orderBy(F.desc("bm25_score"), F.asc(pkey))
@@ -548,6 +566,7 @@ def hybrid_search(
     tokens_df: DataFrame | None = None,
     analyzer: str = "english",
     rank: str = "overlap",
+    fts_scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """Server-side hybrid RRF search (core/src/query.rs:705-785).
 
@@ -556,6 +575,12 @@ def hybrid_search(
     hybrid ranks its text branch with ts_rank_cd (core/src/query.rs:
     764-776), so this is the closer-parity mode; 'overlap' stays the
     default for the cheap token-table-only path.
+
+    ``fts_scored_df`` (pkey, fts_score) is the postings-index probe
+    (see ``full_text_search``): with it, the FTS branch never scans
+    the tokens snapshot — overlap mode ranks the probe frame directly;
+    cover_density / bm25 use its keys to prune their re-scoring pass.
+    RRF semantics are unchanged (the probe is lossless).
     """
     if window_size is None:
         window_size = 5 * num_results  # server default (routes/search.rs:78-80)
@@ -573,9 +598,12 @@ def hybrid_search(
     terms = _analyze(query, analyzer)
     if rank == "bm25":
         # the BM25 score replaces overlap as the branch's ranking signal;
-        # with a stored tokens table the cheap overlap match prunes the
-        # scoring pass, otherwise bm25's own tf>0 filter IS the match
-        if tokens_df is not None:
+        # the postings-index probe (preferred) or a stored tokens table's
+        # cheap overlap match prunes the scoring pass, otherwise bm25's
+        # own tf>0 filter IS the match
+        if fts_scored_df is not None:
+            cand = fts_scored_df.select(pkey)
+        elif tokens_df is not None:
             cand = (
                 tokens_df.select(pkey, "search_tokens")
                 .filter(fts_match_expr(F.col("search_tokens"), terms))
@@ -596,25 +624,41 @@ def hybrid_search(
             source_df, sem, fts, pkey, num_results, rrf_k,
             semantic_weight, fts_weight, return_columns, filters, where_sql,
         )
-    if tokens_df is not None:
-        tok_base = tokens_df.select(pkey, "search_tokens")
+    if fts_scored_df is not None:
+        # postings-index probe: already (pkey, fts_score), lossless vs
+        # the tokens scan — no snapshot read on this branch at all
+        fts_scored = fts_scored_df.select(pkey, "fts_score")
     else:
-        concat = F.concat_ws(
-            " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
-        )
-        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+        if tokens_df is not None:
+            tok_base = tokens_df.select(pkey, "search_tokens")
+        else:
+            concat = F.concat_ws(
+                " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
+            )
+            from pg_vectorize_spark.operators.skew import (
+                ensure_min_partitions,
+            )
 
-        tok_base = ensure_min_partitions(source_df).select(
-            F.col(pkey),
-            _match_tokens(concat, analyzer, terms).alias("search_tokens"),
+            tok_base = ensure_min_partitions(source_df).select(
+                F.col(pkey),
+                _match_tokens(concat, analyzer, terms).alias(
+                    "search_tokens"
+                ),
+            )
+        fts_scored = tok_base.filter(
+            fts_match_expr(F.col("search_tokens"), terms)
+        ).select(
+            pkey,
+            fts_score_expr(F.col("search_tokens"), terms).alias(
+                "fts_score"
+            ),
         )
-    fts_scored = tok_base.filter(
-        fts_match_expr(F.col("search_tokens"), terms)
-    ).select(
-        pkey, fts_score_expr(F.col("search_tokens"), terms).alias("fts_score")
-    )
     if rank == "cover_density":
-        cand = fts_scored.select(pkey) if tokens_df is not None else None
+        cand = (
+            fts_scored.select(pkey)
+            if (tokens_df is not None or fts_scored_df is not None)
+            else None
+        )
         cd = cover_density_scores(
             source_df, pkey, query, text_cols, analyzer, candidates=cand
         )

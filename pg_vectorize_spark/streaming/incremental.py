@@ -100,7 +100,9 @@ class RealtimePipeline:
         tokens = batch_df.select(
             F.col(pkey), tokens_expr(content).alias("search_tokens")
         ).withColumn("updated_at", F.current_timestamp())
-        sess._tok_ds(self.job_name).merge_upsert(tokens, pkey)
+        # token snapshot merge + postings-index freshness in one hook —
+        # realtime jobs serve indexed FTS as soon as the batch commits
+        sess._tokens_upsert(job, tokens)
         # index freshness inside the micro-batch (the reference gets this
         # from Postgres index maintenance on INSERT/UPDATE; here the
         # persisted index would otherwise serve stale results after
@@ -290,6 +292,8 @@ class ChangeFeedPipeline(RealtimePipeline):
                 if ds.root == emb_root:
                     # in-batch cascade reaches the persisted index too
                     sess._index_delete(job, del_keys)
+                else:
+                    sess._fts_delete(job, del_keys)
             if refused_any:
                 # persist the refused keys: without this the streaming
                 # checkpoint commits the batch and the events are never
@@ -335,5 +339,6 @@ class ChangeFeedPipeline(RealtimePipeline):
                 if ds.exists():
                     ds.delete_keys(keys, pkey)
             sess._index_delete(job, keys)
+            sess._fts_delete(job, keys)
         refused.drop()
         return n

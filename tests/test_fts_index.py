@@ -1,0 +1,396 @@
+"""Persisted FTS postings index (the GIN-index analog, VERDICT r6 #1/#2):
+
+- probe == full tokens-snapshot scan, lossless (matched set AND scores);
+- the probe plan prunes at the parquet source (PartitionFilters on tb);
+- the engine routes full_text_search and hybrid_search's FTS branch
+  through the index when the job has one, with identical results to an
+  unindexed job across all three rank modes;
+- freshness from every ingest path: batch scan (insert/update), orphan
+  cascade (delete), streaming micro-batches — indexed results always
+  equal a fresh full rebuild;
+- maintenance details: empty->nonempty transition, emptied-bucket
+  clearing, layout-mismatch refusal, op-count compaction.
+
+Reference parity anchors: core/src/query.rs:242-252 (CREATE INDEX ...
+USING gin(search_tokens) at job init); the Postgres planner probing it
+transparently for every FTS/hybrid query.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.engine import VectorizeSession
+from pg_vectorize_spark.fts_index import JobFtsIndexManager
+from pg_vectorize_spark.functions.text import (
+    analyze_query,
+    fts_match_expr,
+    fts_score_expr,
+    tokens_expr,
+)
+
+QUERY = "mobile phone charger devices"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "mobile phone charger for fast devices"),
+        (2, "desk lamp with adjustable arm"),
+        (3, "phone case and charger bundle"),
+        (4, "wireless mobile devices need a charger"),
+        (5, "garden hose"),
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def tokens(docs):
+    return docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("search_tokens")
+    )
+
+
+def _scan_scores(tokens, terms):
+    """The full-scan ranking the probe must reproduce exactly."""
+    return (
+        tokens.filter(fts_match_expr(F.col("search_tokens"), terms))
+        .select(
+            "doc_id",
+            fts_score_expr(F.col("search_tokens"), terms).alias(
+                "fts_score"
+            ),
+        )
+    )
+
+
+class TestProbeParity:
+    def test_probe_equals_full_scan(self, spark, tokens, tmp_path):
+        terms = analyze_query(QUERY)
+        mgr = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 8}
+        )
+        mgr.build(tokens, "doc_id")
+        got = {
+            r["doc_id"]: r["fts_score"]
+            for r in mgr.probe_scores(terms).collect()
+        }
+        want = {
+            r["doc_id"]: r["fts_score"]
+            for r in _scan_scores(tokens, terms).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_empty_terms_probe_is_empty(self, spark, tokens, tmp_path):
+        mgr = JobFtsIndexManager(spark, str(tmp_path / "fidx"))
+        mgr.build(tokens, "doc_id")
+        assert mgr.probe_scores([]).collect() == []
+
+    def test_probe_plan_partition_prunes(self, spark, tokens, tmp_path):
+        """The probe scan must carry PartitionFilters on tb — pruning at
+        the parquet SOURCE, the property that makes the FTS branch read
+        |query buckets|/term_buckets of the postings at 100 TB."""
+        terms = analyze_query(QUERY)
+        mgr = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 16}
+        )
+        mgr.build(tokens, "doc_id")
+        plan = mgr.probe(terms)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*tb", plan), plan
+        # and the bucket list is a strict subset of the layout
+        assert 0 < len(mgr.query_buckets(terms)) <= len(terms)
+
+    def test_empty_corpus_then_upsert(self, spark, tmp_path):
+        """A tokenless corpus builds an empty (has_data=False) index;
+        probes short-circuit; the first real upsert transitions it."""
+        empty = spark.createDataFrame(
+            [(1, [])], "doc_id long, search_tokens array<string>"
+        )
+        mgr = JobFtsIndexManager(spark, str(tmp_path / "fidx"))
+        mgr.build(empty, "doc_id")
+        assert mgr.exists()
+        assert mgr.probe_scores(["phone"]).collect() == []
+        new = spark.createDataFrame(
+            [(2, ["phone", "charger"])],
+            "doc_id long, search_tokens array<string>",
+        )
+        mgr.upsert(new, "doc_id", None)
+        got = mgr.probe_scores(["phone"]).collect()
+        assert [r["doc_id"] for r in got] == [2]
+
+    def test_layout_mismatch_refused(self, spark, tokens, tmp_path):
+        mgr = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 8}
+        )
+        mgr.build(tokens, "doc_id")
+        wrong = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 4}
+        )
+        with pytest.raises(ValueError, match="term_buckets"):
+            wrong.upsert(tokens, "doc_id", None)
+        with pytest.raises(ValueError, match="keyed on"):
+            mgr._check_meta("other_key")
+
+
+class TestMaintenance:
+    def test_upsert_replaces_old_terms(self, spark, tokens, tmp_path):
+        """An updated document's OLD terms must stop matching — the
+        affected-bucket rewrite covers buckets of old AND new terms."""
+        mgr = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 8}
+        )
+        mgr.build(tokens, "doc_id")
+        # doc 5 ("garden hose") becomes about phones
+        new_tokens = spark.createDataFrame(
+            [(5, ["phone", "upgrad"])],
+            "doc_id long, search_tokens array<string>",
+        )
+        old = tokens.filter(F.col("doc_id") == 5)
+        mgr.upsert(new_tokens, "doc_id", old)
+        assert 5 in {
+            r["doc_id"] for r in mgr.probe_scores(["phone"]).collect()
+        }
+        assert mgr.probe_scores(["garden"]).collect() == []  # bucket emptied
+
+    def test_delete_cascade(self, spark, tokens, tmp_path):
+        mgr = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 8}
+        )
+        mgr.build(tokens, "doc_id")
+        keys = spark.createDataFrame([(1,), (4,)], "doc_id long")
+        n = mgr.delete(keys, "doc_id")
+        assert n > 0
+        left = {
+            r["doc_id"]
+            for r in mgr.probe_scores(analyze_query(QUERY)).collect()
+        }
+        assert left.isdisjoint({1, 4}) and 3 in left
+
+    def test_compaction_cadence(self, spark, tokens, tmp_path):
+        mgr = JobFtsIndexManager(
+            spark,
+            str(tmp_path / "fidx"),
+            {"term_buckets": 2, "compact_every": 3},
+        )
+        mgr.build(tokens, "doc_id")
+        terms = analyze_query(QUERY)
+        before = {
+            r["doc_id"]: r["fts_score"]
+            for r in mgr.probe_scores(terms).collect()
+        }
+        phone_stem = analyze_query("phone")[0]  # the stored-token stem
+        for i in range(4):  # crosses the cadence -> forced compact
+            extra = spark.createDataFrame(
+                [(100 + i, [phone_stem, f"extra{i}"])],
+                "doc_id long, search_tokens array<string>",
+            )
+            mgr.upsert(extra, "doc_id", None)
+        after = {
+            r["doc_id"]: r["fts_score"]
+            for r in mgr.probe_scores(terms).collect()
+        }
+        for k, v in before.items():
+            assert after[k] == v
+        assert all(100 + i in after for i in range(4))
+
+
+@pytest.fixture()
+def products_path(spark, products_df, tmp_path):
+    p = str(tmp_path / "products.parquet")
+    products_df.write.mode("overwrite").parquet(p)
+    return p
+
+
+class TestEngineIntegration:
+    """The engine must serve IDENTICAL results with and without the
+    postings index, across all rank modes and after every ingest path."""
+
+    def _two_sessions(self, spark, tmp_path, products_path):
+        s_idx = VectorizeSession(spark, workspace=str(tmp_path / "ws_i"))
+        s_raw = VectorizeSession(spark, workspace=str(tmp_path / "ws_r"))
+        s_idx.create_job(
+            "p", products_path, columns=["product_name", "description"],
+            primary_key="product_id",
+        )  # fts_index defaults ON (GIN-at-init parity)
+        s_raw.create_job(
+            "p", products_path, columns=["product_name", "description"],
+            primary_key="product_id", fts_index=False,
+        )
+        return s_idx, s_raw
+
+    def test_index_built_at_job_init(self, spark, tmp_path, products_path):
+        s_idx, s_raw = self._two_sessions(spark, tmp_path, products_path)
+        assert s_idx._fts_mgr(s_idx.catalog.get("p")).exists()
+        assert s_raw._fts_mgr(s_raw.catalog.get("p")) is None
+
+    @pytest.mark.parametrize("rank", ["overlap", "cover_density", "bm25"])
+    def test_fts_results_identical(
+        self, spark, tmp_path, products_path, rank
+    ):
+        s_idx, s_raw = self._two_sessions(spark, tmp_path, products_path)
+        a = s_idx.full_text_search("p", QUERY, num_results=5, rank=rank)
+        b = s_raw.full_text_search("p", QUERY, num_results=5, rank=rank)
+        assert a == b and len(a) > 0
+
+    def test_hybrid_results_identical(self, spark, tmp_path, products_path):
+        s_idx, s_raw = self._two_sessions(spark, tmp_path, products_path)
+        a = s_idx.hybrid_search("p", QUERY, num_results=5)
+        b = s_raw.hybrid_search("p", QUERY, num_results=5)
+        assert a == b and len(a) > 0
+
+    def test_freshness_insert_update_delete(
+        self, spark, tmp_path, products_path, products_df
+    ):
+        s_idx, s_raw = self._two_sessions(spark, tmp_path, products_path)
+        # INSERT + UPDATE: new row about xylophones; row 1 re-described
+        updated = products_df.withColumn(
+            "description",
+            F.when(
+                F.col("product_id") == 1,
+                F.lit("now a xylophone tuning wrench"),
+            ).otherwise(F.col("description")),
+        )
+        extra = spark.createDataFrame(
+            [(99, "Xylophone", "a wooden xylophone", "music", 49.0)],
+            products_df.schema,
+        )
+        updated.unionByName(extra).write.mode("overwrite").parquet(
+            products_path
+        )
+        for s in (s_idx, s_raw):
+            s.scan_job("p")  # detects the INSERT (pkey-based)
+            # the job has no update_time_col, so row 1's rewrite is
+            # invisible to scan_job — push it through the explicit
+            # id-list path (the reference's S3 handle_table_update)
+            s.handle_update("p", [1])
+        a = s_idx.full_text_search("p", "xylophone wrench", num_results=5)
+        b = s_raw.full_text_search("p", "xylophone wrench", num_results=5)
+        assert a == b
+        assert {r["product_id"] for r in a} >= {1, 99}
+        # DELETE: drop row 99 from the source -> cascade prunes the index
+        updated.write.mode("overwrite").parquet(products_path)
+        for s in (s_idx, s_raw):
+            s.scan_job("p")
+        a = s_idx.full_text_search("p", "xylophone", num_results=5)
+        b = s_raw.full_text_search("p", "xylophone", num_results=5)
+        assert a == b
+        assert 99 not in {r["product_id"] for r in a}
+
+    def test_delete_job_drops_fts_index(
+        self, spark, tmp_path, products_path
+    ):
+        import os
+
+        s_idx, _ = self._two_sessions(spark, tmp_path, products_path)
+        fdir = s_idx._job_dir("p", "fts_index")
+        assert os.path.isdir(fdir)
+        s_idx.delete_job("p")
+        assert not os.path.isdir(fdir)
+
+    def test_engine_probe_plan_pruned(
+        self, spark, tmp_path, products_path
+    ):
+        s_idx, _ = self._two_sessions(spark, tmp_path, products_path)
+        job = s_idx.catalog.get("p")
+        probe = s_idx._fts_probe_scores(job, QUERY)
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*tb", plan), plan
+
+
+class TestStreamingFreshness:
+    def test_stream_batches_keep_index_fresh(
+        self, spark, tmp_path, products_df
+    ):
+        """VERDICT r6 #8: realtime micro-batches flow through the same
+        _tokens_upsert hook, so indexed FTS equals the full-scan ranking
+        after every batch — stream == batch agreement."""
+        from pg_vectorize_spark.streaming.incremental import (
+            RealtimePipeline,
+        )
+
+        src = str(tmp_path / "src")
+        feed = str(tmp_path / "feed")
+        products_df.filter("product_id < 0").write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        sess.create_job(
+            "sp", src, columns=["product_name", "description"],
+            primary_key="product_id", run_initial_load=False,
+        )
+        # two micro-batches (one file each)
+        products_df.filter("product_id <= 3").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        products_df.filter(
+            "product_id > 3 and product_id <= 8"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        pipe = RealtimePipeline(sess, "sp", max_files_per_trigger=1)
+        q = pipe.start(source_dir=feed, available_now=True)
+        q.awaitTermination(120)
+        job = sess.catalog.get("sp")
+        mgr = sess._fts_mgr(job)
+        assert mgr is not None and mgr.exists()
+        terms = analyze_query(QUERY)
+        got = {
+            r["product_id"]: r["fts_score"]
+            for r in mgr.probe_scores(terms).collect()
+        }
+        toks = sess._tok_ds("sp").read()
+        want = {
+            r["product_id"]: r["fts_score"]
+            for r in toks.filter(
+                fts_match_expr(F.col("search_tokens"), terms)
+            )
+            .select(
+                "product_id",
+                fts_score_expr(F.col("search_tokens"), terms).alias(
+                    "fts_score"
+                ),
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
+
+
+class TestGatePlanLock:
+    def test_fts_indexed_gate_partition_prunes(self, spark):
+        """The fts_search_indexed gate's postings scan must prune at the
+        parquet SOURCE (PartitionFilters on tb) — the plan that reads
+        |query buckets|/64 of the postings at 100 TB."""
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["fts_search_indexed"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*tb", plan), plan
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_hybrid_indexed_gate_partition_prunes(self, spark):
+        import __spark_entry__ as entrymod
+
+        df = entrymod.queries()["hybrid_rrf_indexed"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*tb", plan), plan
