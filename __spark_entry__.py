@@ -107,41 +107,39 @@ def q_semantic_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = member vector). The gate probes 6 of 8 cells — a 3x margin
     over the measured requirement while the scan still prunes 25% of
     the index at the source."""
+    full = _t(spark, sf_dir, "embeddings")
+    mgr = _ann_gate_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return semantic_search(
+        full.select("vec_id", "label"),
+        mgr.candidates(qv).select("vec_id", "embeddings"),
+        "vec_id",
+        qv,
+        num_results=10,
+    )
+
+
+def _ann_gate_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the persisted IVF gate index over the embeddings
+    fixture. Deterministic per-SF scratch dir; the build is skipped when
+    the SOURCE FINGERPRINT (file names/sizes/mtimes) matches the one the
+    existing index was built from — the deployment shape is build-once
+    probe-many, and repeated invocations (bench best-of-N) should time
+    the PROBE path, not a redundant rebuild. Any change to the fixture
+    OR the index config changes the fingerprint and forces the rebuild.
+    Shared by semantic_search_indexed and hard_negatives_indexed."""
     import os
     import tempfile
 
     from pg_vectorize_spark.index_manager import JobIndexManager
 
-    full = _t(spark, sf_dir, "embeddings")
-    emb = full.select("vec_id", F.col("embedding").alias("embeddings"))
-    # deterministic per-SF scratch dir; the build is skipped when the
-    # SOURCE FINGERPRINT (file names/sizes/mtimes) matches the one the
-    # existing index was built from — the deployment shape is build-once
-    # probe-many, and repeated invocations (bench best-of-N) should time
-    # the PROBE path, not a redundant rebuild. Any change to the fixture
-    # changes the fingerprint and forces the rebuild.
     sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx_dir = os.path.join(
         tempfile.gettempdir(), f"pvs_gate_index_{sfname}"
     )
     index_cfg = {"n_centroids": 8, "nprobe": 6}
     mgr = JobIndexManager(spark, idx_dir, "ivf", index_cfg)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isdir(src):
-        fp = repr(
-            sorted(
-                (f, st.st_size, st.st_mtime_ns)
-                for f in os.listdir(src)
-                if not f.startswith((".", "_"))
-                for st in [os.stat(os.path.join(src, f))]
-            )
-        )
-    else:
-        st = os.stat(src)
-        fp = repr((st.st_size, st.st_mtime_ns))
-    # the INDEX CONFIG is part of the fingerprint: an edited
-    # n_centroids/method must force a rebuild, not silently probe the
-    # stale layout
+    fp = _source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     fp += repr(sorted(index_cfg.items()))
     fp_path = os.path.join(idx_dir, "_SOURCE_FP")
     fresh = False
@@ -151,17 +149,13 @@ def q_semantic_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         pass
     if not fresh:
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("embeddings")
+        )
         mgr.build(emb, "vec_id")
         with open(fp_path, "w") as fh:
             fh.write(fp)
-    qv = _query_vec(spark, sf_dir)
-    return semantic_search(
-        full.select("vec_id", "label"),
-        mgr.candidates(qv).select("vec_id", "embeddings"),
-        "vec_id",
-        qv,
-        num_results=10,
-    )
+    return mgr
 
 
 def q_semantic_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +924,49 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "label",
         k=5,
+    )
+
+
+def q_hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed hard-negative mining (VERDICT r6 #5) — the
+    large-anchor-set shape ann.hard_negative_mining's docstring
+    promises: anchors assign to their nprobe nearest cells of the
+    PERSISTED index (the same one semantic_search_indexed probes), the
+    scan prunes to those cells at the parquet source, and the pair
+    space is the per-cell equi-join instead of anchors x corpus.
+
+    THE ORACLE MIRRORS THE PROBE SEMANTICS INDEPENDENTLY IN SQL
+    (first-8 centroids, argmax cell assignment, per-anchor top-6
+    probed cells, ranking restricted to them) rather than sharing the
+    broadcast variant's oracle: unlike same-cluster top-k search, the
+    nearest DIFFERENT-label negative can legitimately live in an
+    unprobed cell (measured: 1 of 25 rows differs from the broadcast
+    ranking at nprobe=7 on sf0.01), so broadcast-exactness would
+    require nprobe=8 — no pruning, a sham gate. The recall floor vs
+    the broadcast ranking is pinned in tests/test_ann.py; the
+    SCALING.md row measures the pair-space reduction at 10x anchors."""
+    from pg_vectorize_spark.operators.ann import (
+        hard_negative_mining_indexed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mgr = _ann_gate_index(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    return hard_negative_mining_indexed(
+        spark,
+        mgr.index_dir,
+        mgr.centroids_df(),
+        anchors,
+        "vec_id",
+        "embeddings",
+        labels_df=emb.select("vec_id", "label"),
+        label_col="label",
+        k=5,
+        nprobe=6,
     )
 
 
@@ -1919,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "typed_filters_part": q_typed_filters_part,
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
+    "hard_negatives_indexed": q_hard_negatives_indexed,
 }
 
 
@@ -3947,6 +3985,69 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, o.o_orderpriority
 """,
 }
+
+# IVF-probed hard negatives (VERDICT r6 #5): the oracle INDEPENDENTLY
+# recomputes the probe semantics in SQL — first-8 centroids, argmax cell
+# assignment, per-anchor top-6 probed cells, ranking restricted to them —
+# because, unlike same-cluster top-k search, the nearest DIFFERENT-label
+# negative can legitimately live in an unprobed cell (measured: 1 of 25
+# rows differs from the broadcast ranking at nprobe=7 on sf0.01), so
+# sharing the broadcast oracle would force nprobe=8 (no pruning at all).
+# The recall-vs-broadcast floor is pinned in tests/test_ann.py instead.
+ORACLE["hard_negatives_indexed"] = f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings),
+c AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         embedding AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+cscored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {O.sql_cosine('e.embedding', 'c.cv')} AS cs
+  FROM e CROSS JOIN c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY cs DESC, centroid_id
+           ) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+a AS MATERIALIZED (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS al
+  FROM e WHERE vec_id < 5
+),
+aprobe AS MATERIALIZED (
+  SELECT anchor_id, cell FROM (
+    SELECT a.anchor_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.anchor_id
+             ORDER BY {O.sql_cosine('a.av', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM a CROSS JOIN c
+  ) WHERE rn <= 6
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         {O.sql_cosine('a.av', 'e.embedding')} AS sim
+  FROM a
+  JOIN aprobe p ON p.anchor_id = a.anchor_id
+  JOIN assign s ON s.cell = p.cell
+  JOIN e ON e.vec_id = s.vec_id
+  WHERE e.vec_id <> a.anchor_id AND e.label IS DISTINCT FROM a.al
+),
+ranked AS (
+  SELECT anchor_id, vec_id, sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY sim DESC, vec_id
+         ) AS rank
+  FROM scored
+)
+SELECT anchor_id, vec_id, sim, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3,6 +3,8 @@ candidate sets and achieve sane recall vs brute force on clustered data."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pg_vectorize_spark.operators.ann import (
     assign_ivf_cells,
     brute_force_topk,
@@ -545,3 +547,97 @@ class TestHardNegativeMining:
         ).orderBy("rank").collect()
         assert [(r["id"], r["rank"]) for r in out] == [(2, 1), (3, 2), (4, 3)]
         assert all(r["anchor_id"] == 0 for r in out)
+
+
+class TestHardNegativeMiningIndexed:
+    """IVF-probed hard-negative mining (the large-anchor-set variant):
+    full-probe equality with the broadcast shape, partial-probe recall
+    floor, and source-level partition pruning."""
+
+    def _fixture(self, spark, tmp_path):
+        import random
+
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(300):
+            base = [0.0] * 8
+            base[i % 4] = 1.0  # four coarse clusters
+            v = [b + rng.uniform(-0.15, 0.15) for b in base]
+            rows.append((i, v, i % 3))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embeddings array<double>, label int"
+        )
+        mgr = JobIndexManager(
+            spark, str(tmp_path / "hn_idx"), "ivf",
+            {"n_centroids": 8, "train": "kmeans"},
+        )
+        mgr.build(emb.select("vec_id", "embeddings"), "vec_id")
+        anchors = emb.filter("vec_id < 6").select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embeddings").alias("anchor_vec"),
+            F.col("label").alias("anchor_label"),
+        )
+        return emb, mgr, anchors
+
+    def _mine(self, spark, emb, mgr, anchors, nprobe):
+        from pg_vectorize_spark.operators.ann import (
+            hard_negative_mining_indexed,
+        )
+
+        return hard_negative_mining_indexed(
+            spark, mgr.index_dir, mgr.centroids_df(), anchors,
+            "vec_id", "embeddings",
+            labels_df=emb.select("vec_id", "label"), label_col="label",
+            k=5, nprobe=nprobe,
+        )
+
+    def test_full_probe_equals_broadcast(self, spark, tmp_path):
+        from pg_vectorize_spark.operators.ann import hard_negative_mining
+
+        emb, mgr, anchors = self._fixture(spark, tmp_path)
+        got = self._mine(spark, emb, mgr, anchors, nprobe=8).orderBy(
+            "anchor_id", "rank"
+        ).collect()
+        ref = hard_negative_mining(
+            emb.select("vec_id", "embeddings", "label"), anchors,
+            "vec_id", "embeddings", label_col="label", k=5,
+        ).orderBy("anchor_id", "rank").collect()
+        assert [(r["anchor_id"], r["vec_id"], r["rank"]) for r in got] == [
+            (r["anchor_id"], r["vec_id"], r["rank"]) for r in ref
+        ]
+
+    def test_partial_probe_recall_floor(self, spark, tmp_path):
+        from pg_vectorize_spark.operators.ann import hard_negative_mining
+
+        emb, mgr, anchors = self._fixture(spark, tmp_path)
+        got = {
+            (r["anchor_id"], r["vec_id"])
+            for r in self._mine(
+                spark, emb, mgr, anchors, nprobe=4
+            ).collect()
+        }
+        ref = {
+            (r["anchor_id"], r["vec_id"])
+            for r in hard_negative_mining(
+                emb.select("vec_id", "embeddings", "label"), anchors,
+                "vec_id", "embeddings", label_col="label", k=5,
+            ).collect()
+        }
+        recall = len(got & ref) / len(ref)
+        assert recall >= 0.8, recall  # half the cells, >=80% of true negs
+        # and every anchor still yields k results
+        assert len(got) == len(ref)
+
+    def test_scan_partition_pruned(self, spark, tmp_path):
+        import re
+
+        emb, mgr, anchors = self._fixture(spark, tmp_path)
+        df = self._mine(spark, emb, mgr, anchors, nprobe=2)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
