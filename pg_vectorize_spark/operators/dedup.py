@@ -842,8 +842,10 @@ def semantic_cluster_dedup(
     emb_df: DataFrame,
     pkey: str,
     emb_col: str,
-    centroids_df: DataFrame,
+    centroids_df: DataFrame | None = None,
     threshold: float = 0.9,
+    target_cell_size: int = 256,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
@@ -871,8 +873,31 @@ def semantic_cluster_dedup(
     corpus scale (SemDeDup runs k in the tens of thousands); the
     centroid assignment is the same broadcast + keyed-window stage the
     IVF index uses (ann.assign_ivf_cells).
+
+    AUTO-SIZING (``centroids_df=None``, the safe default): k is derived
+    from the corpus as ``ceil(n / target_cell_size)`` and the centroids
+    are kmeans-trained (the same trainer the persisted IVF index uses),
+    keeping the expected per-cell pair count ~target_cell_size²/2
+    CONSTANT as the corpus grows — a fixed k at 10x rows is ~100x pairs
+    (measured 310 s vs 27 s at sf1.0, SCALING.md), a quadratic footgun
+    no caller should be able to copy from a small-fixture config. Pass
+    an explicit centroid table only to pin reproducible cells (the gate
+    fixture) or reuse an already-trained quantizer.
     """
     from pg_vectorize_spark.operators.ann import assign_ivf_cells
+
+    if centroids_df is None:
+        import math
+
+        from pg_vectorize_spark.operators.ann import (
+            train_ivf_centroids_kmeans,
+        )
+
+        n = emb_df.count()
+        k = max(1, math.ceil(n / max(1, target_cell_size)))
+        centroids_df = train_ivf_centroids_kmeans(
+            emb_df, pkey, emb_col, n_centroids=k, seed=seed
+        )
 
     # the assignment (broadcast crossJoin + keyed window) feeds THREE
     # consumers (both pair sides + the output join): materialize once
