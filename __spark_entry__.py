@@ -1859,66 +1859,13 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Rotation policy (standing, VERDICT
-    # r3 #2 / r4 #2 / r5 #5): queries whose newest driver row is oldest
-    # come FIRST so no operator's driver evidence goes >=2 rounds stale;
-    # new/changed queries follow them; the balance of the window refreshes
-    # last-round headliners; everything beyond position 50 carries fresh
-    # last-round evidence and rotates forward next round.
-    # --- positions 1-28: newest driver rows are r4 (rotated in r6) ---
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
-    "dup_span_stats": q_dup_span_stats,
-    "multimodal_meta": q_multimodal_meta,
-    "json_rows": q_json_rows,
-    "collect_changed_ids": q_collect_changed_ids,
-    "incremental_scan_events": q_incremental_scan_events,
-    "gopher_flags": q_gopher_flags,
-    "hash_split": q_hash_split,
-    "corpus_mix": q_corpus_mix,
-    "sample_exact": q_sample_exact,
-    "fts_stemmed": q_fts_stemmed,
-    "fts_cover_density": q_fts_cover_density,
-    "vocabulary_topk": q_vocabulary_topk,
-    "unigram_logprob": q_unigram_logprob,
-    "events_windowed_agg": q_events_windowed_agg,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_join_bucketed": q_asof_join_bucketed,
-    "attribution_window_join": q_attribution_window_join,
-    "token_count": q_token_count,
-    "doc_fingerprint": q_doc_fingerprint,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "repetition_score": q_repetition_score,
-    "pii_scrub": q_pii_scrub,
-    # --- new/changed this round (r6) ---
-    "semantic_search_indexed": q_semantic_search_indexed,
-    "mp4_frame_extract": q_mp4_frame_extract,
-    "dedup_semantic_cluster": q_dedup_semantic_cluster,
-    "dsir_weights": q_dsir_weights,
-    "c4_flags": q_c4_flags,
-    "hard_negatives": q_hard_negatives,
-    "paragraph_dedup": q_paragraph_dedup,
-    # --- r5-green queries filling the window to 50 ---
-    "semantic_search_topk": q_semantic_search_topk,
-    "semantic_search_filtered": q_semantic_search_filtered,
-    "fts_search_topk": q_fts_search_topk,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "hybrid_weighted": q_hybrid_weighted,
-    "fts_bm25": q_fts_bm25,
-    "hybrid_bm25": q_hybrid_bm25,
-    "cdf_apply": q_cdf_apply,
-    "change_detection": q_change_detection,
-    "append_method_scan": q_append_method_scan,
-    "orphan_cleanup": q_orphan_cleanup,
-    "quantized_search_topk": q_quantized_search_topk,
-    "maxsim_search_topk": q_maxsim_search_topk,
-    "pq_adc_search": q_pq_adc_search,
-    "pq_rerank_search": q_pq_rerank_search,
-    # --- beyond position 50: freshest driver evidence is r5 — rotate
-    # these into the leading positions next round (r7) ---
+    # r3 #2 / r4 #2 / r5 #5 / r6 #7): queries whose newest driver row is
+    # oldest come FIRST so no operator's driver evidence goes >=2 rounds
+    # stale; new/changed queries follow them; the balance of the window
+    # refreshes last-round headliners (this round: the search/ann/dedup
+    # paths the r7 changes touched); everything beyond position 50
+    # carries fresh last-round evidence and rotates forward next round.
+    # --- positions 1-35: newest driver rows are r5 (rotated in r7) ---
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
     "record_fetch_by_ids": q_record_fetch_by_ids,
@@ -1954,9 +1901,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_table": q_chunk_table,
     "where_sql_filter": q_where_sql_filter,
     "typed_filters_part": q_typed_filters_part,
+    # --- new this round (r7): indexed FTS/hybrid + IVF-probed mining ---
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "hard_negatives_indexed": q_hard_negatives_indexed,
+    # --- r6-green headliners on r7-changed code paths, filling to 50 ---
+    "semantic_search_topk": q_semantic_search_topk,
+    "semantic_search_indexed": q_semantic_search_indexed,
+    "semantic_search_filtered": q_semantic_search_filtered,
+    "fts_search_topk": q_fts_search_topk,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "hybrid_weighted": q_hybrid_weighted,
+    "fts_bm25": q_fts_bm25,
+    "hybrid_bm25": q_hybrid_bm25,
+    "fts_cover_density": q_fts_cover_density,
+    "fts_stemmed": q_fts_stemmed,
+    "hard_negatives": q_hard_negatives,
+    "dedup_semantic_cluster": q_dedup_semantic_cluster,
+    # --- beyond position 50: freshest driver evidence is r6 — rotate
+    # these into the leading positions next round (r8) ---
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
+    "dup_span_stats": q_dup_span_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "json_rows": q_json_rows,
+    "collect_changed_ids": q_collect_changed_ids,
+    "incremental_scan_events": q_incremental_scan_events,
+    "gopher_flags": q_gopher_flags,
+    "hash_split": q_hash_split,
+    "corpus_mix": q_corpus_mix,
+    "sample_exact": q_sample_exact,
+    "vocabulary_topk": q_vocabulary_topk,
+    "unigram_logprob": q_unigram_logprob,
+    "events_windowed_agg": q_events_windowed_agg,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_join_bucketed": q_asof_join_bucketed,
+    "attribution_window_join": q_attribution_window_join,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "repetition_score": q_repetition_score,
+    "pii_scrub": q_pii_scrub,
+    "mp4_frame_extract": q_mp4_frame_extract,
+    "dsir_weights": q_dsir_weights,
+    "c4_flags": q_c4_flags,
+    "paragraph_dedup": q_paragraph_dedup,
+    "cdf_apply": q_cdf_apply,
+    "change_detection": q_change_detection,
+    "append_method_scan": q_append_method_scan,
+    "orphan_cleanup": q_orphan_cleanup,
+    "quantized_search_topk": q_quantized_search_topk,
+    "maxsim_search_topk": q_maxsim_search_topk,
+    "pq_adc_search": q_pq_adc_search,
+    "pq_rerank_search": q_pq_rerank_search,
 }
 
 
