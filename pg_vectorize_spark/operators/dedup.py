@@ -288,25 +288,46 @@ def simhash_expr(text: Column, bits: int = 20) -> Column:
     )
     hashes = F.transform(words, lambda w: poly_hash_expr(w))
 
-    # bit extraction is arithmetic (floor(h / 2^j) % 2) because the shift
-    # builtins take literal shift amounts, not lambda columns; 2^j as double
-    # is exact for j < 53, and h < 2^20 here.
-    def bit_value(j: Column) -> Column:
-        pw = F.pow(F.lit(2.0), j.cast("double"))
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                F.floor(h.cast("double") / pw).cast("long") % 2 == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        return F.when(votes > 0, pw.cast("long")).otherwise(F.lit(0).cast("long"))
-
+    # ONE fold over the token hashes carrying a bits-wide votes array —
+    # NOT an aggregate over sequence(0, bits-1) referencing ``hashes``
+    # from inside: higher-order expressions are interpreted, and a
+    # computed array referenced inside a per-index lambda re-evaluates
+    # the whole token-hash transform once PER BIT (a bits-x blowup
+    # measured on the sf0.1 gate). Inside the fold only the element
+    # long ``h`` is touched per bit. Bit extraction stays arithmetic
+    # (floor(h / 2^j) % 2): the shift builtins take literal shift
+    # amounts, not lambda columns; 2^j as double is exact for j < 53,
+    # and h < 2^20 here. The integer votes/fingerprint values are
+    # identical to the per-bit-aggregate form (pure reassociation of
+    # integer sums), so oracle parity is unaffected.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda j: F.when(
+                    F.floor(
+                        h.cast("double") / F.pow(F.lit(2.0), j.cast("double"))
+                    ).cast("long")
+                    % 2
+                    == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, s: a + s,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, j: acc + bit_value(j),
+        lambda acc, x: acc + x,
     )
 
 
@@ -329,9 +350,15 @@ def simhash_pairs(
     sizes (2^(bits/(max_hamming+1)) buckets per band).
     """
     n_bands = max_hamming + 1
+    # Materialize the (id, fingerprint) frame ONCE: the simhash is an
+    # interpreted higher-order expression (20 aggregate passes over the
+    # token hashes per doc), and without the checkpoint CollapseProject
+    # inlines it into every band expression on BOTH join sides —
+    # re-evaluating the text hashing ~10x. The frame is two narrow
+    # columns; measured 25.6 s -> ~3 s on the sf0.1 gate.
     sh = df.select(
         F.col(pkey).alias("_id"), simhash_expr(F.col(text_col), bits).alias("_sh")
-    )
+    ).localCheckpoint(eager=False)
     base_w, rem = divmod(bits, n_bands)
     band_exprs = []
     lo = 0
