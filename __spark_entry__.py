@@ -1093,6 +1093,73 @@ def q_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio frame-header parsing under the hash gate
+    (codec.parse_mp3_frames / binary.mp3_metadata): per document a
+    syntactically valid Layer-III stream is assembled from deterministic
+    laws (version, sample-rate index, CBR/VBR bitrate sequence, padding
+    bits, optional ID3v2 tag, optional CRC flag), then the parser walks
+    the 4-byte headers — ID3 skip, sync check, per-frame length
+    arithmetic — and reports the routing metadata an audio corpus pass
+    needs. The oracle recomputes EVERYTHING analytically from the same
+    laws (spec frame-length formula coef*kbps*1000 // sr + pad, spf
+    1152/576, bitrate tables as list literals) — independent
+    arithmetic, not a re-run of the parser. Payload decode stays an
+    honest NotImplementedError (codec.py)."""
+    import pandas as pd
+
+    from pg_vectorize_spark.multimodal.binary import mp3_metadata
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        from pg_vectorize_spark.multimodal.codec import encode_mp3_frames
+
+        for pdf in batches:
+            out = {"doc_id": [], "audio": []}
+            for d in pdf["doc_id"]:
+                d = int(d)
+                version = "MPEG2" if d % 5 == 4 else "MPEG1"
+                n = 4 + d % 6
+                specs = [
+                    (1 + ((d + 3 * i * (d % 2)) % 14), (d + i) % 2)
+                    for i in range(n)
+                ]
+                out["doc_id"].append(d)
+                out["audio"].append(
+                    encode_mp3_frames(
+                        specs,
+                        version=version,
+                        sr_idx=d % 3,
+                        channel_mode=d % 4,
+                        crc=(d % 7 == 0),
+                        id3_size=(20 + d) if d % 3 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    blobs = docs.mapInPandas(build, schema="doc_id long, audio binary")
+    meta = mp3_metadata(blobs, "audio", "doc_id")
+    return meta.select(
+        F.col("pkey").alias("doc_id"),
+        "version",
+        "sample_rate",
+        "channel_mode",
+        "n_frames",
+        "duration_seconds",
+        "bitrate_kbps_mean",
+        "is_vbr",
+        "has_id3",
+        "has_crc",
+        "first_frame_offset",
+        "stream_bytes",
+    )
+
+
 def q_dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
     the embeddings (deterministic first-8 centroids — the IVF assignment
@@ -1905,6 +1972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "hard_negatives_indexed": q_hard_negatives_indexed,
+    "mp3_metadata": q_mp3_metadata,
     # --- r6-green headliners on r7-changed code paths, filling to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_indexed": q_semantic_search_indexed,
@@ -1917,9 +1985,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_cover_density": q_fts_cover_density,
     "fts_stemmed": q_fts_stemmed,
     "hard_negatives": q_hard_negatives,
-    "dedup_semantic_cluster": q_dedup_semantic_cluster,
     # --- beyond position 50: freshest driver evidence is r6 — rotate
     # these into the leading positions next round (r8) ---
+    "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -3995,6 +4063,60 @@ GROUP BY r.r_name, o.o_orderpriority
 # rows differs from the broadcast ranking at nprobe=7 on sf0.01), so
 # sharing the broadcast oracle would force nprobe=8 (no pruning at all).
 # The recall-vs-broadcast floor is pinned in tests/test_ann.py instead.
+ORACLE["mp3_metadata"] = """
+WITH d AS (
+  SELECT doc_id AS d,
+         CASE WHEN doc_id % 5 = 4 THEN 'MPEG2' ELSE 'MPEG1' END AS version,
+         doc_id % 3 AS sr_idx,
+         doc_id % 4 AS cm,
+         (doc_id % 7 = 0) AS has_crc,
+         (doc_id % 3 = 0) AS has_id3,
+         4 + doc_id % 6 AS n
+  FROM documents WHERE doc_id < 60
+),
+p AS MATERIALIZED (
+  SELECT d.*,
+         CASE version WHEN 'MPEG1'
+           THEN list_extract([44100,48000,32000], sr_idx + 1)
+           ELSE list_extract([22050,24000,16000], sr_idx + 1) END AS sr,
+         CASE version WHEN 'MPEG1' THEN 1152 ELSE 576 END AS spf,
+         CASE version WHEN 'MPEG1' THEN 144 ELSE 72 END AS coef
+  FROM d
+),
+f AS (
+  SELECT p.d, p.coef, p.sr,
+         CASE p.version WHEN 'MPEG1'
+           THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                             1 + ((p.d + 3*i.i*(p.d % 2)) % 14))
+           ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,144,160],
+                             1 + ((p.d + 3*i.i*(p.d % 2)) % 14)) END AS kbps,
+         (p.d + i.i) % 2 AS pad
+  FROM p, (SELECT unnest(range(0, 10)) AS i) i
+  WHERE i.i < p.n
+),
+agg AS (
+  SELECT d, count(*) AS nf, sum(coef*kbps*1000 // sr + pad) AS body,
+         sum(kbps) AS kbsum, count(DISTINCT kbps) AS nk
+  FROM f GROUP BY d
+)
+SELECT p.d AS doc_id,
+       p.version,
+       p.sr::INT AS sample_rate,
+       list_extract(['stereo','joint_stereo','dual_channel','mono'],
+                    p.cm + 1) AS channel_mode,
+       p.n::INT AS n_frames,
+       (p.n * p.spf)::DOUBLE / p.sr AS duration_seconds,
+       a.kbsum::DOUBLE / p.n AS bitrate_kbps_mean,
+       (a.nk > 1) AS is_vbr,
+       p.has_id3,
+       p.has_crc,
+       (CASE WHEN p.has_id3 THEN 30 + p.d ELSE 0 END)::BIGINT
+         AS first_frame_offset,
+       (CASE WHEN p.has_id3 THEN 30 + p.d ELSE 0 END + a.body)::BIGINT
+         AS stream_bytes
+FROM p JOIN agg a ON a.d = p.d
+"""
+
 ORACLE["hard_negatives_indexed"] = f"""
 WITH e AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings),
 c AS MATERIALIZED (

@@ -321,3 +321,65 @@ def mp4_frame_sample(
             "ts_seconds double, keyframe boolean, frame_bytes binary"
         ),
     )
+
+
+def mp3_metadata(df: DataFrame, bin_col: str, pkey: str) -> DataFrame:
+    """Stream-level MPEG-audio metadata per blob (codec.parse_mp3_frames
+    behind Arrow batches): (pkey, version, sample_rate, channel_mode,
+    n_frames, duration_seconds, bitrate_kbps_mean, is_vbr, has_id3,
+    has_crc, first_frame_offset, stream_bytes). The corpus-routing pass
+    for audio columns — duration caps, CBR/VBR split, bitrate-quality
+    buckets, ID3 demux — from the 4-byte frame-header walk alone;
+    payload decode stays NotImplementedError (codec.py module note).
+    Non-MP3 blobs yield NULL metadata rather than failing the batch."""
+    import pandas as pd
+
+    meta_cols = (
+        "version", "sample_rate", "channel_mode", "n_frames",
+        "duration_seconds", "bitrate_kbps_mean", "is_vbr", "has_id3",
+        "has_crc", "first_frame_offset", "stream_bytes",
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pg_vectorize_spark.multimodal.codec import parse_mp3_frames
+
+        for pdf in batches:
+            out: dict = {"pkey": list(pdf["pkey"])}
+            for c in meta_cols:
+                out[c] = []
+            for blob in pdf[bin_col]:
+                try:
+                    m = parse_mp3_frames(bytes(blob or b""))
+                except (ValueError, IndexError):
+                    for c in meta_cols:
+                        out[c].append(None)
+                    continue
+                first = m["frames"][0]
+                last = m["frames"][-1]
+                out["version"].append(m["version"])
+                out["sample_rate"].append(m["sample_rate"])
+                out["channel_mode"].append(m["channel_mode"])
+                out["n_frames"].append(m["n_frames"])
+                out["duration_seconds"].append(m["duration_seconds"])
+                out["bitrate_kbps_mean"].append(m["bitrate_kbps_mean"])
+                out["is_vbr"].append(m["is_vbr"])
+                out["has_id3"].append(m["has_id3"])
+                out["has_crc"].append(m["has_crc"])
+                out["first_frame_offset"].append(first["offset"])
+                out["stream_bytes"].append(
+                    last["offset"] + last["size"]
+                )
+            yield pd.DataFrame(out)
+
+    key_type = df.schema[pkey].dataType.simpleString()
+    return df.select(
+        F.col(pkey).alias("pkey"), F.col(bin_col)
+    ).mapInPandas(
+        parse,
+        schema=(
+            f"pkey {key_type}, version string, sample_rate int, "
+            "channel_mode string, n_frames int, duration_seconds double, "
+            "bitrate_kbps_mean double, is_vbr boolean, has_id3 boolean, "
+            "has_crc boolean, first_frame_offset long, stream_bytes long"
+        ),
+    )

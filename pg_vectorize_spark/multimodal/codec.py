@@ -21,9 +21,13 @@ standard library + numpy are implemented for real:
   samples decoded with numpy ``frombuffer``.
 
 MP4/ISO-BMFF containers get REAL metadata parsing (box walk: duration,
-tracks, video dimensions — parse_mp4_metadata) while frame DECODE, like
-MP3, still raises NotImplementedError — the honest stub is retained for
-everything needing codec libraries, never silently faked.
+tracks, video dimensions — parse_mp4_metadata; per-sample byte ranges —
+parse_mp4_samples), and MP3 streams get REAL frame-header parsing
+(parse_mp3_frames: ID3v2 skip, sync walk, per-frame length arithmetic,
+duration/CBR-VBR/bitrate stats). PAYLOAD decode for both — video frames
+and MP3 audio (Huffman + IMDCT + synthesis filterbank) — still raises
+NotImplementedError: the honest stub is retained for everything needing
+real codec libraries, never silently faked.
 
 Decode is driven per-blob inside Arrow batches (``decode_media`` in
 binary.py); nothing here touches Spark. Features are a normalized
@@ -1897,3 +1901,184 @@ def encode_mp4_with_samples(
     assert payload_start2 == payload_start  # stco size is count-fixed
     mdat = box(b"mdat", b"".join(samples))
     return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 Audio Layer III) — FRAME-HEADER parsing only.
+#
+# The corpus-routing layer for audio columns: duration, sample rate,
+# CBR/VBR, mean bitrate, channel mode — everything a length-cap /
+# quality-route / demux pass needs — from a pure 4-byte-header walk
+# (ISO/IEC 11172-3 §2.4.1), zero entropy decoding. PAYLOAD decode
+# (Huffman + IMDCT + synthesis filterbank) remains NotImplementedError:
+# the honest-stub rule for everything needing real codec work.
+# ---------------------------------------------------------------------------
+
+#: bitrate tables (kbps) by version/layer-III, index 1..14; 0 = free
+#: format, 15 = invalid (ISO/IEC 11172-3 table B.2; 13818-3 lower rates)
+_MP3_BITRATES = {
+    "MPEG1": [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    "MPEG2": [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    "MPEG2.5": [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+#: sample-rate tables (Hz) by version, index 0..2; 3 = reserved
+_MP3_SAMPLE_RATES = {
+    "MPEG1": [44100, 48000, 32000],
+    "MPEG2": [22050, 24000, 16000],
+    "MPEG2.5": [11025, 12000, 8000],
+}
+_MP3_VERSIONS = {0b00: "MPEG2.5", 0b10: "MPEG2", 0b11: "MPEG1"}
+_MP3_CHANNEL_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+
+def _mp3_frame_length(version: str, bitrate_kbps: int, sr: int, padding: int) -> int:
+    """Layer III frame length in bytes: 144·bitrate/sr for MPEG-1,
+    72·bitrate/sr for MPEG-2/2.5 (spf 1152 vs 576), plus the padding
+    slot; the length covers header+CRC+payload."""
+    coef = 144 if version == "MPEG1" else 72
+    return coef * bitrate_kbps * 1000 // sr + padding
+
+
+def _mp3_spf(version: str) -> int:
+    """Samples per Layer-III frame: 1152 (MPEG-1) / 576 (MPEG-2/2.5)."""
+    return 1152 if version == "MPEG1" else 576
+
+
+def parse_mp3_frames(data: bytes) -> dict:
+    """Walk an MPEG Audio Layer III stream's frame headers.
+
+    Skips a leading ID3v2 tag ('ID3' + syncsafe 28-bit size), requires a
+    sync word (11 set bits) at the first audio byte, then steps frame by
+    frame via the computed frame length. Layer I/II streams raise
+    ValueError (only Layer III is in scope); free-format (bitrate index
+    0) and reserved field values raise too. Trailing garbage that does
+    not start with a sync word ends the walk (normal: ID3v1 tags).
+
+    -> {"version", "layer": 3, "sample_rate", "channel_mode",
+        "n_frames", "total_samples", "duration_seconds",
+        "bitrate_kbps_mean", "is_vbr", "has_id3", "has_crc",
+        "frames": [{"offset", "size", "bitrate_kbps", "padding"}, ...]}
+
+    duration is total_samples / sample_rate — ONE division of exact
+    integers (bit-reproducible); mixed-sample-rate streams are rejected
+    (no real encoder emits them, and a sum of per-frame ratios would be
+    fold-order-dependent).
+    """
+    pos = 0
+    has_id3 = False
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+        has_id3 = True
+    frames = []
+    version = None
+    sample_rate = None
+    channel_mode = None
+    has_crc = False
+    bitrate_sum = 0
+    first = True
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            if first:
+                raise ValueError("no MPEG audio sync word at stream start")
+            break  # trailing non-frame bytes (e.g. ID3v1) end the walk
+        ver_bits = (b1 >> 3) & 0b11
+        layer_bits = (b1 >> 1) & 0b11
+        if ver_bits not in _MP3_VERSIONS:
+            raise ValueError("reserved MPEG version id")
+        if layer_bits != 0b01:
+            raise ValueError(
+                "only Layer III is supported (Layer I/II header found)"
+            )
+        ver = _MP3_VERSIONS[ver_bits]
+        protection = b1 & 1  # 0 -> 16-bit CRC follows the header
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0b11
+        padding = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 0b11
+        if br_idx in (0, 15):
+            raise ValueError("free-format/invalid bitrate index")
+        if sr_idx == 3:
+            raise ValueError("reserved sample-rate index")
+        sr = _MP3_SAMPLE_RATES[ver][sr_idx]
+        if first:
+            version, sample_rate = ver, sr
+            channel_mode = _MP3_CHANNEL_MODES[mode]
+            has_crc = protection == 0
+            first = False
+        elif ver != version or sr != sample_rate:
+            raise ValueError("mixed version/sample-rate stream")
+        kbps = _MP3_BITRATES[ver][br_idx]
+        length = _mp3_frame_length(ver, kbps, sr, padding)
+        frames.append(
+            {
+                "offset": pos,
+                "size": length,
+                "bitrate_kbps": kbps,
+                "padding": padding,
+            }
+        )
+        bitrate_sum += kbps
+        pos += length
+    if not frames:
+        raise ValueError("no MPEG audio frames found")
+    n = len(frames)
+    total_samples = n * _mp3_spf(version)
+    return {
+        "version": version,
+        "layer": 3,
+        "sample_rate": sample_rate,
+        "channel_mode": channel_mode,
+        "n_frames": n,
+        "total_samples": total_samples,
+        "duration_seconds": total_samples / float(sample_rate),
+        "bitrate_kbps_mean": bitrate_sum / float(n),
+        "is_vbr": len({f["bitrate_kbps"] for f in frames}) > 1,
+        "has_id3": has_id3,
+        "has_crc": has_crc,
+        "frames": frames,
+    }
+
+
+def encode_mp3_frames(
+    frame_specs: list,
+    version: str = "MPEG1",
+    sr_idx: int = 0,
+    channel_mode: int = 1,
+    crc: bool = False,
+    id3_size: int | None = None,
+) -> bytes:
+    """Assemble a syntactically valid Layer-III stream for the parser
+    gate/tests: each spec is (bitrate_index, padding_bit); payloads are
+    a deterministic byte fill (the header walk never reads them).
+    ``id3_size`` prepends an ID3v2 tag with that many content bytes."""
+    ver_bits = {v: k for k, v in _MP3_VERSIONS.items()}[version]
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            [
+                (id3_size >> 21) & 0x7F,
+                (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F,
+                id3_size & 0x7F,
+            ]
+        )
+        out += bytes(id3_size)
+    sr = _MP3_SAMPLE_RATES[version][sr_idx]
+    for br_idx, padding in frame_specs:
+        kbps = _MP3_BITRATES[version][br_idx]
+        length = _mp3_frame_length(version, kbps, sr, padding)
+        b1 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | (0 if crc else 1)
+        b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        b3 = (channel_mode & 0b11) << 6
+        frame = bytearray([0xFF, b1, b2, b3])
+        body = length - 4
+        frame += bytes((37 * i + 11) % 251 for i in range(body))
+        out += frame
+    return bytes(out)

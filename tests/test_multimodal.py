@@ -832,3 +832,106 @@ class TestMp4Hardening:
         assert {r["pkey"] for r in rows} == {2}  # bad blob: zero rows
         meta = {r["pkey"]: r for r in mp4_metadata(df, "video", "id").collect()}
         assert len(meta) == 2  # metadata row exists (NULLs ok) for both
+
+
+class TestMp3FrameParsing:
+    """MPEG-audio frame-header walk (codec.parse_mp3_frames): spec
+    arithmetic, ID3 skip, CBR/VBR, version branches, and the honest
+    rejections (Layer I/II, free-format, mixed streams, no sync)."""
+
+    def test_cbr_mpeg1_roundtrip(self):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp3_frames,
+            parse_mp3_frames,
+        )
+
+        blob = encode_mp3_frames([(9, 0)] * 5)  # 128 kbps @ 44100
+        m = parse_mp3_frames(blob)
+        assert m["version"] == "MPEG1" and m["sample_rate"] == 44100
+        assert m["n_frames"] == 5 and not m["is_vbr"]
+        assert m["bitrate_kbps_mean"] == 128.0
+        # spec frame length: 144*128000//44100 = 417
+        assert all(f["size"] == 417 for f in m["frames"])
+        assert m["duration_seconds"] == (5 * 1152) / 44100.0
+        assert not m["has_id3"] and not m["has_crc"]
+
+    def test_id3_skip_vbr_padding(self):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp3_frames,
+            parse_mp3_frames,
+        )
+
+        blob = encode_mp3_frames(
+            [(9, 0), (11, 1), (14, 0)], id3_size=200
+        )
+        m = parse_mp3_frames(blob)
+        assert m["has_id3"] and m["is_vbr"]
+        assert m["frames"][0]["offset"] == 210  # 10-byte header + 200
+        assert m["frames"][1]["size"] == 144 * 192000 // 44100 + 1
+        assert m["bitrate_kbps_mean"] == (128 + 192 + 320) / 3.0
+
+    def test_mpeg2_crc_mono(self):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp3_frames,
+            parse_mp3_frames,
+        )
+
+        blob = encode_mp3_frames(
+            [(5, 0)] * 3, version="MPEG2", sr_idx=2, channel_mode=3,
+            crc=True,
+        )
+        m = parse_mp3_frames(blob)
+        assert m["version"] == "MPEG2" and m["sample_rate"] == 16000
+        assert m["channel_mode"] == "mono" and m["has_crc"]
+        assert m["duration_seconds"] == (3 * 576) / 16000.0
+        assert m["frames"][0]["size"] == 72 * 40000 // 16000
+
+    def test_trailing_garbage_ends_walk(self):
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp3_frames,
+            parse_mp3_frames,
+        )
+
+        blob = encode_mp3_frames([(9, 0)] * 2) + b"TAG" + bytes(125)
+        m = parse_mp3_frames(blob)
+        assert m["n_frames"] == 2  # ID3v1-style trailer tolerated
+
+    def test_rejections(self):
+        import pytest as _pytest
+
+        from pg_vectorize_spark.multimodal.codec import (
+            encode_mp3_frames,
+            parse_mp3_frames,
+        )
+
+        with _pytest.raises(ValueError, match="sync"):
+            parse_mp3_frames(b"not audio at all")
+        with _pytest.raises(ValueError, match="no MPEG audio frames"):
+            parse_mp3_frames(b"")
+        # Layer II header: layer bits 10 -> second byte 0xFD
+        with _pytest.raises(ValueError, match="Layer III"):
+            parse_mp3_frames(bytes([0xFF, 0xFD, 0x90, 0x40]) + bytes(400))
+        # free-format bitrate index 0
+        with _pytest.raises(ValueError, match="bitrate"):
+            parse_mp3_frames(bytes([0xFF, 0xFB, 0x00, 0x40]))
+        # mixed sample rate: second frame sr_idx differs
+        a = encode_mp3_frames([(9, 0)], sr_idx=0)
+        b = encode_mp3_frames([(9, 0)], sr_idx=1)
+        with _pytest.raises(ValueError, match="mixed"):
+            parse_mp3_frames(a + b)
+
+    def test_operator_null_for_non_mp3(self, spark):
+        from pg_vectorize_spark.multimodal.binary import mp3_metadata
+        from pg_vectorize_spark.multimodal.codec import encode_mp3_frames
+
+        df = spark.createDataFrame(
+            [(1, encode_mp3_frames([(9, 0)] * 4)), (2, b"\x89PNG junk"),
+             (3, None)],
+            "id long, audio binary",
+        )
+        rows = {r["pkey"]: r for r in mp3_metadata(
+            df, "audio", "id"
+        ).collect()}
+        assert rows[1]["n_frames"] == 4
+        assert rows[1]["stream_bytes"] == 4 * (144 * 128000 // 44100)
+        assert rows[2]["version"] is None and rows[3]["version"] is None
