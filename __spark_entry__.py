@@ -1093,6 +1093,80 @@ def q_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_job_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-LIFECYCLE gate: the full ``VectorizeSession`` path —
+    create_job on the documents fixture (hash-embedder model, persisted
+    IVF ANN index AND FTS postings index built at init), scan_job
+    (change detection -> Arrow embed -> snapshot merge -> token refresh
+    -> index freshness hooks), then ``hybrid_search()`` — end-to-end
+    under the hash gate, not just the operator layer pytest covers.
+
+    Oracle: the hash-BoW embedder is SQL-expressible by design
+    (providers/local.py: numpy ≡ Spark exprs ≡ DuckDB lambdas,
+    bit-for-bit — bucket counts are exact integers so normalization
+    order cannot diverge), so DuckDB recomputes document + query
+    embeddings, the normalize-at-write dot-product scores, the token
+    overlap branch, and the RRF fusion from the raw fixture alone. The
+    ANN probe runs FULL-width (nprobe = n_centroids) so index results
+    equal the brute ranking exactly (partial-probe pruning is gated
+    separately by semantic_search_indexed); the FTS postings probe is
+    lossless at any width. The workspace is cached per SF behind the
+    source fingerprint — repeated invocations time the QUERY path,
+    like a deployed engine."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_vectorize_spark.engine import VectorizeSession
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ws = os.path.join(tempfile.gettempdir(), f"pvs_gate_ws_{sfname}")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp_path = os.path.join(ws, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            fresh = fh.read() == fp
+    except OSError:
+        pass
+    sess = VectorizeSession(spark, workspace=ws)
+    if not (fresh and sess.catalog.exists("gate")):
+        shutil.rmtree(ws, ignore_errors=True)
+        sess = VectorizeSession(spark, workspace=ws)
+        sess.create_job(
+            "gate",
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text"],
+            primary_key="doc_id",
+            index_method="ivf",
+            index_params={"n_centroids": 8, "nprobe": 8},
+        )
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    rows = sess.hybrid_search(
+        "gate",
+        QUERY_TEXT,
+        num_results=10,
+        window_size=50,
+        return_columns=["doc_id", "lang"],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["doc_id"],
+                r["lang"],
+                r["rrf_score"],
+                r["semantic_rank"],
+                r["fts_rank"],
+                r["similarity_score"],
+            )
+            for r in rows
+        ],
+        "doc_id long, lang string, rrf_score double, semantic_rank int, "
+        "fts_rank int, similarity_score double",
+    )
+
+
 def q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-audio frame-header parsing under the hash gate
     (codec.parse_mp3_frames / binary.mp3_metadata): per document a
@@ -1973,6 +2047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "hard_negatives_indexed": q_hard_negatives_indexed,
     "mp3_metadata": q_mp3_metadata,
+    "job_hybrid_e2e": q_job_hybrid_e2e,
     # --- r6-green headliners on r7-changed code paths, filling to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_indexed": q_semantic_search_indexed,
@@ -1984,10 +2059,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_bm25": q_hybrid_bm25,
     "fts_cover_density": q_fts_cover_density,
     "fts_stemmed": q_fts_stemmed,
-    "hard_negatives": q_hard_negatives,
     # --- beyond position 50: freshest driver evidence is r6 — rotate
     # these into the leading positions next round (r8) ---
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
+    "hard_negatives": q_hard_negatives,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4063,6 +4138,107 @@ GROUP BY r.r_name, o.o_orderpriority
 # rows differs from the broadcast ranking at nprobe=7 on sf0.01), so
 # sharing the broadcast oracle would force nprobe=8 (no pruning at all).
 # The recall-vs-broadcast floor is pinned in tests/test_ann.py instead.
+# Engine-lifecycle hybrid: DuckDB recomputes the hash-BoW embeddings of
+# every document AND the query from the raw fixture (providers/local.py
+# three-way determinism contract), scores the semantic branch with the
+# engine's normalize-at-write dot product, the FTS branch with the token
+# overlap, and fuses with RRF — verifying create_job -> scan_job ->
+# hybrid_search end-to-end, not a re-run of any engine code.
+def _oracle_job_hybrid() -> str:
+    # staged MATERIALIZED CTEs for the embeddings (same reason as
+    # _oracle_embed_documents: the single-expression sql_embed form
+    # re-evaluates the bucket list once per dimension — measured 379 s
+    # vs ~8 s at sf0.01 for this query)
+    dim = EMBED_DIM
+    qlit = "'" + QUERY_TEXT + "'"
+    toks = O.sql_tokens("d.text")
+    match = O.sql_fts_match("search_tokens", QUERY_TERMS)
+    score = O.sql_fts_score("search_tokens", QUERY_TERMS)
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT d.doc_id,
+         list_transform({O.sql_features('d.text')},
+                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
+  FROM documents d
+),
+c AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, {dim}),
+                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
+           AS counts
+  FROM b
+),
+emb AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS ev
+  FROM (
+    SELECT doc_id, counts,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
+    FROM c
+  )
+),
+qb AS MATERIALIZED (
+  SELECT list_transform({O.sql_features(qlit)},
+                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
+),
+qc AS MATERIALIZED (
+  SELECT list_transform(range(0, {dim}),
+                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
+           AS counts
+  FROM qb
+),
+q AS MATERIALIZED (
+  SELECT CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS qv
+  FROM (
+    SELECT counts,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
+    FROM qc
+  )
+),
+sem AS (
+  SELECT doc_id, similarity_score,
+         ROW_NUMBER() OVER (ORDER BY similarity_score DESC, doc_id ASC)
+           AS semantic_rank
+  FROM (
+    SELECT e.doc_id, {O.sql_dot('e.ev', 'q.qv')} AS similarity_score
+    FROM emb e CROSS JOIN q
+  )
+  ORDER BY similarity_score DESC, doc_id ASC
+  LIMIT 50
+),
+ftsb AS (
+  SELECT doc_id, fts_score,
+         ROW_NUMBER() OVER (ORDER BY fts_score DESC, doc_id ASC) AS fts_rank
+  FROM (
+    SELECT doc_id, {score} AS fts_score
+    FROM (SELECT d.doc_id, {toks} AS search_tokens FROM documents d)
+    WHERE {match}
+  )
+  ORDER BY fts_score DESC, doc_id ASC
+  LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(sem.doc_id, ftsb.doc_id) AS doc_id,
+         sem.similarity_score, sem.semantic_rank, ftsb.fts_rank,
+         COALESCE(1.0 / (60 + sem.semantic_rank), 0.0)
+         + COALESCE(1.0 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
+  FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
+)
+SELECT d.doc_id, d.lang, f.rrf_score,
+       f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
+       f.similarity_score
+FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
+ORDER BY f.rrf_score DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+
+ORACLE["job_hybrid_e2e"] = _oracle_job_hybrid()
+
 ORACLE["mp3_metadata"] = """
 WITH d AS (
   SELECT doc_id AS d,

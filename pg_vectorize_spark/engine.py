@@ -233,6 +233,11 @@ class VectorizeSession:
             mgr.build(
                 tok_ds.read().select(pkey, "search_tokens"), pkey
             )
+        elif old is None or not old.head(1):
+            # pure inserts (no key existed pre-merge): one partitioned
+            # postings APPEND — the hot path of a realtime insert
+            # stream, with no bucket rewrite at all
+            mgr.add(tokens_df.select(pkey, "search_tokens"), pkey)
         else:
             mgr.upsert(
                 tokens_df.select(pkey, "search_tokens"), pkey, old

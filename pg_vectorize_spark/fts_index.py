@@ -160,6 +160,34 @@ class JobFtsIndexManager:
 
     # --------------------------------------------------------- maintenance
 
+    def add(
+        self,
+        new_tokens_df: DataFrame,
+        pkey: str,
+        tokens_col: str = "search_tokens",
+    ) -> None:
+        """Append NEW keys' postings — the pure-insert fast path (the
+        ivf_index_add analog): no current-bucket read, no anti-join, no
+        emptied-bucket check, one partitioned append touching only the
+        buckets the batch's terms land in. Callers with possibly-
+        existing keys MUST use ``upsert`` — appending an existing key's
+        postings would leave its stale terms matching."""
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no fts index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        postings = self._postings(new_tokens_df, pkey, tokens_col)
+        if postings.isEmpty():
+            return
+        postings.write.mode("append").partitionBy(self.PART_COL).parquet(
+            self.index_dir
+        )
+        if not meta.get("has_data", True):
+            meta["has_data"] = True
+            self._save_meta(meta)
+        self._bump_maint()
+
     def upsert(
         self,
         new_tokens_df: DataFrame,
