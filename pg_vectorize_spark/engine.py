@@ -218,8 +218,11 @@ class VectorizeSession:
         mgr = self._fts_mgr(job)
         old = None
         if mgr is not None and mgr.exists() and tok_ds.exists():
+            # read_for_keys prunes the capture scan to the batch keys'
+            # buckets on a bucketed snapshot (O(batch buckets), the
+            # 100-TB shape); the plain layout falls back to a full read
             old = (
-                tok_ds.read()
+                tok_ds.read_for_keys(tokens_df.select(pkey), pkey)
                 .join(tokens_df.select(pkey), pkey, "left_semi")
                 .select(pkey, "search_tokens")
                 .localCheckpoint()

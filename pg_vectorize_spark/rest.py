@@ -316,6 +316,10 @@ class _Handler(BaseHTTPRequestHandler):
                     # layout the job's search path probes
                     index_method=body.get("index_method", "brute"),
                     index_params=body.get("index_params"),
+                    # FTS postings index (the GIN analog) — on by default
+                    # like the reference's CREATE INDEX at job init
+                    fts_index=bool(body.get("fts_index", True)),
+                    fts_params=body.get("fts_params"),
                 )
                 self._send(200, {"id": job.job_name, "dim": job.dim})
             except KeyError as e:

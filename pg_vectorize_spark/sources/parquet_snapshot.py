@@ -73,6 +73,14 @@ class SnapshotDataset:
             raise FileNotFoundError(f"no current snapshot under {self.root}")
         return self.spark.read.parquet(self._version_dir(v))
 
+    def read_for_keys(self, keys_df: DataFrame, key: str) -> DataFrame:
+        """Rows that MAY match the given keys — a pruned SUPERSET read
+        for key-scoped lookups (callers still join/filter exactly).
+        The base layout has no pruning structure, so this is the full
+        snapshot; BucketedSnapshotDataset overrides it with a
+        bucket-pruned scan."""
+        return self.read()
+
     def write_full(self, df: DataFrame) -> int:
         """Write a complete new snapshot (initial load / full refresh)."""
         v = (self.current_version() or 0) + 1
@@ -246,6 +254,36 @@ class BucketedSnapshotDataset(SnapshotDataset):
         if v is None:
             raise FileNotFoundError(f"no current snapshot under {self.root}")
         return self.spark.read.parquet(self._version_dir(v))
+
+    def read_for_keys(self, keys_df: DataFrame, key: str) -> DataFrame:
+        """Bucket-pruned superset read: only the partitions the given
+        keys hash into are scanned (PartitionFilters IN list), so a
+        batch-sized key lookup against a 100-TB snapshot reads
+        O(batch-bucket) files instead of the table. The bucket list is
+        collected from the (batch-sized) key frame; the stored layout's
+        key must match — a caller probing on a different column would
+        prune wrongly, so it is validated."""
+        from pyspark.sql import functions as F
+
+        layout = self._load_layout()
+        if layout is not None and layout.get("key") != key:
+            raise ValueError(
+                f"{self.root} is bucketed on {layout.get('key')!r}; "
+                f"read_for_keys({key!r}) would prune incorrectly"
+            )
+        buckets = sorted(
+            r["b"]
+            for r in keys_df.select(
+                self._bucket_expr(key).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return (
+            self.read_raw()
+            .filter(F.col(self.BUCKET_COL).isin(buckets))
+            .drop(self.BUCKET_COL)
+        )
 
     def write_full(self, df: DataFrame, _key: str | None = None) -> int:
         layout = self._load_layout()

@@ -81,7 +81,9 @@ class RealtimePipeline:
         changed = batch_df
         emb_ds = sess._emb_ds(self.job_name)
         if emb_ds.exists():
-            cur = emb_ds.read()
+            # bucket-pruned on a bucketed snapshot: the diff guard only
+            # needs rows whose pkey can collide with the batch's
+            cur = emb_ds.read_for_keys(batch_df.select(pkey), pkey)
             if "content_fp" in cur.columns:
                 unchanged = cur.select(F.col(pkey), F.col("content_fp"))
                 changed = (

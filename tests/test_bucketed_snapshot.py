@@ -187,3 +187,45 @@ def test_layout_mismatch_rejected(spark, tmp_path, base_df):
     as_bucketed = BucketedSnapshotDataset(spark, plain_root, n_buckets=8)
     with pytest.raises(ValueError, match="UNBUCKETED"):
         as_bucketed.merge_upsert(upd, "k")
+
+
+class TestReadForKeys:
+    def test_pruned_superset_and_plan(self, spark, tmp_path):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            BucketedSnapshotDataset,
+            SnapshotDataset,
+        )
+
+        ds = BucketedSnapshotDataset(
+            spark, str(tmp_path / "b"), n_buckets=16
+        )
+        df = spark.range(200).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        ds.write_full(df, "id")
+        keys = spark.createDataFrame([(3,), (77,), (150,)], "id long")
+        got = ds.read_for_keys(keys, "id")
+        # superset: every requested key's row is present, exact after join
+        joined = {r["id"] for r in got.join(keys, "id", "left_semi").collect()}
+        assert joined == {3, 77, 150}
+        # strictly pruned: fewer rows than the table (3 keys, 16 buckets)
+        assert got.count() < 200
+        plan = got._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*_kb", plan), plan
+        # wrong key refused
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="prune incorrectly"):
+            ds.read_for_keys(keys.withColumnRenamed("id", "v"), "v")
+        # base layout: full (but correct) fallback
+        base = SnapshotDataset(spark, str(tmp_path / "p"))
+        base.write_full(df)
+        assert base.read_for_keys(keys, "id").count() == 200
