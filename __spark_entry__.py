@@ -1093,6 +1093,31 @@ def q_mp4_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (curate.semantic_contamination_flags): train docs at cosine >=
+    threshold to ANY benchmark item are flagged — the semantic
+    complement of the n-gram `decontaminate` gate, catching
+    paraphrased leakage. Candidates via the sign-bit-LSH bucket
+    equi-join (hamming <= 1 on 8 bits, no cartesian); the oracle
+    mirrors the bucket prefilter + exact rescore + per-train argmax
+    bit-for-bit, like dedup_embedding_cosine."""
+    from pg_vectorize_spark.operators.curate import (
+        semantic_contamination_flags,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") >= 50).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    bench = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bemb")
+    )
+    return semantic_contamination_flags(
+        train, "vec_id", "emb", bench, "bid", "bemb", threshold=0.3
+    )
+
+
 def q_job_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE-LIFECYCLE gate: the full ``VectorizeSession`` path —
     create_job on the documents fixture (hash-embedder model, persisted
@@ -2048,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives_indexed": q_hard_negatives_indexed,
     "mp3_metadata": q_mp3_metadata,
     "job_hybrid_e2e": q_job_hybrid_e2e,
+    "semantic_decontaminate": q_semantic_decontaminate,
     # --- r6-green headliners on r7-changed code paths, filling to 50 ---
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_indexed": q_semantic_search_indexed,
@@ -2058,11 +2084,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_bm25": q_fts_bm25,
     "hybrid_bm25": q_hybrid_bm25,
     "fts_cover_density": q_fts_cover_density,
-    "fts_stemmed": q_fts_stemmed,
     # --- beyond position 50: freshest driver evidence is r6 — rotate
     # these into the leading positions next round (r8) ---
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
+    "fts_stemmed": q_fts_stemmed,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -4238,6 +4264,38 @@ LIMIT 10
 
 
 ORACLE["job_hybrid_e2e"] = _oracle_job_hybrid()
+
+_sd_bucket = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN power(2, j)::BIGINT ELSE 0::BIGINT END)), (a, x) -> a + x)"
+)
+# semantic decontamination: same sign-bit bucket prefilter as
+# dedup_embedding_cosine, cross-set, exact rescore, per-train argmax
+# (ties -> highest bench id, matching Spark's max(struct(cos, bid)))
+ORACLE["semantic_decontaminate"] = f"""
+WITH bk AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sd_bucket} AS bkt FROM embeddings
+),
+cand AS (
+  SELECT t.vec_id AS tid, b.vec_id AS bid,
+         {O.sql_cosine('t.embedding', 'b.embedding')} AS c
+  FROM bk t JOIN bk b
+    ON t.vec_id >= 50 AND b.vec_id < 50
+   AND bit_count(xor(t.bkt, b.bkt)) <= 1
+),
+best AS (
+  SELECT tid, c, bid FROM (
+    SELECT tid, bid, c,
+           ROW_NUMBER() OVER (
+             PARTITION BY tid ORDER BY c DESC, bid DESC
+           ) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, COALESCE(best.c >= 0.3, FALSE) AS is_contaminated,
+       best.c AS max_bench_cosine, best.bid AS bench_match
+FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 50) e
+LEFT JOIN best ON best.tid = e.vec_id
+"""
 
 ORACLE["mp3_metadata"] = """
 WITH d AS (

@@ -731,3 +731,97 @@ def dsir_log_weights(
             ).alias("log_weight"),
         )
     )
+
+
+def semantic_contamination_flags(
+    train_df: DataFrame,
+    pkey: str,
+    emb_col: str,
+    bench_df: DataFrame,
+    bench_key: str,
+    bench_emb_col: str,
+    threshold: float = 0.9,
+    nbits: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    complement of ``contamination_flags`` (which is n-gram exact):
+    a train document is contaminated when its embedding sits at cosine
+    >= ``threshold`` to ANY benchmark item, catching paraphrased /
+    reformatted leakage the lexical overlap check misses (the
+    embedding-similarity decontamination pass modern LLM data recipes
+    run alongside n-gram matching).
+
+    Output: one row per TRAIN document —
+    (pkey, is_contaminated, max_bench_cosine, bench_match); documents
+    with no candidate pair come back flagged False with NULL
+    cosine/match (a cardinality-preserving operator, same contract as
+    semantic_cluster_dedup).
+
+    Scale shape: the cross-set pair space is pruned by the same
+    sign-bit LSH candidate rule as ``cosine_neardup_pairs_bucketed`` —
+    the benchmark side explodes its bucket into the <=probe_hamming-bit
+    flips and the join is a plain hash equi-join on the bucket value
+    (no CartesianProduct, no broadcast of the train table); candidates
+    are exact-rescored and reduced per train key with one keyed
+    aggregate. RECALL is approximate with the same calibration story:
+    a true pair whose sign patterns differ in more than probe_hamming
+    of the first nbits dims is missed; raise probe_hamming / nbits, or
+    run the exact crossJoin on a sample to calibrate.
+    """
+    if probe_hamming > 1:
+        raise ValueError(
+            "probe_hamming > 1 not implemented (variant explosion grows "
+            "as C(nbits, r); compose with IVF cells instead)"
+        )
+    from pg_vectorize_spark.functions.vector import cosine_similarity
+    from pg_vectorize_spark.operators.ann import signbit_bucket_expr
+
+    t = train_df.select(
+        F.col(pkey).alias("_tid"),
+        F.col(emb_col).alias("_tv"),
+        signbit_bucket_expr(F.col(emb_col), nbits).alias("_bkt"),
+    )
+    b = bench_df.select(
+        F.col(bench_key).alias("_bid"),
+        F.col(bench_emb_col).alias("_bv"),
+        signbit_bucket_expr(F.col(bench_emb_col), nbits).alias("_bkt"),
+    )
+    b_exploded = b.select(
+        "_bid",
+        "_bv",
+        F.explode(
+            F.array(
+                F.col("_bkt"),
+                *[
+                    F.col("_bkt").bitwiseXOR(F.lit(1 << j))
+                    for j in range(nbits)
+                ],
+            )
+            if probe_hamming >= 1
+            else F.array(F.col("_bkt"))
+        ).alias("_bkt"),
+    )
+    scored = (
+        t.join(b_exploded, "_bkt")
+        .select(
+            F.col("_tid"),
+            F.col("_bid"),
+            cosine_similarity(F.col("_tv"), F.col("_bv")).alias("_cos"),
+        )
+    )
+    best = scored.groupBy("_tid").agg(
+        F.max(F.struct(F.col("_cos"), F.col("_bid"))).alias("_best")
+    )
+    return (
+        train_df.select(F.col(pkey))
+        .join(best.withColumnRenamed("_tid", pkey), pkey, "left")
+        .select(
+            F.col(pkey),
+            F.coalesce(
+                F.col("_best._cos") >= F.lit(threshold), F.lit(False)
+            ).alias("is_contaminated"),
+            F.col("_best._cos").alias("max_bench_cosine"),
+            F.col("_best._bid").alias("bench_match"),
+        )
+    )

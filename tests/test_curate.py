@@ -490,3 +490,62 @@ class TestDsirWeights:
             ).collect()
         }
         assert a == b  # integer nano-unit sums: shuffle-order-free
+
+
+class TestSemanticContamination:
+    def test_flags_match_exact_crossjoin(self, spark):
+        """Bucketed candidates -> exact rescore must agree with the full
+        crossJoin ground truth for pairs the buckets admit; near-identical
+        vectors (the contamination case) always share sign patterns."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pg_vectorize_spark.operators.curate import (
+            semantic_contamination_flags,
+        )
+
+        rng = random.Random(13)
+        bench_rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(5)
+        ]
+        train_rows = []
+        for i in range(40):
+            if i < 5:
+                # leaked: a tiny perturbation of bench item i
+                v = [x + rng.uniform(-1e-3, 1e-3) for x in bench_rows[i][1]]
+            else:
+                v = [rng.uniform(-1, 1) for _ in range(8)]
+            train_rows.append((100 + i, v))
+        train = spark.createDataFrame(
+            train_rows, "tid long, emb array<double>"
+        )
+        bench = spark.createDataFrame(
+            bench_rows, "bid long, bemb array<double>"
+        )
+        out = semantic_contamination_flags(
+            train, "tid", "emb", bench, "bid", "bemb", threshold=0.999
+        )
+        rows = {r["tid"]: r for r in out.collect()}
+        assert len(rows) == 40  # cardinality preserved
+        for i in range(5):  # every leaked doc flagged with its source
+            r = rows[100 + i]
+            assert r["is_contaminated"] and r["bench_match"] == i
+            assert r["max_bench_cosine"] > 0.999
+        # non-leaked random vectors at threshold .999: clean
+        assert all(
+            not rows[100 + i]["is_contaminated"] for i in range(5, 40)
+        )
+
+    def test_probe_hamming_cap(self, spark):
+        import pytest as _pytest
+
+        from pg_vectorize_spark.operators.curate import (
+            semantic_contamination_flags,
+        )
+
+        df = spark.createDataFrame([(1, [1.0])], "id long, e array<double>")
+        with _pytest.raises(ValueError, match="probe_hamming"):
+            semantic_contamination_flags(
+                df, "id", "e", df, "id", "e", probe_hamming=2
+            )
