@@ -224,3 +224,65 @@ class TestStemmerParity:
         out = light_stem(token)
         assert out[0] == token[0], (token, out)
         assert len(out) <= len(token), (token, out)
+
+
+class TestFtsIndexProbeParity:
+    """Property: the postings-index probe is LOSSLESS — for ANY corpus
+    of token sets and ANY query term list, probe scores == the full
+    arrays_overlap scan's scores (the invariant that lets the indexed
+    gates share the full-scan oracles)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.text(alphabet="abcdef", min_size=1, max_size=4),
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        terms=st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=4),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        ),
+    )
+    def test_probe_equals_scan(self, spark, tmp_path_factory, docs, terms):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.fts_index import JobFtsIndexManager
+        from pg_vectorize_spark.functions.text import (
+            fts_match_expr,
+            fts_score_expr,
+        )
+
+        tokens = spark.createDataFrame(
+            [(i, sorted(set(d))) for i, d in enumerate(docs)],
+            "doc_id long, search_tokens array<string>",
+        )
+        mgr = JobFtsIndexManager(
+            spark,
+            str(tmp_path_factory.mktemp("fidx")),
+            {"term_buckets": 4},
+        )
+        mgr.build(tokens, "doc_id")
+        got = {
+            r["doc_id"]: r["fts_score"]
+            for r in mgr.probe_scores(terms).collect()
+        }
+        want = {
+            r["doc_id"]: r["fts_score"]
+            for r in tokens.filter(
+                fts_match_expr(F.col("search_tokens"), terms)
+            )
+            .select(
+                "doc_id",
+                fts_score_expr(F.col("search_tokens"), terms).alias(
+                    "fts_score"
+                ),
+            )
+            .collect()
+        }
+        assert got == want
