@@ -615,13 +615,18 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode+score trees bit-for-bit."""
     from pg_vectorize_spark.operators.pq import (
         pq_adc_topk,
-        pq_encode_table,
+        pq_encode_pandas,
     )
 
     fix = _pq_fixture()
     cb = fix["codebook"]
     emb = _t(spark, sf_dir, "embeddings")
-    codes = pq_encode_table(emb, "vec_id", "embedding", cb)
+    # encode via the PRODUCTION (Arrow/numpy) path — bit-identical codes
+    # to pq_encode_expr (asserted in tests/test_pq), so the oracle's
+    # expression-mirroring encode still hash-matches transitively, and
+    # the benched number reflects the deployment write path (~4x faster
+    # than the interpreted expression fold at this SF)
+    codes = pq_encode_pandas(emb, "vec_id", "embedding", cb)
     return pq_adc_topk(codes, "vec_id", fix["query_vec"], cb, k=10)
 
 
@@ -635,14 +640,15 @@ def q_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank in SQL."""
     from pg_vectorize_spark.operators.pq import (
         pq_adc_rerank_topk,
-        pq_encode_table,
+        pq_encode_pandas,
     )
 
     fix = _pq_fixture()
     cb = fix["codebook"]
     emb = _t(spark, sf_dir, "embeddings")
 
-    codes = pq_encode_table(emb, "vec_id", "embedding", cb)
+    # production Arrow encode — see q_pq_adc_search note
+    codes = pq_encode_pandas(emb, "vec_id", "embedding", cb)
     return pq_adc_rerank_topk(
         codes, emb, "vec_id", "embedding", fix["query_vec"], cb,
         k=10, rerank_candidates=50,
