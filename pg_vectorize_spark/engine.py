@@ -246,10 +246,44 @@ class VectorizeSession:
                 tokens_df.select(pkey, "search_tokens"), pkey, old
             )
 
-    def _fts_delete(self, job: JobRecord, keys: DataFrame) -> None:
+    def _fts_delete(
+        self,
+        job: JobRecord,
+        keys: DataFrame,
+        old_tokens: DataFrame | None = None,
+    ) -> None:
+        """Cascade a key delete into the postings index. ``old_tokens``
+        (the keys' PRE-delete tokens rows) lets the rewrite derive its
+        affected term buckets from batch-sized data; without it the
+        index is scanned to locate the keys' buckets."""
         mgr = self._fts_mgr(job)
-        if mgr is not None and mgr.exists():
-            mgr.delete(keys.select(job.primary_key), job.primary_key)
+        if mgr is None or not mgr.exists():
+            return
+        pkey = job.primary_key
+        if old_tokens is not None:
+            mgr.delete_with_tokens(
+                keys.select(pkey), pkey, old_tokens
+            )
+        else:
+            mgr.delete(keys.select(pkey), pkey)
+
+    def _capture_tokens_for_keys(
+        self, job: JobRecord, keys: DataFrame
+    ) -> DataFrame | None:
+        """The keys' current tokens rows, materialized — captured BEFORE
+        a cascade deletes them, so _fts_delete can prune its rewrite.
+        None when the job has no live postings index (no capture cost)."""
+        mgr = self._fts_mgr(job)
+        tok_ds = self._tok_ds(job.job_name)
+        if mgr is None or not mgr.exists() or not tok_ds.exists():
+            return None
+        pkey = job.primary_key
+        return (
+            tok_ds.read_for_keys(keys.select(pkey), pkey)
+            .join(keys.select(pkey), pkey, "left_semi")
+            .select(pkey, "search_tokens")
+            .localCheckpoint()
+        )
 
     def _fts_probe_scores(
         self, job: JobRecord, query: str
@@ -502,13 +536,18 @@ class VectorizeSession:
                             stacklevel=2,
                         )
                         continue
-                ds.delete_keys(orphans, pkey)
                 if ds is emb_ds:
+                    ds.delete_keys(orphans, pkey)
                     # cascade reaches the persisted index too — a deleted
                     # source row must stop being findable
                     self._index_delete(job, orphans)
                 else:
-                    self._fts_delete(job, orphans)
+                    # capture the orphans' tokens BEFORE they leave the
+                    # snapshot: their terms locate the postings buckets,
+                    # sparing the index-scan fallback
+                    hint = self._capture_tokens_for_keys(job, orphans)
+                    ds.delete_keys(orphans, pkey)
+                    self._fts_delete(job, orphans, old_tokens=hint)
                 removed += n
         return removed
 

@@ -235,15 +235,60 @@ class JobFtsIndexManager:
             self._save_meta(meta)
             self._bump_maint()
             return
-        changed_keys = new_tokens_df.select(pkey).distinct()
+        self._rewrite_affected(
+            affected,
+            new_tokens_df.select(pkey).distinct(),
+            pkey,
+            new_p.select(pkey, "term", self.PART_COL),
+        )
+        self._bump_maint()
+
+    def delete_with_tokens(
+        self,
+        keys_df: DataFrame,
+        pkey: str,
+        old_tokens_df: DataFrame,
+        tokens_col: str = "search_tokens",
+    ) -> None:
+        """Partition-local delete with the affected buckets derived from
+        the keys' PRE-DELETE tokens rows — no index scan at all (the
+        plain ``delete`` must scan the postings to locate a key's
+        buckets, because deletes carry no terms). Callers capture the
+        tokens snapshot rows BEFORE cascading the tokens delete."""
+        if not self.exists() or not self._load_meta().get("has_data", True):
+            return
+        self._check_meta(pkey)
+        affected = sorted(
+            r[self.PART_COL]
+            for r in self._postings(old_tokens_df, pkey, tokens_col)
+            .select(self.PART_COL)
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return
+        self._rewrite_affected(
+            affected, keys_df.select(pkey).distinct(), pkey, None
+        )
+        self._bump_maint()
+
+    def _rewrite_affected(
+        self,
+        affected: list,
+        drop_keys: DataFrame,
+        pkey: str,
+        new_postings: DataFrame | None,
+    ) -> None:
+        """Shared partition-local rewrite: affected buckets become
+        (current rows minus drop_keys) ∪ new_postings; untouched
+        buckets' files stay in place (dynamic overwrite)."""
         cur_hit = self.spark.read.parquet(self.index_dir).filter(
             F.col(self.PART_COL).isin(affected)
         )
-        out = (
-            cur_hit.join(changed_keys, pkey, "left_anti")
-            .unionByName(new_p.select(pkey, "term", self.PART_COL))
-            .localCheckpoint()
-        )
+        out = cur_hit.join(drop_keys, pkey, "left_anti")
+        if new_postings is not None:
+            out = out.unionByName(new_postings)
+        out = out.localCheckpoint()
         prev = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", None
         )
@@ -277,7 +322,6 @@ class JobFtsIndexManager:
                 self.spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
                 )
-        self._bump_maint()
 
     def delete(self, keys_df: DataFrame, pkey: str) -> int:
         """Drop all postings of the given keys (the ON DELETE CASCADE

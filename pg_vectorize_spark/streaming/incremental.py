@@ -290,12 +290,16 @@ class ChangeFeedPipeline(RealtimePipeline):
                     )
                     refused_any = True
                     continue
-                ds.delete_keys(del_keys, pkey)
                 if ds.root == emb_root:
+                    ds.delete_keys(del_keys, pkey)
                     # in-batch cascade reaches the persisted index too
                     sess._index_delete(job, del_keys)
                 else:
-                    sess._fts_delete(job, del_keys)
+                    # pre-delete token capture -> bucket-pruned postings
+                    # delete (no per-batch index scan)
+                    hint = sess._capture_tokens_for_keys(job, del_keys)
+                    ds.delete_keys(del_keys, pkey)
+                    sess._fts_delete(job, del_keys, old_tokens=hint)
             if refused_any:
                 # persist the refused keys: without this the streaming
                 # checkpoint commits the batch and the events are never
@@ -334,6 +338,7 @@ class ChangeFeedPipeline(RealtimePipeline):
         keys = refused.read().select(pkey).localCheckpoint()
         n = keys.count()
         if n:
+            hint = sess._capture_tokens_for_keys(job, keys)
             for ds in (
                 sess._emb_ds(self.job_name),
                 sess._tok_ds(self.job_name),
@@ -341,6 +346,6 @@ class ChangeFeedPipeline(RealtimePipeline):
                 if ds.exists():
                     ds.delete_keys(keys, pkey)
             sess._index_delete(job, keys)
-            sess._fts_delete(job, keys)
+            sess._fts_delete(job, keys, old_tokens=hint)
         refused.drop()
         return n

@@ -394,3 +394,53 @@ class TestGatePlanLock:
             )
         )
         assert re.search(r"PartitionFilters: \[[^\]]*tb", plan), plan
+
+
+class TestDeleteWithTokens:
+    def test_matches_scan_based_delete(self, spark, tokens, tmp_path):
+        """The token-hinted delete must leave the index exactly as the
+        scan-based delete would — including emptied-bucket cleanup."""
+        from pg_vectorize_spark.functions.text import analyze_query
+
+        a = JobFtsIndexManager(
+            spark, str(tmp_path / "a"), {"term_buckets": 4}
+        )
+        b = JobFtsIndexManager(
+            spark, str(tmp_path / "b"), {"term_buckets": 4}
+        )
+        a.build(tokens, "doc_id")
+        b.build(tokens, "doc_id")
+        keys = spark.createDataFrame([(5,), (2,)], "doc_id long")
+        hint = tokens.join(keys, "doc_id", "left_semi")
+        a.delete_with_tokens(keys, "doc_id", hint)
+        b.delete(keys, "doc_id")
+        terms = analyze_query(QUERY) + ["garden", "desk", "lamp"]
+        got_a = {
+            (r["doc_id"], r["fts_score"])
+            for r in a.probe_scores(terms).collect()
+        }
+        got_b = {
+            (r["doc_id"], r["fts_score"])
+            for r in b.probe_scores(terms).collect()
+        }
+        assert got_a == got_b
+        assert {d for d, _ in got_a}.isdisjoint({2, 5})
+
+    def test_engine_cascade_uses_hint(self, spark, tmp_path, products_df):
+        """End-to-end: a source delete cascades through cleanup_orphans
+        with the token-hinted postings delete; the doc stops matching."""
+        p = str(tmp_path / "products.parquet")
+        products_df.write.mode("overwrite").parquet(p)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        sess.create_job(
+            "p", p, columns=["product_name", "description"],
+            primary_key="product_id",
+        )
+        before = sess.full_text_search("p", "desk lamp", num_results=5)
+        assert any(r["product_id"] == 3 for r in before)
+        products_df.filter("product_id <> 3").write.mode(
+            "overwrite"
+        ).parquet(p)
+        sess.scan_job("p")
+        after = sess.full_text_search("p", "desk lamp", num_results=5)
+        assert all(r["product_id"] != 3 for r in after)
