@@ -433,12 +433,16 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition: duplicate word-bigram and
     word-trigram fractions, a standard pretraining-data quality signal.
     Pure JVM expressions (zip_with n-gram chain, no interpreted per-gram
-    re-evaluation); one narrow projection, no shuffle."""
+    re-evaluation); the word split is projected ONCE and shared by both
+    k values (two-projection form, see repetition_from_words_expr)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    base = docs.select(
+        "doc_id", T.raw_words_expr(F.col("text")).alias("_w")
+    )
+    return base.select(
         "doc_id",
-        T.repetition_score_expr(F.col("text"), 2).alias("rep_2gram"),
-        T.repetition_score_expr(F.col("text"), 3).alias("rep_3gram"),
+        T.repetition_from_words_expr(F.col("_w"), 2).alias("rep_2gram"),
+        T.repetition_from_words_expr(F.col("_w"), 3).alias("rep_3gram"),
     )
 
 

@@ -505,8 +505,23 @@ def repetition_score_expr(text: Column, k: int = 2) -> Column:
 
     Pure JVM expression; the int/int ratio is a single double division so
     the oracle (DuckDB list_distinct/len) reproduces it bit-for-bit.
+
+    Callers scoring MULTIPLE k over the same text should project
+    ``raw_words_expr(text)`` into a column once and call
+    ``repetition_from_words_expr`` on it — this form re-derives the
+    regex word split per slice argument (a constant factor, but it
+    compounds across k values).
     """
-    grams = word_ngrams_expr(raw_words_expr(text), k)
+    return repetition_from_words_expr(raw_words_expr(text), k)
+
+
+def repetition_from_words_expr(words: Column, k: int = 2) -> Column:
+    """``repetition_score_expr`` over a precomputed word array — the
+    shape that shares one split across several k values (CollapseProject
+    keeps a non-cheap projected expression single-evaluated when it is
+    referenced more than once, so a two-projection plan splits each doc
+    exactly once)."""
+    grams = word_ngrams_expr(words, k)
     total = F.size(grams)
     return F.when(
         total > 0,
