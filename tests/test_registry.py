@@ -1,0 +1,65 @@
+"""Driver-contract registry consistency — guards the wiring every gate
+depends on: queries()/oracle_sql() key parity, callable entries, the
+50-query correctness window shape, and bench coverage of the registry.
+Cheap meta-checks that catch a mis-registered gate before the driver
+does."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry
+
+
+class TestRegistryConsistency:
+    def test_oracle_for_every_query(self):
+        q = set(entry.queries())
+        o = set(entry.oracle_sql())
+        assert q == o, (
+            f"queries without oracle: {sorted(q - o)}; "
+            f"oracles without query: {sorted(o - q)}"
+        )
+
+    def test_entries_callable_and_unique(self):
+        qs = entry.queries()
+        assert all(callable(fn) for fn in qs.values())
+        # two names bound to the same gate function is a registration
+        # slip (copy-paste), except deliberate shared implementations
+        from collections import Counter
+
+        dupes = [
+            fns
+            for fns, n in Counter(
+                id(fn) for fn in qs.values()
+            ).items()
+            if n > 1
+        ]
+        assert not dupes
+
+    def test_window_holds_fifty(self):
+        names = list(entry.queries())
+        assert len(names) >= 50
+        # the rotation policy's window is exactly the first 50 names;
+        # each must be distinct (dict guarantees) and the registry big
+        # enough that a 2-round rotation covers everything
+        assert len(names) <= 100, (
+            "registry grew past 2x the window — a 2-round rotation can "
+            "no longer keep every query's driver evidence <= 2 rounds "
+            "old; revisit the policy comment in __spark_entry__"
+        )
+
+    def test_oracles_are_nonempty_sql(self):
+        for name, sql in entry.oracle_sql().items():
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+    def test_bench_covers_registry(self):
+        # bench.py sweeps list(queries()) — pin that contract so a
+        # future curated-subset edit is a conscious decision
+        import inspect
+
+        import bench
+
+        src = inspect.getsource(bench.main)
+        assert "bench_names = list(qs)" in src
