@@ -216,11 +216,14 @@ class VectorizeSession:
         pkey = job.primary_key
         tok_ds = self._tok_ds(job.job_name)
         mgr = self._fts_mgr(job)
+        fast = mgr is not None and mgr.fastupdate
         old = None
-        if mgr is not None and mgr.exists() and tok_ds.exists():
+        if mgr is not None and mgr.exists() and tok_ds.exists() and not fast:
             # read_for_keys prunes the capture scan to the batch keys'
             # buckets on a bucketed snapshot (O(batch buckets), the
-            # 100-TB shape); the plain layout falls back to a full read
+            # 100-TB shape); the plain layout falls back to a full read.
+            # fastupdate never needs the capture — updates land in the
+            # pending store regardless of the keys' old terms.
             old = (
                 tok_ds.read_for_keys(tokens_df.select(pkey), pkey)
                 .join(tokens_df.select(pkey), pkey, "left_semi")
@@ -235,6 +238,10 @@ class VectorizeSession:
             # just-merged snapshot (the CREATE INDEX step of job init)
             mgr.build(
                 tok_ds.read().select(pkey, "search_tokens"), pkey
+            )
+        elif fast:
+            mgr.upsert(
+                tokens_df.select(pkey, "search_tokens"), pkey, None
             )
         elif old is None or not old.head(1):
             # pure inserts (no key existed pre-merge): one partitioned
@@ -276,6 +283,9 @@ class VectorizeSession:
         mgr = self._fts_mgr(job)
         tok_ds = self._tok_ds(job.job_name)
         if mgr is None or not mgr.exists() or not tok_ds.exists():
+            return None
+        if mgr.fastupdate:
+            # tombstone-based deletes never consult old terms
             return None
         pkey = job.primary_key
         return (

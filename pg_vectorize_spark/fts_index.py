@@ -67,6 +67,14 @@ class JobFtsIndexManager:
         #: comfortable rewrite (term-frequency skew spreads by hash)
         self.term_buckets = max(1, int(p.get("term_buckets", 64)))
         self.compact_every = max(1, int(p.get("compact_every", 16)))
+        #: GIN fastupdate analog (opt-in): updates/deletes write a small
+        #: PENDING postings store + a TOMBSTONE key set instead of
+        #: rewriting main buckets per batch; probes overlay both
+        #: (main minus tombstoned keys, union pending) and the op-count
+        #: compaction folds them into the main partitions. Right for
+        #: update-heavy realtime jobs; the default (bucket-local rewrite
+        #: per batch) keeps probes overlay-free.
+        self.fastupdate = bool(p.get("fastupdate", False))
 
     # ------------------------------------------------------------ state io
 
@@ -106,6 +114,27 @@ class JobFtsIndexManager:
                 f"{meta['pkey']!r}, not {pkey!r}"
             )
         return meta
+
+    # ------------------------------------------------------ pending stores
+
+    def _pending_ds(self):
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            SnapshotDataset,
+        )
+
+        # underscore dirs are invisible to the main parquet reader
+        return SnapshotDataset(
+            self.spark, os.path.join(self.index_dir, "_pending")
+        )
+
+    def _tomb_ds(self):
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            SnapshotDataset,
+        )
+
+        return SnapshotDataset(
+            self.spark, os.path.join(self.index_dir, "_tombstones")
+        )
 
     # --------------------------------------------------------------- build
 
@@ -183,6 +212,12 @@ class JobFtsIndexManager:
         postings.write.mode("append").partitionBy(self.PART_COL).parquet(
             self.index_dir
         )
+        if self.fastupdate:
+            # a previously-deleted key re-inserted through this path
+            # must not stay hidden behind its old tombstone
+            tomb = self._tomb_ds()
+            if tomb.exists():
+                tomb.delete_keys(new_tokens_df.select(pkey), pkey)
         if not meta.get("has_data", True):
             meta["has_data"] = True
             self._save_meta(meta)
@@ -210,6 +245,18 @@ class JobFtsIndexManager:
                 f"no fts index at {self.index_dir} — build() first"
             )
         meta = self._check_meta(pkey)
+        if self.fastupdate and meta.get("has_data", True):
+            # pending-list path: one tombstone merge + one pending merge
+            # (both batch-sized), zero main-bucket rewrites; the fold
+            # happens at compaction cadence
+            new_p = self._postings(
+                new_tokens_df, pkey, tokens_col
+            ).localCheckpoint()
+            keys = new_tokens_df.select(pkey).distinct()
+            self._tomb_ds().merge_upsert(keys, pkey)
+            self._pending_ds().merge_upsert(new_p, pkey)
+            self._bump_maint()
+            return
         new_p = self._postings(
             new_tokens_df, pkey, tokens_col
         ).localCheckpoint()
@@ -258,6 +305,9 @@ class JobFtsIndexManager:
         if not self.exists() or not self._load_meta().get("has_data", True):
             return
         self._check_meta(pkey)
+        if self.fastupdate:
+            self._fastupdate_delete(keys_df, pkey)
+            return
         affected = sorted(
             r[self.PART_COL]
             for r in self._postings(old_tokens_df, pkey, tokens_col)
@@ -332,6 +382,9 @@ class JobFtsIndexManager:
         if not self.exists() or not self._load_meta().get("has_data", True):
             return 0
         self._check_meta(pkey)
+        if self.fastupdate:
+            self._fastupdate_delete(keys_df, pkey)
+            return 0  # rows leave at fold time; count unknown here
         from pg_vectorize_spark.operators.ann import (
             _partitioned_index_delete,
         )
@@ -341,6 +394,17 @@ class JobFtsIndexManager:
         )
         self._bump_maint()
         return n
+
+    def _fastupdate_delete(self, keys_df: DataFrame, pkey: str) -> None:
+        """Tombstone the keys and drop their pending rows — two
+        batch-sized writes, no main-bucket touch; the fold removes the
+        tombstoned keys' main postings at compaction."""
+        keys = keys_df.select(pkey).distinct().localCheckpoint()
+        self._tomb_ds().merge_upsert(keys, pkey)
+        pend = self._pending_ds()
+        if pend.exists():
+            pend.delete_keys(keys, pkey)
+        self._bump_maint()
 
     def _reset_maint(self) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
@@ -374,13 +438,61 @@ class JobFtsIndexManager:
                         return 0
             except (FileNotFoundError, ValueError):
                 return 0
+        folded = self._fold_pending() if self.fastupdate else 0
         from pg_vectorize_spark.operators.ann import compact_index
 
         n = compact_index(
             self.spark, self.index_dir, part_col=self.PART_COL, max_files=4
         )
         self._reset_maint()
-        return n
+        return n + folded
+
+    def _fold_pending(self) -> int:
+        """Fold the pending/tombstone overlay into the main partitions —
+        the GIN pending-list VACUUM analog. Affected buckets = buckets
+        of the pending rows' terms ∪ buckets holding tombstoned keys'
+        main postings (ONE column-pruned main scan, amortized over the
+        compaction cadence instead of paid per batch); the shared
+        partition-local rewrite drops tombstoned keys and lands the
+        pending rows, then both overlay stores are cleared. Returns the
+        number of affected buckets (0 = nothing to fold)."""
+        meta = self._load_meta()
+        pkey = meta["pkey"]
+        tomb_ds = self._tomb_ds()
+        pend_ds = self._pending_ds()
+        tomb = tomb_ds.read() if tomb_ds.exists() else None
+        pend = pend_ds.read() if pend_ds.exists() else None
+        if tomb is None and pend is None:
+            return 0
+        affected: set = set()
+        if pend is not None:
+            pend = pend.localCheckpoint()
+            affected |= {
+                r[self.PART_COL]
+                for r in pend.select(self.PART_COL).distinct().collect()
+            }
+        if tomb is not None:
+            tomb = tomb.select(pkey).localCheckpoint()
+            main = self.spark.read.parquet(self.index_dir)
+            affected |= {
+                r[self.PART_COL]
+                for r in main.join(tomb, pkey, "left_semi")
+                .select(self.PART_COL)
+                .distinct()
+                .collect()
+            }
+        if affected:
+            drop_keys = (
+                tomb
+                if tomb is not None
+                else pend.select(pkey).limit(0)
+            )
+            self._rewrite_affected(
+                sorted(affected), drop_keys, pkey, pend
+            )
+        tomb_ds.drop()
+        pend_ds.drop()
+        return len(affected)
 
     # --------------------------------------------------------------- probe
 
@@ -434,6 +546,24 @@ class JobFtsIndexManager:
             F.col(self.PART_COL).isin(buckets)
             & F.col("term").isin(list(terms))
         )
+        if self.fastupdate:
+            # overlay: main minus tombstoned keys (their current terms
+            # live in pending), union the pending store's matches. The
+            # tombstone set is bounded by the update/delete churn since
+            # the last fold (compact_every cadence), so the anti-join
+            # broadcasts; pending is the same bounded size.
+            tomb = self._tomb_ds()
+            if tomb.exists():
+                hit = hit.join(
+                    F.broadcast(tomb.read().select(pkey)),
+                    pkey,
+                    "left_anti",
+                )
+            pend = self._pending_ds()
+            if pend.exists():
+                hit = hit.unionByName(
+                    pend.read().filter(F.col("term").isin(list(terms)))
+                )
         return hit.groupBy(pkey).agg(
             F.count(F.lit(1)).alias("n_matched")
         )

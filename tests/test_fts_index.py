@@ -444,3 +444,118 @@ class TestDeleteWithTokens:
         sess.scan_job("p")
         after = sess.full_text_search("p", "desk lamp", num_results=5)
         assert all(r["product_id"] != 3 for r in after)
+
+
+class TestFastupdate:
+    """GIN pending-list analog (fastupdate=True): identical probe
+    results to the rewrite-per-batch default across mixed op sequences,
+    before AND after the compaction fold."""
+
+    def _probe_all(self, mgr, term_lists):
+        out = []
+        for terms in term_lists:
+            out.append(
+                sorted(
+                    (r["doc_id"], r["fts_score"])
+                    for r in mgr.probe_scores(terms).collect()
+                )
+            )
+        return out
+
+    def test_mixed_ops_equivalence_and_fold(self, spark, tokens, tmp_path):
+        from pg_vectorize_spark.functions.text import analyze_query
+
+        slow = JobFtsIndexManager(
+            spark, str(tmp_path / "slow"), {"term_buckets": 4}
+        )
+        fast = JobFtsIndexManager(
+            spark,
+            str(tmp_path / "fast"),
+            {"term_buckets": 4, "fastupdate": True, "compact_every": 99},
+        )
+        slow.build(tokens, "doc_id")
+        fast.build(tokens, "doc_id")
+        upd = spark.createDataFrame(
+            [(5, ["phone", "upgrad"]), (2, ["charger", "lamp"])],
+            "doc_id long, search_tokens array<string>",
+        )
+        old = tokens.filter(F.col("doc_id").isin([5, 2]))
+        slow.upsert(upd, "doc_id", old)
+        fast.upsert(upd, "doc_id", None)
+        dels = spark.createDataFrame([(4,)], "doc_id long")
+        slow.delete_with_tokens(
+            dels, "doc_id", tokens.filter("doc_id = 4")
+        )
+        fast.delete(dels, "doc_id")
+        new = spark.createDataFrame(
+            [(9, ["phone", "fresh"])], "doc_id long, search_tokens array<string>"
+        )
+        slow.add(new, "doc_id")
+        fast.add(new, "doc_id")
+        term_lists = [
+            analyze_query(QUERY),
+            ["phone"],
+            ["garden"],
+            ["charger", "lamp", "upgrad", "fresh"],
+        ]
+        assert self._probe_all(fast, term_lists) == self._probe_all(
+            slow, term_lists
+        )
+        # fold: overlay merges into main, stores cleared, results stable
+        import os
+
+        n = fast.maybe_compact(force=True)
+        assert n > 0
+        assert not os.path.isdir(os.path.join(fast.index_dir, "_pending"))
+        assert not os.path.isdir(
+            os.path.join(fast.index_dir, "_tombstones")
+        )
+        assert self._probe_all(fast, term_lists) == self._probe_all(
+            slow, term_lists
+        )
+
+    def test_deleted_then_reinserted_key_visible(self, spark, tokens, tmp_path):
+        fast = JobFtsIndexManager(
+            spark,
+            str(tmp_path / "f2"),
+            {"term_buckets": 4, "fastupdate": True, "compact_every": 99},
+        )
+        fast.build(tokens, "doc_id")
+        fast.delete(
+            spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
+        )
+        assert 3 not in {
+            r["doc_id"] for r in fast.probe_scores(["phone"]).collect()
+        }
+        # re-insert through the append path: the old tombstone must not
+        # hide the fresh postings
+        fast.add(
+            spark.createDataFrame(
+                [(3, ["phone", "reborn"])],
+                "doc_id long, search_tokens array<string>",
+            ),
+            "doc_id",
+        )
+        assert 3 in {
+            r["doc_id"] for r in fast.probe_scores(["phone"]).collect()
+        }
+
+    def test_engine_opt_in(self, spark, tmp_path, products_df):
+        p = str(tmp_path / "products.parquet")
+        products_df.write.mode("overwrite").parquet(p)
+        s_fast = VectorizeSession(spark, workspace=str(tmp_path / "wf"))
+        s_slow = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        s_fast.create_job(
+            "p", p, columns=["product_name", "description"],
+            primary_key="product_id",
+            fts_params={"fastupdate": True, "compact_every": 99},
+        )
+        s_slow.create_job(
+            "p", p, columns=["product_name", "description"],
+            primary_key="product_id",
+        )
+        for s in (s_fast, s_slow):
+            s.handle_update("p", [1, 4])  # update cycle
+        a = s_fast.full_text_search("p", QUERY, num_results=5)
+        b = s_slow.full_text_search("p", QUERY, num_results=5)
+        assert a == b and len(a) > 0
