@@ -559,3 +559,68 @@ class TestFastupdate:
         a = s_fast.full_text_search("p", QUERY, num_results=5)
         b = s_slow.full_text_search("p", QUERY, num_results=5)
         assert a == b and len(a) > 0
+
+    def test_streaming_fastupdate_agrees_with_batch(
+        self, spark, tmp_path, products_df
+    ):
+        """Micro-batched updates through a fastupdate job must leave the
+        probe equal to the full-scan ranking (stream == batch), with the
+        overlay still unfolded."""
+        from pg_vectorize_spark.functions.text import (
+            analyze_query,
+            fts_match_expr,
+            fts_score_expr,
+        )
+        from pg_vectorize_spark.streaming.incremental import (
+            RealtimePipeline,
+        )
+
+        src = str(tmp_path / "src")
+        feed = str(tmp_path / "feed")
+        products_df.filter("product_id < 0").write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        sess.create_job(
+            "sf", src, columns=["product_name", "description"],
+            primary_key="product_id", run_initial_load=False,
+            fts_params={"fastupdate": True, "compact_every": 99},
+        )
+        # batch 1 inserts; batch 2 RE-WRITES the same rows (update path)
+        products_df.filter("product_id <= 6").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        products_df.filter("product_id <= 6").withColumn(
+            "description", F.concat(F.col("description"), F.lit(" updated"))
+        ).coalesce(1).write.mode("append").parquet(feed)
+        pipe = RealtimePipeline(sess, "sf", max_files_per_trigger=1)
+        q = pipe.start(source_dir=feed, available_now=True)
+        q.awaitTermination(120)
+        job = sess.catalog.get("sf")
+        mgr = sess._fts_mgr(job)
+        assert mgr is not None and mgr.fastupdate and mgr.exists()
+        terms = analyze_query("updated charger lamp pencil")
+        got = {
+            r["product_id"]: r["fts_score"]
+            for r in mgr.probe_scores(terms).collect()
+        }
+        toks = sess._tok_ds("sf").read()
+        want = {
+            r["product_id"]: r["fts_score"]
+            for r in toks.filter(
+                fts_match_expr(F.col("search_tokens"), terms)
+            )
+            .select(
+                "product_id",
+                fts_score_expr(F.col("search_tokens"), terms).alias(
+                    "fts_score"
+                ),
+            )
+            .collect()
+        }
+        assert got == want and len(want) > 0
+        # every updated row must now match the 'updated' term
+        upd_stem = analyze_query("updated")[0]
+        hit = {
+            r["product_id"]
+            for r in mgr.probe_scores([upd_stem]).collect()
+        }
+        assert hit == set(range(1, 7))
