@@ -2035,67 +2035,13 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Rotation policy (standing, VERDICT
-    # r3 #2 / r4 #2 / r5 #5 / r6 #7): queries whose newest driver row is
-    # oldest come FIRST so no operator's driver evidence goes >=2 rounds
-    # stale; new/changed queries follow them; the balance of the window
-    # refreshes last-round headliners (this round: the search/ann/dedup
-    # paths the r7 changes touched); everything beyond position 50
-    # carries fresh last-round evidence and rotates forward next round.
-    # --- positions 1-35: newest driver rows are r5 (rotated in r7) ---
-    "view_join": q_view_join,
-    "dedup_exact": q_dedup_exact,
-    "record_fetch_by_ids": q_record_fetch_by_ids,
-    "embed_documents": q_embed_documents,
-    "embedding_pool": q_embedding_pool,
-    "chunked_embed_pool": q_chunked_embed_pool,
-    "knn_join": q_knn_join,
-    "multimodal_decode": q_multimodal_decode,
-    "bigram_logprob": q_bigram_logprob,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_truncate": q_embedding_truncate,
-    "embedding_quantize": q_embedding_quantize,
-    "corpus_stats": q_corpus_stats,
-    "domain_cap": q_domain_cap,
-    "search_tokens": q_search_tokens,
-    "quality_filter": q_quality_filter,
-    "inverted_index": q_inverted_index,
-    "decontaminate": q_decontaminate,
-    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
-    "frame_sample": q_frame_sample,
-    "text_normalize": q_text_normalize,
-    "orders_rollup": q_orders_rollup,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "dedup_survivors": q_dedup_survivors,
-    "source_divergence": q_source_divergence,
-    "dedup_transitive": q_dedup_transitive,
-    "batch_texts": q_batch_texts,
-    "token_budget_batches": q_token_budget_batches,
-    "chunk_table": q_chunk_table,
-    "where_sql_filter": q_where_sql_filter,
-    "typed_filters_part": q_typed_filters_part,
-    # --- new this round (r7): indexed FTS/hybrid + IVF-probed mining ---
-    "fts_search_indexed": q_fts_search_indexed,
-    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
-    "hard_negatives_indexed": q_hard_negatives_indexed,
-    "mp3_metadata": q_mp3_metadata,
-    "job_hybrid_e2e": q_job_hybrid_e2e,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    # --- r6-green headliners on r7-changed code paths, filling to 50 ---
-    "semantic_search_topk": q_semantic_search_topk,
-    "semantic_search_indexed": q_semantic_search_indexed,
-    "semantic_search_filtered": q_semantic_search_filtered,
-    "fts_search_topk": q_fts_search_topk,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "hybrid_weighted": q_hybrid_weighted,
-    "fts_bm25": q_fts_bm25,
-    "hybrid_bm25": q_hybrid_bm25,
-    "fts_cover_density": q_fts_cover_density,
-    # --- beyond position 50: freshest driver evidence is r6 — rotate
-    # these into the leading positions next round (r8) ---
+    # r3 #2 / r4 #2 / r5 #5 / r6 #7 / r7 #5): queries whose newest driver
+    # row is oldest come FIRST so no operator's driver evidence goes >=2
+    # rounds stale; the balance of the window refreshes queries on code
+    # paths the current round touched (r8: the FTS postings index —
+    # hot-term fallback + fastupdate default decision); everything beyond
+    # position 50 carries fresh r7 evidence and rotates forward in r9.
+    # --- positions 1-41: newest driver rows are r6 (rotated in r8) ---
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
     "fts_stemmed": q_fts_stemmed,
@@ -2137,6 +2083,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxsim_search_topk": q_maxsim_search_topk,
     "pq_adc_search": q_pq_adc_search,
     "pq_rerank_search": q_pq_rerank_search,
+    # --- positions 42-50: r7-green gates on the FTS-index/search code
+    # paths r8 touches (hot-term fallback, fastupdate default) ---
+    "fts_search_indexed": q_fts_search_indexed,
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
+    "fts_search_topk": q_fts_search_topk,
+    "search_tokens": q_search_tokens,
+    "job_hybrid_e2e": q_job_hybrid_e2e,
+    "fts_bm25": q_fts_bm25,
+    "hybrid_bm25": q_hybrid_bm25,
+    "fts_cover_density": q_fts_cover_density,
+    "semantic_search_indexed": q_semantic_search_indexed,
+    # --- beyond position 50: freshest driver evidence is r7 — rotate
+    # these into the leading positions next round (r9) ---
+    "view_join": q_view_join,
+    "dedup_exact": q_dedup_exact,
+    "record_fetch_by_ids": q_record_fetch_by_ids,
+    "embed_documents": q_embed_documents,
+    "embedding_pool": q_embedding_pool,
+    "chunked_embed_pool": q_chunked_embed_pool,
+    "knn_join": q_knn_join,
+    "multimodal_decode": q_multimodal_decode,
+    "bigram_logprob": q_bigram_logprob,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_truncate": q_embedding_truncate,
+    "embedding_quantize": q_embedding_quantize,
+    "corpus_stats": q_corpus_stats,
+    "domain_cap": q_domain_cap,
+    "quality_filter": q_quality_filter,
+    "inverted_index": q_inverted_index,
+    "decontaminate": q_decontaminate,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
+    "frame_sample": q_frame_sample,
+    "text_normalize": q_text_normalize,
+    "orders_rollup": q_orders_rollup,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "dedup_survivors": q_dedup_survivors,
+    "source_divergence": q_source_divergence,
+    "dedup_transitive": q_dedup_transitive,
+    "batch_texts": q_batch_texts,
+    "token_budget_batches": q_token_budget_batches,
+    "chunk_table": q_chunk_table,
+    "where_sql_filter": q_where_sql_filter,
+    "typed_filters_part": q_typed_filters_part,
+    "hard_negatives_indexed": q_hard_negatives_indexed,
+    "mp3_metadata": q_mp3_metadata,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_search_topk": q_semantic_search_topk,
+    "semantic_search_filtered": q_semantic_search_filtered,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "hybrid_weighted": q_hybrid_weighted,
 }
 
 

@@ -147,6 +147,47 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
     return out
 
 
+# The headline subset printed on the final stdout line: one gate per
+# BASELINE.md frame (embed pipeline, semantic/fts/hybrid search incl.
+# index-backed, change scan) plus the training-pipeline headliners.
+# Fixed size — adding registry queries must NOT grow the final line.
+_HEADLINE_SUBSET = (
+    "embed_documents",
+    "semantic_search_topk",
+    "semantic_search_indexed",
+    "fts_search_topk",
+    "fts_search_indexed",
+    "hybrid_rrf_search",
+    "hybrid_rrf_indexed",
+    "change_detection",
+    "dedup_minhash_lsh",
+    "knn_join",
+    "job_hybrid_e2e",
+)
+
+
+def _detail_path() -> str:
+    """Round-stamped detail file next to bench.py: BENCH_DETAIL_r<N>.json.
+
+    Round number from $SPARK_GRAFT_ROUND when the driver exports it, else
+    1 + the highest committed BENCH_r<N>.json (the driver writes that
+    artifact at the END of round N, so during round N the max is N-1).
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        seen = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    return os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -223,36 +264,53 @@ def main() -> None:
         except Exception as exc:  # a probe failure must not kill the bench
             streaming = {"error": str(exc)[:200]}
 
-    # Two lines, detail FIRST: the driver tail-captures stdout and parses
-    # the LAST JSON line — r5's single fat line (medians + spreads +
-    # streaming percentiles) outgrew the capture buffer and the round
-    # recorded no parsed bench at all. The final line carries only the
-    # total + per-query medians (compact separators, bounded size);
-    # spreads / run-count / streaming live on the preceding line for
-    # human + bench_diff consumption.
-    print(
-        json.dumps(
+    # The driver tail-captures ~2,000 chars of stdout and parses the LAST
+    # JSON line. Both prior strategies overflowed it as the registry grew
+    # (r5: one fat line; r7: the 91-query medians dict alone hit ~3.1 KB
+    # and `parsed` came back null). The durable contract (VERDICT r7 #1):
+    # write EVERYTHING — per-query best-of-N timings, spreads, run count,
+    # streaming p50/p95 — to a committed-by-the-repo detail file, and keep
+    # the final stdout line to a bounded handful of fields: the total, sf,
+    # query count, a small fixed headline subset of per-query timings
+    # (satisfies the driver's `queries` schema without unbounded growth),
+    # and the detail-file pointer.
+    detail_path = _detail_path()
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_detail",
-                "spread": spreads,
-                "n": n_runs,
-                "streaming_latency": streaming,
-            },
-            separators=(",", ":"),
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_runs": n_runs,
+                "queries": timings,
+                "spread": spreads,
+                "streaming_latency": streaming,
             },
-            separators=(",", ":"),
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        fh.write("\n")
+    headline = {
+        k: timings[k] for k in _HEADLINE_SUBSET if k in timings
+    }
+    final = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": os.path.basename(detail_path),
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    # hard guarantee, not a hope: if the line ever outgrows the capture
+    # budget again, shed the headline subset rather than the parse
+    if len(line) > 1800:
+        final.pop("queries", None)
+        line = json.dumps(final, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

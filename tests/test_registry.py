@@ -54,6 +54,20 @@ class TestRegistryConsistency:
         for name, sql in entry.oracle_sql().items():
             assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
+    def test_coverage_doc_count_matches_registry(self):
+        # COVERAGE.md states the registry size in prose ("all NN"); r7
+        # shipped 91 queries while the doc still said 90 (VERDICT r7
+        # wrong #3). Pin prose to code so they can't drift again.
+        import re
+
+        text = open("/root/repo/COVERAGE.md").read()
+        m = re.search(r"all (\d+) — matches DuckDB", text)
+        assert m, "COVERAGE.md lost its registry-count sentence"
+        assert int(m.group(1)) == len(entry.queries()), (
+            f"COVERAGE.md says {m.group(1)} queries; registry has "
+            f"{len(entry.queries())}"
+        )
+
     def test_bench_covers_registry(self):
         # bench.py sweeps list(queries()) — pin that contract so a
         # future curated-subset edit is a conscious decision
