@@ -46,6 +46,86 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# --------------------------------------------------------------- xxhash64
+# Pure-Python XXH64 (public spec, Yann Collet) matching Spark's
+# ``xxhash64`` (seed 42, UTF-8 bytes) bit-for-bit — parity is
+# property-tested against the Spark expression in tests/test_fts_index.py.
+# Lets query_buckets map a query's terms to partition buckets entirely
+# driver-side: zero Spark jobs on the probe's critical path (previously a
+# createDataFrame+collect round-trip per query).
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                w = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v = (_rotl((v + w * _P2) & _M64, 31) * _P1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        w = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((w * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """``pmod(xxhash64(term), n_buckets)`` computed driver-side: XXH64 of
+    the UTF-8 bytes reinterpreted as SIGNED i64 (Spark's LongType), then
+    Python's non-negative ``%`` which equals pmod on the signed value."""
+    h = _xxh64(term.encode("utf-8"))
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h % n_buckets
+
 
 class JobFtsIndexManager:
     """Build/probe/maintain one job's persisted postings index under
@@ -504,22 +584,11 @@ class JobFtsIndexManager:
         )
 
     def query_buckets(self, terms: Sequence[str]) -> list[int]:
-        """The term-bucket IN list for a query — computed with the SAME
-        xxhash64 Spark uses for the layout, via a literals-only local
-        job (len(terms) rows; no distributed stage)."""
-        if not terms:
-            return []
-        tdf = self.spark.createDataFrame(
-            [(t,) for t in terms], "term string"
-        )
-        return sorted(
-            {
-                r["b"]
-                for r in tdf.select(
-                    self._bucket_expr(F.col("term")).alias("b")
-                ).collect()
-            }
-        )
+        """The term-bucket IN list for a query — computed DRIVER-SIDE
+        with the pure-Python XXH64 that matches Spark's ``xxhash64``
+        bit-for-bit (parity property-tested vs the layout's
+        ``_bucket_expr``): no Spark job on the probe's critical path."""
+        return sorted({term_bucket(t, self.term_buckets) for t in terms})
 
     def probe(self, terms: Sequence[str]) -> DataFrame:
         """(pkey, n_matched) for every document matching >= 1 query term.

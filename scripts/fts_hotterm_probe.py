@@ -7,11 +7,18 @@ full posting list — Postgres GIN has the same pathology, and its planner
 falls back to a seqscan when the cost estimator says the posting lists
 are too fat. This probe measures that regime at sf1.0 (50k docs):
 
-  * df spectrum of the fixture vocabulary (what "hot" means here),
-  * probe-vs-full-scan wall time for the mid-df bench query, a
-    deliberately hot ~50%-df term, and the hottest term in the corpus,
+  * the fixture's natural df spectrum tops out at ~8% (the sf1.0 tiling
+    suffixes words per copy), so the stopword regime is SYNTHESIZED: a
+    marker term is appended to 50% / 90% of documents and the index is
+    rebuilt over that corpus,
+  * probe-vs-full-scan wall time for the mid-df bench query, the
+    synthetic 50%- and 90%-df terms alone, and hot+bench mixes,
   * postings rows entering the aggregate for each (the scan-fraction
     number SCALING.md reports).
+
+Fairness: the full-scan baseline reads a PARQUET tokens snapshot (the
+engine's _search_tokens dataset is stored parquet), not a memory-cached
+frame; both paths pay their real I/O.
 
 Output: a markdown table for SCALING.md's manual section plus the
 decision input for "bounded, no action" vs a df-capped fallback.
@@ -22,10 +29,15 @@ python scripts/fts_hotterm_probe.py [sf_dir]   # default .scaling/sf1.0
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+
+HOT50 = "hotterm50"
+HOT90 = "hotterm90"
 
 
 def main() -> None:
@@ -48,103 +60,133 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
+    from pg_vectorize_spark.fts_index import JobFtsIndexManager
     from pg_vectorize_spark.functions import text as T
     from pg_vectorize_spark.operators.search import full_text_search
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    tokens = docs.select(
-        "doc_id", T.tokens_expr(F.col("text")).alias("search_tokens")
-    ).localCheckpoint()
 
-    # ---- df spectrum: what does the fixture vocabulary look like? -----
-    df_tbl = (
-        tokens.select(F.explode("search_tokens").alias("term"))
-        .groupBy("term")
-        .count()
-        .orderBy(F.desc("count"))
-    )
-    top = df_tbl.limit(12).collect()
-    print(f"n_docs={n_docs}; top-df terms:")
-    for r in top:
-        print(f"  {r['term']!r}: df={r['count']} ({r['count']/n_docs:.1%})")
-
-    hottest = top[0]["term"]
-    # a term as close to 50% df as the fixture offers
-    mid_hot = min(top, key=lambda r: abs(r["count"] / n_docs - 0.5))["term"]
-
-    mgr = entrymod._fts_gate_index(spark, sf_dir)
-
-    bench_terms = entrymod.QUERY_TERMS
-    cases = [
-        ("bench 5-term (mid-df)", entrymod.QUERY_TEXT, bench_terms),
-        (f"hot ~50% ({mid_hot!r})", mid_hot, [mid_hot]),
-        (f"hottest ({hottest!r})", hottest, [hottest]),
-        (
-            f"mixed (hottest + bench)",
-            f"{hottest} {entrymod.QUERY_TEXT}",
-            T.analyze_query(f"{hottest} {entrymod.QUERY_TEXT}"),
-        ),
-    ]
-
-    total_postings = spark.read.parquet(mgr.index_dir).count()
-    print(f"total postings rows: {total_postings}")
-
-    def best_of(fn, n=3):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.time()
-            fn().write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return best
-
-    rows = []
-    for label, qtext, qterms in cases:
-        buckets = mgr.query_buckets(qterms)
-        idx = spark.read.parquet(mgr.index_dir)
-        hit_rows = idx.filter(
-            F.col(mgr.PART_COL).isin(buckets)
-            & F.col("term").isin(list(qterms))
-        ).count()
-
-        t_idx = best_of(
-            lambda: full_text_search(
-                docs.select("doc_id", "lang", "n_chars"),
-                "doc_id",
-                qtext,
-                text_cols=["text"],
-                num_results=10,
-                fts_scored_df=mgr.probe_scores(qterms),
+    root = tempfile.mkdtemp(prefix="pvs_hotterm_")
+    try:
+        # tokens snapshot WITH synthetic hot terms: HOT50 in 50% of docs,
+        # HOT90 in 90% — appended to the token array (stored tokens are
+        # distinct per doc; the markers collide with nothing)
+        tok_path = f"{root}/tokens"
+        base = docs.select(
+            "doc_id", T.tokens_expr(F.col("text")).alias("search_tokens")
+        )
+        hot = base.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 < 9,
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(
+                        "search_tokens", F.array(F.lit(HOT50), F.lit(HOT90))
+                    ),
+                ).otherwise(
+                    F.concat("search_tokens", F.array(F.lit(HOT90)))
+                ),
             )
-        )
-        t_scan = best_of(
-            lambda: full_text_search(
-                docs.select("doc_id", "lang", "n_chars"),
-                "doc_id",
-                qtext,
-                text_cols=["text"],
-                num_results=10,
-                tokens_df=tokens,
+            .otherwise(
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat("search_tokens", F.array(F.lit(HOT50))),
+                ).otherwise(F.col("search_tokens"))
             )
+            .alias("search_tokens"),
         )
-        frac = hit_rows / total_postings
-        rows.append((label, len(buckets), hit_rows, frac, t_idx, t_scan))
-        print(
-            f"{label}: buckets={len(buckets)}/64 postings={hit_rows} "
-            f"({frac:.1%}) indexed={t_idx:.2f}s scan={t_scan:.2f}s"
-        )
+        hot.write.parquet(tok_path)
+        tokens = spark.read.parquet(tok_path)
+        for t in (HOT50, HOT90):
+            df_t = tokens.filter(
+                F.array_contains("search_tokens", t)
+            ).count()
+            print(f"{t}: df={df_t} ({df_t/n_docs:.1%})")
 
-    print("\nmarkdown:\n")
-    print(
-        "| query | buckets | postings rows (frac) | indexed | full scan "
-        "| ratio |"
-    )
-    print("|---|---|---|---|---|---|")
-    for label, nb, hr, frac, t_idx, t_scan in rows:
+        idx_dir = f"{root}/idx"
+        mgr = JobFtsIndexManager(spark, idx_dir, {"term_buckets": 64})
+        mgr.build(tokens, "doc_id")
+        total_postings = spark.read.parquet(idx_dir).count()
+        print(f"n_docs={n_docs} total postings rows: {total_postings}")
+
+        bench_terms = entrymod.QUERY_TERMS
+        cases = [
+            ("bench 5-term (mid-df)", entrymod.QUERY_TEXT, bench_terms),
+            (f"hot 50%-df alone", HOT50, [HOT50]),
+            (f"hot 90%-df alone", HOT90, [HOT90]),
+            (
+                "hot 50% + bench terms",
+                f"{HOT50} {entrymod.QUERY_TEXT}",
+                [HOT50, *bench_terms],
+            ),
+            (
+                "hot 90% + bench terms",
+                f"{HOT90} {entrymod.QUERY_TEXT}",
+                [HOT90, *bench_terms],
+            ),
+        ]
+
+        def best_of(fn, n=3):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            return best
+
+        rows = []
+        for label, qtext, qterms in cases:
+            buckets = mgr.query_buckets(qterms)
+            idx = spark.read.parquet(idx_dir)
+            hit_rows = idx.filter(
+                F.col(mgr.PART_COL).isin(buckets)
+                & F.col("term").isin(list(qterms))
+            ).count()
+
+            t_idx = best_of(
+                lambda: full_text_search(
+                    docs.select("doc_id", "lang", "n_chars"),
+                    "doc_id",
+                    qtext,
+                    text_cols=["text"],
+                    num_results=10,
+                    fts_scored_df=mgr.probe_scores(qterms),
+                )
+            )
+            t_scan = best_of(
+                lambda: full_text_search(
+                    docs.select("doc_id", "lang", "n_chars"),
+                    "doc_id",
+                    qtext,
+                    text_cols=["text"],
+                    num_results=10,
+                    tokens_df=spark.read.parquet(tok_path),
+                )
+            )
+            frac = hit_rows / total_postings
+            rows.append(
+                (label, len(buckets), hit_rows, frac, t_idx, t_scan)
+            )
+            print(
+                f"{label}: buckets={len(buckets)}/64 postings={hit_rows} "
+                f"({frac:.1%}) indexed={t_idx:.2f}s scan={t_scan:.2f}s"
+            )
+
+        print("\nmarkdown:\n")
         print(
-            f"| {label} | {nb}/64 | {hr} ({frac:.1%}) | {t_idx:.2f} s "
-            f"| {t_scan:.2f} s | {t_scan/t_idx:.2f}x |"
+            "| query | buckets | postings rows (frac) | indexed "
+            "| full scan | scan/indexed |"
         )
+        print("|---|---|---|---|---|---|")
+        for label, nb, hr, frac, t_idx, t_scan in rows:
+            print(
+                f"| {label} | {nb}/64 | {hr} ({frac:.1%}) | {t_idx:.2f} s "
+                f"| {t_scan:.2f} s | {t_scan/t_idx:.2f}x |"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 

@@ -364,6 +364,62 @@ class TestStreamingFreshness:
         assert got == want and len(want) > 0
 
 
+class TestXxhash64Parity:
+    """query_buckets maps terms to partition buckets with a pure-Python
+    XXH64 (zero Spark jobs on the probe path); a single bit of drift
+    from the layout's ``pmod(xxhash64(term), n)`` would make postings
+    silently unfindable, so parity with the Spark expression is pinned
+    property-style across byte-length regimes (empty, <4, 4-7, 8-31,
+    >=32 — every tail branch of the algorithm) and non-ASCII."""
+
+    def test_matches_spark_xxhash64(self, spark):
+        import random
+        import string
+
+        from pg_vectorize_spark.fts_index import _xxh64, term_bucket
+
+        rng = random.Random(20260815)
+        samples = [
+            "",
+            "a",
+            "abc",
+            "abcd",
+            "abcdefg",
+            "abcdefgh",
+            "x" * 31,
+            "x" * 32,
+            "x" * 33,
+            "abcdefgh" * 8,
+            "üñîçødé-тест-漢字",
+            *(
+                "".join(
+                    rng.choices(string.printable, k=rng.randint(0, 64))
+                )
+                for _ in range(40)
+            ),
+            *(
+                "".join(
+                    chr(rng.randint(1, 0x10FF))
+                    for _ in range(rng.randint(1, 40))
+                )
+                for _ in range(15)
+            ),
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "term string")
+        want_hash = [r[0] for r in df.select(F.xxhash64("term")).collect()]
+        want_bucket = [
+            r[0]
+            for r in df.select(
+                F.pmod(F.xxhash64("term"), F.lit(64)).cast("int")
+            ).collect()
+        ]
+        for s, wh, wb in zip(samples, want_hash, want_bucket):
+            h = _xxh64(s.encode("utf-8"))
+            if h >= 1 << 63:
+                h -= 1 << 64
+            assert h == wh, repr(s)
+            assert term_bucket(s, 64) == wb, repr(s)
+
 class TestGatePlanLock:
     def test_fts_indexed_gate_partition_prunes(self, spark):
         """The fts_search_indexed gate's postings scan must prune at the
