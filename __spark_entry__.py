@@ -850,6 +850,66 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
 
 
+def _mh_gate_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the persisted MinHash band index over the
+    CORPUS side of the documents fixture (doc_id % 20 != 7) — same
+    scratch-dir + source-fingerprint pattern as the FTS/ANN indexed
+    gates, so bench repeats time the PROBE, not a rebuild."""
+    import os
+    import tempfile
+
+    from pg_vectorize_spark.dedup_index import MinHashBandIndexManager
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"pvs_gate_mh_index_{sfname}"
+    )
+    cfg = {
+        "num_hashes": 16,
+        "bands": 4,
+        "shingle_k": 3,
+        "band_buckets": 64,
+    }
+    mgr = MinHashBandIndexManager(spark, idx_dir, cfg)
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp += repr(sorted(cfg.items()))
+    fp_path = os.path.join(idx_dir, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            fresh = fh.read() == fp and mgr.exists()
+    except OSError:
+        pass
+    if not fresh:
+        corpus = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 20 != 7
+        )
+        mgr.build(corpus, "doc_id", "text")
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    return mgr
+
+
+def q_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-dup detection against the PERSISTED MinHash band
+    index (dedup_index.MinHashBandIndexManager): an incoming batch
+    (doc_id % 20 == 7, ~5% of docs) probes the corpus index and gets
+    every indexed near-dup candidate with the MinHash Jaccard estimate
+    attached — the "filter new ingest against everything already seen"
+    shape a 100-TB pipeline runs per micro-batch. The probe is O(batch):
+    batch signatures → band rows → broadcast equi-join against the
+    band-bucket-pruned index scan (PartitionFilters on bb, plan-locked
+    in tests/test_dedup_index.py) → signature compare via the stored
+    sidecar. The ORACLE recomputes both sides' signatures and the band
+    join from the raw fixture — identical pairs and estimates to the
+    batch LSH pipeline by construction (pinned in
+    tests/test_dedup_index.py::TestProbeParity)."""
+    docs = _t(spark, sf_dir, "documents")
+    mgr = _mh_gate_index(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 20 == 7)
+    return mgr.probe(batch, "doc_id", "text")
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures themselves (the write-time artifact)."""
     from pg_vectorize_spark.operators.dedup import minhash_signatures
@@ -2083,8 +2143,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxsim_search_topk": q_maxsim_search_topk,
     "pq_adc_search": q_pq_adc_search,
     "pq_rerank_search": q_pq_rerank_search,
-    # --- positions 42-50: r7-green gates on the FTS-index/search code
-    # paths r8 touches (hot-term fallback, fastupdate default) ---
+    # --- position 42: NEW this round (r8) — the persisted MinHash band
+    # index's online near-dup probe ---
+    "neardup_index_probe": q_neardup_index_probe,
+    # --- positions 43-50: r7-green gates on the FTS-index/search code
+    # paths r8 touches (driver-side bucket mapping, fastupdate default) ---
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "fts_search_topk": q_fts_search_topk,
@@ -3266,6 +3329,45 @@ SELECT a_id, b_id FROM cand
 """
 
 
+def _oracle_neardup_index_probe() -> str:
+    """Batch (doc_id%20==7) ↔ corpus (rest) band-collision pairs with
+    the MinHash agreement estimate — the persisted band index's probe
+    recomputed from the raw fixture (the index is lossless: its band
+    rows ARE the signature slices, so the probe's matched set equals
+    the cross-side band join's)."""
+    return f"""
+WITH {_MINHASH_SIG_BANDS_CTES_SPLIT}
+SELECT cand.doc_id, cand.match_doc_id,
+       len(list_filter(range(1, 17),
+           i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16.0
+         AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.doc_id = sa.doc_id
+JOIN sig sb ON cand.match_doc_id = sb.doc_id
+"""
+
+
+_MINHASH_SIG_BANDS_CTES_SPLIT = f"""c AS MATERIALIZED (
+  SELECT d.doc_id, {_sql_minhash_codes()} AS codes FROM documents d
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+),
+bands AS (
+  SELECT s.doc_id, t.band,
+         array_to_string(
+           list_transform(s.signature[(t.band*4 + 1):(t.band*4 + 4)],
+                          x -> x::VARCHAR), ',') AS band_key
+  FROM sig s, generate_series(0, 3) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_doc_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 20 = 7 AND b.doc_id % 20 != 7
+)"""
+
+
 def _oracle_minhash_jaccard_estimate() -> str:
     return f"""
 WITH {_MINHASH_SIG_BANDS_CTES}
@@ -3508,6 +3610,7 @@ FROM documents GROUP BY text
     "knn_join": _oracle_knn_join(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
+    "neardup_index_probe": _oracle_neardup_index_probe(),
     "minhash_signatures": _oracle_minhash_signatures(),
     "minhash_jaccard_estimate": _oracle_minhash_jaccard_estimate(),
     "dedup_simhash": _oracle_simhash(),

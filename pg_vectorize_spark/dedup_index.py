@@ -1,0 +1,508 @@
+"""Persisted MinHash band index — online near-dup detection at ingest.
+
+The batch dedup operators (operators/dedup.py: ``minhash_signatures`` +
+``minhash_lsh_candidates``) answer "which pairs in THIS dataset are
+near-dups" with one banded self-join. A 100-TB ingest pipeline asks a
+different question per micro-batch: "which of these NEW documents
+near-duplicate anything already ingested" — and re-running the pairwise
+LSH over corpus ∪ batch makes every batch cost O(corpus). This manager
+persists the corpus side of that join, completing the per-modality index
+family: vectors → IVF cells (index_manager.py), query terms → postings
+buckets (fts_index.py), near-dup signatures → LSH band buckets (here).
+
+Layout mirrors the postings index: band rows ``(pkey, band, band_key)``
+partitioned by ``bb = pmod(xxhash64(band || ':' || band_key),
+band_buckets)``, so a batch probe prunes the scan to the buckets its own
+band keys hash into (PartitionFilters at the parquet source) and joins
+its (band, band_key) rows — O(batch) of them, broadcast — against only
+those partitions. A ``_sigs`` sidecar snapshot stores each key's full
+signature: maintenance derives a key's OLD band rows from it (no index
+scan to find them — the old-tokens-capture analog), and probes attach
+the MinHash Jaccard estimate without recomputing corpus signatures.
+
+Same-key churn, deletes, and compaction follow the fts_index contract:
+partition-local rewrites of affected buckets, op-count-cadenced
+small-file compaction, single-writer, rebuildable from source.
+
+Reference scope note: the reference has no dedup index (its GIN/HNSW
+indexes are query-side); this is part of the training-data-pipeline
+surface the build adds beyond reference parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.fts_index import term_bucket
+
+
+class MinHashBandIndexManager:
+    """Build/probe/maintain a persisted LSH band index under ``index_dir``."""
+
+    PART_COL = "bb"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        params: dict | None = None,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        p = dict(params or {})
+        self.num_hashes = int(p.get("num_hashes", 16))
+        self.bands = int(p.get("bands", 4))
+        self.shingle_k = int(p.get("shingle_k", 3))
+        self.band_buckets = max(1, int(p.get("band_buckets", 64)))
+        self.compact_every = max(1, int(p.get("compact_every", 16)))
+        if self.num_hashes % self.bands:
+            raise ValueError(
+                f"num_hashes={self.num_hashes} not divisible by "
+                f"bands={self.bands}"
+            )
+        self.rows_per_band = self.num_hashes // self.bands
+
+    # ------------------------------------------------------------ state io
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.index_dir, "_MINHASH_META.json")
+
+    @property
+    def _maint_path(self) -> str:
+        return os.path.join(self.index_dir, "_MAINT.json")
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._meta_path)
+
+    def _save_meta(self, meta: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _check_meta(self, pkey: str) -> dict:
+        meta = self._load_meta()
+        stored = (
+            meta["num_hashes"],
+            meta["bands"],
+            meta["shingle_k"],
+            meta["band_buckets"],
+        )
+        mine = (
+            self.num_hashes,
+            self.bands,
+            self.shingle_k,
+            self.band_buckets,
+        )
+        if stored != mine:
+            raise ValueError(
+                f"minhash index at {self.index_dir} was built with "
+                f"(num_hashes, bands, shingle_k, band_buckets)={stored}; "
+                f"this instance was opened with {mine} — mixed-parameter "
+                "maintenance would write unfindable or non-comparable "
+                "band rows. Reopen with the stored parameters."
+            )
+        if meta["pkey"] != pkey:
+            raise ValueError(
+                f"minhash index at {self.index_dir} is keyed on "
+                f"{meta['pkey']!r}, not {pkey!r}"
+            )
+        return meta
+
+    def _sigs_ds(self):
+        from pg_vectorize_spark.sources.parquet_snapshot import (
+            SnapshotDataset,
+        )
+
+        return SnapshotDataset(
+            self.spark, os.path.join(self.index_dir, "_sigs")
+        )
+
+    # ----------------------------------------------------------- signatures
+
+    def signatures(
+        self, df: DataFrame, pkey: str, text_col: str
+    ) -> DataFrame:
+        """(pkey, signature) — the shared MinHash computation
+        (operators/dedup.minhash_signatures), renamed to the index key.
+        Documents with no shingles (shorter than shingle_k words) have
+        no signature and can never band-match — same semantics as the
+        batch operator."""
+        from pg_vectorize_spark.operators.dedup import minhash_signatures
+
+        return minhash_signatures(
+            df, text_col, pkey, num_hashes=self.num_hashes, k=self.shingle_k
+        ).select(F.col("_id").alias(pkey), "signature")
+
+    def _band_rows(self, sigs_df: DataFrame, pkey: str) -> DataFrame:
+        """(pkey, band, band_key, bb) from (pkey, signature) — the same
+        comma-joined-slice band key as minhash_lsh_candidates, plus the
+        partition bucket."""
+        rows = sigs_df.select(
+            F.col(pkey),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                    lambda b: F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * self.rows_per_band + 1,
+                                self.rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("band", "band_key"),
+        )
+        return rows.withColumn(
+            self.PART_COL,
+            F.pmod(
+                F.xxhash64(
+                    F.concat_ws(":", F.col("band").cast("string"), "band_key")
+                ),
+                F.lit(self.band_buckets),
+            ).cast("int"),
+        )
+
+    def _bucket_of(self, band: int, band_key: str) -> int:
+        """Driver-side bucket mapping (fts_index.term_bucket's XXH64)."""
+        return term_bucket(f"{band}:{band_key}", self.band_buckets)
+
+    # --------------------------------------------------------------- build
+
+    def build(self, df: DataFrame, pkey: str, text_col: str) -> None:
+        """Full (re)build from the source — also crash recovery."""
+        sigs = self.signatures(df, pkey, text_col).localCheckpoint()
+        rows = self._band_rows(sigs, pkey)
+        has_data = rows.limit(1).count() > 0
+        if os.path.isdir(self.index_dir):
+            for name in os.listdir(self.index_dir):
+                if name.startswith(f"{self.PART_COL}="):
+                    shutil.rmtree(
+                        os.path.join(self.index_dir, name),
+                        ignore_errors=True,
+                    )
+        if has_data:
+            rows.write.mode("overwrite").partitionBy(self.PART_COL).parquet(
+                self.index_dir
+            )
+        self._save_meta(
+            {
+                "num_hashes": self.num_hashes,
+                "bands": self.bands,
+                "shingle_k": self.shingle_k,
+                "band_buckets": self.band_buckets,
+                "pkey": pkey,
+                "pkey_type": df.schema[pkey].dataType.simpleString(),
+                "has_data": has_data,
+            }
+        )
+        sigs_ds = self._sigs_ds()
+        sigs_ds.drop()
+        if has_data:
+            sigs_ds.merge_upsert(sigs, pkey)
+        self._reset_maint()
+
+    # --------------------------------------------------------- maintenance
+
+    def add(self, df: DataFrame, pkey: str, text_col: str) -> None:
+        """Append NEW keys' band rows — the pure-insert fast path (one
+        partitioned append; no current-bucket read). Callers with
+        possibly-existing keys MUST use ``upsert``."""
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no minhash index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        sigs = self.signatures(df, pkey, text_col).localCheckpoint()
+        rows = self._band_rows(sigs, pkey)
+        if rows.isEmpty():
+            return
+        rows.write.mode("append").partitionBy(self.PART_COL).parquet(
+            self.index_dir
+        )
+        self._sigs_ds().merge_upsert(sigs, pkey)
+        if not meta.get("has_data", True):
+            meta["has_data"] = True
+            self._save_meta(meta)
+        self._bump_maint()
+
+    def upsert(self, df: DataFrame, pkey: str, text_col: str) -> None:
+        """Replace the band rows of the keys in ``df``. Affected buckets
+        = buckets(old band rows ∪ new band rows); old band rows derive
+        from the ``_sigs`` sidecar (no index scan), new from the batch.
+        Partition-local rewrite, untouched buckets stay in place."""
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no minhash index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        sigs = self.signatures(df, pkey, text_col).localCheckpoint()
+        new_rows = self._band_rows(sigs, pkey).localCheckpoint()
+        affected_df = new_rows.select(self.PART_COL)
+        sigs_ds = self._sigs_ds()
+        if sigs_ds.exists():
+            old_sigs = (
+                sigs_ds.read()
+                .join(df.select(pkey).distinct(), pkey, "left_semi")
+            )
+            affected_df = affected_df.unionByName(
+                self._band_rows(old_sigs, pkey).select(self.PART_COL)
+            )
+        affected = sorted(
+            r[self.PART_COL] for r in affected_df.distinct().collect()
+        )
+        if not affected:
+            return
+        if not meta.get("has_data", True):
+            new_rows.write.mode("overwrite").partitionBy(
+                self.PART_COL
+            ).parquet(self.index_dir)
+            meta["has_data"] = True
+            self._save_meta(meta)
+        else:
+            self._rewrite_affected(
+                affected, df.select(pkey).distinct(), pkey, new_rows
+            )
+        # every input row yields >= 1 shingle (word_shingles_expr falls
+        # back to one whole-text shingle for short/empty/NULL text), so
+        # merge covers every key in df — no sig-less residue case
+        sigs_ds.merge_upsert(sigs, pkey)
+        self._bump_maint()
+
+    def delete(self, keys_df: DataFrame, pkey: str) -> None:
+        """Drop keys' band rows; affected buckets from the sidecar."""
+        if not self.exists() or not self._load_meta().get("has_data", True):
+            return
+        self._check_meta(pkey)
+        sigs_ds = self._sigs_ds()
+        if not sigs_ds.exists():
+            return
+        old_sigs = sigs_ds.read().join(
+            keys_df.select(pkey).distinct(), pkey, "left_semi"
+        )
+        affected = sorted(
+            r[self.PART_COL]
+            for r in self._band_rows(old_sigs, pkey)
+            .select(self.PART_COL)
+            .distinct()
+            .collect()
+        )
+        if affected:
+            self._rewrite_affected(
+                affected, keys_df.select(pkey).distinct(), pkey, None
+            )
+        sigs_ds.delete_keys(keys_df.select(pkey), pkey)
+        self._bump_maint()
+
+    def _rewrite_affected(
+        self,
+        affected: list,
+        drop_keys: DataFrame,
+        pkey: str,
+        new_rows: DataFrame | None,
+    ) -> None:
+        """Partition-local rewrite: affected buckets become (current rows
+        minus drop_keys) ∪ new_rows; emptied buckets' dirs are cleared so
+        dynamic overwrite can't resurrect stale rows."""
+        cur = self.spark.read.parquet(self.index_dir).filter(
+            F.col(self.PART_COL).isin(affected)
+        )
+        out = cur.join(drop_keys, pkey, "left_anti")
+        if new_rows is not None:
+            out = out.unionByName(new_rows)
+        out = out.localCheckpoint()
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            out.write.mode("overwrite").partitionBy(self.PART_COL).parquet(
+                self.index_dir
+            )
+            present = {
+                r[self.PART_COL]
+                for r in out.select(self.PART_COL).distinct().collect()
+            }
+            for b in set(affected) - present:
+                shutil.rmtree(
+                    os.path.join(self.index_dir, f"{self.PART_COL}={b}"),
+                    ignore_errors=True,
+                )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
+            else:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    def _reset_maint(self) -> None:
+        with open(self._maint_path, "w") as f:
+            json.dump({"ops_since_compact": 0}, f)
+
+    def _bump_maint(self) -> None:
+        try:
+            with open(self._maint_path) as f:
+                state = json.load(f)
+        except OSError:
+            state = {"ops_since_compact": 0}
+        state["ops_since_compact"] = state.get("ops_since_compact", 0) + 1
+        with open(self._maint_path, "w") as f:
+            json.dump(state, f)
+        if state["ops_since_compact"] >= self.compact_every:
+            self.maybe_compact(force=True)
+
+    def maybe_compact(self, force: bool = False) -> int:
+        if not self.exists() or not self._load_meta().get("has_data", True):
+            return 0
+        if not force:
+            try:
+                with open(self._maint_path) as f:
+                    if (
+                        json.load(f).get("ops_since_compact", 0)
+                        < self.compact_every
+                    ):
+                        return 0
+            except OSError:
+                return 0
+        from pg_vectorize_spark.operators.ann import compact_index
+
+        n = compact_index(
+            self.spark, self.index_dir, part_col=self.PART_COL, max_files=4
+        )
+        self._reset_maint()
+        return n
+
+    # --------------------------------------------------------------- probe
+
+    def probe(
+        self,
+        batch_df: DataFrame,
+        pkey: str,
+        text_col: str,
+        min_jaccard: float | None = None,
+    ) -> DataFrame:
+        """(pkey, match_<pkey>, est_jaccard): for each batch document,
+        every indexed document sharing ≥1 LSH band, with the MinHash
+        Jaccard estimate (agreeing-component fraction) attached.
+
+        Plan shape: batch signatures (O(batch)) → band rows → BROADCAST
+        against the index scan pruned to the batch's band buckets
+        (PartitionFilters IN list, plan-locked in tests) → distinct
+        candidate pairs → signature compare via the ``_sigs`` sidecar.
+        The corpus is touched only through |batch band buckets|
+        partitions; nothing rescans raw corpus text. A key present in
+        both batch and index does not match itself.
+        """
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no minhash index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        match_col = f"match_{pkey}"
+        empty = self.spark.createDataFrame(
+            [],
+            f"{pkey} {meta.get('pkey_type', 'bigint')}, "
+            f"{match_col} {meta.get('pkey_type', 'bigint')}, "
+            "est_jaccard double",
+        )
+        if not meta.get("has_data", True):
+            return empty
+        batch_sigs = self.signatures(
+            batch_df, pkey, text_col
+        ).localCheckpoint()
+        batch_rows = self._band_rows(batch_sigs, pkey).localCheckpoint()
+        buckets = [
+            r[self.PART_COL]
+            for r in batch_rows.select(self.PART_COL).distinct().collect()
+        ]
+        if not buckets:
+            return empty
+        idx = self.spark.read.parquet(self.index_dir).filter(
+            F.col(self.PART_COL).isin(sorted(buckets))
+        )
+        cand = (
+            idx.join(
+                F.broadcast(
+                    batch_rows.select(
+                        F.col(pkey).alias("_bk"), "band", "band_key"
+                    )
+                ),
+                ["band", "band_key"],
+            )
+            .filter(F.col(pkey) != F.col("_bk"))
+            .select(F.col("_bk").alias(pkey), F.col(pkey).alias(match_col))
+            .distinct()
+        )
+        corpus_sigs = self._sigs_ds().read()
+        agree = F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("_siga"), F.col("_sigb"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        )
+        out = (
+            cand.join(
+                F.broadcast(
+                    batch_sigs.select(
+                        F.col(pkey), F.col("signature").alias("_siga")
+                    )
+                ),
+                pkey,
+            )
+            .join(
+                corpus_sigs.select(
+                    F.col(pkey).alias(match_col),
+                    F.col("signature").alias("_sigb"),
+                ),
+                match_col,
+            )
+            .select(
+                pkey,
+                match_col,
+                (agree.cast("double") / float(self.num_hashes)).alias(
+                    "est_jaccard"
+                ),
+            )
+        )
+        if min_jaccard is not None:
+            out = out.filter(F.col("est_jaccard") >= float(min_jaccard))
+        return out
+
+    def near_dup_keys(
+        self,
+        batch_df: DataFrame,
+        pkey: str,
+        text_col: str,
+        min_jaccard: float = 0.7,
+    ) -> DataFrame:
+        """Distinct batch keys whose best indexed match estimates
+        Jaccard ≥ ``min_jaccard`` — the ingest-filter shape ("drop
+        near-dups of anything already ingested")."""
+        return (
+            self.probe(batch_df, pkey, text_col, min_jaccard=min_jaccard)
+            .select(pkey)
+            .distinct()
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.index_dir, ignore_errors=True)
