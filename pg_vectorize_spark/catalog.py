@@ -53,6 +53,13 @@ class JobRecord:
     #: full-scan arrays_overlap path
     fts_index: bool = True
     fts_params: dict = field(default_factory=dict)
+    #: opt-in ingest-time near-dup filter (beyond reference parity):
+    #: non-empty => the job maintains a persisted MinHash band index
+    #: (dedup_index.MinHashBandIndexManager) and NEW source rows whose
+    #: estimated Jaccard vs an already-ingested doc >= min_jaccard
+    #: (default 0.7) are skipped by every ingest path. Keys: min_jaccard
+    #: plus the manager's num_hashes/bands/shingle_k/band_buckets.
+    dedup_params: dict = field(default_factory=dict)
     params: dict = field(default_factory=dict)
     created_at: str = field(
         default_factory=lambda: datetime.now(timezone.utc).isoformat()

@@ -310,6 +310,85 @@ class VectorizeSession:
 
         return mgr.probe_scores(analyze_query(query))
 
+    # ---------------------------------------------------------- dedup index
+
+    def _dedup_mgr(self, job: JobRecord):
+        """The job's persisted MinHash band index, or None when the job
+        has no ``dedup_params`` — the opt-in ingest-time near-dup filter
+        (dedup_index.py; beyond reference parity, a training-data-
+        pipeline capability)."""
+        params = dict(getattr(job, "dedup_params", None) or {})
+        if not params:
+            return None
+        from pg_vectorize_spark.dedup_index import MinHashBandIndexManager
+
+        params.pop("min_jaccard", None)
+        return MinHashBandIndexManager(
+            self.spark,
+            self._job_dir(job.job_name, "dedup_index"),
+            params,
+        )
+
+    def _dedup_threshold(self, job: JobRecord) -> float:
+        return float(
+            (getattr(job, "dedup_params", None) or {}).get(
+                "min_jaccard", 0.7
+            )
+        )
+
+    def _dedup_filter_new(
+        self, job: JobRecord, changed: DataFrame
+    ) -> DataFrame:
+        """Drop the batch's NEW keys that near-duplicate an already-
+        ingested document (estimated Jaccard >= min_jaccard against the
+        job's band index). EXISTING keys always pass: an update that
+        happens to converge on another doc must still apply, or the
+        stored row would go permanently stale. In-batch duplicates are
+        the batch operators' concern (dedup_minhash_lsh); this filter
+        guards the ingested-corpus boundary, so a filtered row simply
+        never enters any derived dataset — it stays 'changed' on later
+        scans and is re-probed at batch-bounded cost."""
+        mgr = self._dedup_mgr(job)
+        if mgr is None or not mgr.exists():
+            return changed
+        pkey = job.primary_key
+        emb_ds = self._emb_ds(job.job_name)
+        if not emb_ds.exists():
+            return changed
+        existing = emb_ds.read_for_keys(changed.select(pkey), pkey).select(
+            pkey
+        )
+        new_rows = changed.join(existing, pkey, "left_anti")
+        content = concat_source_columns(job.src_columns)
+        flagged = mgr.near_dup_keys(
+            new_rows.select(F.col(pkey), content.alias("_dedup_text")),
+            pkey,
+            "_dedup_text",
+            min_jaccard=self._dedup_threshold(job),
+        )
+        return changed.join(flagged, pkey, "left_anti")
+
+    def _dedup_upsert(self, job: JobRecord, ingested: DataFrame) -> None:
+        """Keep the band index fresh with the batch's survivors — the
+        _index_upsert/_tokens_upsert analog, called from every ingest
+        path. The first ingest bootstraps the index (build); later
+        batches take the sidecar-derived partition-local upsert."""
+        mgr = self._dedup_mgr(job)
+        if mgr is None:
+            return
+        pkey = job.primary_key
+        content = concat_source_columns(job.src_columns)
+        rows = ingested.select(F.col(pkey), content.alias("_dedup_text"))
+        if not mgr.exists():
+            mgr.build(rows, pkey, "_dedup_text")
+        else:
+            mgr.upsert(rows, pkey, "_dedup_text")
+
+    def _dedup_delete(self, job: JobRecord, keys: DataFrame) -> None:
+        mgr = self._dedup_mgr(job)
+        if mgr is not None and mgr.exists():
+            mgr.delete(keys.select(job.primary_key), job.primary_key)
+
     # ----------------------------------------------------------- lifecycle
 
     def _embed_changed(
@@ -359,6 +438,7 @@ class VectorizeSession:
         index_params: dict | None = None,
         fts_index: bool = True,
         fts_params: dict | None = None,
+        dedup_params: dict | None = None,
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269).
@@ -415,6 +495,10 @@ class VectorizeSession:
             # postings index defaults on; fts_index=False opts out
             fts_index=fts_index,
             fts_params=dict(fts_params or {}),
+            # opt-in ingest-time near-dup filter (dedup_index.py): non-
+            # empty => NEW rows near-duplicating an ingested doc are
+            # skipped by every ingest path (min_jaccard default 0.7)
+            dedup_params=dict(dedup_params or {}),
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain
@@ -450,6 +534,9 @@ class VectorizeSession:
             )
         else:
             changed = src
+        # opt-in ingest-time near-dup filter: NEW rows that near-duplicate
+        # an already-ingested doc never reach the embed stage
+        changed = self._dedup_filter_new(job, changed)
         embedded = self._embed_changed(job, changed, api_key)
 
         n = embedded.count()
@@ -468,6 +555,8 @@ class VectorizeSession:
             self._tokens_upsert(job, tokens)
             # index freshness: the re-embedded rows move cells/buckets
             self._index_upsert(job, embedded)
+            # near-dup index freshness with the batch's survivors
+            self._dedup_upsert(job, changed)
         # ON DELETE CASCADE parity (core/src/query.rs:349-354): rows whose
         # source pkey disappeared must leave the derived datasets too, even
         # on a scan that embedded nothing — a delete-only cycle is exactly
@@ -548,9 +637,10 @@ class VectorizeSession:
                         continue
                 if ds is emb_ds:
                     ds.delete_keys(orphans, pkey)
-                    # cascade reaches the persisted index too — a deleted
-                    # source row must stop being findable
+                    # cascade reaches the persisted indexes too — a deleted
+                    # source row must stop being findable or matchable
                     self._index_delete(job, orphans)
+                    self._dedup_delete(job, orphans)
                 else:
                     # capture the orphans' tokens BEFORE they leave the
                     # snapshot: their terms locate the postings buckets,
@@ -628,6 +718,9 @@ class VectorizeSession:
             ).withColumn("updated_at", F.current_timestamp())
             self._tokens_upsert(job, tokens)
             self._index_upsert(job, embedded)
+            # id-update refreshes signatures too (keys already ingested,
+            # so the new-key filter doesn't apply — updates always land)
+            self._dedup_upsert(job, rows)
         return n
 
     def delete_job(self, job_name: str) -> bool:
@@ -646,6 +739,9 @@ class VectorizeSession:
         shutil.rmtree(self._job_dir(job_name, "index"), ignore_errors=True)
         shutil.rmtree(
             self._job_dir(job_name, "fts_index"), ignore_errors=True
+        )
+        shutil.rmtree(
+            self._job_dir(job_name, "dedup_index"), ignore_errors=True
         )
         try:
             self.spark.catalog.dropTempView(f"{job_name}_view")

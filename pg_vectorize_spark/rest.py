@@ -320,6 +320,9 @@ class _Handler(BaseHTTPRequestHandler):
                     # like the reference's CREATE INDEX at job init
                     fts_index=bool(body.get("fts_index", True)),
                     fts_params=body.get("fts_params"),
+                    # opt-in ingest-time near-dup filter (MinHash band
+                    # index; beyond reference parity)
+                    dedup_params=body.get("dedup_params"),
                 )
                 self._send(200, {"id": job.job_name, "dim": job.dim})
             except KeyError as e:

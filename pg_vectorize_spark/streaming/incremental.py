@@ -77,6 +77,11 @@ class RealtimePipeline:
         pkey = job.primary_key
         content = concat_source_columns(job.src_columns)
 
+        # opt-in ingest-time near-dup filter: drop NEW rows that near-
+        # duplicate an ingested doc BEFORE the diff guard, so a filtered
+        # row never reaches any derived dataset (tokens included)
+        batch_df = sess._dedup_filter_new(job, batch_df)
+
         # R2 diff guard: skip rows whose content fingerprint is unchanged
         changed = batch_df
         emb_ds = sess._emb_ds(self.job_name)
@@ -110,6 +115,8 @@ class RealtimePipeline:
         # persisted index would otherwise serve stale results after
         # every ingest cycle — VERDICT r5 missing #2)
         sess._index_upsert(job, embedded)
+        # near-dup index freshness with the batch's survivors
+        sess._dedup_upsert(job, changed)
 
     # -- stream wiring -------------------------------------------------------
 
@@ -292,8 +299,9 @@ class ChangeFeedPipeline(RealtimePipeline):
                     continue
                 if ds.root == emb_root:
                     ds.delete_keys(del_keys, pkey)
-                    # in-batch cascade reaches the persisted index too
+                    # in-batch cascade reaches the persisted indexes too
                     sess._index_delete(job, del_keys)
+                    sess._dedup_delete(job, del_keys)
                 else:
                     # pre-delete token capture -> bucket-pruned postings
                     # delete (no per-batch index scan)

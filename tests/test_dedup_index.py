@@ -232,6 +232,159 @@ class TestMaintenance:
             )
 
 
+class TestEngineDedupFilter:
+    """Jobs created with ``dedup_params`` skip NEW near-dup rows on
+    every ingest path and keep the band index fresh/cascaded, without
+    touching jobs that didn't opt in."""
+
+    SRC_ROWS = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "completely different text about spark query planning today"),
+        (3, "an unrelated essay on distributed systems and consensus"),
+    ]
+
+    def _mk_job(self, spark, tmp_path, dedup=True):
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        src = str(tmp_path / "src.parquet")
+        spark.createDataFrame(
+            self.SRC_ROWS, "id long, content string"
+        ).write.mode("overwrite").parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws"))
+        sess.create_job(
+            "dj",
+            src,
+            columns=["content"],
+            primary_key="id",
+            dedup_params=(
+                {"min_jaccard": 0.6, **PARAMS} if dedup else None
+            ),
+        )
+        return sess, src
+
+    def _emb_ids(self, sess):
+        return {
+            r["id"] for r in sess._emb_ds("dj").read().select("id").collect()
+        }
+
+    def test_initial_load_builds_index_and_ingests_all(
+        self, spark, tmp_path
+    ):
+        sess, _ = self._mk_job(spark, tmp_path)
+        job = sess.catalog.get("dj")
+        assert sess._dedup_mgr(job).exists()
+        assert self._emb_ids(sess) == {1, 2, 3}
+
+    def test_new_near_dup_filtered_novel_ingested(self, spark, tmp_path):
+        sess, src = self._mk_job(spark, tmp_path)
+        extra = [
+            # 10 near-duplicates doc 1; 11 is novel
+            (10, "the quick brown fox jumps over the lazy dog near a river"),
+            (11, "a brand new subject entirely unrelated to previous rows"),
+        ]
+        spark.createDataFrame(
+            self.SRC_ROWS + extra, "id long, content string"
+        ).write.mode("overwrite").parquet(src)
+        sess.scan_job("dj")
+        ids = self._emb_ids(sess)
+        assert 11 in ids and 10 not in ids
+        # tokens snapshot mirrors the filter (no searchable ghost rows)
+        tok_ids = {
+            r["id"] for r in sess._tok_ds("dj").read().select("id").collect()
+        }
+        assert 11 in tok_ids and 10 not in tok_ids
+        # the survivor joined the band index; the filtered row didn't
+        idx = spark.read.parquet(
+            sess._dedup_mgr(sess.catalog.get("dj")).index_dir
+        )
+        assert idx.filter("id = 11").count() > 0
+        assert idx.filter("id = 10").count() == 0
+
+    def test_existing_key_update_always_lands(self, spark, tmp_path):
+        """An update that converges on another doc must still apply —
+        only NEW keys are filtered."""
+        sess, src = self._mk_job(spark, tmp_path)
+        rewritten = [
+            (1, self.SRC_ROWS[0][1]),
+            # doc 2 becomes a near-dup of doc 3
+            (2, "an unrelated essay on distributed systems and paxos"),
+            (3, self.SRC_ROWS[2][1]),
+        ]
+        spark.createDataFrame(
+            rewritten, "id long, content string"
+        ).write.mode("overwrite").parquet(src)
+        sess.handle_update("dj", [2])
+        # the update landed in embeddings AND refreshed the signature:
+        # probing doc 2's new text finds doc 3 as its near-dup
+        job = sess.catalog.get("dj")
+        mgr = sess._dedup_mgr(job)
+        probe = spark.createDataFrame(
+            [(200, rewritten[1][1])], "id long, content string"
+        ).selectExpr("id", "content as _dedup_text")
+        matches = {
+            r["match_id"]
+            for r in mgr.probe(probe, "id", "_dedup_text").collect()
+        }
+        assert {2, 3} <= matches
+
+    def test_delete_cascades_to_dedup_index(self, spark, tmp_path):
+        sess, src = self._mk_job(spark, tmp_path)
+        spark.createDataFrame(
+            self.SRC_ROWS[:2], "id long, content string"
+        ).write.mode("overwrite").parquet(src)
+        sess.scan_job("dj")
+        assert self._emb_ids(sess) == {1, 2}
+        mgr = sess._dedup_mgr(sess.catalog.get("dj"))
+        idx = spark.read.parquet(mgr.index_dir)
+        assert idx.filter("id = 3").count() == 0
+        assert mgr._sigs_ds().read().filter("id = 3").count() == 0
+
+    def test_opt_out_job_has_no_manager(self, spark, tmp_path):
+        sess, _ = self._mk_job(spark, tmp_path, dedup=False)
+        assert sess._dedup_mgr(sess.catalog.get("dj")) is None
+
+    def test_delete_job_drops_dedup_index(self, spark, tmp_path):
+        import os
+
+        sess, _ = self._mk_job(spark, tmp_path)
+        ddir = sess._job_dir("dj", "dedup_index")
+        assert os.path.isdir(ddir)
+        sess.delete_job("dj")
+        assert not os.path.isdir(ddir)
+
+    def test_streaming_batch_filters_near_dups(self, spark, tmp_path):
+        """The realtime micro-batch path runs the same filter: a batch
+        containing a near-dup of an ingested doc drops it before any
+        derived dataset sees it."""
+        from pg_vectorize_spark.streaming.incremental import (
+            RealtimePipeline,
+        )
+
+        sess, _ = self._mk_job(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        batch = [
+            # exact text of ingested doc 1: every band agrees, so the
+            # flag is deterministic (a one-word edit may leave no fully-
+            # agreeing band at 4x4 banding — that recall tradeoff is the
+            # operator's documented semantics, not the filter's)
+            (20, self.SRC_ROWS[0][1]),
+            (21, "genuinely novel streaming content about watermarks"),
+        ]
+        spark.createDataFrame(
+            batch, "id long, content string"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        pipe = RealtimePipeline(sess, "dj", max_files_per_trigger=1)
+        q = pipe.start(source_dir=feed, available_now=True)
+        q.awaitTermination(120)
+        ids = self._emb_ids(sess)
+        assert 21 in ids and 20 not in ids
+        idx = spark.read.parquet(
+            sess._dedup_mgr(sess.catalog.get("dj")).index_dir
+        )
+        assert idx.filter("id = 21").count() > 0
+        assert idx.filter("id = 20").count() == 0
+
+
 class TestProbePlan:
     def test_probe_partition_prunes(self, spark, tmp_path, corpus, batch):
         """The probe's index scan must prune at the parquet source
