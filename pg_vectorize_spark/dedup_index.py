@@ -119,12 +119,20 @@ class MinHashBandIndexManager:
         return meta
 
     def _sigs_ds(self):
+        # BUCKETED: the sidecar is corpus-sized, so a plain snapshot
+        # would rewrite the whole signature table on every batch merge
+        # and every probe would scan it all; the bucketed layout gives
+        # partition-local merges (untouched buckets hard-link) and
+        # key-pruned reads for both maintenance and the probe's
+        # candidate-signature lookup — the 100-TB shape
         from pg_vectorize_spark.sources.parquet_snapshot import (
-            SnapshotDataset,
+            BucketedSnapshotDataset,
         )
 
-        return SnapshotDataset(
-            self.spark, os.path.join(self.index_dir, "_sigs")
+        return BucketedSnapshotDataset(
+            self.spark,
+            os.path.join(self.index_dir, "_sigs"),
+            n_buckets=self.band_buckets,
         )
 
     # ----------------------------------------------------------- signatures
@@ -255,7 +263,7 @@ class MinHashBandIndexManager:
         sigs_ds = self._sigs_ds()
         if sigs_ds.exists():
             old_sigs = (
-                sigs_ds.read()
+                sigs_ds.read_for_keys(df.select(pkey).distinct(), pkey)
                 .join(df.select(pkey).distinct(), pkey, "left_semi")
             )
             affected_df = affected_df.unionByName(
@@ -290,9 +298,9 @@ class MinHashBandIndexManager:
         sigs_ds = self._sigs_ds()
         if not sigs_ds.exists():
             return
-        old_sigs = sigs_ds.read().join(
-            keys_df.select(pkey).distinct(), pkey, "left_semi"
-        )
+        old_sigs = sigs_ds.read_for_keys(
+            keys_df.select(pkey).distinct(), pkey
+        ).join(keys_df.select(pkey).distinct(), pkey, "left_semi")
         affected = sorted(
             r[self.PART_COL]
             for r in self._band_rows(old_sigs, pkey)
@@ -392,6 +400,40 @@ class MinHashBandIndexManager:
 
     # --------------------------------------------------------------- probe
 
+    def _candidate_pairs(
+        self, batch_sigs: DataFrame, pkey: str, match_col: str
+    ) -> DataFrame:
+        """LAZY (pkey, match_<pkey>) band-collision pairs: the batch's
+        band rows broadcast against the index scan pruned to the
+        batch's band buckets (PartitionFilters IN list on ``bb`` —
+        plan-locked in tests against THIS DataFrame, because probe()
+        materializes it eagerly and the checkpoint hides the scan from
+        the final plan). A key present in both sides never pairs with
+        itself."""
+        batch_rows = self._band_rows(batch_sigs, pkey).localCheckpoint()
+        buckets = [
+            r[self.PART_COL]
+            for r in batch_rows.select(self.PART_COL).distinct().collect()
+        ]
+        if not buckets:
+            return None
+        idx = self.spark.read.parquet(self.index_dir).filter(
+            F.col(self.PART_COL).isin(sorted(buckets))
+        )
+        return (
+            idx.join(
+                F.broadcast(
+                    batch_rows.select(
+                        F.col(pkey).alias("_bk"), "band", "band_key"
+                    )
+                ),
+                ["band", "band_key"],
+            )
+            .filter(F.col(pkey) != F.col("_bk"))
+            .select(F.col("_bk").alias(pkey), F.col(pkey).alias(match_col))
+            .distinct()
+        )
+
     def probe(
         self,
         batch_df: DataFrame,
@@ -405,11 +447,13 @@ class MinHashBandIndexManager:
 
         Plan shape: batch signatures (O(batch)) → band rows → BROADCAST
         against the index scan pruned to the batch's band buckets
-        (PartitionFilters IN list, plan-locked in tests) → distinct
-        candidate pairs → signature compare via the ``_sigs`` sidecar.
-        The corpus is touched only through |batch band buckets|
-        partitions; nothing rescans raw corpus text. A key present in
-        both batch and index does not match itself.
+        (``_candidate_pairs``, PartitionFilters plan-locked) → distinct
+        candidate pairs (materialized once; batch-bounded) → signature
+        compare via the BUCKETED ``_sigs`` sidecar, itself pruned to
+        the candidates' key buckets (PartitionFilters on ``_kb`` in
+        the returned plan). The corpus is touched only through
+        |batch band buckets| + |candidate key buckets| partitions;
+        nothing rescans raw corpus text.
         """
         if not self.exists():
             raise FileNotFoundError(
@@ -428,30 +472,16 @@ class MinHashBandIndexManager:
         batch_sigs = self.signatures(
             batch_df, pkey, text_col
         ).localCheckpoint()
-        batch_rows = self._band_rows(batch_sigs, pkey).localCheckpoint()
-        buckets = [
-            r[self.PART_COL]
-            for r in batch_rows.select(self.PART_COL).distinct().collect()
-        ]
-        if not buckets:
+        cand = self._candidate_pairs(batch_sigs, pkey, match_col)
+        if cand is None:
             return empty
-        idx = self.spark.read.parquet(self.index_dir).filter(
-            F.col(self.PART_COL).isin(sorted(buckets))
+        # materialized: the pruned sidecar read below derives its bucket
+        # IN list from these (batch-bounded) keys, and the final plan
+        # joins them again — one computation, not two
+        cand = cand.localCheckpoint()
+        corpus_sigs = self._sigs_ds().read_for_keys(
+            cand.select(F.col(match_col).alias(pkey)), pkey
         )
-        cand = (
-            idx.join(
-                F.broadcast(
-                    batch_rows.select(
-                        F.col(pkey).alias("_bk"), "band", "band_key"
-                    )
-                ),
-                ["band", "band_key"],
-            )
-            .filter(F.col(pkey) != F.col("_bk"))
-            .select(F.col("_bk").alias(pkey), F.col(pkey).alias(match_col))
-            .distinct()
-        )
-        corpus_sigs = self._sigs_ds().read()
         agree = F.size(
             F.filter(
                 F.zip_with(

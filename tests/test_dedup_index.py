@@ -386,16 +386,38 @@ class TestEngineDedupFilter:
 
 
 class TestProbePlan:
-    def test_probe_partition_prunes(self, spark, tmp_path, corpus, batch):
-        """The probe's index scan must prune at the parquet source
-        (PartitionFilters on bb) — the plan that touches |batch band
-        buckets| of the corpus at 100 TB."""
-        mgr = _mgr(spark, tmp_path)
-        mgr.build(corpus, "doc_id", "text")
-        df = mgr.probe(batch, "doc_id", "text")
-        plan = df._jdf.queryExecution().explainString(
+    @staticmethod
+    def _fmt(spark, df):
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
+
+    def test_candidate_scan_partition_prunes(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """The candidate stage's index scan must prune at the parquet
+        source (PartitionFilters on bb) — the plan that touches |batch
+        band buckets| of the corpus at 100 TB. Locked on the LAZY
+        _candidate_pairs frame: probe() materializes it eagerly, so the
+        scan is invisible in the final plan."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        sigs = mgr.signatures(batch, "doc_id", "text")
+        cand = mgr._candidate_pairs(sigs, "doc_id", "match_doc_id")
+        plan = self._fmt(spark, cand)
         assert re.search(r"PartitionFilters: \[[^\]]*bb", plan), plan
+
+    def test_probe_sidecar_partition_prunes(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """The signature-compare stage reads the BUCKETED sidecar
+        pruned to the candidates' key buckets (PartitionFilters on
+        _kb in the returned plan) — a probe against a 100-TB corpus
+        must not scan the whole signature table."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        df = mgr.probe(batch, "doc_id", "text")
+        plan = self._fmt(spark, df)
+        assert re.search(r"PartitionFilters: \[[^\]]*_kb", plan), plan
