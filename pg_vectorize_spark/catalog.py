@@ -57,7 +57,9 @@ class JobRecord:
     #: non-empty => the job maintains a persisted MinHash band index
     #: (dedup_index.MinHashBandIndexManager) and NEW source rows whose
     #: estimated Jaccard vs an already-ingested doc >= min_jaccard
-    #: (default 0.7) are skipped by every ingest path. Keys: min_jaccard
+    #: (default 0.7) are skipped by every ingest path. Keys: min_jaccard,
+    #: within_batch (also drop in-batch mutual near-dups, lowest key
+    #: survives — covers the initial load, which the index probe can't),
     #: plus the manager's num_hashes/bands/shingle_k/band_buckets.
     dedup_params: dict = field(default_factory=dict)
     params: dict = field(default_factory=dict)

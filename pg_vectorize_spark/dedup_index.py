@@ -518,6 +518,43 @@ class MinHashBandIndexManager:
             out = out.filter(F.col("est_jaccard") >= float(min_jaccard))
         return out
 
+    def within_batch_dup_keys(
+        self,
+        batch_df: DataFrame,
+        pkey: str,
+        text_col: str,
+        min_jaccard: float = 0.7,
+    ) -> DataFrame:
+        """Distinct batch keys that near-duplicate a SMALLER-keyed row
+        of the SAME batch (est Jaccard >= ``min_jaccard``) — the
+        in-batch complement of ``near_dup_keys``: a probe only sees the
+        index, so a batch of mutual near-dups would otherwise all pass.
+        Lowest-key-survives with the same greedy chain semantics as the
+        batch dedup operators (a < b < c chained pairs drop both b and
+        c); same banding/estimate as the index, so the decision boundary
+        matches the cross-batch filter's exactly."""
+        from pg_vectorize_spark.operators.dedup import (
+            minhash_jaccard_estimate,
+            minhash_lsh_candidates,
+        )
+
+        sigs = self.signatures(batch_df, pkey, text_col).select(
+            F.col(pkey).alias("_id"), "signature"
+        )
+        pairs = minhash_lsh_candidates(
+            sigs, bands=self.bands, rows_per_band=self.rows_per_band
+        )
+        est = minhash_jaccard_estimate(
+            sigs, pairs, num_hashes=self.num_hashes
+        )
+        # pairs come out (a_id < b_id): the b side IS "has a smaller
+        # near-dup neighbor"
+        return (
+            est.filter(F.col("est_jaccard") >= float(min_jaccard))
+            .select(F.col("b_id").alias(pkey))
+            .distinct()
+        )
+
     def near_dup_keys(
         self,
         batch_df: DataFrame,

@@ -349,23 +349,38 @@ class VectorizeSession:
         never enters any derived dataset — it stays 'changed' on later
         scans and is re-probed at batch-bounded cost."""
         mgr = self._dedup_mgr(job)
-        if mgr is None or not mgr.exists():
+        if mgr is None:
             return changed
         pkey = job.primary_key
         emb_ds = self._emb_ds(job.job_name)
-        if not emb_ds.exists():
-            return changed
-        existing = emb_ds.read_for_keys(changed.select(pkey), pkey).select(
-            pkey
-        )
-        new_rows = changed.join(existing, pkey, "left_anti")
         content = concat_source_columns(job.src_columns)
-        flagged = mgr.near_dup_keys(
-            new_rows.select(F.col(pkey), content.alias("_dedup_text")),
-            pkey,
-            "_dedup_text",
-            min_jaccard=self._dedup_threshold(job),
-        )
+        thr = self._dedup_threshold(job)
+        if emb_ds.exists():
+            existing = emb_ds.read_for_keys(
+                changed.select(pkey), pkey
+            ).select(pkey)
+            new_rows = changed.join(existing, pkey, "left_anti")
+        else:
+            new_rows = changed  # initial load: every row is new
+        probe_in = new_rows.select(F.col(pkey), content.alias("_dedup_text"))
+        flagged = None
+        if mgr.exists() and emb_ds.exists():
+            flagged = mgr.near_dup_keys(
+                probe_in, pkey, "_dedup_text", min_jaccard=thr
+            )
+        if (getattr(job, "dedup_params", None) or {}).get("within_batch"):
+            # in-batch complement (opt-in): a batch of mutual near-dups
+            # would otherwise all pass (none is indexed yet — including
+            # the entire initial load) — lowest key survives, same
+            # banding/threshold as the index probe. Runs over ALL new
+            # keys, so a near-dup of a corpus-flagged row is dropped
+            # too (conservative corpus hygiene).
+            wb = mgr.within_batch_dup_keys(
+                probe_in, pkey, "_dedup_text", min_jaccard=thr
+            )
+            flagged = wb if flagged is None else flagged.unionByName(wb)
+        if flagged is None:
+            return changed
         return changed.join(flagged, pkey, "left_anti")
 
     def _dedup_upsert(self, job: JobRecord, ingested: DataFrame) -> None:

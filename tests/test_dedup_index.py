@@ -121,6 +121,29 @@ class TestProbeParity:
         # 102 shares nothing — must never appear even unfiltered
         assert 102 not in {p[0] for p in all_pairs}
 
+    def test_within_batch_dup_keys(self, spark, tmp_path, corpus):
+        """The in-batch complement: among a batch holding an exact dup
+        pair (30, 31) and a novel row, only the larger key of the pair
+        is flagged — lowest key survives."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        dup_text = "twin rows sharing every single shingle in the batch"
+        batch = spark.createDataFrame(
+            [
+                (30, dup_text),
+                (31, dup_text),
+                (32, "a novel row with nothing in common with its peers"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]
+            for r in mgr.within_batch_dup_keys(
+                batch, "doc_id", "text", min_jaccard=0.7
+            ).collect()
+        }
+        assert got == {31}
+
     def test_empty_index_probe(self, spark, tmp_path, batch):
         mgr = _mgr(spark, tmp_path)
         mgr.build(
@@ -338,6 +361,71 @@ class TestEngineDedupFilter:
         idx = spark.read.parquet(mgr.index_dir)
         assert idx.filter("id = 3").count() == 0
         assert mgr._sigs_ds().read().filter("id = 3").count() == 0
+
+    def test_within_batch_filters_initial_load(self, spark, tmp_path):
+        """dedup_params={'within_batch': True}: the INITIAL load already
+        drops in-batch exact dups (lowest key survives) — the regime the
+        index probe can't cover because nothing is indexed yet."""
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        dup = "identical crawl page fetched twice under different ids"
+        src = str(tmp_path / "wb_src.parquet")
+        spark.createDataFrame(
+            [(1, dup), (2, dup), (3, "something else entirely unrelated")],
+            "id long, content string",
+        ).write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "wb_ws"))
+        sess.create_job(
+            "wb",
+            src,
+            columns=["content"],
+            primary_key="id",
+            dedup_params={"min_jaccard": 0.7, "within_batch": True, **PARAMS},
+        )
+        ids = {
+            r["id"] for r in sess._emb_ds("wb").read().select("id").collect()
+        }
+        assert ids == {1, 3}
+        # the survivor (not the dropped twin) joined the band index
+        idx = spark.read.parquet(
+            sess._dedup_mgr(sess.catalog.get("wb")).index_dir
+        )
+        assert idx.filter("id = 1").count() > 0
+        assert idx.filter("id = 2").count() == 0
+
+    def test_within_batch_and_corpus_filters_compose(self, spark, tmp_path):
+        """A later scan batch drops BOTH the corpus near-dup and the
+        in-batch twin; the novel row lands."""
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        src = str(tmp_path / "wc_src.parquet")
+        spark.createDataFrame(
+            self.SRC_ROWS, "id long, content string"
+        ).write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "wc_ws"))
+        sess.create_job(
+            "wc",
+            src,
+            columns=["content"],
+            primary_key="id",
+            dedup_params={"min_jaccard": 0.7, "within_batch": True, **PARAMS},
+        )
+        twin = "a freshly crawled page duplicated within one batch"
+        extra = [
+            (40, self.SRC_ROWS[0][1]),  # exact dup of ingested doc 1
+            (41, twin),
+            (42, twin),
+            (43, "and one genuinely new document about catalysts"),
+        ]
+        spark.createDataFrame(
+            self.SRC_ROWS + extra, "id long, content string"
+        ).write.mode("overwrite").parquet(src)
+        sess.scan_job("wc")
+        ids = {
+            r["id"] for r in sess._emb_ds("wc").read().select("id").collect()
+        }
+        assert 43 in ids and 41 in ids
+        assert 40 not in ids and 42 not in ids
 
     def test_opt_out_job_has_no_manager(self, spark, tmp_path):
         sess, _ = self._mk_job(spark, tmp_path, dedup=False)
