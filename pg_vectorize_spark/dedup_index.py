@@ -188,11 +188,37 @@ class MinHashBandIndexManager:
         """Driver-side bucket mapping (fts_index.term_bucket's XXH64)."""
         return term_bucket(f"{band}:{band_key}", self.band_buckets)
 
+    def _batch_sigs(
+        self,
+        df: DataFrame,
+        pkey: str,
+        text_col: str,
+        sigs: DataFrame | None,
+    ) -> DataFrame:
+        """The batch's (pkey, signature) rows, computed OR reused.
+
+        ``sigs`` lets one micro-batch share a single MinHash computation
+        across the ingest filter's probe, the within-batch check, and
+        the maintenance upsert (engine._dedup_filter_new computes once
+        and threads it through) — without it each step re-shuffles the
+        same shingle min-agg. A passed frame may cover a superset of
+        ``df``'s keys (the filter sees the whole batch; the upsert only
+        its survivors), so it is always narrowed by semi-join."""
+        if sigs is None:
+            return self.signatures(df, pkey, text_col).localCheckpoint()
+        return sigs.join(df.select(pkey).distinct(), pkey, "left_semi")
+
     # --------------------------------------------------------------- build
 
-    def build(self, df: DataFrame, pkey: str, text_col: str) -> None:
+    def build(
+        self,
+        df: DataFrame,
+        pkey: str,
+        text_col: str,
+        sigs: DataFrame | None = None,
+    ) -> None:
         """Full (re)build from the source — also crash recovery."""
-        sigs = self.signatures(df, pkey, text_col).localCheckpoint()
+        sigs = self._batch_sigs(df, pkey, text_col, sigs)
         rows = self._band_rows(sigs, pkey)
         has_data = rows.limit(1).count() > 0
         if os.path.isdir(self.index_dir):
@@ -225,7 +251,13 @@ class MinHashBandIndexManager:
 
     # --------------------------------------------------------- maintenance
 
-    def add(self, df: DataFrame, pkey: str, text_col: str) -> None:
+    def add(
+        self,
+        df: DataFrame,
+        pkey: str,
+        text_col: str,
+        sigs: DataFrame | None = None,
+    ) -> None:
         """Append NEW keys' band rows — the pure-insert fast path (one
         partitioned append; no current-bucket read). Callers with
         possibly-existing keys MUST use ``upsert``."""
@@ -234,7 +266,7 @@ class MinHashBandIndexManager:
                 f"no minhash index at {self.index_dir} — build() first"
             )
         meta = self._check_meta(pkey)
-        sigs = self.signatures(df, pkey, text_col).localCheckpoint()
+        sigs = self._batch_sigs(df, pkey, text_col, sigs)
         rows = self._band_rows(sigs, pkey)
         if rows.isEmpty():
             return
@@ -247,33 +279,48 @@ class MinHashBandIndexManager:
             self._save_meta(meta)
         self._bump_maint()
 
-    def upsert(self, df: DataFrame, pkey: str, text_col: str) -> None:
-        """Replace the band rows of the keys in ``df``. Affected buckets
-        = buckets(old band rows ∪ new band rows); old band rows derive
-        from the ``_sigs`` sidecar (no index scan), new from the batch.
-        Partition-local rewrite, untouched buckets stay in place."""
+    def upsert(
+        self,
+        df: DataFrame,
+        pkey: str,
+        text_col: str,
+        sigs: DataFrame | None = None,
+    ) -> None:
+        """Replace the band rows of the keys in ``df``: rewrite ONLY the
+        buckets holding the keys' OLD band rows (derived from the
+        ``_sigs`` sidecar, so batch-bounded — typically none in an
+        insert-heavy stream), then APPEND the new band rows to their
+        buckets. The earlier fold-new-into-the-rewrite strategy made
+        ``affected`` = buckets(old ∪ new); a few hundred fresh docs ×
+        bands hash into essentially every bucket, so each micro-batch
+        rewrote the whole index — O(corpus) maintenance. Rewrite-old +
+        append-new keeps a pure-insert upsert a pure append; compaction
+        (op-cadenced) folds the appended files."""
         if not self.exists():
             raise FileNotFoundError(
                 f"no minhash index at {self.index_dir} — build() first"
             )
         meta = self._check_meta(pkey)
-        sigs = self.signatures(df, pkey, text_col).localCheckpoint()
+        sigs = self._batch_sigs(df, pkey, text_col, sigs)
         new_rows = self._band_rows(sigs, pkey).localCheckpoint()
-        affected_df = new_rows.select(self.PART_COL)
-        sigs_ds = self._sigs_ds()
-        if sigs_ds.exists():
-            old_sigs = (
-                sigs_ds.read_for_keys(df.select(pkey).distinct(), pkey)
-                .join(df.select(pkey).distinct(), pkey, "left_semi")
-            )
-            affected_df = affected_df.unionByName(
-                self._band_rows(old_sigs, pkey).select(self.PART_COL)
-            )
-        affected = sorted(
-            r[self.PART_COL] for r in affected_df.distinct().collect()
-        )
-        if not affected:
+        if new_rows.isEmpty():
             return
+        keys = df.select(pkey).distinct()
+        sigs_ds = self._sigs_ds()
+        old_buckets: list = []
+        if meta.get("has_data", True) and sigs_ds.exists():
+            old_sigs = sigs_ds.read_for_keys(keys, pkey).join(
+                keys, pkey, "left_semi"
+            )
+            old_buckets = sorted(
+                {
+                    r[self.PART_COL]
+                    for r in self._band_rows(old_sigs, pkey)
+                    .select(self.PART_COL)
+                    .distinct()
+                    .collect()
+                }
+            )
         if not meta.get("has_data", True):
             new_rows.write.mode("overwrite").partitionBy(
                 self.PART_COL
@@ -281,9 +328,11 @@ class MinHashBandIndexManager:
             meta["has_data"] = True
             self._save_meta(meta)
         else:
-            self._rewrite_affected(
-                affected, df.select(pkey).distinct(), pkey, new_rows
-            )
+            if old_buckets:
+                self._rewrite_affected(old_buckets, keys, pkey, None)
+            new_rows.write.mode("append").partitionBy(
+                self.PART_COL
+            ).parquet(self.index_dir)
         # every input row yields >= 1 shingle (word_shingles_expr falls
         # back to one whole-text shingle for short/empty/NULL text), so
         # merge covers every key in df — no sig-less residue case
@@ -440,6 +489,7 @@ class MinHashBandIndexManager:
         pkey: str,
         text_col: str,
         min_jaccard: float | None = None,
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """(pkey, match_<pkey>, est_jaccard): for each batch document,
         every indexed document sharing ≥1 LSH band, with the MinHash
@@ -469,9 +519,7 @@ class MinHashBandIndexManager:
         )
         if not meta.get("has_data", True):
             return empty
-        batch_sigs = self.signatures(
-            batch_df, pkey, text_col
-        ).localCheckpoint()
+        batch_sigs = self._batch_sigs(batch_df, pkey, text_col, sigs)
         cand = self._candidate_pairs(batch_sigs, pkey, match_col)
         if cand is None:
             return empty
@@ -524,6 +572,7 @@ class MinHashBandIndexManager:
         pkey: str,
         text_col: str,
         min_jaccard: float = 0.7,
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """Distinct batch keys that near-duplicate a SMALLER-keyed row
         of the SAME batch (est Jaccard >= ``min_jaccard``) — the
@@ -538,7 +587,7 @@ class MinHashBandIndexManager:
             minhash_lsh_candidates,
         )
 
-        sigs = self.signatures(batch_df, pkey, text_col).select(
+        sigs = self._batch_sigs(batch_df, pkey, text_col, sigs).select(
             F.col(pkey).alias("_id"), "signature"
         )
         pairs = minhash_lsh_candidates(
@@ -561,12 +610,15 @@ class MinHashBandIndexManager:
         pkey: str,
         text_col: str,
         min_jaccard: float = 0.7,
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """Distinct batch keys whose best indexed match estimates
         Jaccard ≥ ``min_jaccard`` — the ingest-filter shape ("drop
         near-dups of anything already ingested")."""
         return (
-            self.probe(batch_df, pkey, text_col, min_jaccard=min_jaccard)
+            self.probe(
+                batch_df, pkey, text_col, min_jaccard=min_jaccard, sigs=sigs
+            )
             .select(pkey)
             .distinct()
         )

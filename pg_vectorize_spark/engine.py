@@ -338,7 +338,7 @@ class VectorizeSession:
 
     def _dedup_filter_new(
         self, job: JobRecord, changed: DataFrame
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, DataFrame | None]:
         """Drop the batch's NEW keys that near-duplicate an already-
         ingested document (estimated Jaccard >= min_jaccard against the
         job's band index). EXISTING keys always pass: an update that
@@ -347,14 +347,26 @@ class VectorizeSession:
         the batch operators' concern (dedup_minhash_lsh); this filter
         guards the ingested-corpus boundary, so a filtered row simply
         never enters any derived dataset — it stays 'changed' on later
-        scans and is re-probed at batch-bounded cost."""
+        scans and is re-probed at batch-bounded cost.
+
+        Returns ``(filtered, sigs)``: the batch's MinHash signatures
+        are computed ONCE here (over all batch keys, checkpointed) and
+        handed back for the SAME batch's ``_dedup_upsert`` — the probe,
+        the within-batch check, and the maintenance merge otherwise
+        each re-run the shingle min-agg shuffle on identical text
+        (measured 3x the filter's latency cost at 200-row
+        micro-batches). ``sigs`` is None for jobs with no dedup index."""
         mgr = self._dedup_mgr(job)
         if mgr is None:
-            return changed
+            return changed, None
         pkey = job.primary_key
         emb_ds = self._emb_ds(job.job_name)
         content = concat_source_columns(job.src_columns)
         thr = self._dedup_threshold(job)
+        all_rows = changed.select(F.col(pkey), content.alias("_dedup_text"))
+        sigs = mgr.signatures(
+            all_rows, pkey, "_dedup_text"
+        ).localCheckpoint()
         if emb_ds.exists():
             existing = emb_ds.read_for_keys(
                 changed.select(pkey), pkey
@@ -366,7 +378,7 @@ class VectorizeSession:
         flagged = None
         if mgr.exists() and emb_ds.exists():
             flagged = mgr.near_dup_keys(
-                probe_in, pkey, "_dedup_text", min_jaccard=thr
+                probe_in, pkey, "_dedup_text", min_jaccard=thr, sigs=sigs
             )
         if (getattr(job, "dedup_params", None) or {}).get("within_batch"):
             # in-batch complement (opt-in): a batch of mutual near-dups
@@ -376,18 +388,26 @@ class VectorizeSession:
             # keys, so a near-dup of a corpus-flagged row is dropped
             # too (conservative corpus hygiene).
             wb = mgr.within_batch_dup_keys(
-                probe_in, pkey, "_dedup_text", min_jaccard=thr
+                probe_in, pkey, "_dedup_text", min_jaccard=thr, sigs=sigs
             )
             flagged = wb if flagged is None else flagged.unionByName(wb)
         if flagged is None:
-            return changed
-        return changed.join(flagged, pkey, "left_anti")
+            return changed, sigs
+        return changed.join(flagged, pkey, "left_anti"), sigs
 
-    def _dedup_upsert(self, job: JobRecord, ingested: DataFrame) -> None:
+    def _dedup_upsert(
+        self,
+        job: JobRecord,
+        ingested: DataFrame,
+        sigs: DataFrame | None = None,
+    ) -> None:
         """Keep the band index fresh with the batch's survivors — the
         _index_upsert/_tokens_upsert analog, called from every ingest
         path. The first ingest bootstraps the index (build); later
-        batches take the sidecar-derived partition-local upsert."""
+        batches take the sidecar-derived partition-local upsert. Pass
+        the SAME batch's ``_dedup_filter_new`` signatures as ``sigs``
+        to skip recomputing them (the mgr narrows them to ``ingested``'s
+        keys); paths that never ran the filter compute afresh."""
         mgr = self._dedup_mgr(job)
         if mgr is None:
             return
@@ -395,9 +415,9 @@ class VectorizeSession:
         content = concat_source_columns(job.src_columns)
         rows = ingested.select(F.col(pkey), content.alias("_dedup_text"))
         if not mgr.exists():
-            mgr.build(rows, pkey, "_dedup_text")
+            mgr.build(rows, pkey, "_dedup_text", sigs=sigs)
         else:
-            mgr.upsert(rows, pkey, "_dedup_text")
+            mgr.upsert(rows, pkey, "_dedup_text", sigs=sigs)
 
     def _dedup_delete(self, job: JobRecord, keys: DataFrame) -> None:
         mgr = self._dedup_mgr(job)
@@ -551,7 +571,7 @@ class VectorizeSession:
             changed = src
         # opt-in ingest-time near-dup filter: NEW rows that near-duplicate
         # an already-ingested doc never reach the embed stage
-        changed = self._dedup_filter_new(job, changed)
+        changed, dedup_sigs = self._dedup_filter_new(job, changed)
         embedded = self._embed_changed(job, changed, api_key)
 
         n = embedded.count()
@@ -571,7 +591,7 @@ class VectorizeSession:
             # index freshness: the re-embedded rows move cells/buckets
             self._index_upsert(job, embedded)
             # near-dup index freshness with the batch's survivors
-            self._dedup_upsert(job, changed)
+            self._dedup_upsert(job, changed, sigs=dedup_sigs)
         # ON DELETE CASCADE parity (core/src/query.rs:349-354): rows whose
         # source pkey disappeared must leave the derived datasets too, even
         # on a scan that embedded nothing — a delete-only cycle is exactly

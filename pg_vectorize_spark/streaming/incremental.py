@@ -80,7 +80,7 @@ class RealtimePipeline:
         # opt-in ingest-time near-dup filter: drop NEW rows that near-
         # duplicate an ingested doc BEFORE the diff guard, so a filtered
         # row never reaches any derived dataset (tokens included)
-        batch_df = sess._dedup_filter_new(job, batch_df)
+        batch_df, dedup_sigs = sess._dedup_filter_new(job, batch_df)
 
         # R2 diff guard: skip rows whose content fingerprint is unchanged
         changed = batch_df
@@ -116,7 +116,7 @@ class RealtimePipeline:
         # every ingest cycle — VERDICT r5 missing #2)
         sess._index_upsert(job, embedded)
         # near-dup index freshness with the batch's survivors
-        sess._dedup_upsert(job, changed)
+        sess._dedup_upsert(job, changed, sigs=dedup_sigs)
 
     # -- stream wiring -------------------------------------------------------
 
