@@ -518,32 +518,24 @@ def _partitioned_index_delete(
     n_before = affected.count()
     survivors = affected.join(keys, pkey, "left_anti").localCheckpoint()
     n_after = survivors.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        survivors.write.mode("overwrite").partitionBy(part_col).parquet(
-            index_path
-        )
-        # a partition whose every row was deleted has no survivor rows,
-        # so dynamic overwrite leaves its old files: clear it explicitly
-        emptied = set(hit) - {
-            r[part_col]
-            for r in survivors.select(part_col).distinct().collect()
-        }
-        if emptied:
-            import shutil
+    # per-write dynamic overwrite (writer option, not session conf —
+    # session-conf flips race under concurrent maintenance threads)
+    survivors.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(part_col).parquet(index_path)
+    # a partition whose every row was deleted has no survivor rows,
+    # so dynamic overwrite leaves its old files: clear it explicitly
+    emptied = set(hit) - {
+        r[part_col]
+        for r in survivors.select(part_col).distinct().collect()
+    }
+    if emptied:
+        import shutil
 
-            for p in emptied:
-                shutil.rmtree(
-                    os.path.join(index_path, f"{part_col}={p}"),
-                    ignore_errors=True,
-                )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+        for p in emptied:
+            shutil.rmtree(
+                os.path.join(index_path, f"{part_col}={p}"),
+                ignore_errors=True,
             )
     return n_before - n_after
 
@@ -643,19 +635,11 @@ def compact_index(
         .coalesce(max(1, len(vals)))
         .localCheckpoint()
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        rows.repartition(len(vals), F.col(part_col)).write.mode(
-            "overwrite"
-        ).partitionBy(part_col).parquet(index_path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+    rows.repartition(len(vals), F.col(part_col)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        part_col
+    ).parquet(index_path)
     return len(vals)
 
 

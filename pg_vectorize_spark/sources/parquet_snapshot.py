@@ -89,12 +89,26 @@ class SnapshotDataset:
         self._gc(keep=2)
         return v
 
-    def merge_upsert(self, new_df: DataFrame, key: str) -> int:
-        """Upsert-by-key: rows in new_df replace same-key rows (S4/S5/J5)."""
+    def merge_upsert(
+        self,
+        new_df: DataFrame,
+        key: str,
+        delete_keys_df: DataFrame | None = None,
+    ) -> int:
+        """Upsert-by-key: rows in new_df replace same-key rows (S4/S5/J5).
+
+        ``delete_keys_df`` folds a key-delete into the SAME snapshot
+        rewrite (one version write per batch instead of a merge plus a
+        delete — the realtime micro-batch shape; key sets must be
+        disjoint from ``new_df``'s or the delete wins is undefined, and
+        the CDF pipeline's version-dedup guarantees disjointness)."""
         if not self.exists():
             return self.write_full(new_df)
         cur = self.read()
-        kept = cur.join(new_df.select(key), key, "left_anti")
+        drop = new_df.select(key)
+        if delete_keys_df is not None:
+            drop = drop.unionByName(delete_keys_df.select(key))
+        kept = cur.join(drop, key, "left_anti")
         merged = kept.unionByName(new_df.select(*cur.columns))
         return self.write_full(merged)
 
@@ -325,6 +339,7 @@ class BucketedSnapshotDataset(SnapshotDataset):
         key: str,
         rewrite,
         affected_from_output: bool,
+        affected_keys: DataFrame | None = None,
     ) -> int:
         """Shared merge/delete core: rewrite affected buckets via
         ``rewrite(current_bucket_rows, tagged_new_rows)``, link the rest.
@@ -334,7 +349,10 @@ class BucketedSnapshotDataset(SnapshotDataset):
         output ARE the affected set — no extra Spark job. ``False``
         (delete): a bucket emptied by the delete writes nothing, so the
         affected set must be computed from the keys up front (linking an
-        emptied bucket's old files back would resurrect the rows)."""
+        emptied bucket's old files back would resurrect the rows);
+        ``affected_keys`` widens that key set beyond ``new_df`` (the
+        combined merge+delete, whose delete keys can empty buckets no
+        new row lands in)."""
         from pyspark.sql import functions as F
 
         key = self._check_layout(key)
@@ -351,10 +369,11 @@ class BucketedSnapshotDataset(SnapshotDataset):
                 "left_semi",
             )
         else:
+            key_src = affected_keys if affected_keys is not None else new_df
             affected = sorted(
                 r["b"]
-                for r in tagged.select(
-                    F.col(self.BUCKET_COL).alias("b")
+                for r in key_src.select(
+                    self._bucket_expr(key).alias("b")
                 )
                 .distinct()
                 .collect()
@@ -391,19 +410,45 @@ class BucketedSnapshotDataset(SnapshotDataset):
         self._gc(keep=2)
         return v
 
-    def merge_upsert(self, new_df: DataFrame, key: str) -> int:
+    def merge_upsert(
+        self,
+        new_df: DataFrame,
+        key: str,
+        delete_keys_df: DataFrame | None = None,
+    ) -> int:
         if not self.exists():
             return self.write_full(new_df, key)
         cols = self.read().columns
 
-        def rewrite(cur_hit: DataFrame, tagged: DataFrame) -> DataFrame:
-            kept = cur_hit.join(tagged.select(key), key, "left_anti")
-            return kept.unionByName(
-                tagged.select(*cols, self.BUCKET_COL)
+        if delete_keys_df is None:
+
+            def rewrite(cur_hit: DataFrame, tagged: DataFrame) -> DataFrame:
+                kept = cur_hit.join(tagged.select(key), key, "left_anti")
+                return kept.unionByName(
+                    tagged.select(*cols, self.BUCKET_COL)
+                )
+
+            return self._partial_rewrite(
+                new_df, key, rewrite, affected_from_output=True
             )
 
+        # combined merge+delete: ONE partition-local rewrite covering
+        # buckets(new keys ∪ delete keys) — a delete bucket no new row
+        # lands in can be EMPTIED, so the affected set comes from the
+        # keys up front (affected_from_output would link its old files
+        # back and resurrect the rows)
+        drop = new_df.select(key).unionByName(delete_keys_df.select(key))
+
+        def rewrite_cd(cur_hit: DataFrame, tagged: DataFrame) -> DataFrame:
+            kept = cur_hit.join(drop, key, "left_anti")
+            return kept.unionByName(tagged.select(*cols, self.BUCKET_COL))
+
         return self._partial_rewrite(
-            new_df, key, rewrite, affected_from_output=True
+            new_df,
+            key,
+            rewrite_cd,
+            affected_from_output=False,
+            affected_keys=drop,
         )
 
     def delete_keys(self, keys_df: DataFrame, key: str) -> int:

@@ -233,6 +233,32 @@ class TestMaintenance:
         idx = spark.read.parquet(mgr.index_dir)
         assert idx.filter("doc_id in (2, 3)").count() == 0
 
+    def test_delete_all_keys_then_probe_and_refill(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """Deleting every remaining key can empty EVERY band bucket; the
+        index dir then holds only underscore metadata, and a subsequent
+        probe/compact must take the empty-index path instead of failing
+        parquet schema inference (ADVICE r8). A later upsert must bring
+        the index back to life."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        mgr.delete(corpus.select("doc_id"), "doc_id")
+        assert mgr._load_meta()["has_data"] is False
+        # probe + near_dup_keys + compact on the emptied index: no crash
+        assert mgr.probe(batch, "doc_id", "text").count() == 0
+        assert (
+            mgr.near_dup_keys(batch, "doc_id", "text", min_jaccard=0.5)
+            .count()
+            == 0
+        )
+        assert mgr.maybe_compact(force=True) == 0
+        # refill via upsert: index serves again
+        mgr.upsert(corpus, "doc_id", "text")
+        assert mgr._load_meta()["has_data"] is True
+        got = _probe_set(mgr.probe(batch, "doc_id", "text"))
+        assert got == _batch_pipeline_cross_pairs(corpus, batch)
+
     def test_meta_param_guard(self, spark, tmp_path, corpus):
         mgr = _mgr(spark, tmp_path)
         mgr.build(corpus, "doc_id", "text")
@@ -361,6 +387,28 @@ class TestEngineDedupFilter:
         idx = spark.read.parquet(mgr.index_dir)
         assert idx.filter("id = 3").count() == 0
         assert mgr._sigs_ds().read().filter("id = 3").count() == 0
+
+    def test_bootstrap_over_populated_snapshot_warns(self, spark, tmp_path):
+        """Index lost after the corpus was ingested (crash between the
+        embeddings merge and the first build): rebuilding from the next
+        batch alone silently never covers the older keys — the
+        bootstrap must say so (ADVICE r8)."""
+        import shutil
+
+        sess, src = self._mk_job(spark, tmp_path)
+        mgr = sess._dedup_mgr(sess.catalog.get("dj"))
+        shutil.rmtree(mgr.index_dir, ignore_errors=True)
+        assert not mgr.exists()
+        extra = self.SRC_ROWS + [
+            (20, "a brand new subject entirely unrelated to previous rows"),
+        ]
+        spark.createDataFrame(
+            extra, "id long, content string"
+        ).write.mode("overwrite").parquet(src)
+        with pytest.warns(UserWarning, match="only cover documents"):
+            sess.scan_job("dj")
+        # the index did bootstrap (from the batch) and serves
+        assert sess._dedup_mgr(sess.catalog.get("dj")).exists()
 
     def test_within_batch_filters_initial_load(self, spark, tmp_path):
         """dedup_params={'within_batch': True}: the INITIAL load already
