@@ -2095,70 +2095,16 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Rotation policy (standing, VERDICT
-    # r3 #2 / r4 #2 / r5 #5 / r6 #7 / r7 #5): queries whose newest driver
-    # row is oldest come FIRST so no operator's driver evidence goes >=2
-    # rounds stale; the balance of the window refreshes queries on code
-    # paths the current round touched (r8: the FTS postings index —
-    # hot-term fallback + fastupdate default decision); everything beyond
-    # position 50 carries fresh r7 evidence and rotates forward in r9.
-    # --- positions 1-41: newest driver rows are r6 (rotated in r8) ---
-    "dedup_semantic_cluster": q_dedup_semantic_cluster,
-    "hard_negatives": q_hard_negatives,
-    "fts_stemmed": q_fts_stemmed,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
-    "dup_span_stats": q_dup_span_stats,
-    "multimodal_meta": q_multimodal_meta,
-    "json_rows": q_json_rows,
-    "collect_changed_ids": q_collect_changed_ids,
-    "incremental_scan_events": q_incremental_scan_events,
-    "gopher_flags": q_gopher_flags,
-    "hash_split": q_hash_split,
-    "corpus_mix": q_corpus_mix,
-    "sample_exact": q_sample_exact,
-    "vocabulary_topk": q_vocabulary_topk,
-    "unigram_logprob": q_unigram_logprob,
-    "events_windowed_agg": q_events_windowed_agg,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_join_bucketed": q_asof_join_bucketed,
-    "attribution_window_join": q_attribution_window_join,
-    "token_count": q_token_count,
-    "doc_fingerprint": q_doc_fingerprint,
-    "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
-    "repetition_score": q_repetition_score,
-    "pii_scrub": q_pii_scrub,
-    "mp4_frame_extract": q_mp4_frame_extract,
-    "dsir_weights": q_dsir_weights,
-    "c4_flags": q_c4_flags,
-    "paragraph_dedup": q_paragraph_dedup,
-    "cdf_apply": q_cdf_apply,
-    "change_detection": q_change_detection,
-    "append_method_scan": q_append_method_scan,
-    "orphan_cleanup": q_orphan_cleanup,
-    "quantized_search_topk": q_quantized_search_topk,
-    "maxsim_search_topk": q_maxsim_search_topk,
-    "pq_adc_search": q_pq_adc_search,
-    "pq_rerank_search": q_pq_rerank_search,
-    # --- position 42: NEW this round (r8) — the persisted MinHash band
-    # index's online near-dup probe ---
-    "neardup_index_probe": q_neardup_index_probe,
-    # --- positions 43-50: r7-green gates on the FTS-index/search code
-    # paths r8 touches (driver-side bucket mapping, fastupdate default) ---
-    "fts_search_indexed": q_fts_search_indexed,
-    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
-    "fts_search_topk": q_fts_search_topk,
-    "search_tokens": q_search_tokens,
-    "job_hybrid_e2e": q_job_hybrid_e2e,
-    "fts_bm25": q_fts_bm25,
-    "hybrid_bm25": q_hybrid_bm25,
-    "fts_cover_density": q_fts_cover_density,
-    "semantic_search_indexed": q_semantic_search_indexed,
-    # --- beyond position 50: freshest driver evidence is r7 — rotate
-    # these into the leading positions next round (r9) ---
+    # r3 #2 / r4 #2 / r5 #5 / r6 #7 / r7 #5 / r8 #4): queries whose
+    # newest driver row is oldest come FIRST so no operator's driver
+    # evidence goes >=2 rounds stale; the balance of the window re-gates
+    # queries on code paths the current round touched (r9: the realtime
+    # micro-batch consolidation — combined merge+delete snapshot writes,
+    # parallel maintenance threads, clustered postings/band appends, the
+    # adaptive pending/tombstone overlay on the FTS index); everything
+    # beyond position 50 carries fresh r8 evidence and rotates forward
+    # in r10.
+    # --- positions 1-41: newest driver rows are r7 (rotated in r9) ---
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
     "record_fetch_by_ids": q_record_fetch_by_ids,
@@ -2200,6 +2146,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_filtered": q_semantic_search_filtered,
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "hybrid_weighted": q_hybrid_weighted,
+    # --- positions 42-50: r8-green gates on the code paths the r9
+    # realtime-latency work touches (streaming pipelines, tokens/postings
+    # maintenance incl. the new overlay path, snapshot combined writes,
+    # band-index delete/upsert, orphan cascade) ---
+    "cdf_apply": q_cdf_apply,
+    "incremental_scan_events": q_incremental_scan_events,
+    "orphan_cleanup": q_orphan_cleanup,
+    "job_hybrid_e2e": q_job_hybrid_e2e,
+    "fts_search_indexed": q_fts_search_indexed,
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
+    "search_tokens": q_search_tokens,
+    "neardup_index_probe": q_neardup_index_probe,
+    "fts_search_topk": q_fts_search_topk,
+    # --- beyond position 50: freshest driver evidence is r8 — rotate
+    # these into the leading positions next round (r10) ---
+    "dedup_semantic_cluster": q_dedup_semantic_cluster,
+    "hard_negatives": q_hard_negatives,
+    "fts_stemmed": q_fts_stemmed,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
+    "dup_span_stats": q_dup_span_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "json_rows": q_json_rows,
+    "collect_changed_ids": q_collect_changed_ids,
+    "gopher_flags": q_gopher_flags,
+    "hash_split": q_hash_split,
+    "corpus_mix": q_corpus_mix,
+    "sample_exact": q_sample_exact,
+    "vocabulary_topk": q_vocabulary_topk,
+    "unigram_logprob": q_unigram_logprob,
+    "events_windowed_agg": q_events_windowed_agg,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_join_bucketed": q_asof_join_bucketed,
+    "attribution_window_join": q_attribution_window_join,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "repetition_score": q_repetition_score,
+    "pii_scrub": q_pii_scrub,
+    "mp4_frame_extract": q_mp4_frame_extract,
+    "dsir_weights": q_dsir_weights,
+    "c4_flags": q_c4_flags,
+    "paragraph_dedup": q_paragraph_dedup,
+    "change_detection": q_change_detection,
+    "append_method_scan": q_append_method_scan,
+    "quantized_search_topk": q_quantized_search_topk,
+    "maxsim_search_topk": q_maxsim_search_topk,
+    "pq_adc_search": q_pq_adc_search,
+    "pq_rerank_search": q_pq_rerank_search,
+    "fts_bm25": q_fts_bm25,
+    "hybrid_bm25": q_hybrid_bm25,
+    "fts_cover_density": q_fts_cover_density,
+    "semantic_search_indexed": q_semantic_search_indexed,
 }
 
 
