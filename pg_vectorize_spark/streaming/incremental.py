@@ -121,8 +121,9 @@ class RealtimePipeline:
         changed = None
         dedup_sigs = None
         embedded = None
+        emb_existed = emb_ds.exists()
         if has_new:
-            if emb_ds.exists():
+            if emb_existed:
                 keys = batch_df.select(pkey)
                 # bucket-pruned on a bucketed snapshot: only rows whose
                 # pkey can collide with the batch's; the semi-join
@@ -169,8 +170,13 @@ class RealtimePipeline:
         if not has_new and emb_del is None and tok_del is None:
             return
         # No batch key in the embeddings snapshot => pure inserts =>
-        # the tokens hook skips the old-terms capture and appends
-        pure_insert = prior is None or not prior.head(1)
+        # the tokens hook skips the old-terms capture and appends.
+        # Asserted only when the prior read actually ran (a snapshot
+        # predating the content_fp column yields prior=None while keys
+        # may exist — take the conservative capture path there).
+        pure_insert = (not emb_existed) or (
+            prior is not None and not prior.head(1)
+        )
 
         def emb_branch():
             if has_new:
