@@ -266,6 +266,10 @@ class JobFtsIndexManager:
             self._clustered(postings).write.mode("overwrite").partitionBy(
                 self.PART_COL
             ).parquet(self.index_dir)
+        # a rebuild reflects the snapshot exactly — stale overlay stores
+        # from the previous incarnation must not shadow it
+        self._tomb_ds().drop()
+        self._pending_ds().drop()
         self._save_meta(
             {
                 "term_buckets": self.term_buckets,
@@ -298,19 +302,33 @@ class JobFtsIndexManager:
         postings = self._postings(new_tokens_df, pkey, tokens_col)
         if postings.isEmpty():
             return
+        if self._overlay_live():
+            # overlay-era invariant: once any key is tombstoned, its
+            # stale MAIN postings' bucket set is unknowable from the
+            # tokens snapshot, so every mutation must stay in the
+            # overlay until the fold clears it. (A direct append that
+            # cleared a re-inserted key's tombstone would resurrect its
+            # hidden old postings.) The window is bounded by the
+            # compaction cadence; _overlay_live is never true while
+            # has_data is false, so the probe's empty-index
+            # short-circuit cannot hide pending rows.
+            self._overlay_upsert(
+                new_tokens_df, postings.localCheckpoint(), pkey
+            )
+            return
         self._clustered(postings).write.mode("append").partitionBy(
             self.PART_COL
         ).parquet(self.index_dir)
-        # a previously-deleted key re-inserted through this path must not
-        # stay hidden behind its old tombstone (overlay stores can exist
-        # without fastupdate since the adaptive wide-delete path)
-        tomb = self._tomb_ds()
-        if tomb.exists():
-            tomb.delete_keys(new_tokens_df.select(pkey), pkey)
         if not meta.get("has_data", True):
             meta["has_data"] = True
             self._save_meta(meta)
         self._bump_maint()
+
+    def _overlay_live(self) -> bool:
+        """An overlay (tombstones or pending postings) exists — from
+        fastupdate mode or the adaptive wide-update/delete escape. Two
+        pointer-file reads, no Spark work."""
+        return self._tomb_ds().exists() or self._pending_ds().exists()
 
     def upsert(
         self,
@@ -337,10 +355,15 @@ class JobFtsIndexManager:
         new_p = self._postings(
             new_tokens_df, pkey, tokens_col
         ).localCheckpoint()
-        if self.fastupdate and meta.get("has_data", True):
+        if (
+            self.fastupdate or self._overlay_live()
+        ) and meta.get("has_data", True):
             # pending-list path: one tombstone merge + one pending merge
             # (both batch-sized), zero main-bucket rewrites; the fold
-            # happens at compaction cadence
+            # happens at compaction cadence. A live overlay forces this
+            # path regardless of mode — a main-bucket rewrite derives
+            # its affected set from the keys' CURRENT terms, which can
+            # miss an overlay key's hidden stale postings (see add()).
             self._overlay_upsert(new_tokens_df, new_p, pkey)
             return
         affected_df = new_p.select(self.PART_COL)
@@ -409,7 +432,8 @@ class JobFtsIndexManager:
         if not self.exists() or not self._load_meta().get("has_data", True):
             return
         self._check_meta(pkey)
-        if self.fastupdate:
+        if self.fastupdate or self._overlay_live():
+            # a live overlay forces the tombstone path (see add())
             self._fastupdate_delete(keys_df, pkey)
             return
         affected = sorted(
@@ -476,7 +500,8 @@ class JobFtsIndexManager:
         if not self.exists() or not self._load_meta().get("has_data", True):
             return 0
         self._check_meta(pkey)
-        if self.fastupdate:
+        if self.fastupdate or self._overlay_live():
+            # a live overlay forces the tombstone path (see add())
             self._fastupdate_delete(keys_df, pkey)
             return 0  # rows leave at fold time; count unknown here
         from pg_vectorize_spark.operators.ann import (

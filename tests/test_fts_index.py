@@ -364,6 +364,100 @@ class TestStreamingFreshness:
         assert got == want and len(want) > 0
 
 
+class TestAdaptiveOverlay:
+    """The r9 adaptive escape: wide updates/deletes land in the
+    pending/tombstone overlay even with fastupdate=False, and while
+    that overlay lives EVERY maintenance op must route through it —
+    a direct main write against a tombstoned key's hidden stale
+    postings would desync the index (resurrection on re-insert)."""
+
+    def _mk(self, spark, tokens, tmp_path):
+        # term_buckets=2 so ANY multi-term batch exceeds the half-index
+        # adaptive threshold and forces the overlay path
+        mgr = JobFtsIndexManager(
+            spark,
+            str(tmp_path / "aidx"),
+            {"term_buckets": 2, "compact_every": 99},
+        )
+        mgr.build(tokens, "doc_id")
+        return mgr
+
+    def _probe_ids(self, mgr, query):
+        return {
+            r["doc_id"]
+            for r in mgr.probe_scores(analyze_query(query)).collect()
+        }
+
+    def test_wide_delete_tombstones_then_reinsert_via_add(
+        self, spark, docs, tokens, tmp_path
+    ):
+        mgr = self._mk(spark, tokens, tmp_path)
+        old = tokens.filter("doc_id in (1, 2)")
+        mgr.delete_with_tokens(
+            spark.createDataFrame([(1,), (2,)], "doc_id long"),
+            "doc_id",
+            old,
+        )
+        # adaptive escape took the tombstone path (fastupdate off)
+        assert not mgr.fastupdate and mgr._overlay_live()
+        assert self._probe_ids(mgr, "mobile charger") == {3, 4}
+        # re-insert doc 1 with DIFFERENT terms through the insert fast
+        # path: its old 'mobile'/'charger' postings are still physically
+        # in main, hidden only by the tombstone — the add must not
+        # clear it (resurrection), so the new row rides the overlay
+        new_row = spark.createDataFrame(
+            [(1, "garden gnome statue")], "doc_id long, text string"
+        ).select("doc_id", tokens_expr(F.col("text")).alias("search_tokens"))
+        mgr.add(new_row, "doc_id")
+        assert self._probe_ids(mgr, "mobile charger") == {3, 4}
+        assert 1 in self._probe_ids(mgr, "garden gnome")
+        # fold clears the overlay and preserves exactly the same truth
+        assert mgr.maybe_compact(force=True) > 0
+        assert not mgr._overlay_live()
+        assert self._probe_ids(mgr, "mobile charger") == {3, 4}
+        assert 1 in self._probe_ids(mgr, "garden gnome")
+
+    def test_upsert_while_overlay_live_routes_through_overlay(
+        self, spark, docs, tokens, tmp_path
+    ):
+        mgr = self._mk(spark, tokens, tmp_path)
+        # overlay a wide update of doc 1 (terms change completely)
+        v2 = spark.createDataFrame(
+            [(1, "quantum flux capacitor")], "doc_id long, text string"
+        ).select("doc_id", tokens_expr(F.col("text")).alias("search_tokens"))
+        mgr.upsert(v2, "doc_id", tokens.filter("doc_id = 1"))
+        assert mgr._overlay_live()
+        # second upsert of the SAME key while the overlay lives: a
+        # narrow main rewrite would derive affected buckets from the
+        # CURRENT terms and miss the hidden originals
+        v3 = spark.createDataFrame(
+            [(1, "solar panel array")], "doc_id long, text string"
+        ).select("doc_id", tokens_expr(F.col("text")).alias("search_tokens"))
+        mgr.upsert(v3, "doc_id", v2)
+        assert self._probe_ids(mgr, "mobile charger") == {3, 4}
+        assert self._probe_ids(mgr, "quantum flux") == set()
+        assert self._probe_ids(mgr, "solar panel") == {1}
+        mgr.maybe_compact(force=True)
+        assert self._probe_ids(mgr, "mobile charger") == {3, 4}
+        assert self._probe_ids(mgr, "quantum flux") == set()
+        assert self._probe_ids(mgr, "solar panel") == {1}
+
+    def test_rebuild_clears_stale_overlay(self, spark, tokens, tmp_path):
+        mgr = self._mk(spark, tokens, tmp_path)
+        mgr.delete_with_tokens(
+            spark.createDataFrame([(1,)], "doc_id long"),
+            "doc_id",
+            tokens.filter("doc_id = 1"),
+        )
+        assert mgr._overlay_live()
+        # crash-recovery rebuild from the (unchanged) tokens snapshot:
+        # doc 1 is back per the snapshot, and the stale tombstone must
+        # not shadow it
+        mgr.build(tokens, "doc_id")
+        assert not mgr._overlay_live()
+        assert 1 in self._probe_ids(mgr, "mobile charger")
+
+
 class TestXxhash64Parity:
     """query_buckets maps terms to partition buckets with a pure-Python
     XXH64 (zero Spark jobs on the probe path); a single bit of drift
