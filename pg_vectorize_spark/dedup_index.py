@@ -57,6 +57,18 @@ class MinHashBandIndexManager:
         self.bands = int(p.get("bands", 4))
         self.shingle_k = int(p.get("shingle_k", 3))
         self.band_buckets = max(1, int(p.get("band_buckets", 64)))
+        #: bucket count of the KEY-bucketed signature sidecar —
+        #: independent of band_buckets (which partitions BAND rows by
+        #: band-key hash): maintenance rewrites the sidecar buckets a
+        #: batch's keys land in, so bucket WIDTH (corpus/sigs_buckets)
+        #: is the per-batch rewrite unit. The default ties it to
+        #: band_buckets for layout compatibility; size it up for large
+        #: corpora (measured two-decade table in SCALING.md — at 500k
+        #: keys, 64 buckets makes every upsert rewrite ~the whole
+        #: sidecar).
+        self.sigs_buckets = max(
+            1, int(p.get("sigs_buckets", self.band_buckets))
+        )
         self.compact_every = max(1, int(p.get("compact_every", 16)))
         if self.num_hashes % self.bands:
             raise ValueError(
@@ -94,20 +106,25 @@ class MinHashBandIndexManager:
             meta["bands"],
             meta["shingle_k"],
             meta["band_buckets"],
+            # metas predating the sigs_buckets split tied it to
+            # band_buckets
+            meta.get("sigs_buckets", meta["band_buckets"]),
         )
         mine = (
             self.num_hashes,
             self.bands,
             self.shingle_k,
             self.band_buckets,
+            self.sigs_buckets,
         )
         if stored != mine:
             raise ValueError(
                 f"minhash index at {self.index_dir} was built with "
-                f"(num_hashes, bands, shingle_k, band_buckets)={stored}; "
-                f"this instance was opened with {mine} — mixed-parameter "
-                "maintenance would write unfindable or non-comparable "
-                "band rows. Reopen with the stored parameters."
+                "(num_hashes, bands, shingle_k, band_buckets, "
+                f"sigs_buckets)={stored}; this instance was opened with "
+                f"{mine} — mixed-parameter maintenance would write "
+                "unfindable or non-comparable band rows. Reopen with "
+                "the stored parameters."
             )
         if meta["pkey"] != pkey:
             raise ValueError(
@@ -130,7 +147,7 @@ class MinHashBandIndexManager:
         return BucketedSnapshotDataset(
             self.spark,
             os.path.join(self.index_dir, "_sigs"),
-            n_buckets=self.band_buckets,
+            n_buckets=self.sigs_buckets,
         )
 
     # ----------------------------------------------------------- signatures
@@ -243,6 +260,7 @@ class MinHashBandIndexManager:
                 "bands": self.bands,
                 "shingle_k": self.shingle_k,
                 "band_buckets": self.band_buckets,
+                "sigs_buckets": self.sigs_buckets,
                 "pkey": pkey,
                 "pkey_type": df.schema[pkey].dataType.simpleString(),
                 "has_data": has_data,
