@@ -291,6 +291,97 @@ def q_fts_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fts_overlay_gate_index(spark: SparkSession, sf_dir: str):
+    """Gate index whose pending/tombstone OVERLAY is live — the r9
+    adaptive wide-update/delete escape (fts_index.py): the doc_id%10==7
+    cohort is built with deliberately-wrong tokens (reversed text) and
+    overlay-UPSERTED to its true tokens; the doc_id%10==3 cohort is
+    wide-DELETED into tombstones. Both maintenance batches span far
+    more term buckets than term_buckets//2, so the adaptive escape
+    routes them into the overlay (deterministic for the fixed fixture —
+    xxhash bucket assignment is data-dependent, not run-dependent), and
+    compact_every=99 keeps the fold from clearing it. Probes must serve
+    the LOGICAL state: main minus tombstoned keys, union pending."""
+    import os
+    import tempfile
+
+    from pg_vectorize_spark.fts_index import JobFtsIndexManager
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"pvs_gate_fts_overlay_{sfname}"
+    )
+    index_cfg = {"term_buckets": 16, "compact_every": 99}
+    mgr = JobFtsIndexManager(spark, idx_dir, index_cfg)
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp += repr(sorted(index_cfg.items())) + "|overlay-v1"
+    fp_path = os.path.join(idx_dir, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            # the overlay must still be live, or the cached state no
+            # longer exercises the read path this gate exists for
+            fresh = fh.read() == fp and mgr.exists() and mgr._overlay_live()
+    except OSError:
+        pass
+    if not fresh:
+        docs = _t(spark, sf_dir, "documents")
+        cohort7 = F.col("doc_id") % 10 == 7
+        cohort3 = F.col("doc_id") % 10 == 3
+        true_tokens = docs.select(
+            "doc_id", T.tokens_expr(F.col("text")).alias("search_tokens")
+        )
+        stale_tokens = docs.select(
+            "doc_id",
+            T.tokens_expr(
+                F.when(cohort7, F.reverse(F.col("text"))).otherwise(
+                    F.col("text")
+                )
+            ).alias("search_tokens"),
+        )
+        mgr.build(stale_tokens, "doc_id")
+        mgr.upsert(
+            true_tokens.filter(cohort7),
+            "doc_id",
+            stale_tokens.filter(cohort7),
+        )
+        mgr.delete_with_tokens(
+            docs.filter(cohort3).select("doc_id"),
+            "doc_id",
+            stale_tokens.filter(cohort3),
+        )
+        if not mgr._overlay_live():  # pragma: no cover - fixture guard
+            raise RuntimeError(
+                "overlay gate setup did not leave a live overlay — the "
+                "adaptive escape threshold no longer fires on this "
+                "fixture; adjust term_buckets"
+            )
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    return mgr
+
+
+def q_fts_search_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed FTS while the postings index's pending/tombstone
+    overlay is LIVE (the r9 adaptive maintenance escape): the probe
+    overlays main∖tombstones∪pending, and its ranking must equal the
+    full scan of the LOGICAL corpus — doc_id%10==3 deleted, %10==7 at
+    its post-update text. A probe that served main directly would both
+    resurrect the deleted cohort and score the updated cohort on its
+    stale (reversed-text) tokens; the oracle recomputes the logical
+    ranking from the raw fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    mgr = _fts_overlay_gate_index(spark, sf_dir)
+    return full_text_search(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        QUERY_TEXT,
+        text_cols=["text"],
+        num_results=10,
+        fts_scored_df=mgr.probe_scores(QUERY_TERMS),
+    )
+
+
 def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid RRF with the FTS branch routed through the postings index
     (VERDICT r6 #2): same fusion semantics, same oracle as
@@ -2155,6 +2246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orphan_cleanup": q_orphan_cleanup,
     "job_hybrid_e2e": q_job_hybrid_e2e,
     "fts_search_indexed": q_fts_search_indexed,
+    "fts_search_overlay": q_fts_search_overlay,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
     "neardup_index_probe": q_neardup_index_probe,
@@ -2261,6 +2353,24 @@ def _oracle_fts_topk() -> str:
 WITH tok AS (
   SELECT d.doc_id, d.lang, d.n_chars, {toks} AS search_tokens
   FROM documents d
+)
+SELECT doc_id, lang, n_chars, {score} AS fts_score
+FROM tok
+WHERE {match}
+ORDER BY fts_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_fts_overlay() -> str:
+    toks = O.sql_tokens("d.text")
+    match = O.sql_fts_match("search_tokens", QUERY_TERMS)
+    score = O.sql_fts_score("search_tokens", QUERY_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT d.doc_id, d.lang, d.n_chars, {toks} AS search_tokens
+  FROM documents d
+  WHERE d.doc_id % 10 <> 3
 )
 SELECT doc_id, lang, n_chars, {score} AS fts_score
 FROM tok
@@ -3564,6 +3674,9 @@ ORACLE: dict[str, str] = {
     # the postings-index probe is LOSSLESS (unlike the ANN probe), so the
     # indexed FTS/hybrid gates share the full-scan oracles bit-for-bit
     "fts_search_indexed": _oracle_fts_topk(),
+    # the overlay gate's logical corpus: cohort 3 deleted, cohort 7 at
+    # its true (post-update) text — the raw fixture text IS the truth
+    "fts_search_overlay": _oracle_fts_overlay(),
     "hybrid_rrf_indexed": _oracle_hybrid(),
     "view_join": """
 SELECT d.doc_id, d.lang, e.label, len(e.embedding)::INT AS dim
