@@ -264,7 +264,14 @@ class VectorizeSession:
         fast = mgr is not None and mgr.fastupdate
         live = mgr is not None and mgr.exists() and tok_ds.exists()
         need_old = live and not fast and not known_new_keys
-        need_del_hint = live and not fast and delete_keys_df is not None
+        # a live overlay routes the delete through overlay_ingest /
+        # the tombstone path, neither of which consults old terms
+        need_del_hint = (
+            live
+            and not fast
+            and delete_keys_df is not None
+            and not mgr._overlay_live()
+        )
         old = del_hint = None
         if need_old or need_del_hint:
             # ONE pre-merge capture: read_for_keys prunes the scan to
@@ -319,19 +326,21 @@ class VectorizeSession:
             # all inputs (tokens checkpoint, capture) are pre-merge
             # materializations — nothing here reads the tokens snapshot,
             # so the index maintenance runs CONCURRENTLY with its merge
+            new_toks = tokens_df.select(pkey, "search_tokens")
+            if delete_keys_df is not None and mgr.overlay_ingest(
+                new_toks, pkey, delete_keys_df
+            ):
+                # both sides landed in ONE coalesced overlay transaction
+                return
             if fast:
-                mgr.upsert(
-                    tokens_df.select(pkey, "search_tokens"), pkey, None
-                )
+                mgr.upsert(new_toks, pkey, None)
             elif old is None or not old.head(1):
                 # pure inserts (no key existed pre-merge): one
                 # partitioned postings APPEND — the hot path of a
                 # realtime insert stream, with no bucket rewrite at all
-                mgr.add(tokens_df.select(pkey, "search_tokens"), pkey)
+                mgr.add(new_toks, pkey)
             else:
-                mgr.upsert(
-                    tokens_df.select(pkey, "search_tokens"), pkey, old
-                )
+                mgr.upsert(new_toks, pkey, old)
             if delete_keys_df is not None:
                 self._fts_delete(
                     job, delete_keys_df, old_tokens=del_hint

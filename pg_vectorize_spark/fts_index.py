@@ -417,6 +417,47 @@ class JobFtsIndexManager:
         self._pending_ds().merge_upsert(new_p, pkey)
         self._bump_maint()
 
+    def overlay_ingest(
+        self,
+        new_tokens_df: DataFrame,
+        pkey: str,
+        delete_keys_df: DataFrame,
+        tokens_col: str = "search_tokens",
+    ) -> bool:
+        """Coalesced overlay transaction for a micro-batch carrying both
+        new/updated keys AND deleted keys: ONE tombstone write (both key
+        sets — a tombstone over a key with no main postings hides
+        nothing) and ONE pending write (new postings in, deleted keys'
+        pending rows out via the combined merge+delete), where routing
+        the two sides through add/upsert + delete separately costs four
+        store rewrites. Returns False when the index state can't take
+        the overlay route (no data yet, or neither fastupdate nor a live
+        overlay) — the caller falls back to the single-op paths, whose
+        adaptive escapes may then CREATE the overlay for next time."""
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no fts index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        if not meta.get("has_data", True):
+            return False
+        if not (self.fastupdate or self._overlay_live()):
+            return False
+        new_p = self._postings(
+            new_tokens_df, pkey, tokens_col
+        ).localCheckpoint()
+        keys = (
+            new_tokens_df.select(pkey)
+            .unionByName(delete_keys_df.select(pkey))
+            .distinct()
+        )
+        self._tomb_ds().merge_upsert(keys, pkey)
+        self._pending_ds().merge_upsert(
+            new_p, pkey, delete_keys_df=delete_keys_df
+        )
+        self._bump_maint()
+        return True
+
     def delete_with_tokens(
         self,
         keys_df: DataFrame,

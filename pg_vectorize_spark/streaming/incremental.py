@@ -82,7 +82,8 @@ class RealtimePipeline:
         batch_df: DataFrame | None,
         emb_del: DataFrame | None = None,
         tok_del: DataFrame | None = None,
-    ) -> None:
+        delete_guard=None,
+    ) -> list:
         """One micro-batch through the full ingest pipeline — upserts
         plus (from the change-feed subclass) an in-batch delete cascade
         folded into the SAME per-dataset writes.
@@ -168,7 +169,7 @@ class RealtimePipeline:
             )
             has_new = bool(embedded.head(1))
         if not has_new and emb_del is None and tok_del is None:
-            return
+            return []
         # No batch key in the embeddings snapshot => pure inserts =>
         # the tokens hook skips the old-terms capture and appends.
         # Asserted only when the prior read actually ran (a snapshot
@@ -179,11 +180,18 @@ class RealtimePipeline:
         )
 
         def emb_branch():
+            d = emb_del
+            refused = False
+            # the guard probes PRE-batch state, so it runs inside the
+            # branch (overlapping the other family's work) rather than
+            # as a serial stage before the writes
+            if d is not None and delete_guard is not None:
+                refused = delete_guard(emb_ds)
+                if refused:
+                    d = None
             if has_new:
                 emb_payload = embedded.drop("search_tokens")
-                emb_ds.merge_upsert(
-                    emb_payload, pkey, delete_keys_df=emb_del
-                )
+                emb_ds.merge_upsert(emb_payload, pkey, delete_keys_df=d)
                 # index freshness inside the micro-batch (the reference
                 # gets this from Postgres index maintenance on
                 # INSERT/UPDATE; here the persisted index would otherwise
@@ -192,14 +200,21 @@ class RealtimePipeline:
                 sess._index_upsert(job, emb_payload)
                 # near-dup index freshness with the batch's survivors
                 sess._dedup_upsert(job, changed, sigs=dedup_sigs)
-            elif emb_del is not None and emb_ds.exists():
-                emb_ds.delete_keys(emb_del, pkey)
-            if emb_del is not None:
+            elif d is not None and emb_ds.exists():
+                emb_ds.delete_keys(d, pkey)
+            if d is not None:
                 # in-batch cascade reaches the persisted indexes too
-                sess._index_delete(job, emb_del)
-                sess._dedup_delete(job, emb_del)
+                sess._index_delete(job, d)
+                sess._dedup_delete(job, d)
+            return refused
 
         def tok_branch():
+            d = tok_del
+            refused = False
+            if d is not None and delete_guard is not None:
+                refused = delete_guard(sess._tok_ds(self.job_name))
+                if refused:
+                    d = None
             if has_new:
                 tokens = embedded.select(
                     pkey, "search_tokens", "updated_at"
@@ -212,12 +227,13 @@ class RealtimePipeline:
                     job,
                     tokens,
                     known_new_keys=pure_insert,
-                    delete_keys_df=tok_del,
+                    delete_keys_df=d,
                 )
-            elif tok_del is not None:
-                sess._tokens_delete(job, tok_del)
+            elif d is not None:
+                sess._tokens_delete(job, d)
+            return refused
 
-        _run_parallel(emb_branch, tok_branch)
+        return _run_parallel(emb_branch, tok_branch)
 
     # -- stream wiring -------------------------------------------------------
 
@@ -369,65 +385,58 @@ class ChangeFeedPipeline(RealtimePipeline):
             # upserts-then-deletes ordering, minus the wasted embed)
             upserts = upserts.join(del_keys, pkey, "left_anti")
 
-        refused_any = False
-        emb_del = tok_del = None
-        if n_del:
+        def _guard_refuses(ds) -> bool:
+            # anomaly guard (mirrors Engine.cleanup_orphans): a feed
+            # whose delete keys cover the ENTIRE derived dataset is
+            # almost certainly malformed (CDC source replaying a
+            # drop, producer bug) — refuse and QUARANTINE instead of
+            # wiping; opt in for real teardown flows. Floored so
+            # tiny datasets (where deleting every key is ordinary
+            # churn) are exempt. Steady-state cost is ONE
+            # early-terminating survivor probe against the
+            # PRE-batch state (any derived row outside the delete
+            # set ends the scan at the first hit), not a corpus
+            # count per batch — the count only runs on the rare
+            # zero-survivor path to apply the size floor. Runs INSIDE
+            # each dataset's maintenance branch (pre-write), so it
+            # overlaps the other family's work instead of adding a
+            # serial stage.
+            if (
+                not ds.exists()
+                or self.allow_full_delete
+                or n_del < self.FULL_DELETE_GUARD_MIN_ROWS
+            ):
+                return False
+            derived = ds.read().select(pkey)
+            if derived.join(del_keys, pkey, "left_anti").head(1):
+                return False
+            refuse = derived.count() >= self.FULL_DELETE_GUARD_MIN_ROWS
+            if refuse:
+                import warnings
 
-            def _guard_refuses(ds) -> bool:
-                # anomaly guard (mirrors Engine.cleanup_orphans): a feed
-                # whose delete keys cover the ENTIRE derived dataset is
-                # almost certainly malformed (CDC source replaying a
-                # drop, producer bug) — refuse and QUARANTINE instead of
-                # wiping; opt in for real teardown flows. Floored so
-                # tiny datasets (where deleting every key is ordinary
-                # churn) are exempt. Steady-state cost is ONE
-                # early-terminating survivor probe against the
-                # PRE-batch state (any derived row outside the delete
-                # set ends the scan at the first hit), not a corpus
-                # count per batch — the count only runs on the rare
-                # zero-survivor path to apply the size floor.
-                if (
-                    not ds.exists()
-                    or self.allow_full_delete
-                    or n_del < self.FULL_DELETE_GUARD_MIN_ROWS
-                ):
-                    return False
-                derived = ds.read().select(pkey)
-                if derived.join(del_keys, pkey, "left_anti").head(1):
-                    return False
-                refuse = derived.count() >= self.FULL_DELETE_GUARD_MIN_ROWS
-                if refuse:
-                    import warnings
+                warnings.warn(
+                    f"ChangeFeedPipeline({self.job_name!r}): the "
+                    f"batch's {n_del} delete keys cover the entire "
+                    "derived dataset — refusing the full delete "
+                    "(malformed feed?). Keys are quarantined; a "
+                    "legitimate full rotation converges via "
+                    "flush_refused_deletes(), or construct with "
+                    "allow_full_delete=True.",
+                    stacklevel=3,
+                )
+            return refuse
 
-                    warnings.warn(
-                        f"ChangeFeedPipeline({self.job_name!r}): the "
-                        f"batch's {n_del} delete keys cover the entire "
-                        "derived dataset — refusing the full delete "
-                        "(malformed feed?). Keys are quarantined; a "
-                        "legitimate full rotation converges via "
-                        "flush_refused_deletes(), or construct with "
-                        "allow_full_delete=True.",
-                        stacklevel=3,
-                    )
-                return refuse
-
-            r_emb, r_tok = _run_parallel(
-                lambda: _guard_refuses(sess._emb_ds(self.job_name)),
-                lambda: _guard_refuses(sess._tok_ds(self.job_name)),
-            )
-            refused_any = bool(r_emb or r_tok)
-            emb_del = None if r_emb else del_keys
-            tok_del = None if r_tok else del_keys
-
-        # upserts and the (non-refused) delete cascades apply through the
-        # shared pipeline — ONE combined merge+delete write per dataset
-        self._apply_batch(
+        # upserts and the (guard-vetted) delete cascades apply through
+        # the shared pipeline — ONE combined merge+delete write per
+        # dataset, guard probes folded into the parallel branches
+        refusals = self._apply_batch(
             job,
             upserts if n_up else None,
-            emb_del=emb_del,
-            tok_del=tok_del,
+            emb_del=del_keys if n_del else None,
+            tok_del=del_keys if n_del else None,
+            delete_guard=_guard_refuses if n_del else None,
         )
-        if refused_any:
+        if any(refusals):
                 # persist the refused keys: without this the streaming
                 # checkpoint commits the batch and the events are never
                 # redelivered, so a LEGITIMATE full churn would diverge
