@@ -117,6 +117,62 @@ def test_bucket_emptied_by_delete_stays_empty(spark, tmp_path):
     assert left == {k for k, b in bucket_of.items() if b != target}
 
 
+def test_combined_merge_delete_parity(spark, tmp_path, base_df):
+    """merge_upsert(delete_keys_df=...) — the realtime micro-batch's
+    single-write shape — must equal merge-then-delete on BOTH layouts,
+    including a delete that empties a bucket no new row lands in."""
+    # key sets must be disjoint (the documented combined-write contract;
+    # the CDF pipeline's version-dedup guarantees it)
+    upd = spark.createDataFrame(
+        [(3, "NEW3"), (99, "NEW99")], "k long, v string"
+    )
+    dels = spark.createDataFrame([(5,), (17,)], "k long")
+
+    classic2 = SnapshotDataset(spark, str(tmp_path / "c2"))
+    classic2.write_full(base_df)
+    classic2.merge_upsert(upd, "k")
+    classic2.delete_keys(dels, "k")
+    want = _rows(classic2)
+
+    for name, ds in (
+        ("classic", SnapshotDataset(spark, str(tmp_path / "c1"))),
+        (
+            "bucketed",
+            BucketedSnapshotDataset(
+                spark, str(tmp_path / "b1"), n_buckets=8
+            ),
+        ),
+    ):
+        ds.write_full(base_df)
+        ds.merge_upsert(upd, "k", delete_keys_df=dels)
+        assert _rows(ds) == want, name
+
+
+def test_combined_delete_empties_bucket_no_resurrection(spark, tmp_path):
+    """A combined write whose delete keys empty an entire bucket while
+    every NEW row lands elsewhere: the emptied bucket must not link its
+    old files back (the affected set must come from new ∪ delete keys,
+    not from the written output)."""
+    ds = BucketedSnapshotDataset(spark, str(tmp_path / "b"), n_buckets=64)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ds.write_full(base)
+    # delete key 2 entirely; insert key 100 (hashing, with 64 buckets,
+    # almost surely elsewhere — and deterministically so for this data)
+    ds.merge_upsert(
+        spark.createDataFrame([(100, "new")], "k long, v string"),
+        "k",
+        delete_keys_df=spark.createDataFrame([(2,)], "k long"),
+    )
+    assert _rows(ds) == {(1, "a"), (3, "c"), (100, "new")}
+    # and the rewrite stayed partition-local: version advanced, read ok
+    ds.merge_upsert(
+        spark.createDataFrame([(2, "back")], "k long, v string"), "k"
+    )
+    assert (2, "back") in _rows(ds)
+
+
 def test_engine_end_to_end_bucketed(spark, tmp_path):
     """The full engine path on bucketed storage: create -> scan ->
     incremental update -> search -> orphan cascade."""
