@@ -442,6 +442,46 @@ class TestAdaptiveOverlay:
         assert self._probe_ids(mgr, "quantum flux") == set()
         assert self._probe_ids(mgr, "solar panel") == {1}
 
+    def test_overlay_probe_plan_still_prunes(
+        self, spark, tokens, tmp_path
+    ):
+        """Plan lock: a live overlay must not cost the probe its
+        partition pruning — the main scan keeps PartitionFilters on tb,
+        the tombstone anti-join broadcasts (churn-bounded side), and the
+        pending union stays a scan of the (batch-churn-sized) store."""
+        mgr = JobFtsIndexManager(
+            spark,
+            str(tmp_path / "pidx"),
+            {"term_buckets": 16, "compact_every": 99},
+        )
+        mgr.build(tokens, "doc_id")
+        v2 = spark.createDataFrame(
+            [(1, "quantum flux capacitor")], "doc_id long, text string"
+        ).select(
+            "doc_id", tokens_expr(F.col("text")).alias("search_tokens")
+        )
+        # force the overlay regardless of threshold via fastupdate-free
+        # wide update: term_buckets=16 and the doc-1 old tokens + new
+        # tokens span > 8 buckets is not guaranteed for this tiny text,
+        # so drive the overlay deliberately through a wide DELETE of
+        # docs 2..4 (their combined vocabulary spans the index)
+        mgr.delete_with_tokens(
+            spark.createDataFrame([(2,), (3,), (4,)], "doc_id long"),
+            "doc_id",
+            tokens.filter("doc_id in (2, 3, 4)"),
+        )
+        if not mgr._overlay_live():
+            mgr.upsert(v2, "doc_id", tokens.filter("doc_id = 1"))
+        assert mgr._overlay_live()
+        terms = analyze_query(QUERY)
+        plan = mgr.probe(terms)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert re.search(r"PartitionFilters: \[[^\]]*tb", plan), plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
     def test_rebuild_clears_stale_overlay(self, spark, tokens, tmp_path):
         mgr = self._mk(spark, tokens, tmp_path)
         mgr.delete_with_tokens(
