@@ -263,14 +263,16 @@ class VectorizeSession:
         mgr = self._fts_mgr(job)
         fast = mgr is not None and mgr.fastupdate
         live = mgr is not None and mgr.exists() and tok_ds.exists()
-        need_old = live and not fast and not known_new_keys
-        # a live overlay routes the delete through overlay_ingest /
-        # the tombstone path, neither of which consults old terms
+        # a live overlay absorbs every maintenance route (updates,
+        # inserts, deletes — fts_index overlay-era invariant) and never
+        # consults old terms, so both captures are skipped while it is
+        overlay = live and mgr._overlay_live()
+        need_old = live and not fast and not known_new_keys and not overlay
         need_del_hint = (
             live
             and not fast
+            and not overlay
             and delete_keys_df is not None
-            and not mgr._overlay_live()
         )
         old = del_hint = None
         if need_old or need_del_hint:
