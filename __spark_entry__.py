@@ -2186,73 +2186,18 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registration order matters: the driver's correctness gate samples
     # the FIRST 50 registered queries. Rotation policy (standing, VERDICT
-    # r3 #2 / r4 #2 / r5 #5 / r6 #7 / r7 #5 / r8 #4): queries whose
-    # newest driver row is oldest come FIRST so no operator's driver
-    # evidence goes >=2 rounds stale; the balance of the window re-gates
-    # queries on code paths the current round touched (r9: the realtime
-    # micro-batch consolidation — combined merge+delete snapshot writes,
-    # parallel maintenance threads, clustered postings/band appends, the
-    # adaptive pending/tombstone overlay on the FTS index); everything
-    # beyond position 50 carries fresh r8 evidence and rotates forward
-    # in r10.
-    # --- positions 1-41: newest driver rows are r7 (rotated in r9) ---
-    "view_join": q_view_join,
-    "dedup_exact": q_dedup_exact,
-    "record_fetch_by_ids": q_record_fetch_by_ids,
-    "embed_documents": q_embed_documents,
-    "embedding_pool": q_embedding_pool,
-    "chunked_embed_pool": q_chunked_embed_pool,
-    "knn_join": q_knn_join,
-    "multimodal_decode": q_multimodal_decode,
-    "bigram_logprob": q_bigram_logprob,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_truncate": q_embedding_truncate,
-    "embedding_quantize": q_embedding_quantize,
-    "corpus_stats": q_corpus_stats,
-    "domain_cap": q_domain_cap,
-    "quality_filter": q_quality_filter,
-    "inverted_index": q_inverted_index,
-    "decontaminate": q_decontaminate,
-    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
-    "frame_sample": q_frame_sample,
-    "text_normalize": q_text_normalize,
-    "orders_rollup": q_orders_rollup,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "dedup_survivors": q_dedup_survivors,
-    "source_divergence": q_source_divergence,
-    "dedup_transitive": q_dedup_transitive,
-    "batch_texts": q_batch_texts,
-    "token_budget_batches": q_token_budget_batches,
-    "chunk_table": q_chunk_table,
-    "where_sql_filter": q_where_sql_filter,
-    "typed_filters_part": q_typed_filters_part,
-    "hard_negatives_indexed": q_hard_negatives_indexed,
-    "mp3_metadata": q_mp3_metadata,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "semantic_search_topk": q_semantic_search_topk,
-    "semantic_search_filtered": q_semantic_search_filtered,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "hybrid_weighted": q_hybrid_weighted,
-    # --- positions 42-50: r8-green gates on the code paths the r9
-    # realtime-latency work touches (streaming pipelines, tokens/postings
-    # maintenance incl. the new overlay path, snapshot combined writes,
-    # band-index delete/upsert, orphan cascade) ---
-    "cdf_apply": q_cdf_apply,
-    "incremental_scan_events": q_incremental_scan_events,
-    "orphan_cleanup": q_orphan_cleanup,
-    "job_hybrid_e2e": q_job_hybrid_e2e,
-    "fts_search_indexed": q_fts_search_indexed,
-    "fts_search_overlay": q_fts_search_overlay,
-    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
-    "search_tokens": q_search_tokens,
-    "neardup_index_probe": q_neardup_index_probe,
+    # r3 #2 / r4 #2 / r5 #5 / r6 #7 / r7 #5 / r8 #4 / r9 #3): queries
+    # whose newest driver row is oldest come FIRST so no operator's
+    # driver evidence goes >=2 rounds stale; the balance of the window
+    # re-gates queries on code paths the current round touched
+    # (r10: the driver-side small-batch MinHash path for the ingest
+    # dedup filter, the streaming batch-size sweep, the overlay
+    # longevity probe). The exact first-50 window is ASSERTED in
+    # tests/test_registry.py::test_r10_window_names (VERDICT r9 wrong
+    # #1: the r9 window was comment-implied only and an off-by-one
+    # silently dropped fts_search_topk to position 51).
+    # --- positions 1-43: newest driver rows are r8 (rotated in r10) ---
     "fts_search_topk": q_fts_search_topk,
-    # --- beyond position 50: freshest driver evidence is r8 — rotate
-    # these into the leading positions next round (r10) ---
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
     "fts_stemmed": q_fts_stemmed,
@@ -2295,6 +2240,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_bm25": q_hybrid_bm25,
     "fts_cover_density": q_fts_cover_density,
     "semantic_search_indexed": q_semantic_search_indexed,
+    # --- positions 44-50: re-gates on the code paths r10 touches (the
+    # band-index probe/upsert behind the driver-side small-batch path,
+    # MinHash signature/estimate parity, the CDF/file-stream pipelines
+    # the batch-size sweep exercises, the live FTS overlay) ---
+    "neardup_index_probe": q_neardup_index_probe,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "cdf_apply": q_cdf_apply,
+    "incremental_scan_events": q_incremental_scan_events,
+    "fts_search_overlay": q_fts_search_overlay,
+    # --- beyond position 50: freshest driver evidence is r9 — rotate
+    # these into the leading positions next round (r11) ---
+    "view_join": q_view_join,
+    "dedup_exact": q_dedup_exact,
+    "record_fetch_by_ids": q_record_fetch_by_ids,
+    "embed_documents": q_embed_documents,
+    "embedding_pool": q_embedding_pool,
+    "chunked_embed_pool": q_chunked_embed_pool,
+    "knn_join": q_knn_join,
+    "multimodal_decode": q_multimodal_decode,
+    "bigram_logprob": q_bigram_logprob,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_truncate": q_embedding_truncate,
+    "embedding_quantize": q_embedding_quantize,
+    "corpus_stats": q_corpus_stats,
+    "domain_cap": q_domain_cap,
+    "quality_filter": q_quality_filter,
+    "inverted_index": q_inverted_index,
+    "decontaminate": q_decontaminate,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
+    "frame_sample": q_frame_sample,
+    "text_normalize": q_text_normalize,
+    "orders_rollup": q_orders_rollup,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "dedup_survivors": q_dedup_survivors,
+    "source_divergence": q_source_divergence,
+    "dedup_transitive": q_dedup_transitive,
+    "batch_texts": q_batch_texts,
+    "token_budget_batches": q_token_budget_batches,
+    "chunk_table": q_chunk_table,
+    "where_sql_filter": q_where_sql_filter,
+    "typed_filters_part": q_typed_filters_part,
+    "hard_negatives_indexed": q_hard_negatives_indexed,
+    "mp3_metadata": q_mp3_metadata,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_search_topk": q_semantic_search_topk,
+    "semantic_search_filtered": q_semantic_search_filtered,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "hybrid_weighted": q_hybrid_weighted,
+    "orphan_cleanup": q_orphan_cleanup,
+    "job_hybrid_e2e": q_job_hybrid_e2e,
+    "fts_search_indexed": q_fts_search_indexed,
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
+    "search_tokens": q_search_tokens,
 }
 
 

@@ -207,8 +207,14 @@ class MinHashBandIndexManager:
         """Cluster band rows by bucket before a partitioned write — one
         file per touched bucket per write instead of files × tasks
         (fts_index._clustered rationale; measured as the dominant
-        realtime maintenance cost, VERDICT r8 #1)."""
-        return rows.repartition(F.col(self.PART_COL))
+        realtime maintenance cost, VERDICT r8 #1). The task count is
+        pinned to ~8 bucket files per task rather than left to the
+        shuffle default: 32 near-empty tasks over a micro-batch write
+        measured 1.5-2 s of per-task commit overhead, one task serially
+        opening 64 parquet writers measured 6 s, and 8 parallel tasks
+        0.6 s (r10 A/B)."""
+        tasks = max(2, min(64, self.band_buckets // 8 or 1))
+        return rows.repartition(tasks, F.col(self.PART_COL))
 
     def _batch_sigs(
         self,
@@ -296,7 +302,9 @@ class MinHashBandIndexManager:
         self._clustered(rows).write.mode("append").partitionBy(
             self.PART_COL
         ).parquet(self.index_dir)
-        self._sigs_ds().merge_upsert(sigs, pkey)
+        # add()'s contract IS pure-insert, so the sidecar takes the
+        # link+append merge (no rewrite of current buckets)
+        self._sigs_ds().append_rows(sigs, pkey)
         if not meta.get("has_data", True):
             meta["has_data"] = True
             self._save_meta(meta)
@@ -464,6 +472,11 @@ class MinHashBandIndexManager:
         n = compact_index(
             self.spark, self.index_dir, part_col=self.PART_COL, max_files=4
         )
+        # the sigs sidecar accumulates one small file set per pure-insert
+        # append (append_rows) — fold it on the same cadence
+        sigs_ds = self._sigs_ds()
+        if sigs_ds.exists():
+            sigs_ds.compact()
         self._reset_maint()
         return n
 
@@ -642,6 +655,215 @@ class MinHashBandIndexManager:
             .select(pkey)
             .distinct()
         )
+
+    # -------------------------------------------------- driver-side path
+    #
+    # Small-micro-batch fast path (dedup_local module docstring): the
+    # batch's signatures/band rows/buckets are plain Python values, so
+    # the probe shrinks to TWO pruned parquet reads (band buckets, then
+    # signature-sidecar buckets) with broadcast local relations — no
+    # signature shuffle, no checkpoint, no bucket-list collect jobs.
+    # Bit-parity with the DataFrame path is property-tested in
+    # tests/test_dedup_local.py.
+
+    def signatures_local(self, rows: list[tuple]) -> list[tuple]:
+        """[(key, signature)] from [(key, text)] — driver-side
+        ``signatures()``."""
+        from pg_vectorize_spark import dedup_local
+
+        return dedup_local.signature_rows(
+            rows, num_hashes=self.num_hashes, k=self.shingle_k
+        )
+
+    def _band_rows_local(self, sig_rows: list[tuple]) -> list[tuple]:
+        from pg_vectorize_spark import dedup_local
+
+        return dedup_local.band_rows(
+            sig_rows, self.bands, self.rows_per_band, self.band_buckets
+        )
+
+    def sigs_df_from_local(
+        self, sig_rows: list[tuple], pkey: str, pkey_type: str
+    ) -> DataFrame:
+        """(pkey, signature) DataFrame from driver rows — feeds the
+        DataFrame-path entry points (build's bootstrap) with the same
+        values the local path computed."""
+        return self.spark.createDataFrame(
+            [(k, list(s)) for k, s in sig_rows],
+            f"{pkey} {pkey_type}, signature array<bigint>",
+        )
+
+    def _sidecar_sigs_for_keys_local(
+        self, keys: list, pkey: str, pkey_type: str
+    ) -> dict:
+        """{key: signature} from the bucketed ``_sigs`` sidecar for a
+        driver-resident key list: partition pruning via driver-computed
+        key buckets, filter to the exact keys, collect — one job."""
+        from pg_vectorize_spark import dedup_local
+
+        sigs_ds = self._sigs_ds()
+        if not keys or not sigs_ds.exists():
+            return {}
+        if pkey_type in dedup_local.LOCAL_KEY_TYPES:
+            buckets = sorted(
+                {
+                    dedup_local.key_bucket(k, self.sigs_buckets)
+                    for k in keys
+                }
+            )
+            rows = (
+                sigs_ds.read_raw()
+                .filter(F.col(sigs_ds.BUCKET_COL).isin(buckets))
+                .filter(F.col(pkey).isin(list(keys)))
+                .select(pkey, "signature")
+                .collect()
+            )
+        else:  # unsupported key type: Spark-side bucket derivation
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in keys], f"{pkey} {pkey_type}"
+            )
+            rows = (
+                sigs_ds.read_for_keys(keys_df, pkey)
+                .join(F.broadcast(keys_df), pkey, "left_semi")
+                .select(pkey, "signature")
+                .collect()
+            )
+        return {r[0]: list(r[1]) for r in rows}
+
+    def near_dup_keys_local(
+        self,
+        sig_rows: list[tuple],
+        pkey: str,
+        pkey_type: str,
+        min_jaccard: float = 0.7,
+    ) -> set:
+        """Driver-side ``near_dup_keys``: batch keys whose best indexed
+        match estimates Jaccard ≥ threshold, as a plain set. Two pruned
+        scans; candidate pairs and the estimate comparison stay on the
+        driver (both batch-bounded)."""
+        from pg_vectorize_spark import dedup_local
+
+        meta = self._check_meta(pkey)
+        if not meta.get("has_data", True) or not sig_rows:
+            return set()
+        brows = self._band_rows_local(sig_rows)
+        buckets = sorted({bb for _, _, _, bb in brows})
+        br_df = self.spark.createDataFrame(
+            [(k, band, bk) for k, band, bk, _ in brows],
+            f"_bk {pkey_type}, band int, band_key string",
+        )
+        pairs = (
+            self.spark.read.parquet(self.index_dir)
+            .filter(F.col(self.PART_COL).isin(buckets))
+            .join(F.broadcast(br_df), ["band", "band_key"])
+            .filter(F.col(pkey) != F.col("_bk"))
+            .select("_bk", F.col(pkey).alias("_match"))
+            .distinct()
+            .collect()
+        )
+        if not pairs:
+            return set()
+        corpus = self._sidecar_sigs_for_keys_local(
+            sorted({r["_match"] for r in pairs}), pkey, pkey_type
+        )
+        batch = dict(sig_rows)
+        flagged = set()
+        for r in pairs:
+            sig_b = corpus.get(r["_match"])
+            if sig_b is None:
+                continue
+            if (
+                dedup_local.est_jaccard(
+                    batch[r["_bk"]], sig_b, self.num_hashes
+                )
+                >= min_jaccard
+            ):
+                flagged.add(r["_bk"])
+        return flagged
+
+    def within_batch_dup_keys_local(
+        self, sig_rows: list[tuple], min_jaccard: float = 0.7
+    ) -> set:
+        """Driver-side ``within_batch_dup_keys`` (zero Spark jobs)."""
+        from pg_vectorize_spark import dedup_local
+
+        return dedup_local.within_batch_dup_keys(
+            sig_rows,
+            self.bands,
+            self.rows_per_band,
+            self.num_hashes,
+            min_jaccard,
+        )
+
+    def upsert_local(
+        self,
+        sig_rows: list[tuple],
+        pkey: str,
+        pkey_type: str,
+        prior_keys: frozenset | set = frozenset(),
+    ) -> None:
+        """Driver-side ``upsert``: band rows and the affected-bucket
+        sets come from the in-memory signatures. ``sig_rows`` must
+        cover EXACTLY the keys being indexed (the engine narrows to
+        the batch's survivors before calling — the LocalSigs contract);
+        ``prior_keys`` are the ones possibly already indexed, so an
+        empty set (pure-insert batch, the streaming common case) skips
+        the old-band-row sidecar lookup entirely and the maintenance
+        cost is one clustered append + one sidecar bucket merge."""
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no minhash index at {self.index_dir} — build() first"
+            )
+        meta = self._check_meta(pkey)
+        if not sig_rows:
+            return
+        brows = self._band_rows_local(sig_rows)
+        new_rows = self._clustered(
+            self.spark.createDataFrame(
+                brows,
+                f"{pkey} {pkey_type}, band int, band_key string, "
+                f"{self.PART_COL} int",
+            )
+        )
+        old_buckets: list = []
+        if prior_keys and meta.get("has_data", True):
+            old_sigs = self._sidecar_sigs_for_keys_local(
+                sorted(prior_keys), pkey, pkey_type
+            )
+            old_buckets = sorted(
+                {
+                    bb
+                    for _, _, _, bb in self._band_rows_local(
+                        sorted(old_sigs.items())
+                    )
+                }
+            )
+        if not meta.get("has_data", True):
+            new_rows.write.mode("overwrite").partitionBy(
+                self.PART_COL
+            ).parquet(self.index_dir)
+            meta["has_data"] = True
+            self._save_meta(meta)
+        else:
+            if old_buckets:
+                drop_keys = self.spark.createDataFrame(
+                    [(k,) for k in sorted(prior_keys)],
+                    f"{pkey} {pkey_type}",
+                )
+                self._rewrite_affected(old_buckets, drop_keys, pkey, None)
+            new_rows.write.mode("append").partitionBy(
+                self.PART_COL
+            ).parquet(self.index_dir)
+        sigs_df = self.sigs_df_from_local(sig_rows, pkey, pkey_type)
+        sigs_ds = self._sigs_ds()
+        if prior_keys:
+            sigs_ds.merge_upsert(sigs_df, pkey)
+        else:
+            # engine-certified pure-insert batch: hard-link + append,
+            # no sidecar rewrite (compaction folds the small files on
+            # the shared op cadence)
+            sigs_ds.append_rows(sigs_df, pkey)
+        self._bump_maint()
 
     def drop(self) -> None:
         shutil.rmtree(self.index_dir, ignore_errors=True)

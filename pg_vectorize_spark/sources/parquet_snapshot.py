@@ -458,3 +458,62 @@ class BucketedSnapshotDataset(SnapshotDataset):
         return self._partial_rewrite(
             keys_df.select(key), key, rewrite, affected_from_output=False
         )
+
+    def _cluster_tasks(self) -> int:
+        """Write-task count for a batch-sized clustered write: ~8 bucket
+        files per task, so a 64-bucket layout writes with 8 parallel
+        tasks (measured 0.6 s vs 6 s for a single task serially opening
+        64 parquet writers, vs 1.5-2 s for 32 near-empty tasks)."""
+        return max(2, min(64, self.n_buckets // 8 or 1))
+
+    def append_rows(self, new_df: DataFrame, key: str) -> int:
+        """Pure-INSERT merge: the caller guarantees ``new_df``'s keys are
+        absent from the snapshot (e.g. the engine's prior-key split
+        certified an insert-only micro-batch). Writes ONLY the new rows
+        (clustered by bucket) into the next version and hard-links every
+        current bucket's immutable files alongside them — zero current
+        data read, zero rewrite, O(batch) bytes written. A same-key
+        append would create a duplicate row (this is the merge
+        fast-path analog of the band index's ``add``), so callers
+        without the key-disjointness certificate must use
+        ``merge_upsert``. File count grows per append; compaction is the
+        caller's cadence (``compact()``)."""
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            return self.write_full(new_df, key)
+        key = self._check_layout(key)
+        cur_v = self.current_version()
+        v = cur_v + 1
+        new_dir = self._version_dir(v)
+        cur_dir = self._version_dir(cur_v)
+        tagged = new_df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
+        (
+            tagged.repartition(self._cluster_tasks(), F.col(self.BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(new_dir)
+        )
+        for name in os.listdir(cur_dir):
+            if name.startswith(f"{self.BUCKET_COL}="):
+                self._link_bucket(
+                    os.path.join(cur_dir, name), os.path.join(new_dir, name)
+                )
+        self._set_version(v)
+        self._gc(keep=2)
+        return v
+
+    def compact(self) -> int | None:
+        """Fold the small files ``append_rows`` accumulates: one full
+        clustered rewrite into a new version (one file per bucket).
+        Returns the new version, or None when there is no snapshot."""
+        if not self.exists():
+            return None
+        layout = self._load_layout()
+        key = (layout or {}).get("key")
+        # pre-cluster by the bucket hash so each write task emits ~8
+        # whole-bucket files instead of every task touching every bucket
+        df = self.read().repartition(
+            self._cluster_tasks(), self._bucket_expr(key)
+        ).localCheckpoint()
+        return self.write_full(df, key)

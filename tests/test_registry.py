@@ -50,6 +50,45 @@ class TestRegistryConsistency:
             "old; revisit the policy comment in __spark_entry__"
         )
 
+    # The EXACT intended first-50 window for the current round — update
+    # this list whenever the rotation policy moves names (VERDICT r9
+    # wrong #1: the window was comment-implied only, and an off-by-one
+    # in the comment block silently dropped fts_search_topk out of the
+    # r9 gate; a mis-rotation must fail here, in pytest, not at the
+    # driver).
+    R10_WINDOW = [
+        # positions 1-43: freshest driver rows are r8
+        "fts_search_topk", "dedup_semantic_cluster", "hard_negatives",
+        "fts_stemmed", "simhash_neardup_pairs", "dedup_embedding_cosine",
+        "ann_ivf_topk", "ann_signbit_lsh_topk", "dup_span_stats",
+        "multimodal_meta", "json_rows", "collect_changed_ids",
+        "gopher_flags", "hash_split", "corpus_mix", "sample_exact",
+        "vocabulary_topk", "unigram_logprob", "events_windowed_agg",
+        "sessionize_events", "asof_join_events", "asof_join_bucketed",
+        "attribution_window_join", "token_count", "doc_fingerprint",
+        "quality_score", "lang_id", "repetition_score", "pii_scrub",
+        "mp4_frame_extract", "dsir_weights", "c4_flags",
+        "paragraph_dedup", "change_detection", "append_method_scan",
+        "quantized_search_topk", "maxsim_search_topk", "pq_adc_search",
+        "pq_rerank_search", "fts_bm25", "hybrid_bm25",
+        "fts_cover_density", "semantic_search_indexed",
+        # positions 44-50: re-gates on r10-touched code paths
+        "neardup_index_probe", "dedup_minhash_lsh", "minhash_signatures",
+        "minhash_jaccard_estimate", "cdf_apply",
+        "incremental_scan_events", "fts_search_overlay",
+    ]
+
+    def test_r10_window_names(self):
+        names = list(entry.queries())[:50]
+        assert len(self.R10_WINDOW) == 50, (
+            f"intended window lists {len(self.R10_WINDOW)} names, not 50"
+        )
+        assert names == self.R10_WINDOW, (
+            "first-50 registry window drifted from the intended "
+            f"rotation; first divergence at position "
+            f"{next(i for i, (a, b) in enumerate(zip(names, self.R10_WINDOW)) if a != b) + 1}"
+        )
+
     def test_oracles_are_nonempty_sql(self):
         for name, sql in entry.oracle_sql().items():
             assert isinstance(sql, str) and "SELECT" in sql.upper(), name
