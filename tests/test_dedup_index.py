@@ -388,12 +388,16 @@ class TestEngineDedupFilter:
         assert idx.filter("id = 3").count() == 0
         assert mgr._sigs_ds().read().filter("id = 3").count() == 0
 
-    def test_bootstrap_over_populated_snapshot_warns(self, spark, tmp_path):
+    def test_bootstrap_over_populated_snapshot_rebuilds_from_source(
+        self, spark, tmp_path
+    ):
         """Index lost after the corpus was ingested (crash between the
-        embeddings merge and the first build): rebuilding from the next
-        batch alone silently never covers the older keys — the
-        bootstrap must say so (ADVICE r8)."""
+        embeddings merge and the first build): the bootstrap now
+        REBUILDS from source∩snapshot automatically (VERDICT r9 #4), so
+        the older keys are covered — a later near-dup of a pre-crash
+        doc is filtered, not silently ingested."""
         import shutil
+        import warnings
 
         sess, src = self._mk_job(spark, tmp_path)
         mgr = sess._dedup_mgr(sess.catalog.get("dj"))
@@ -405,10 +409,76 @@ class TestEngineDedupFilter:
         spark.createDataFrame(
             extra, "id long, content string"
         ).write.mode("overwrite").parquet(src)
-        with pytest.warns(UserWarning, match="only cover documents"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # the gap must NOT warn now
             sess.scan_job("dj")
-        # the index did bootstrap (from the batch) and serves
-        assert sess._dedup_mgr(sess.catalog.get("dj")).exists()
+        mgr = sess._dedup_mgr(sess.catalog.get("dj"))
+        assert mgr.exists()
+        # pre-crash keys are back in the rebuilt index
+        idx = spark.read.parquet(mgr.index_dir)
+        assert idx.filter("id = 1").count() > 0
+        # ...so a near-dup of a PRE-CRASH doc is filtered on the next scan
+        spark.createDataFrame(
+            extra
+            + [(30, "the quick brown fox jumps over the lazy dog by a river")],
+            "id long, content string",
+        ).write.mode("overwrite").parquet(src)
+        sess.scan_job("dj")
+        assert 30 not in self._emb_ids(sess)
+
+    def test_enable_dedup_on_populated_job_covers_old_docs(
+        self, spark, tmp_path
+    ):
+        """dedup_params enabled AFTER ingest (the VERDICT r9 #4 'done'
+        bar): the first dedup-aware scan rebuilds the index from the
+        full source corpus, so a near-dup of a PRE-ENABLEMENT document
+        is filtered."""
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        src = str(tmp_path / "late_src.parquet")
+        spark.createDataFrame(
+            self.SRC_ROWS, "id long, content string"
+        ).write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "late_ws"))
+        sess.create_job(
+            "dj", src, columns=["content"], primary_key="id"
+        )  # NO dedup_params: plain populated job
+        assert self._emb_ids(sess) == {1, 2, 3}
+        # enable dedup on the populated job
+        job = sess.catalog.get("dj")
+        job.dedup_params = {"min_jaccard": 0.6, **PARAMS}
+        sess.catalog.create(job, replace=True)
+        spark.createDataFrame(
+            self.SRC_ROWS
+            + [
+                # near-dup of PRE-ENABLEMENT doc 1 + a novel doc
+                (40, "the quick brown fox jumps over the lazy dog at dawn"),
+                (41, "completely novel text about columnar shuffle services"),
+            ],
+            "id long, content string",
+        ).write.mode("overwrite").parquet(src)
+        sess.scan_job("dj")
+        ids = self._emb_ids(sess)
+        assert 41 in ids and 40 not in ids
+
+    def test_bootstrap_gap_warns_only_when_source_gone(
+        self, spark, tmp_path
+    ):
+        """The batch-only-coverage warning survives exactly for the case
+        a rebuild cannot fix: the source table is unreadable."""
+        import shutil
+
+        sess, src = self._mk_job(spark, tmp_path)
+        job = sess.catalog.get("dj")
+        mgr = sess._dedup_mgr(job)
+        shutil.rmtree(mgr.index_dir, ignore_errors=True)
+        batch = spark.createDataFrame(
+            [(50, "some fresh batch row text")], "id long, content string"
+        )
+        shutil.rmtree(src, ignore_errors=True)  # source gone
+        with pytest.warns(UserWarning, match="only cover documents"):
+            sess._dedup_upsert(job, batch)
+        assert sess._dedup_mgr(job).exists()
 
     def test_within_batch_filters_initial_load(self, spark, tmp_path):
         """dedup_params={'within_batch': True}: the INITIAL load already
