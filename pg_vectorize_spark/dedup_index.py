@@ -801,6 +801,7 @@ class MinHashBandIndexManager:
         pkey: str,
         pkey_type: str,
         prior_keys: frozenset | set = frozenset(),
+        delete_keys: list | None = None,
     ) -> None:
         """Driver-side ``upsert``: band rows and the affected-bucket
         sets come from the in-memory signatures. ``sig_rows`` must
@@ -809,13 +810,31 @@ class MinHashBandIndexManager:
         ``prior_keys`` are the ones possibly already indexed, so an
         empty set (pure-insert batch, the streaming common case) skips
         the old-band-row sidecar lookup entirely and the maintenance
-        cost is one clustered append + one sidecar bucket merge."""
+        cost is one clustered append + one sidecar bucket merge.
+
+        ``delete_keys`` folds the micro-batch's delete cascade into the
+        SAME maintenance transaction (the tokens-path combined-write
+        analog): one old-bucket rewrite covers prior ∪ deleted keys and
+        one sidecar combined merge+delete replaces the separate
+        ``delete()`` call's two extra rewrites — measured as the
+        dominant dedup term in CDF batches carrying deletes."""
         if not self.exists():
             raise FileNotFoundError(
                 f"no minhash index at {self.index_dir} — build() first"
             )
         meta = self._check_meta(pkey)
+        delete_keys = list(delete_keys or [])
+        if not sig_rows and not delete_keys:
+            return
         if not sig_rows:
+            # delete-only: the general path already rewrites only the
+            # keys' buckets
+            self.delete(
+                self.spark.createDataFrame(
+                    [(k,) for k in delete_keys], f"{pkey} {pkey_type}"
+                ),
+                pkey,
+            )
             return
         brows = self._band_rows_local(sig_rows)
         new_rows = self._clustered(
@@ -825,10 +844,11 @@ class MinHashBandIndexManager:
                 f"{self.PART_COL} int",
             )
         )
+        drop_key_set = set(prior_keys) | set(delete_keys)
         old_buckets: list = []
-        if prior_keys and meta.get("has_data", True):
+        if drop_key_set and meta.get("has_data", True):
             old_sigs = self._sidecar_sigs_for_keys_local(
-                sorted(prior_keys), pkey, pkey_type
+                sorted(drop_key_set), pkey, pkey_type
             )
             old_buckets = sorted(
                 {
@@ -847,7 +867,7 @@ class MinHashBandIndexManager:
         else:
             if old_buckets:
                 drop_keys = self.spark.createDataFrame(
-                    [(k,) for k in sorted(prior_keys)],
+                    [(k,) for k in sorted(drop_key_set)],
                     f"{pkey} {pkey_type}",
                 )
                 self._rewrite_affected(old_buckets, drop_keys, pkey, None)
@@ -856,7 +876,16 @@ class MinHashBandIndexManager:
             ).parquet(self.index_dir)
         sigs_df = self.sigs_df_from_local(sig_rows, pkey, pkey_type)
         sigs_ds = self._sigs_ds()
-        if prior_keys:
+        if delete_keys:
+            # ONE combined merge+delete snapshot write
+            sigs_ds.merge_upsert(
+                sigs_df,
+                pkey,
+                delete_keys_df=self.spark.createDataFrame(
+                    [(k,) for k in delete_keys], f"{pkey} {pkey_type}"
+                ),
+            )
+        elif prior_keys:
             sigs_ds.merge_upsert(sigs_df, pkey)
         else:
             # engine-certified pure-insert batch: hard-link + append,

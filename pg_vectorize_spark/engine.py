@@ -622,6 +622,7 @@ class VectorizeSession:
         job: JobRecord,
         ingested: DataFrame,
         sigs: DataFrame | None = None,
+        delete_keys_df: DataFrame | None = None,
     ) -> None:
         """Keep the band index fresh with the batch's survivors — the
         _index_upsert/_tokens_upsert analog, called from every ingest
@@ -636,7 +637,13 @@ class VectorizeSession:
         survivors — i.e. ``ingested``'s keys — so the established index
         takes ``upsert_local`` (no narrowing join, pure-insert batches
         skip the old-row lookup) and the bootstrap branch converts the
-        same values to a DataFrame for ``build``."""
+        same values to a DataFrame for ``build``.
+
+        ``delete_keys_df`` (batch-bounded) folds the micro-batch's
+        delete cascade into the same maintenance transaction: on the
+        LocalSigs path it rides upsert_local's combined rewrite; on the
+        DataFrame path it is applied as the separate ``delete()`` the
+        caller would otherwise issue."""
         from pg_vectorize_spark.dedup_local import LocalSigs
 
         mgr = self._dedup_mgr(job)
@@ -644,12 +651,26 @@ class VectorizeSession:
             return
         pkey = job.primary_key
         if isinstance(sigs, LocalSigs) and mgr.exists():
+            del_keys: list | None = None
+            if delete_keys_df is not None:
+                cap = int(
+                    (getattr(job, "dedup_params", None) or {}).get(
+                        "local_max_rows", 8192
+                    )
+                )
+                head = delete_keys_df.select(pkey).limit(cap + 1).collect()
+                if len(head) <= cap:
+                    del_keys = [r[0] for r in head]
             mgr.upsert_local(
                 list(sigs.rows),
                 pkey,
                 sigs.pkey_type,
                 prior_keys=sigs.prior_keys,
+                delete_keys=del_keys,
             )
+            if del_keys is None and delete_keys_df is not None:
+                # oversized delete set: fall back to the general path
+                self._dedup_delete(job, delete_keys_df)
             return
         content = concat_source_columns(job.src_columns)
         rows = ingested.select(F.col(pkey), content.alias("_dedup_text"))
@@ -697,6 +718,8 @@ class VectorizeSession:
             mgr.build(rows, pkey, "_dedup_text", sigs=sigs)
         else:
             mgr.upsert(rows, pkey, "_dedup_text", sigs=sigs)
+        if delete_keys_df is not None:
+            self._dedup_delete(job, delete_keys_df)
 
     def _dedup_delete(self, job: JobRecord, keys: DataFrame) -> None:
         mgr = self._dedup_mgr(job)

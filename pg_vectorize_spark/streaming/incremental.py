@@ -198,14 +198,22 @@ class RealtimePipeline:
                 # serve stale results after every ingest cycle — VERDICT
                 # r5 missing #2)
                 sess._index_upsert(job, emb_payload)
-                # near-dup index freshness with the batch's survivors
-                sess._dedup_upsert(job, changed, sigs=dedup_sigs)
+                # near-dup index freshness with the batch's survivors;
+                # the batch's delete cascade rides the SAME maintenance
+                # transaction (combined rewrite + one sidecar
+                # merge+delete) instead of a separate delete cycle
+                sess._dedup_upsert(
+                    job, changed, sigs=dedup_sigs, delete_keys_df=d
+                )
             elif d is not None and emb_ds.exists():
                 emb_ds.delete_keys(d, pkey)
             if d is not None:
                 # in-batch cascade reaches the persisted indexes too
                 sess._index_delete(job, d)
-                sess._dedup_delete(job, d)
+                if not has_new:
+                    # with new rows the dedup cascade rode the combined
+                    # upsert above
+                    sess._dedup_delete(job, d)
             return refused
 
         def tok_branch():

@@ -242,6 +242,67 @@ class TestProbeParity:
         assert dump(mgr) == dump(twin)
 
 
+class TestCombinedDeleteParity:
+    def test_upsert_local_with_deletes_matches_separate_ops(
+        self, spark, built_mgr, tmp_path
+    ):
+        """upsert_local(delete_keys=...) (one combined maintenance
+        transaction) must leave the index and sidecar identical to the
+        Spark-path upsert followed by delete."""
+        import shutil
+
+        mgr, corpus = built_mgr
+        twin_dir = str(tmp_path / "idx_twin_d")
+        shutil.copytree(mgr.index_dir, twin_dir)
+        twin = MinHashBandIndexManager(
+            spark,
+            twin_dir,
+            {"num_hashes": 16, "bands": 4, "band_buckets": 8},
+        )
+        batch = [
+            (3001, "new insert text about shuffle partitions"),
+            (2, "document TWO rewritten completely differently now"),
+        ]
+        deleted = [10, 11]
+        batch_df = spark.createDataFrame(batch, "id bigint, t string")
+        del_df = spark.createDataFrame(
+            [(k,) for k in deleted], "id bigint"
+        )
+        twin.upsert(batch_df, "id", "t")
+        twin.delete(del_df, "id")
+        mgr.upsert_local(
+            mgr.signatures_local(batch),
+            "id",
+            "bigint",
+            prior_keys=frozenset({2}),
+            delete_keys=deleted,
+        )
+
+        def dump(m):
+            idx = {
+                (r["id"], r["band"], r["band_key"], r["bb"])
+                for r in spark.read.parquet(m.index_dir).collect()
+            }
+            sigs = {
+                (r["id"], tuple(r["signature"]))
+                for r in m._sigs_ds().read().collect()
+            }
+            return idx, sigs
+
+        got, want = dump(mgr), dump(twin)
+        assert got == want
+        assert not any(k in deleted for k, *_ in got[0])
+
+    def test_upsert_local_delete_only_delegates(self, spark, built_mgr):
+        mgr, corpus = built_mgr
+        mgr.upsert_local([], "id", "bigint", delete_keys=[1])
+        assert (
+            spark.read.parquet(mgr.index_dir).filter("id = 1").count()
+            == 0
+        )
+        assert mgr._sigs_ds().read().filter("id = 1").count() == 0
+
+
 class TestEnginePathParity:
     """The filter's drop decisions and the ingested corpus must be
     IDENTICAL whether the engine takes the driver-side path (default)
