@@ -466,18 +466,29 @@ class BucketedSnapshotDataset(SnapshotDataset):
         64 parquet writers, vs 1.5-2 s for 32 near-empty tasks)."""
         return max(2, min(64, self.n_buckets // 8 or 1))
 
-    def append_rows(self, new_df: DataFrame, key: str) -> int:
-        """Pure-INSERT merge: the caller guarantees ``new_df``'s keys are
-        absent from the snapshot (e.g. the engine's prior-key split
-        certified an insert-only micro-batch). Writes ONLY the new rows
-        (clustered by bucket) into the next version and hard-links every
-        current bucket's immutable files alongside them — zero current
-        data read, zero rewrite, O(batch) bytes written. A same-key
-        append would create a duplicate row (this is the merge
-        fast-path analog of the band index's ``add``), so callers
-        without the key-disjointness certificate must use
-        ``merge_upsert``. File count grows per append; compaction is the
-        caller's cadence (``compact()``)."""
+    def append_rows(
+        self,
+        new_df: DataFrame,
+        key: str,
+        replace_keys_df: DataFrame | None = None,
+    ) -> int:
+        """INSERT-heavy merge: the caller guarantees every ``new_df``
+        key is either absent from the snapshot or listed in
+        ``replace_keys_df`` (e.g. the engine's prior-key split certified
+        the batch's update subset). Rewrites ONLY the buckets the
+        replace keys hash into (dropping those keys), hard-links every
+        other current bucket's immutable files, and appends the new
+        rows clustered by bucket — O(replace-bucket width + batch)
+        bytes written, vs ``merge_upsert``'s rewrite of every bucket
+        ANY new key hashes into (a batch of a few hundred fresh keys
+        hashes into essentially all buckets, making that O(table) per
+        micro-batch; measured as the regression that made the combined
+        dedup-sidecar write slower than two separate ones). With no
+        ``replace_keys_df`` this is the pure-insert fast path: zero
+        current data read, zero rewrite. A same-key append outside the
+        replace set would create a duplicate row, so callers without
+        the certificate must use ``merge_upsert``. File count grows per
+        append; compaction is the caller's cadence (``compact()``)."""
         from pyspark.sql import functions as F
 
         if not self.exists():
@@ -487,6 +498,32 @@ class BucketedSnapshotDataset(SnapshotDataset):
         v = cur_v + 1
         new_dir = self._version_dir(v)
         cur_dir = self._version_dir(cur_v)
+        affected: list = []
+        if replace_keys_df is not None:
+            replace_keys_df = replace_keys_df.select(key).localCheckpoint()
+            affected = sorted(
+                r["b"]
+                for r in replace_keys_df.select(
+                    self._bucket_expr(key).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        os.makedirs(new_dir, exist_ok=True)
+        if affected:
+            kept = (
+                self.read_raw()
+                .filter(F.col(self.BUCKET_COL).isin(affected))
+                .join(replace_keys_df, key, "left_anti")
+            )
+            (
+                kept.repartition(
+                    self._cluster_tasks(), F.col(self.BUCKET_COL)
+                )
+                .write.mode("append")
+                .partitionBy(self.BUCKET_COL)
+                .parquet(new_dir)
+            )
         tagged = new_df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
         (
             tagged.repartition(self._cluster_tasks(), F.col(self.BUCKET_COL))
@@ -494,8 +531,12 @@ class BucketedSnapshotDataset(SnapshotDataset):
             .partitionBy(self.BUCKET_COL)
             .parquet(new_dir)
         )
+        affected_dirs = {f"{self.BUCKET_COL}={b}" for b in affected}
         for name in os.listdir(cur_dir):
-            if name.startswith(f"{self.BUCKET_COL}="):
+            if (
+                name.startswith(f"{self.BUCKET_COL}=")
+                and name not in affected_dirs
+            ):
                 self._link_bucket(
                     os.path.join(cur_dir, name), os.path.join(new_dir, name)
                 )
