@@ -1001,6 +1001,31 @@ def q_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mgr.probe(batch, "doc_id", "text")
 
 
+def q_neardup_probe_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 DRIVER-SIDE probe path (dedup_local.py +
+    MinHashBandIndexManager.probe_local): the same batch/corpus split as
+    `neardup_index_probe`, but signatures, band rows, and partition
+    buckets computed in-process (the small-micro-batch realtime shape —
+    two pruned scans, no signature shuffle). SAME oracle as the Spark
+    probe: the two paths are bit-parity by construction
+    (tests/test_dedup_local.py), and this gate pins that equivalence
+    against DuckDB every round."""
+    docs = _t(spark, sf_dir, "documents")
+    mgr = _mh_gate_index(spark, sf_dir)
+    batch = [
+        (r["doc_id"], r["text"])
+        for r in docs.filter(F.col("doc_id") % 20 == 7)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    rows = mgr.probe_local(
+        mgr.signatures_local(batch), "doc_id", "bigint"
+    )
+    return spark.createDataFrame(
+        rows, "doc_id bigint, match_doc_id bigint, est_jaccard double"
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures themselves (the write-time artifact)."""
     from pg_vectorize_spark.operators.dedup import minhash_signatures
@@ -2245,14 +2270,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # MinHash signature/estimate parity, the CDF/file-stream pipelines
     # the batch-size sweep exercises, the live FTS overlay) ---
     "neardup_index_probe": q_neardup_index_probe,
+    "neardup_probe_local": q_neardup_probe_local,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "minhash_signatures": q_minhash_signatures,
-    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "cdf_apply": q_cdf_apply,
     "incremental_scan_events": q_incremental_scan_events,
     "fts_search_overlay": q_fts_search_overlay,
     # --- beyond position 50: freshest driver evidence is r9 — rotate
     # these into the leading positions next round (r11) ---
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
     "record_fetch_by_ids": q_record_fetch_by_ids,
@@ -3728,6 +3754,9 @@ FROM documents GROUP BY text
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_minhash_lsh": _oracle_minhash_lsh(),
     "neardup_index_probe": _oracle_neardup_index_probe(),
+    # the driver-side path answers the SAME question as the Spark probe
+    # (bit-parity pinned in tests/test_dedup_local.py) — identical oracle
+    "neardup_probe_local": _oracle_neardup_index_probe(),
     "minhash_signatures": _oracle_minhash_signatures(),
     "minhash_jaccard_estimate": _oracle_minhash_jaccard_estimate(),
     "dedup_simhash": _oracle_simhash(),

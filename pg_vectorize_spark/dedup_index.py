@@ -738,22 +738,23 @@ class MinHashBandIndexManager:
             )
         return {r[0]: list(r[1]) for r in rows}
 
-    def near_dup_keys_local(
+    def probe_local(
         self,
         sig_rows: list[tuple],
         pkey: str,
         pkey_type: str,
-        min_jaccard: float = 0.7,
-    ) -> set:
-        """Driver-side ``near_dup_keys``: batch keys whose best indexed
-        match estimates Jaccard ≥ threshold, as a plain set. Two pruned
-        scans; candidate pairs and the estimate comparison stay on the
-        driver (both batch-bounded)."""
+        min_jaccard: float | None = None,
+    ) -> list[tuple]:
+        """Driver-side ``probe``: [(key, match_key, est_jaccard)] for
+        every batch key sharing ≥1 LSH band with an indexed document.
+        Two pruned scans (band buckets; signature-sidecar buckets);
+        candidate pairs and the estimate comparison stay on the driver
+        (both batch-bounded)."""
         from pg_vectorize_spark import dedup_local
 
         meta = self._check_meta(pkey)
         if not meta.get("has_data", True) or not sig_rows:
-            return set()
+            return []
         brows = self._band_rows_local(sig_rows)
         buckets = sorted({bb for _, _, _, bb in brows})
         br_df = self.spark.createDataFrame(
@@ -770,24 +771,38 @@ class MinHashBandIndexManager:
             .collect()
         )
         if not pairs:
-            return set()
+            return []
         corpus = self._sidecar_sigs_for_keys_local(
             sorted({r["_match"] for r in pairs}), pkey, pkey_type
         )
         batch = dict(sig_rows)
-        flagged = set()
+        out = []
         for r in pairs:
             sig_b = corpus.get(r["_match"])
             if sig_b is None:
                 continue
-            if (
-                dedup_local.est_jaccard(
-                    batch[r["_bk"]], sig_b, self.num_hashes
-                )
-                >= min_jaccard
-            ):
-                flagged.add(r["_bk"])
-        return flagged
+            est = dedup_local.est_jaccard(
+                batch[r["_bk"]], sig_b, self.num_hashes
+            )
+            if min_jaccard is None or est >= min_jaccard:
+                out.append((r["_bk"], r["_match"], est))
+        return out
+
+    def near_dup_keys_local(
+        self,
+        sig_rows: list[tuple],
+        pkey: str,
+        pkey_type: str,
+        min_jaccard: float = 0.7,
+    ) -> set:
+        """Driver-side ``near_dup_keys``: batch keys whose best indexed
+        match estimates Jaccard ≥ threshold, as a plain set."""
+        return {
+            k
+            for k, _, _ in self.probe_local(
+                sig_rows, pkey, pkey_type, min_jaccard=min_jaccard
+            )
+        }
 
     def within_batch_dup_keys_local(
         self, sig_rows: list[tuple], min_jaccard: float = 0.7

@@ -72,9 +72,11 @@ class TestRegistryConsistency:
         "quantized_search_topk", "maxsim_search_topk", "pq_adc_search",
         "pq_rerank_search", "fts_bm25", "hybrid_bm25",
         "fts_cover_density", "semantic_search_indexed",
-        # positions 44-50: re-gates on r10-touched code paths
-        "neardup_index_probe", "dedup_minhash_lsh", "minhash_signatures",
-        "minhash_jaccard_estimate", "cdf_apply",
+        # positions 44-50: re-gates on r10-touched code paths (incl.
+        # the NEW driver-side probe gate, same oracle as the Spark
+        # probe; minhash_jaccard_estimate — r9-green — yielded its slot)
+        "neardup_index_probe", "neardup_probe_local",
+        "dedup_minhash_lsh", "minhash_signatures", "cdf_apply",
         "incremental_scan_events", "fts_search_overlay",
     ]
 
