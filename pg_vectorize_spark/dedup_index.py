@@ -914,5 +914,30 @@ class MinHashBandIndexManager:
         sigs_ds.append_rows(sigs_df, pkey, replace_keys_df=replace_df)
         self._bump_maint()
 
+    @staticmethod
+    def derive_sigs_buckets(
+        n_keys: int,
+        num_hashes: int = 16,
+        target_bucket_bytes: int = 1 << 30,
+        floor: int = 64,
+    ) -> int:
+        """The measured bytes-per-bucket sizing rule as code (VERDICT r9
+        #7 stretch): sidecar bucket count tracks BYTES per bucket (the
+        snapshot class's ~GB rewrite unit), never key count — raising it
+        on a megabyte-scale sidecar measured 2-4x WORSE (SCALING.md sf10
+        table: 64→512→2048 buckets gave upsert 8.7→17.7→39.7 s) because
+        per-file fixed costs dwarf the bucket-width I/O saved. A
+        signature row is ~``num_hashes*8`` bytes plus key+overhead
+        (~24 B); the count stays at ``floor`` until one bucket would
+        exceed ``target_bucket_bytes`` (~7e8 keys at the defaults, i.e.
+        the 100-TB regime), then grows linearly. Callers opening an
+        EXISTING index must keep its stored count (meta-pinned) —
+        this derivation is for new builds that know their corpus size."""
+        row_bytes = num_hashes * 8 + 24
+        need = (n_keys * row_bytes + target_bucket_bytes - 1) // (
+            target_bucket_bytes
+        )
+        return max(floor, int(need))
+
     def drop(self) -> None:
         shutil.rmtree(self.index_dir, ignore_errors=True)

@@ -627,3 +627,31 @@ class TestProbePlan:
         df = mgr.probe(batch, "doc_id", "text")
         plan = self._fmt(spark, df)
         assert re.search(r"PartitionFilters: \[[^\]]*_kb", plan), plan
+
+
+class TestSigsBucketsDerivation:
+    """The bytes-per-bucket rule encoded (VERDICT r9 #7): bucket count
+    stays at the measured-optimal floor for everything local-scale and
+    grows linearly only once a bucket would exceed the ~GB rewrite
+    unit."""
+
+    def test_floor_holds_through_the_measured_regimes(self):
+        from pg_vectorize_spark.dedup_index import MinHashBandIndexManager
+
+        d = MinHashBandIndexManager.derive_sigs_buckets
+        # sf1.0 (50k), sf10 (500k), and far beyond all stay at 64 —
+        # raising earlier measured 2-4x worse (SCALING.md)
+        assert d(50_000) == 64
+        assert d(500_000) == 64
+        assert d(100_000_000) == 64
+
+    def test_grows_linearly_at_the_rewrite_unit(self):
+        from pg_vectorize_spark.dedup_index import MinHashBandIndexManager
+
+        d = MinHashBandIndexManager.derive_sigs_buckets
+        row = 16 * 8 + 24
+        keys_per_bucket = (1 << 30) // row
+        assert d(keys_per_bucket * 64) == 64
+        assert d(keys_per_bucket * 200) in (200, 201)
+        # 100-TB-ish corpus (1e11 keys): thousands of buckets, bounded
+        assert 9000 < d(100_000_000_000) < 15000
