@@ -575,10 +575,53 @@ def _alternating_cc(
     return edges, max_iterations, False
 
 
+#: connected_components switches to the driver-side union-find below this
+#: many DISTINCT pairs. 500k edge tuples collect in well under a second and
+#: union-find them in ~1 s — far below the fixed cost of even one
+#: large-star/small-star shuffle round. At corpus scale the distributed
+#: path takes over automatically.
+CC_LOCAL_MAX_EDGES = 500_000
+
+
+def _local_cc(rows: list) -> list[tuple]:
+    """Union-find closure over collected (u, v) pairs — min-id labels.
+
+    Identical output contract to the distributed path: one (id, component)
+    row per node appearing in the input (either side, self-pairs
+    included), component = min id reachable. Min comparisons use Python
+    ordering, which matches Spark's for integers and for strings (UTF-8
+    byte order preserves code-point order, and Python compares code
+    points).
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the component label
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 50,
     strict: bool = True,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Duplicate-pair transitive closure -> (id, component) with
     component = min id reachable. The step real dedup needs when pairwise
@@ -592,12 +635,41 @@ def connected_components(
     localCheckpoint() truncating the growing lineage. SQL can't express
     the fixpoint; pytest verifies against a pure-Python BFS oracle and
     pins the round count on a 200-node chain.
+
+    SMALL-GRAPH FAST PATH: near-dup pair sets are usually tiny relative
+    to the corpus (the expensive part is generating them, not closing
+    them). When the distinct pair count fits ``local_max_edges`` the
+    closure runs as driver-side union-find — exact same labels, zero
+    shuffle rounds (bit-parity property-tested in
+    tests/test_connected_components.py). Pass ``local_max_edges=0`` to
+    force the distributed path. Either way the distinct pair set is
+    lazily checkpointed FIRST, so the upstream pair pipeline (often an
+    inverted-index join) evaluates once — the previous shape re-ran it
+    twice in round 1's neighbor union and once more for the node set.
     """
-    edges = (
+    base = (
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    edges = base.filter(F.col("u") != F.col("v"))
+    if local_max_edges > 0:
+        head = base.limit(local_max_edges + 1).collect()
+        if len(head) <= local_max_edges:
+            labels = _local_cc([(r["u"], r["v"]) for r in head])
+            from pyspark.sql import types as T
+
+            id_type = base.schema["u"].dataType
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                labels,
+                T.StructType(
+                    [
+                        T.StructField("id", id_type),
+                        T.StructField("component", id_type),
+                    ]
+                ),
+            )
     star, _rounds, converged = _alternating_cc(edges, max_iterations)
     if not converged and strict:
         # silent non-convergence would under-deduplicate (some chains not
@@ -610,8 +682,8 @@ def connected_components(
     # star edges are leaf -> center; centers (and any singleton node from a
     # self-pair-only input) label themselves
     all_nodes = (
-        pairs.select(F.col("a_id").alias("id"))
-        .unionByName(pairs.select(F.col("b_id").alias("id")))
+        base.select(F.col("u").alias("id"))
+        .unionByName(base.select(F.col("v").alias("id")))
         .distinct()
     )
     leaf_labels = star.select(F.col("u").alias("id"), F.col("v").alias("component"))
@@ -865,6 +937,82 @@ def arrival_order_span_stats(
     )
 
 
+def _seq_cosine(a, b) -> float:
+    """Exact mirror of functions/vector.cosine_similarity: float64
+    left-to-right folds for dot and both norms, zero denominator -> 0.0.
+    Used to settle GEMM-prefiltered candidates bit-exactly."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom > 0 else 0.0
+
+
+def _cell_dedup_gemm(
+    assigned: DataFrame, pkey: str, emb_col: str, threshold: float
+) -> DataFrame:
+    """Cell-local near-dup marking as one applyInPandas: GEMM prefilter at
+    ``threshold - margin``, exact sequential-fold rescore of candidates.
+    Output: (pkey, cell, is_dup) for every input row."""
+    from pyspark.sql import types as T
+
+    margin = 1e-6
+    out_schema = T.StructType(
+        [
+            T.StructField(pkey, assigned.schema[pkey].dataType),
+            T.StructField("cell", assigned.schema["cell"].dataType),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+
+    def mark(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        # sort by key ascending so "has a lower-key neighbor" is the
+        # strict lower triangle (duplicate keys — not lower — masked out)
+        pdf = pdf.sort_values(pkey, kind="mergesort").reset_index(drop=True)
+        E = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+        )
+        norms = np.sqrt((E * E).sum(axis=1))
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, (E @ E.T) / denom, 0.0)
+        keys = pdf[pkey].to_numpy()
+        cand = (S >= threshold - margin) & np.tri(m, k=-1, dtype=bool)
+        if keys.dtype == object:
+            neq = np.not_equal.outer(keys, keys)
+        else:
+            neq = keys[:, None] != keys[None, :]
+        cand &= neq
+        is_dup = np.zeros(m, dtype=bool)
+        vecs = pdf[emb_col]
+        for i, j in zip(*np.nonzero(cand)):
+            if is_dup[i]:
+                continue
+            if _seq_cosine(vecs.iloc[i], vecs.iloc[j]) >= threshold:
+                is_dup[i] = True
+        return pd.DataFrame(
+            {
+                pkey: pdf[pkey],
+                "cell": pdf["cell"],
+                "is_dup": is_dup,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(mark, out_schema)
+
+
 def semantic_cluster_dedup(
     emb_df: DataFrame,
     pkey: str,
@@ -873,6 +1021,7 @@ def semantic_cluster_dedup(
     threshold: float = 0.9,
     target_cell_size: int = 256,
     seed: int = 42,
+    pair_mode: str = "gemm",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
@@ -910,8 +1059,28 @@ def semantic_cluster_dedup(
     no caller should be able to copy from a small-fixture config. Pass
     an explicit centroid table only to pin reproducible cells (the gate
     fixture) or reuse an already-trained quantizer.
+
+    PAIR STAGE (``pair_mode``): the within-cell compare is cell-local by
+    construction, so the default ``"gemm"`` runs it as ONE
+    ``applyInPandas`` over cell groups — a float64 numpy GEMM prefilter
+    (``threshold - 1e-6``) picks candidate pairs, then each candidate is
+    re-scored with the exact left-to-right sequential fold the
+    ``cosine_similarity`` expression and the DuckDB oracle both use, so
+    the marked set is BIT-IDENTICAL to the join path (the GEMM's blocked
+    summation differs from the sequential fold by ~dim·eps ≈ 1e-14;
+    the 1e-6 margin makes the prefilter a strict superset and the exact
+    rescore settles membership — property-tested in tests/test_dedup.py).
+    One shuffle on ``cell``, no pair-row materialization: the previous
+    join shape shuffled ~n²/k joined rows each carrying two full
+    embedding arrays. ``"join"`` keeps the pure-DataFrame self-join
+    (the parity baseline, and the fallback if a single cell could
+    overflow one task's memory — at the default ``target_cell_size``
+    a cell is ~256 rows, far below that).
     """
     from pg_vectorize_spark.operators.ann import assign_ivf_cells
+
+    if pair_mode not in ("gemm", "join"):
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
 
     if centroids_df is None:
         import math
@@ -924,6 +1093,12 @@ def semantic_cluster_dedup(
         k = max(1, math.ceil(n / max(1, target_cell_size)))
         centroids_df = train_ivf_centroids_kmeans(
             emb_df, pkey, emb_col, n_centroids=k, seed=seed
+        )
+
+    if pair_mode == "gemm":
+        assigned = assign_ivf_cells(emb_df, centroids_df, pkey, emb_col)
+        return _cell_dedup_gemm(
+            assigned, pkey, emb_col, float(threshold)
         )
 
     # the assignment (broadcast crossJoin + keyed window) feeds THREE

@@ -118,8 +118,11 @@ def test_large_random_graph_matches_bfs(spark):
     )
     pairs = spark.createDataFrame(edges, "a_id long, b_id long")
     expected = _bfs_components(edges)
+    # local_max_edges=0 forces the distributed alternating-star path —
+    # the default would take the driver-side union-find shortcut here
     got = {
-        r["id"]: r["component"] for r in connected_components(pairs).collect()
+        r["id"]: r["component"]
+        for r in connected_components(pairs, local_max_edges=0).collect()
     }
     assert got == expected
 
@@ -132,9 +135,67 @@ def test_shared_leaf_two_centers_regression(spark):
     pairs = spark.createDataFrame(
         [(1, 10), (2, 11), (5, 10), (5, 11)], "a_id long, b_id long"
     )
-    labels = connected_components(pairs).collect()
+    labels = connected_components(pairs, local_max_edges=0).collect()
     got = {}
     for r in labels:
         assert r["id"] not in got, f"duplicate label rows for {r['id']}"
         got[r["id"]] = r["component"]
     assert got == {1: 1, 2: 1, 5: 1, 10: 1, 11: 1}
+
+
+class TestLocalPathParity:
+    """The driver-side union-find fast path must be bit-identical to the
+    distributed alternating-star path — same (id, component) set, same
+    schema — on every graph shape (chains, stars, singletons from
+    self-pairs, string keys)."""
+
+    def _both(self, spark, pairs):
+        local = connected_components(pairs)  # default takes the fast path
+        dist = connected_components(pairs, local_max_edges=0)
+        assert local.schema == dist.schema
+        return (
+            sorted((r["id"], r["component"]) for r in local.collect()),
+            sorted((r["id"], r["component"]) for r in dist.collect()),
+        )
+
+    def test_random_graphs(self, spark):
+        rng = random.Random(99)
+        for trial in range(3):
+            edges = sorted(
+                {
+                    (rng.randrange(300), rng.randrange(300))
+                    for _ in range(250)
+                }
+            )  # self-pairs allowed: they register singleton nodes
+            pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+            local, dist = self._both(spark, pairs)
+            assert local == dist, f"trial {trial} diverged"
+            expected = _bfs_components([(a, b) for a, b in edges if a != b])
+            for a, b in edges:
+                if a == b and a not in expected:
+                    expected[a] = a  # self-pair-only singleton
+            assert dict(local) == expected
+
+    def test_string_keys(self, spark):
+        # Spark min() on strings is UTF-8 byte order; Python compares code
+        # points — the orders agree, and this pins it
+        pairs = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("x", "x"), ("z", "y")],
+            "a_id string, b_id string",
+        )
+        local, dist = self._both(spark, pairs)
+        assert local == dist
+        assert dict(local) == {
+            "a": "a", "b": "a", "c": "a", "x": "x", "y": "y", "z": "y",
+        }
+
+    def test_self_pairs_only(self, spark):
+        pairs = spark.createDataFrame(
+            [(7, 7), (9, 9)], "a_id long, b_id long"
+        )
+        local, dist = self._both(spark, pairs)
+        assert local == dist == [(7, 7), (9, 9)]
+
+    def test_empty_local(self, spark):
+        pairs = spark.createDataFrame([], "a_id long, b_id long")
+        assert connected_components(pairs).count() == 0

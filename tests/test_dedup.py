@@ -424,3 +424,80 @@ class TestSemanticClusterAutoSize:
         m = {(r["id"], r["is_dup"]) for r in manual.collect()}
         a = {(r["id"], r["is_dup"]) for r in auto.collect()}
         assert m == a
+
+
+class TestSemanticClusterGemmParity:
+    """pair_mode='gemm' (applyInPandas GEMM prefilter + exact sequential
+    rescore) must return the exact row set of pair_mode='join' (the
+    cosine_similarity-expression self-join the oracle mirrors) — every
+    (id, cell, is_dup) identical, across thresholds, clustered/spread
+    corpora, and zero vectors."""
+
+    def _corpus(self, spark, n, dim=16, seed=3, with_zero=False):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            base = [0.0] * dim
+            base[i % 4] = 1.0
+            rows.append(
+                (i, [b + rng.uniform(-0.2, 0.2) for b in base])
+            )
+        if with_zero:
+            rows[0] = (0, [0.0] * dim)
+            rows[1] = (1, [0.0] * dim)
+        return spark.createDataFrame(rows, "id long, emb array<double>")
+
+    def _parity(self, spark, emb, threshold, cents=None):
+        from pg_vectorize_spark.operators.dedup import (
+            semantic_cluster_dedup,
+        )
+
+        kw = dict(threshold=threshold, target_cell_size=40)
+        g = semantic_cluster_dedup(
+            emb, "id", "emb", cents, pair_mode="gemm", **kw
+        )
+        j = semantic_cluster_dedup(
+            emb, "id", "emb", cents, pair_mode="join", **kw
+        )
+        gs = sorted(map(tuple, g.select("id", "cell", "is_dup").collect()))
+        js = sorted(map(tuple, j.select("id", "cell", "is_dup").collect()))
+        assert gs == js
+
+    def test_thresholds(self, spark):
+        emb = self._corpus(spark, 150)
+        for thr in (0.999, 0.95, 0.7, 0.35):
+            self._parity(spark, emb, thr)
+
+    def test_zero_vectors(self, spark):
+        # zero-norm rows score cosine 0.0 (never >= a positive threshold)
+        # in BOTH paths — the expression's when(denom > 0) guard and the
+        # numpy where(denom > 0) must agree
+        emb = self._corpus(spark, 60, with_zero=True)
+        self._parity(spark, emb, 0.9)
+
+    def test_gate_fixture_config(self, spark):
+        # the exact sf0.001 gate shape: first-8 deterministic centroids,
+        # threshold sized to the synthetic corpus
+        from pg_vectorize_spark.operators.ann import default_centroids
+
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .selectExpr("vec_id as id", "embedding as emb")
+        )
+        cents = default_centroids(emb, "id", "emb", n_centroids=8)
+        self._parity(spark, emb, 0.35, cents)
+
+    def test_rejects_unknown_mode(self, spark):
+        import pytest as _pytest
+
+        from pg_vectorize_spark.operators.dedup import (
+            semantic_cluster_dedup,
+        )
+
+        emb = self._corpus(spark, 10)
+        with _pytest.raises(ValueError, match="pair_mode"):
+            semantic_cluster_dedup(
+                emb, "id", "emb", threshold=0.9, pair_mode="nope"
+            )
