@@ -117,6 +117,26 @@ def test_simhash_banded_equals_bruteforce(spark):
     assert banded == brute
 
 
+def test_simhash_pairs_one_row_per_pair(spark):
+    """A pair agreeing on SEVERAL bands (identical docs agree on all
+    four) must come back exactly once — the first-agreeing-band filter
+    that replaced the .distinct() is exact, not set-lucky."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # identical
+        (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+        (4, "completely different text about spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_pairs(df, "text", "doc_id", bits=20, max_hamming=20)
+    got = [(r["a_id"], r["b_id"]) for r in out.collect()]
+    assert len(got) == len(set(got)), f"duplicate pair rows: {sorted(got)}"
+    # max_hamming=20 admits every pair, each exactly once
+    assert sorted(got) == [
+        (a, b) for a in range(1, 5) for b in range(a + 1, 5)
+    ]
+
+
 def test_cosine_bucketed_subset_and_recall(spark):
     """Bucketed pairs ⊆ exact pairs, and true near-duplicates (cosine -> 1,
     sign patterns agree) are recalled."""
