@@ -461,6 +461,66 @@ def cosine_neardup_pairs(
     )
 
 
+def _pairs_cosine_rescore(
+    pairs_df: DataFrame,
+    va: str,
+    vb: str,
+    threshold: float,
+    margin: float = 1e-6,
+) -> DataFrame:
+    """Score candidate pair rows (two vector columns) and keep those at
+    cosine >= threshold — as ONE mapInPandas pass: a vectorized float64
+    numpy prefilter at ``threshold - margin`` picks survivors, each
+    survivor's output value is recomputed with the exact left-to-right
+    sequential fold of the ``cosine_similarity`` expression (and the
+    DuckDB oracle), so both membership and the emitted cosine are
+    bit-identical to the expression path. The interpreted per-pair
+    zip_with/aggregate this replaces was the dominant term of bucketed
+    near-dup rescoring (candidate count >> output count).
+
+    Output: the input columns minus the two vector columns, plus
+    ``cosine`` (double)."""
+    from pyspark.sql import types as T
+
+    keep_fields = [
+        f for f in pairs_df.schema.fields if f.name not in (va, vb)
+    ]
+    out_schema = T.StructType(
+        keep_fields + [T.StructField("cosine", T.DoubleType())]
+    )
+    keep_names = [f.name for f in keep_fields]
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[va]]
+            )
+            B = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vb]]
+            )
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+            keep_idx, exact = [], []
+            for i in np.nonzero(cos >= threshold - margin)[0]:
+                c = _seq_cosine(pdf[va].iloc[i], pdf[vb].iloc[i])
+                if c >= threshold:
+                    keep_idx.append(i)
+                    exact.append(c)
+            out = pdf.iloc[keep_idx][keep_names].copy()
+            out["cosine"] = exact
+            yield out
+
+    return pairs_df.mapInPandas(run, out_schema)
+
+
 def cosine_neardup_pairs_bucketed(
     emb_df: DataFrame,
     pkey: str,
@@ -468,6 +528,7 @@ def cosine_neardup_pairs_bucketed(
     threshold: float = 0.9,
     nbits: int = 8,
     probe_hamming: int = 1,
+    rescore_mode: str = "pandas",
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-bit LSH candidate pruning.
 
@@ -490,6 +551,8 @@ def cosine_neardup_pairs_bucketed(
             "probe_hamming > 1 not implemented (variant explosion grows "
             "as C(nbits, r); compose with IVF cells instead)"
         )
+    if rescore_mode not in ("pandas", "expr"):
+        raise ValueError(f"unknown rescore_mode {rescore_mode!r}")
     from pg_vectorize_spark.operators.ann import signbit_bucket_expr
 
     base = emb_df.select(
@@ -512,16 +575,22 @@ def cosine_neardup_pairs_bucketed(
     )
     # a's real bucket equals exactly one b-variant per (a,b), so the join
     # emits each candidate pair once — no dedup shuffle needed
-    return (
-        a.join(b, "_bkt")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+    cand = a.join(b, "_bkt").filter(F.col("a_id") < F.col("b_id"))
+    if rescore_mode == "pandas":
+        # vectorized Arrow rescore: exact same survivors and values as
+        # the expression path (see _pairs_cosine_rescore docstring;
+        # parity pinned in tests/test_dedup.py)
+        return _pairs_cosine_rescore(
+            cand.select("a_id", "b_id", "_va", "_vb"),
+            "_va",
+            "_vb",
+            float(threshold),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -521,3 +521,74 @@ class TestSemanticClusterGemmParity:
             semantic_cluster_dedup(
                 emb, "id", "emb", threshold=0.9, pair_mode="nope"
             )
+
+
+class TestBucketedCosineRescoreParity:
+    """rescore_mode='pandas' (Arrow prefilter + exact sequential rescore)
+    must emit the exact rows AND the exact cosine bits of
+    rescore_mode='expr' (the zip_with/aggregate expression the oracle
+    mirrors)."""
+
+    def _corpus(self, spark, n, dim=16, seed=11, with_zero=False):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            base = [0.0] * dim
+            base[i % 3] = 1.0
+            rows.append((i, [b + rng.uniform(-0.15, 0.15) for b in base]))
+        if with_zero:
+            rows[0] = (0, [0.0] * dim)
+            rows[1] = (1, [0.0] * dim)
+        return spark.createDataFrame(rows, "id long, vec array<double>")
+
+    def _parity(self, spark, emb, threshold):
+        from pg_vectorize_spark.operators.dedup import (
+            cosine_neardup_pairs_bucketed,
+        )
+
+        p = cosine_neardup_pairs_bucketed(
+            emb, "id", "vec", threshold=threshold, rescore_mode="pandas"
+        )
+        e = cosine_neardup_pairs_bucketed(
+            emb, "id", "vec", threshold=threshold, rescore_mode="expr"
+        )
+        ps = sorted(
+            (r["a_id"], r["b_id"], r["cosine"]) for r in p.collect()
+        )
+        es = sorted(
+            (r["a_id"], r["b_id"], r["cosine"]) for r in e.collect()
+        )
+        # exact equality including the float bits of the cosine column
+        assert ps == es
+
+    def test_thresholds(self, spark):
+        emb = self._corpus(spark, 120)
+        for thr in (0.99, 0.9, 0.5):
+            self._parity(spark, emb, thr)
+
+    def test_zero_vectors(self, spark):
+        self._parity(spark, self._corpus(spark, 50, with_zero=True), 0.9)
+
+    def test_gate_fixture(self, spark):
+        from pg_vectorize_spark.operators.dedup import (
+            cosine_neardup_pairs_bucketed,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).selectExpr("vec_id as id", "embedding as vec")
+        self._parity(spark, emb, 0.35)
+
+    def test_rejects_unknown_mode(self, spark):
+        import pytest as _pytest
+
+        from pg_vectorize_spark.operators.dedup import (
+            cosine_neardup_pairs_bucketed,
+        )
+
+        with _pytest.raises(ValueError, match="rescore_mode"):
+            cosine_neardup_pairs_bucketed(
+                self._corpus(spark, 5), "id", "vec", rescore_mode="x"
+            )
