@@ -253,6 +253,13 @@ def train_ivf_centroids_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    if n_centroids < 2:
+        # MLlib KMeans rejects k=1 (a tiny corpus can auto-size there);
+        # with one cell every assignment lands in it regardless of the
+        # centroid, so the deterministic single-vector quantizer is the
+        # exact degenerate answer without an ML fit
+        return default_centroids(emb_df, pkey, emb_col, n_centroids=1)
+
     ml_df = emb_df.select(
         F.col(pkey), array_to_vector(F.col(emb_col).cast("array<double>")).alias("_features")
     )

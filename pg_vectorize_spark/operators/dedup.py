@@ -478,6 +478,13 @@ def _pairs_cosine_rescore(
     zip_with/aggregate this replaces was the dominant term of bucketed
     near-dup rescoring (candidate count >> output count).
 
+    Runs as ``mapInArrow`` (not mapInPandas): the pandas bridge folds
+    NaN into null on the way back to the JVM, losing the NaN scores the
+    expression path emits for NaN embeddings; Arrow round-trips NaN
+    bit-exactly. Degenerate rows (null vectors, null elements, ragged
+    pairs) take a per-row path implementing the exact expression
+    semantics (see _pair_cosine_spark_semantics).
+
     Output: the input columns minus the two vector columns, plus
     ``cosine`` (double)."""
     from pyspark.sql import types as T
@@ -489,36 +496,59 @@ def _pairs_cosine_rescore(
         keep_fields + [T.StructField("cosine", T.DoubleType())]
     )
     keep_names = [f.name for f in keep_fields]
+    thr = float(threshold)
 
     def run(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            A = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[va]]
+            names = rb.schema.names
+            ca = rb.column(names.index(va))
+            cb = rb.column(names.index(vb))
+            A = _list_matrix(ca)
+            B = _list_matrix(cb)
+            keep_idx: list[int] = []
+            exact: list[float] = []
+            if (
+                A is not None
+                and B is not None
+                and A.shape[1] == B.shape[1]
+            ):
+                dots = np.einsum("ij,ij->i", A, B)
+                denom = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                    np.einsum("ij,ij->i", B, B)
+                )
+                # mirror Spark's NaN comparisons (see _seq_cosine)
+                branch = (denom > 0) | np.isnan(denom)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        branch, dots / np.where(branch, denom, 1.0), 0.0
+                    )
+                for i in np.nonzero(
+                    (cos >= thr - margin) | np.isnan(cos)
+                )[0]:
+                    c = _seq_cosine(A[i], B[i])
+                    if _spark_ge(c, thr):
+                        keep_idx.append(int(i))
+                        exact.append(c)
+            else:
+                la, lb = ca.to_pylist(), cb.to_pylist()
+                for i in range(rb.num_rows):
+                    c = _pair_cosine_spark_semantics(la[i], lb[i])
+                    if c is not None and _spark_ge(c, thr):
+                        keep_idx.append(i)
+                        exact.append(c)
+            idx = pa.array(keep_idx, type=pa.int64())
+            cols = [rb.column(names.index(k)).take(idx) for k in keep_names]
+            cols.append(pa.array(exact, type=pa.float64(), from_pandas=False))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=keep_names + ["cosine"]
             )
-            B = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vb]]
-            )
-            dots = np.einsum("ij,ij->i", A, B)
-            denom = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-                np.einsum("ij,ij->i", B, B)
-            )
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
-            keep_idx, exact = [], []
-            for i in np.nonzero(cos >= threshold - margin)[0]:
-                c = _seq_cosine(pdf[va].iloc[i], pdf[vb].iloc[i])
-                if c >= threshold:
-                    keep_idx.append(i)
-                    exact.append(c)
-            out = pdf.iloc[keep_idx][keep_names].copy()
-            out["cosine"] = exact
-            yield out
 
-    return pairs_df.mapInPandas(run, out_schema)
+    return pairs_df.mapInArrow(run, out_schema)
 
 
 def cosine_neardup_pairs_bucketed(
@@ -1032,7 +1062,15 @@ def arrival_order_span_stats(
 def _seq_cosine(a, b) -> float:
     """Exact mirror of functions/vector.cosine_similarity: float64
     left-to-right folds for dot and both norms, zero denominator -> 0.0.
-    Used to settle GEMM-prefiltered candidates bit-exactly."""
+    Used to settle GEMM-prefiltered candidates bit-exactly.
+
+    NaN mirror: Spark SQL treats NaN as greater than every value in
+    comparisons, so the expression's ``when(denom > 0)`` takes the
+    division branch on a NaN denominator and the caller's
+    ``cosine >= threshold`` filter KEEPS a NaN score. Python's
+    ``denom > 0`` is False for NaN — hence the explicit isnan branch
+    here, and callers must treat a NaN return as passing the
+    threshold (see _spark_ge)."""
     import math
 
     dot = 0.0
@@ -1045,18 +1083,82 @@ def _seq_cosine(a, b) -> float:
     for y in b:
         nb += float(y) * float(y)
     denom = math.sqrt(na) * math.sqrt(nb)
-    return dot / denom if denom > 0 else 0.0
+    if denom > 0 or math.isnan(denom):
+        return dot / denom
+    return 0.0
+
+
+def _spark_ge(value: float, threshold: float) -> bool:
+    """``value >= threshold`` under Spark SQL comparison semantics:
+    NaN compares greater than everything (so it always passes)."""
+    import math
+
+    return math.isnan(value) or value >= threshold
+
+
+def _pair_cosine_spark_semantics(a, b) -> float | None:
+    """Cosine of one (possibly degenerate) pair under the EXACT semantics
+    of the ``cosine_similarity`` expression, derived term by term from
+    ``when(denom > 0, dot/denom).otherwise(0.0)``:
+
+    - a NULL vector or any NULL element makes the corresponding norm
+      NULL, so ``denom`` is NULL, the ``when`` condition is unknown and
+      the OTHERWISE branch yields **0.0**;
+    - mismatched lengths with otherwise-clean vectors: ``zip_with`` pads
+      the shorter side with NULLs, the dot folds to NULL while both
+      norms stay valid, so ``denom > 0`` is true and the branch VALUE is
+      **NULL** — the pair is dropped by any comparison filter (returned
+      as ``None`` here);
+    - NaN anywhere propagates to a **NaN** score, and Spark comparisons
+      treat NaN as greater than everything, so the pair passes the
+      threshold filter.
+    """
+    if a is None or b is None:
+        return 0.0
+    if any(x is None for x in a) or any(x is None for x in b):
+        return 0.0
+    if len(a) != len(b):
+        return None
+    return _seq_cosine(a, b)
+
+
+def _list_matrix(arr):
+    """(n, d) float64 matrix from a pyarrow list array when every row is
+    non-null, element-null-free, and the same length; None otherwise
+    (callers fall back to the exact per-row path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        return None
+    if arr.null_count or arr.values.null_count:
+        return None
+    offs = np.asarray(arr.offsets)
+    lens = np.diff(offs)
+    if len(lens) == 0:
+        return None
+    d = lens[0]
+    if d == 0 or not (lens == d).all():
+        return None
+    vals = np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return vals[offs[0] : offs[-1]].reshape(len(lens), d)
 
 
 def _cell_dedup_gemm(
     assigned: DataFrame, pkey: str, emb_col: str, threshold: float
 ) -> DataFrame:
-    """Cell-local near-dup marking as one applyInPandas: GEMM prefilter at
+    """Cell-local near-dup marking as one applyInArrow: GEMM prefilter at
     ``threshold - margin``, exact sequential-fold rescore of candidates.
-    Output: (pkey, cell, is_dup) for every input row."""
+    Arrow (not pandas) so degenerate inputs keep the join path's exact
+    semantics: NaN embeddings mark like Spark's NaN-passes-filter rule,
+    null-element vectors score 0.0, ragged pairs drop (see
+    _pair_cosine_spark_semantics) — the pandas bridge would conflate
+    null and NaN on the way in. Output: (pkey, cell, is_dup) for every
+    input row."""
     from pyspark.sql import types as T
 
     margin = 1e-6
+    thr = float(threshold)
     out_schema = T.StructType(
         [
             T.StructField(pkey, assigned.schema[pkey].dataType),
@@ -1065,44 +1167,64 @@ def _cell_dedup_gemm(
         ]
     )
 
-    def mark(pdf):
+    def mark(tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        m = len(pdf)
+        m = tbl.num_rows
+        keys = np.asarray(tbl.column(pkey).to_pandas())
         # sort by key ascending so "has a lower-key neighbor" is the
-        # strict lower triangle (duplicate keys — not lower — masked out)
-        pdf = pdf.sort_values(pkey, kind="mergesort").reset_index(drop=True)
-        E = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
-        )
-        norms = np.sqrt((E * E).sum(axis=1))
-        denom = np.outer(norms, norms)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.where(denom > 0, (E @ E.T) / denom, 0.0)
-        keys = pdf[pkey].to_numpy()
-        cand = (S >= threshold - margin) & np.tri(m, k=-1, dtype=bool)
-        if keys.dtype == object:
-            neq = np.not_equal.outer(keys, keys)
-        else:
-            neq = keys[:, None] != keys[None, :]
-        cand &= neq
+        # strict lower triangle (duplicate keys — not lower — excluded)
+        order = np.argsort(keys, kind="mergesort")
+        tbl = tbl.take(pa.array(order, type=pa.int64()))
+        keys = keys[order]
+        emb = tbl.column(emb_col).combine_chunks()
         is_dup = np.zeros(m, dtype=bool)
-        vecs = pdf[emb_col]
-        for i, j in zip(*np.nonzero(cand)):
-            if is_dup[i]:
-                continue
-            if _seq_cosine(vecs.iloc[i], vecs.iloc[j]) >= threshold:
-                is_dup[i] = True
-        return pd.DataFrame(
+        E = _list_matrix(emb)
+        if E is not None:
+            norms = np.sqrt((E * E).sum(axis=1))
+            denom = np.outer(norms, norms)
+            # Spark's when(denom > 0) is TRUE for NaN denominators and
+            # its >= filter passes NaN scores — mirror both
+            branch = (denom > 0) | np.isnan(denom)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(
+                    branch, (E @ E.T) / np.where(branch, denom, 1.0), 0.0
+                )
+            cand = ((S >= thr - margin) | np.isnan(S)) & np.tri(
+                m, k=-1, dtype=bool
+            )
+            if keys.dtype == object:
+                neq = np.not_equal.outer(keys, keys)
+            else:
+                neq = keys[:, None] != keys[None, :]
+            cand &= neq
+            for i, j in zip(*np.nonzero(cand)):
+                if is_dup[i]:
+                    continue
+                if _spark_ge(_seq_cosine(E[i], E[j]), thr):
+                    is_dup[i] = True
+        else:
+            # degenerate cell (null vector / null element / ragged):
+            # exact per-pair loop under the expression semantics
+            vecs = emb.to_pylist()
+            for i in range(m):
+                for j in range(i):
+                    if keys[j] == keys[i]:
+                        continue
+                    c = _pair_cosine_spark_semantics(vecs[i], vecs[j])
+                    if c is not None and _spark_ge(c, thr):
+                        is_dup[i] = True
+                        break
+        return pa.table(
             {
-                pkey: pdf[pkey],
-                "cell": pdf["cell"],
-                "is_dup": is_dup,
+                pkey: tbl.column(pkey),
+                "cell": tbl.column("cell"),
+                "is_dup": pa.array(is_dup),
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(mark, out_schema)
+    return assigned.groupBy("cell").applyInArrow(mark, out_schema)
 
 
 def semantic_cluster_dedup(

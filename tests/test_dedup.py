@@ -497,6 +497,23 @@ class TestSemanticClusterGemmParity:
         emb = self._corpus(spark, 60, with_zero=True)
         self._parity(spark, emb, 0.9)
 
+    def test_nan_vectors(self, spark):
+        # Spark SQL compares NaN greater than everything: the expression
+        # path MARKS a row whose pairing cosine is NaN; the gemm path
+        # must mirror that, not apply IEEE never-true semantics
+        emb = self._corpus(spark, 40)
+        rows = emb.collect()
+        import math
+
+        poisoned = [
+            (r["id"], [math.nan] + list(r["emb"][1:]))
+            if r["id"] in (5, 17)
+            else (r["id"], list(r["emb"]))
+            for r in rows
+        ]
+        emb2 = spark.createDataFrame(poisoned, "id long, emb array<double>")
+        self._parity(spark, emb2, 0.9)
+
     def test_gate_fixture_config(self, spark):
         # the exact sf0.001 gate shape: first-8 deterministic centroids,
         # threshold sized to the synthetic corpus
@@ -570,6 +587,50 @@ class TestBucketedCosineRescoreParity:
 
     def test_zero_vectors(self, spark):
         self._parity(spark, self._corpus(spark, 50, with_zero=True), 0.9)
+
+    def test_nan_vectors(self, spark):
+        # NaN-cosine candidates pass Spark's >= filter and come back
+        # with a NaN score from the expression path; the Arrow path
+        # must emit the same rows (NaN == NaN treated as equal here)
+        import math
+
+        emb = self._corpus(spark, 30)
+        rows = emb.collect()
+        poisoned = [
+            (r["id"], [math.nan] + list(r["vec"][1:]))
+            if r["id"] == 3
+            else (r["id"], list(r["vec"]))
+            for r in rows
+        ]
+        emb2 = spark.createDataFrame(poisoned, "id long, vec array<double>")
+        from pg_vectorize_spark.operators.dedup import (
+            cosine_neardup_pairs_bucketed,
+        )
+
+        def norm(df):
+            return sorted(
+                (
+                    r["a_id"],
+                    r["b_id"],
+                    "nan" if math.isnan(r["cosine"]) else r["cosine"],
+                )
+                for r in df.collect()
+            )
+
+        p = norm(
+            cosine_neardup_pairs_bucketed(
+                emb2, "id", "vec", threshold=0.9, rescore_mode="pandas"
+            )
+        )
+        e = norm(
+            cosine_neardup_pairs_bucketed(
+                emb2, "id", "vec", threshold=0.9, rescore_mode="expr"
+            )
+        )
+        assert p == e
+        assert any(c == "nan" for _, _, c in p), (
+            "fixture failed to produce a NaN-cosine candidate pair"
+        )
 
     def test_gate_fixture(self, spark):
         from pg_vectorize_spark.operators.dedup import (
