@@ -106,24 +106,9 @@ def ngram_jaccard_pairs(
     remains a true Jaccard of the reduced sets. ``None`` = exact.
     """
     # the inverted index is read 3-4x downstream (df-count, both join sides,
-    # sizes); it is itself an explode, so materialize it once with a lazy
-    # local checkpoint instead of recomputing per consumer. The per-doc set
-    # size is F.size of the pre-explode distinct-shingle array — ZERO
-    # shuffle (each doc is one input row, array_distinct makes the array
-    # the exact set) — and it rides the shingle self-join so the pair
-    # aggregate needs NO size join afterwards. The pair table is the
-    # largest frame in this pipeline (4.3x the inverted index at sf0.1) —
-    # joining sizes onto it re-shuffles it twice, and the window-count
-    # form this replaces exchanged the full inverted index once on _id.
-    from pg_vectorize_spark.functions.text import word_shingles_expr
-
-    src = ensure_min_partitions(df).select(
-        F.col(pkey).alias("_id"),
-        word_shingles_expr(F.col(text_col), k).alias("_arr"),
-    )
-    inv = src.select(
-        "_id", F.size("_arr").alias("_size"), F.explode("_arr").alias("_sh")
-    ).localCheckpoint(eager=False)
+    # sizes); it is itself a windowed explode, so materialize it once with a
+    # lazy local checkpoint instead of recomputing per consumer
+    inv = shingles_exploded(df, text_col, pkey, k).localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("_sh")
@@ -132,18 +117,19 @@ def ngram_jaccard_pairs(
             .select("_sh")
         )
         # the hot list is tiny by construction -> broadcast anti-join,
-        # no extra shuffle of the full inverted index. The capped Jaccard
-        # is over the FILTERED sets on both numerator and denominator, so
-        # the pre-explode size no longer applies — recount with a window
-        # over _id (the one case that pays the extra exchange)
-        inv = (
-            inv.join(F.broadcast(hot), "_sh", "left_anti")
-            .drop("_size")
-            .withColumn(
-                "_size", F.count(F.lit(1)).over(Window.partitionBy("_id"))
-            )
-        )
-    inv_sized = inv
+        # no extra shuffle of the full inverted index
+        inv = inv.join(F.broadcast(hot), "_sh", "left_anti")
+    # attach the (capped) per-doc set size to every posting with a window
+    # over _id, so it rides the shingle self-join and the pair aggregate
+    # needs NO size join afterwards. The pair table is the largest frame
+    # in this pipeline (4.3x the inverted index at sf0.1) — joining sizes
+    # onto it, as a first cut did, re-shuffles it twice; at a scale where
+    # per-doc sizes stop being broadcastable (1e9 docs) that is the
+    # dominant cost. One extra exchange of the index is strictly smaller,
+    # and the self-join's two reads reuse it (ReusedExchange).
+    inv_sized = inv.withColumn(
+        "_size", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+    )
     a = inv_sized.select(
         F.col("_id").alias("a_id"), "_sh", F.col("_size").alias("_sa")
     )
