@@ -286,3 +286,221 @@ class TestFtsIndexProbeParity:
             .collect()
         }
         assert got == want
+
+
+class TestLocalCCProperties:
+    """Driver-side union-find (_local_cc) must equal BFS min-reachable
+    labels on EVERY edge multiset — order, duplicates, self-loops,
+    string keys included."""
+
+    @staticmethod
+    def _bfs(edges):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        comp = {}
+        for start in adj:
+            if start in comp:
+                continue
+            seen = {start}
+            stack = [start]
+            while stack:
+                n = stack.pop()
+                for m in adj[n]:
+                    if m not in seen:
+                        seen.add(m)
+                        stack.append(m)
+            label = min(seen)
+            for n in seen:
+                comp[n] = label
+        return comp
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)), max_size=120
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_matches_bfs_int_keys(self, edges):
+        from pg_vectorize_spark.operators.dedup import _local_cc
+
+        got = dict(_local_cc(edges))
+        assert got == self._bfs(edges)
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcdef", min_size=1, max_size=3),
+                st.text(alphabet="abcdef", min_size=1, max_size=3),
+            ),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_bfs_string_keys(self, edges):
+        from pg_vectorize_spark.operators.dedup import _local_cc
+
+        got = dict(_local_cc(edges))
+        assert got == self._bfs(edges)
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=80
+        ),
+        st.randoms(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_edge_order_invariant(self, edges, rng):
+        from pg_vectorize_spark.operators.dedup import _local_cc
+
+        shuffled = list(edges)
+        rng.shuffle(shuffled)
+        assert sorted(_local_cc(edges)) == sorted(_local_cc(shuffled))
+
+
+class TestSparkComparisonSemanticsProperties:
+    """The pure-Python mirrors of the cosine expression's degenerate-input
+    behavior (see _pair_cosine_spark_semantics): total functions with the
+    exact null/ragged/NaN rules."""
+
+    # magnitudes bounded so norms can't overflow to inf: 0*inf -> NaN is
+    # legitimate IEEE behavior BOTH engines share (verified by the
+    # falsifying example [0.0] x [1.3e154]), but it would make the
+    # clean-branch assertion below conditional
+    _vec = st.lists(
+        st.one_of(
+            st.none(),
+            st.just(float("nan")),
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+                min_value=-1e100,
+                max_value=1e100,
+                allow_subnormal=False,
+            ),
+        ),
+        min_size=0,
+        max_size=6,
+    )
+
+    @given(_vec, _vec)
+    @settings(max_examples=200, deadline=None)
+    def test_total_and_rule_ordered(self, a, b):
+        from pg_vectorize_spark.operators.dedup import (
+            _pair_cosine_spark_semantics,
+        )
+
+        c = _pair_cosine_spark_semantics(a, b)
+        if any(x is None for x in a) or any(x is None for x in b):
+            assert c == 0.0  # NULL element -> denom NULL -> otherwise 0.0
+        elif len(a) != len(b):
+            assert c is None  # ragged -> NULL score -> dropped
+        elif any(math.isnan(x) for x in a + b):
+            # NaN propagates through dot and norms; the score is NaN
+            # unless a zero denominator won first — impossible here,
+            # since a NaN element makes the norm NaN, not zero
+            assert c is not None and math.isnan(c)
+        else:
+            assert c is not None and not math.isnan(c)
+
+    @given(_vec)
+    @settings(max_examples=100, deadline=None)
+    def test_null_vector_scores_zero(self, b):
+        from pg_vectorize_spark.operators.dedup import (
+            _pair_cosine_spark_semantics,
+        )
+
+        assert _pair_cosine_spark_semantics(None, b) == 0.0
+        assert _pair_cosine_spark_semantics(b, None) == 0.0
+
+    @given(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_spark_ge_nan_always_passes(self, v, thr):
+        from pg_vectorize_spark.operators.dedup import _spark_ge
+
+        if math.isnan(v):
+            assert _spark_ge(v, thr)
+        else:
+            assert _spark_ge(v, thr) == (v >= thr)
+
+
+class TestListMatrixProperties:
+    """_list_matrix: clean uniform pyarrow list arrays round-trip to the
+    exact float64 matrix; any null row, null element, or ragged batch
+    returns None (the exact per-row fallback path takes over)."""
+
+    @given(
+        st.integers(1, 8),
+        st.lists(
+            st.lists(
+                st.floats(allow_nan=True, allow_infinity=False, width=64),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_clean_uniform_roundtrip(self, _seed, rows):
+        import numpy as np
+        import pyarrow as pa
+
+        from pg_vectorize_spark.operators.dedup import _list_matrix
+
+        arr = pa.array(rows, type=pa.list_(pa.float64()))
+        m = _list_matrix(arr)
+        assert m is not None and m.shape == (len(rows), 3)
+        for i, row in enumerate(rows):
+            assert all(
+                (math.isnan(x) and math.isnan(y)) or x == y
+                for x, y in zip(row, [float(v) for v in m[i]])
+            )
+
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.floats(allow_nan=False), min_size=0, max_size=4),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_degenerate_returns_none(self, rows):
+        import pyarrow as pa
+
+        from pg_vectorize_spark.operators.dedup import _list_matrix
+
+        lens = {len(r) for r in rows if r is not None}
+        degenerate = (
+            any(r is None for r in rows)
+            or len(lens) != 1
+            or lens == {0}
+        )
+        arr = pa.array(rows, type=pa.list_(pa.float64()))
+        m = _list_matrix(arr)
+        if degenerate:
+            assert m is None
+        else:
+            assert m is not None and m.shape[0] == len(rows)
+
+    def test_sliced_array_offsets(self):
+        # .offsets on a slice are parent-relative; the reconstruction
+        # must honor them (regression for the vals[offs[0]:offs[-1]] form)
+        import pyarrow as pa
+
+        from pg_vectorize_spark.operators.dedup import _list_matrix
+
+        arr = pa.array(
+            [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]],
+            type=pa.list_(pa.float64()),
+        )
+        m = _list_matrix(arr.slice(1, 2))
+        assert m is not None and m.tolist() == [[3.0, 4.0], [5.0, 6.0]]
