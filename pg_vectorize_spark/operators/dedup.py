@@ -1182,28 +1182,42 @@ def _cell_dedup_gemm(
         is_dup = np.zeros(m, dtype=bool)
         E = _list_matrix(emb)
         if E is not None:
+            # ROW-BLOCKED GEMM: the full m x m similarity matrix is
+            # O(cell²) memory — ~5 GB for a 25k-row cell (a fixed-k
+            # config on a grown corpus reaches that silently). Blocks
+            # bound it at block x m while computing the identical
+            # candidate set; at gate cell sizes one block covers the
+            # whole cell.
+            block = 1024
             norms = np.sqrt((E * E).sum(axis=1))
-            denom = np.outer(norms, norms)
-            # Spark's when(denom > 0) is TRUE for NaN denominators and
-            # its >= filter passes NaN scores — mirror both
-            branch = (denom > 0) | np.isnan(denom)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = np.where(
-                    branch, (E @ E.T) / np.where(branch, denom, 1.0), 0.0
-                )
-            cand = ((S >= thr - margin) | np.isnan(S)) & np.tri(
-                m, k=-1, dtype=bool
-            )
             if keys.dtype == object:
-                neq = np.not_equal.outer(keys, keys)
+                key_neq = lambda rows: np.not_equal.outer(keys[rows], keys)  # noqa: E731
             else:
-                neq = keys[:, None] != keys[None, :]
-            cand &= neq
-            for i, j in zip(*np.nonzero(cand)):
-                if is_dup[i]:
-                    continue
-                if _spark_ge(_seq_cosine(E[i], E[j]), thr):
-                    is_dup[i] = True
+                key_neq = lambda rows: keys[rows, None] != keys[None, :]  # noqa: E731
+            col_idx = np.arange(m)
+            for lo in range(0, m, block):
+                hi = min(lo + block, m)
+                rows = np.arange(lo, hi)
+                denom = np.outer(norms[lo:hi], norms)
+                # Spark's when(denom > 0) is TRUE for NaN denominators
+                # and its >= filter passes NaN scores — mirror both
+                branch = (denom > 0) | np.isnan(denom)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(
+                        branch,
+                        (E[lo:hi] @ E.T) / np.where(branch, denom, 1.0),
+                        0.0,
+                    )
+                cand = ((S >= thr - margin) | np.isnan(S)) & (
+                    col_idx[None, :] < rows[:, None]
+                )
+                cand &= key_neq(rows)
+                for i_loc, j in zip(*np.nonzero(cand)):
+                    i = lo + int(i_loc)
+                    if is_dup[i]:
+                        continue
+                    if _spark_ge(_seq_cosine(E[i], E[j]), thr):
+                        is_dup[i] = True
         else:
             # degenerate cell (null vector / null element / ragged):
             # exact per-pair loop under the expression semantics

@@ -539,6 +539,43 @@ class TestSemanticClusterGemmParity:
                 emb, "id", "emb", threshold=0.9, pair_mode="nope"
             )
 
+    def test_cell_spanning_gemm_blocks(self, spark):
+        # the gemm kernel processes a cell in 1024-row blocks; a cell
+        # bigger than one block must still see EVERY lower-key neighbor,
+        # including pairs whose two rows land in different blocks.
+        # Construction: 1400 rows in ONE cell (single centroid), random
+        # 64-dim unit-ish vectors (pairwise cosine ~N(0, 1/8), never near
+        # 0.95), with exact copies planted so every cross/within-block
+        # case occurs: (1100 copies 50) cross-block, (1030 copies 1025)
+        # within block 2, (1399 copies 1023) boundary-adjacent cross,
+        # (700 copies 10) within block 1.
+        import random
+
+        from pg_vectorize_spark.operators.ann import default_centroids
+        from pg_vectorize_spark.operators.dedup import (
+            semantic_cluster_dedup,
+        )
+
+        rng = random.Random(7)
+        vecs = [
+            [rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(1400)
+        ]
+        planted = {1100: 50, 1030: 1025, 1399: 1023, 700: 10}
+        for dup, src in planted.items():
+            vecs[dup] = list(vecs[src])
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "id long, emb array<double>",
+        )
+        cents = default_centroids(emb, "id", "emb", n_centroids=1)
+        out = semantic_cluster_dedup(
+            emb, "id", "emb", cents, threshold=0.95, pair_mode="gemm"
+        )
+        marked = {
+            r["id"] for r in out.collect() if r["is_dup"]
+        }
+        assert marked == set(planted)
+
 
 class TestBucketedCosineRescoreParity:
     """rescore_mode='pandas' (Arrow prefilter + exact sequential rescore)
