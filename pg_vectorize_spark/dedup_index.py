@@ -43,6 +43,14 @@ class MinHashBandIndexManager:
     """Build/probe/maintain a persisted LSH band index under ``index_dir``."""
 
     PART_COL = "bb"
+    #: probe_local candidate-pair guard: the batch side of the pair set
+    #: is small by construction, but the match side scales with how
+    #: clique-y the INDEX is — past this many candidate pairs the
+    #: driver-side probe hands the compare back to the DataFrame path
+    #: instead of collecting the pair set + its sidecar signatures.
+    #: 500k pairs ≈ a few tens of MB of key tuples — the same order as
+    #: the connected-components local path's edge guard.
+    LOCAL_PAIR_CAP = 500_000
 
     def __init__(
         self,
@@ -748,8 +756,18 @@ class MinHashBandIndexManager:
         """Driver-side ``probe``: [(key, match_key, est_jaccard)] for
         every batch key sharing ≥1 LSH band with an indexed document.
         Two pruned scans (band buckets; signature-sidecar buckets);
-        candidate pairs and the estimate comparison stay on the driver
-        (both batch-bounded)."""
+        candidate pairs and the estimate comparison stay on the driver.
+
+        The batch side is bounded by construction, but the MATCH side
+        is corpus-driven: an index holding a large near-dup clique
+        (boilerplate ingested before dedup was enabled, a mis-set
+        threshold) can pair one batch key with millions of indexed
+        keys. ``LOCAL_PAIR_CAP`` guards that: when the candidate-pair
+        probe trips the cap, the compare finishes on the DataFrame
+        path (``probe`` over ``sigs_df_from_local``) so the driver
+        never holds the unfiltered pair set or its sidecar signatures
+        — same rows out (the two est_jaccard computations are
+        bit-parity property-tested in tests/test_dedup_local.py)."""
         from pg_vectorize_spark import dedup_local
 
         meta = self._check_meta(pkey)
@@ -768,8 +786,22 @@ class MinHashBandIndexManager:
             .filter(F.col(pkey) != F.col("_bk"))
             .select("_bk", F.col(pkey).alias("_match"))
             .distinct()
+            .limit(self.LOCAL_PAIR_CAP + 1)
             .collect()
         )
+        if len(pairs) > self.LOCAL_PAIR_CAP:
+            sigs_df = self.sigs_df_from_local(sig_rows, pkey, pkey_type)
+            match_col = f"match_{pkey}"
+            return [
+                (r[pkey], r[match_col], r["est_jaccard"])
+                for r in self.probe(
+                    sigs_df.select(pkey),
+                    pkey,
+                    text_col="_unused",
+                    min_jaccard=min_jaccard,
+                    sigs=sigs_df,
+                ).collect()
+            ]
         if not pairs:
             return []
         corpus = self._sidecar_sigs_for_keys_local(

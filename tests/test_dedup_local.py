@@ -198,6 +198,33 @@ class TestProbeParity:
         assert got == want
         assert 1001 in got
 
+    def test_pair_cap_fallback_same_rows(self, spark, built_mgr, monkeypatch):
+        """Past LOCAL_PAIR_CAP candidate pairs, probe_local finishes the
+        compare on the DataFrame path — the returned triples must be
+        identical to the uncapped driver-side computation (both with
+        and without a threshold)."""
+        mgr, corpus = built_mgr
+        base = corpus[0][1]
+        batch = [
+            (3001, base),
+            (3002, base + " tail"),
+            (3003, "fresh novel content with no indexed neighbor xyz"),
+        ] + _random_texts(seed=33, n=10, start_id=3100)
+        sig_rows = mgr.signatures_local(batch)
+        for thr in (0.7, None):
+            uncapped = sorted(
+                mgr.probe_local(sig_rows, "id", "bigint", min_jaccard=thr)
+            )
+            assert uncapped  # the guard path must actually be exercised
+            monkeypatch.setattr(
+                MinHashBandIndexManager, "LOCAL_PAIR_CAP", 1
+            )
+            capped = sorted(
+                mgr.probe_local(sig_rows, "id", "bigint", min_jaccard=thr)
+            )
+            monkeypatch.undo()
+            assert capped == uncapped
+
     def test_probe_after_upsert_local_matches_spark_maintenance(
         self, spark, built_mgr, tmp_path
     ):
