@@ -609,6 +609,7 @@ def dsir_log_weights(
     pkey: str,
     n_buckets: int = 512,
     smoothing: float = 1.0,
+    single_pass: bool = True,
 ) -> DataFrame:
     """DSIR hashed importance weights (Xie et al., "Data Selection for
     Language Models via Importance Resampling", 2023): score every raw
@@ -633,9 +634,21 @@ def dsir_log_weights(
     sum is an exact BIGINT aggregate — associative and shuffle-order-
     free — and only the final result divides back to float64.
 
-    Scale shape: two explode+groupBy bucket counts (bounded at
-    n_buckets rows each), a broadcast of the tiny delta table against
-    the raw postings, one keyed doc-sum shuffle. n_buckets is the
+    Scale shape (``single_pass=True``, the default): the RAW corpus
+    text is exploded ONCE into a per-document bucket histogram
+    (pkey, bucket, count) — a compression of the corpus, materialized
+    — from which BOTH the raw bucket distribution (groupBy bucket over
+    <= n_buckets keys) and the per-document score (broadcast the tiny
+    delta table, one keyed integer aggregate with multiplicities) are
+    derived; only the target slice is exploded separately (it is an
+    arbitrary caller frame, often a small filtered subset). The
+    multiplicity-weighted sum ``Σ count·δ9`` over BIGINT nano-units is
+    bit-identical to the per-posting sum, so the output matches the
+    two-pass shape exactly. ``single_pass=False`` keeps the original
+    explode-twice plan (each pass map-side-combines straight to
+    n_buckets rows, no histogram materialization) — the A/B baseline,
+    and the choice when the histogram (~docs × distinct-buckets rows)
+    is larger than a second pass over the text. n_buckets is the
     memory/bias knob (the paper uses 10^4-10^5 for unigram+bigram).
     """
     import math as _math
@@ -667,8 +680,31 @@ def dsir_log_weights(
         .select("_b", F.coalesce("_n", F.lit(0)).alias("_nt"))
         .localCheckpoint()
     )
+    docbuckets = None
+    if single_pass:
+        # one corpus text read: the per-doc bucket histogram feeds BOTH
+        # the raw distribution and the final per-doc score
+        docbuckets = (
+            ensure_min_partitions(raw_df)
+            .select(
+                F.col(pkey),
+                F.explode(raw_words_expr(F.col(text_col))).alias("_w"),
+            )
+            .select(
+                F.col(pkey),
+                hash_bucket_expr(F.col("_w"), n_buckets).alias("_b"),
+            )
+            .groupBy(pkey, "_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint()
+        )
+        raw_counts = docbuckets.groupBy("_b").agg(
+            F.sum("_n").alias("_n")
+        )
+    else:
+        raw_counts = _bucket_counts(raw_df)
     raw = (
-        full.join(_bucket_counts(raw_df), "_b", "left")
+        full.join(raw_counts, "_b", "left")
         .select("_b", F.coalesce("_n", F.lit(0)).alias("_nr"))
         .localCheckpoint()
     )
@@ -710,6 +746,22 @@ def dsir_log_weights(
             F.col("_tr"),
         ).alias("_d9"),
     )
+    if single_pass:
+        return (
+            docbuckets.join(F.broadcast(deltas), "_b")
+            .groupBy(pkey)
+            .agg(
+                F.sum("_n").alias("n_tokens"),
+                F.sum(F.col("_n") * F.col("_d9")).alias("_s9"),
+            )
+            .select(
+                F.col(pkey),
+                F.col("n_tokens"),
+                (
+                    F.col("_s9").cast("double") / F.lit(1_000_000_000.0)
+                ).alias("log_weight"),
+            )
+        )
     postings = ensure_min_partitions(raw_df).select(
         F.col(pkey),
         F.explode(raw_words_expr(F.col(text_col))).alias("_w"),

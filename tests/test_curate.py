@@ -491,6 +491,38 @@ class TestDsirWeights:
         }
         assert a == b  # integer nano-unit sums: shuffle-order-free
 
+    def test_single_pass_matches_two_pass_bitwise(self, spark):
+        """single_pass=True (one corpus explode, multiplicity-weighted
+        BIGINT sum over the per-doc bucket histogram) must reproduce the
+        explode-twice plan's rows exactly — integer nano-units make the
+        two groupings bit-identical."""
+        from pg_vectorize_spark.operators.curate import dsir_log_weights
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang")
+        )
+        tgt = docs.filter("lang = 'en'")
+        one = sorted(
+            map(
+                tuple,
+                dsir_log_weights(
+                    docs, tgt, "text", "doc_id", n_buckets=128,
+                    single_pass=True,
+                ).collect(),
+            )
+        )
+        two = sorted(
+            map(
+                tuple,
+                dsir_log_weights(
+                    docs, tgt, "text", "doc_id", n_buckets=128,
+                    single_pass=False,
+                ).collect(),
+            )
+        )
+        assert one == two
+
 
 class TestSemanticContamination:
     def test_flags_match_exact_crossjoin(self, spark):
