@@ -553,30 +553,38 @@ def source_divergence(
     negative term is bounded by p·ln(q) >= -50, so the running BIGINT
     total stays around ±5e13·vocab-fraction — orders below 2^63.
 
-    Shape: two word-keyed aggregates (map-side combined), one equi-join
-    on word, one stratum-keyed aggregate. The Arrow batch runs over
-    (stratum, word) rows — the one place Python touches data, and the
-    price of bit-exact log parity with the oracle.
+    Shape: ONE pass over the exploded words — the (stratum, word)
+    count table is the only word-volume aggregate; the corpus counts,
+    stratum totals, and grand total are integer roll-ups OF that table
+    (exact, so bit-identical to counting the words directly), which is
+    |vocab x strata| rows instead of the full posting stream. Then one
+    equi-join on word and one stratum-keyed aggregate. The Arrow batch
+    runs over (stratum, word) rows — the one place Python touches
+    data, and the price of bit-exact log parity with the oracle.
     """
     import math as _math
 
     from pg_vectorize_spark.functions.text import raw_words_expr
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
-    words = (
-        ensure_min_partitions(df)
-        .select(
-            F.col(strata_col).alias("_s"),
-            F.explode(raw_words_expr(F.col(text_col))).alias("word"),
-        )
-        .localCheckpoint(eager=False)  # read twice: stratum + corpus counts
+    words = ensure_min_partitions(df).select(
+        F.col(strata_col).alias("_s"),
+        F.explode(raw_words_expr(F.col(text_col))).alias("word"),
     )
-    strat_counts = words.groupBy("_s", "word").agg(
-        F.count(F.lit(1)).alias("_csw")
+    strat_counts = (
+        words.groupBy("_s", "word")
+        .agg(F.count(F.lit(1)).alias("_csw"))
+        # four consumers (the join + three roll-ups): materialize the
+        # compressed table once, not four passes over the posting stream
+        .localCheckpoint(eager=False)
     )
-    corpus_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("_cw"))
-    strat_totals = words.groupBy("_s").agg(F.count(F.lit(1)).alias("_ns"))
-    grand = words.agg(F.count(F.lit(1)).alias("_n"))
+    corpus_counts = strat_counts.groupBy("word").agg(
+        F.sum("_csw").alias("_cw")
+    )
+    strat_totals = strat_counts.groupBy("_s").agg(
+        F.sum("_csw").alias("_ns")
+    )
+    grand = strat_counts.agg(F.sum("_csw").alias("_n"))
 
     _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
     joined = (
