@@ -74,6 +74,11 @@ class MinHashBandIndexManager:
         #: corpora (measured two-decade table in SCALING.md — at 500k
         #: keys, 64 buckets makes every upsert rewrite ~the whole
         #: sidecar).
+        #: explicit config pins the count (and must match an existing
+        #: index's meta); otherwise build() derives it from the corpus
+        #: via the bytes-per-bucket rule and reopen adopts the stored
+        #: value
+        self._sigs_buckets_explicit = "sigs_buckets" in p
         self.sigs_buckets = max(
             1, int(p.get("sigs_buckets", self.band_buckets))
         )
@@ -109,6 +114,13 @@ class MinHashBandIndexManager:
 
     def _check_meta(self, pkey: str) -> dict:
         meta = self._load_meta()
+        if not self._sigs_buckets_explicit:
+            # the stored count is authoritative for an existing index
+            # (build may have derived it from the corpus size); only an
+            # EXPLICIT caller value participates in the mismatch check
+            self.sigs_buckets = int(
+                meta.get("sigs_buckets", meta["band_buckets"])
+            )
         stored = (
             meta["num_hashes"],
             meta["bands"],
@@ -255,6 +267,16 @@ class MinHashBandIndexManager:
     ) -> None:
         """Full (re)build from the source — also crash recovery."""
         sigs = self._batch_sigs(df, pkey, text_col, sigs)
+        if not self._sigs_buckets_explicit:
+            # size the sidecar by the bytes-per-bucket rule (one count
+            # job per build — builds are rare); stays at the floor (64,
+            # today's default) until ~7e8 keys, so small corpora see no
+            # change and the 100-TB regime gets GB-unit buckets without
+            # hand tuning
+            sigs = sigs.localCheckpoint(eager=False)
+            self.sigs_buckets = self.derive_sigs_buckets(
+                sigs.count(), num_hashes=self.num_hashes
+            )
         rows = self._band_rows(sigs, pkey)
         has_data = rows.limit(1).count() > 0
         if os.path.isdir(self.index_dir):

@@ -655,3 +655,46 @@ class TestSigsBucketsDerivation:
         assert d(keys_per_bucket * 200) in (200, 201)
         # 100-TB-ish corpus (1e11 keys): thousands of buckets, bounded
         assert 9000 < d(100_000_000_000) < 15000
+
+    def test_build_derives_and_reopen_adopts(self, spark, tmp_path):
+        """Default-config build applies the rule (floor at local scale,
+        so the meta matches today's 64); reopening an index whose
+        stored count differs ADOPTS it when the caller didn't pin one,
+        and still refuses an explicit mismatch."""
+        from pg_vectorize_spark.dedup_index import MinHashBandIndexManager
+
+        df = spark.createDataFrame(
+            [(i, f"document number {i} with some words") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        idx = str(tmp_path / "idx")
+        built = MinHashBandIndexManager(
+            spark, idx, {"num_hashes": 16, "bands": 4, "sigs_buckets": 7}
+        )
+        built.build(df, "doc_id", "text")
+        # non-explicit reopen adopts the stored 7 and probes fine
+        reopened = MinHashBandIndexManager(
+            spark, idx, {"num_hashes": 16, "bands": 4}
+        )
+        got = reopened.near_dup_keys_local(
+            reopened.signatures_local([(999, "document number 3 with some words")]),
+            "doc_id",
+            "bigint",
+            min_jaccard=0.5,
+        )
+        assert reopened.sigs_buckets == 7
+        assert 999 in got
+        # explicit mismatch still refuses mixed-parameter maintenance
+        import pytest as _pytest
+
+        wrong = MinHashBandIndexManager(
+            spark, idx, {"num_hashes": 16, "bands": 4, "sigs_buckets": 9}
+        )
+        with _pytest.raises(ValueError, match="sigs_buckets"):
+            wrong._check_meta("doc_id")
+        # a default-config BUILD derives (floor == 64 at this scale)
+        idx2 = str(tmp_path / "idx2")
+        fresh = MinHashBandIndexManager(spark, idx2, {"num_hashes": 16, "bands": 4})
+        fresh.build(df, "doc_id", "text")
+        assert fresh.sigs_buckets == 64
+        assert fresh._load_meta()["sigs_buckets"] == 64
