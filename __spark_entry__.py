@@ -640,6 +640,58 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs.select("doc_id"), "doc_id")
 
 
+PACK_BLOCK = 512
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/curate.sequence_pack): lay
+    the corpus out in a deterministic hash-shuffle order, concatenate the
+    token streams, chop into fixed 512-token training blocks, and report
+    each doc's exact landing site (start_tok / first_block / offset /
+    last_block). Distributed prefix sum — per-bucket windows over
+    deterministic priority ranges + a driver-side prefix of the
+    order_buckets bucket totals — never a single-partition global
+    window. All-BIGINT arithmetic, bit-exact vs the SQL window oracle."""
+    from pg_vectorize_spark.operators.curate import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
+
+
+# Line-ify the single-line corpus (sentence boundaries -> newlines, the
+# c4_flags fixture trick) and re-append the FIRST line on every 7th doc
+# so both branches of the dedup are exercised; same SQL expression
+# evaluated by both engines.
+_LINE_DEDUP_LINED = (
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "replace(text, '. ', '.' || chr(10)) || chr(10) || "
+    "split_part(replace(text, '. ', '.' || chr(10)), chr(10), 1) "
+    "ELSE replace(text, '. ', '.' || chr(10)) END"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (functions/text.
+    line_dedup_exprs) — the CCNet/C4-style page cleanup (nav bars, cookie
+    banners, footers repeat verbatim inside a page) that runs before any
+    cross-corpus dedup. Pure per-row array expressions: zero shuffle,
+    embarrassingly parallel; survivors rejoined and hash-compared."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_lined", F.expr(_LINE_DEDUP_LINED)
+    )
+    ex = T.line_dedup_exprs(F.col("_lined"))
+    return docs.select(
+        "doc_id",
+        ex["n_lines"].alias("n_lines"),
+        ex["n_kept_lines"].alias("n_kept_lines"),
+        ex["had_dup_lines"].alias("had_dup_lines"),
+        F.md5(ex["clean_text"]).alias("clean_hash"),
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus mixing by language: en replicated
     2.5x (multi-epoch), fr/es downsampled, zh dropped. Zero-shuffle
@@ -2322,6 +2374,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
+    # --- new in r10 (no driver row yet; self-verified via
+    # scripts/check_oracle.py — rotate into the r11 window) ---
+    "sequence_pack": q_sequence_pack,
+    "line_dedup": q_line_dedup,
 }
 
 
@@ -4412,6 +4468,45 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, o.o_orderpriority
+""",
+    # the oracle states packing as the textbook single global window;
+    # the Spark side computes the same prefix sum distributed
+    "sequence_pack": f"""
+WITH base AS (
+  SELECT doc_id, {O.sql_token_count('text')} AS n_tokens,
+         {O.sql_sample_priority('doc_id', '|pack')} AS prio
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY prio, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS start_tok
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, start_tok,
+  (start_tok // {PACK_BLOCK})::BIGINT AS first_block,
+  (start_tok % {PACK_BLOCK})::BIGINT AS offset_in_block,
+  ((start_tok + n_tokens - 1) // {PACK_BLOCK})::BIGINT AS last_block,
+  ((start_tok + n_tokens - 1) // {PACK_BLOCK}
+    - start_tok // {PACK_BLOCK} + 1)::BIGINT AS n_blocks
+FROM c
+""",
+    "line_dedup": f"""
+WITH l AS (
+  SELECT doc_id, ({_LINE_DEDUP_LINED}) AS lined FROM documents
+), s AS (
+  SELECT doc_id, string_split(lined, chr(10)) AS lines FROM l
+), k AS (
+  SELECT doc_id, lines,
+    list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+  FROM s
+)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  len(kept)::BIGINT AS n_kept_lines,
+  len(kept) < len(lines) AS had_dup_lines,
+  md5(array_to_string(kept, chr(10))) AS clean_hash
+FROM k
 """,
 }
 

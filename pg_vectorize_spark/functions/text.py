@@ -657,3 +657,34 @@ def c4_flags_exprs(
         & ~has_lorem
         & ~has_brace,
     }
+
+
+def line_dedup_exprs(text: Column) -> dict[str, Column]:
+    """First-occurrence line dedup WITHIN a document (the intra-page
+    cleanup CCNet/C4-style pipelines run before any cross-corpus pass:
+    nav bars, cookie banners and footers repeat verbatim inside a page).
+    Keeps each distinct line's first occurrence, preserving order:
+
+    - ``n_lines`` / ``n_kept_lines``: before/after;
+    - ``clean_text``: survivors rejoined with newlines;
+    - ``had_dup_lines``: any line repeated.
+
+    Pure per-row array expressions (split → first-occurrence filter →
+    rejoin) — zero shuffle, whole-stage-codegen'd, embarrassingly
+    parallel at any scale. The first-occurrence test is
+    ``array_position(lines, x) == i+1`` (first index of the value equals
+    this index), O(lines²) per doc in the worst case — lines-per-doc is
+    bounded, corpus size is not, so the quadratic term is the right side
+    of the trade.
+    """
+    t = F.coalesce(text, F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    return {
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept,
+        "clean_text": F.array_join(kept, "\n"),
+        "had_dup_lines": n_kept < n_lines,
+    }

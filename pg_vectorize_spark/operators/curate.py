@@ -885,3 +885,77 @@ def semantic_contamination_flags(
             F.col("_best._bid").alias("bench_match"),
         )
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    key_col: str,
+    count_col: str,
+    block_size: int,
+    salt: str = "|pack",
+    order_buckets: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing: lay the corpus's token streams out in
+    a deterministic shuffle order, concatenate, and chop into fixed
+    ``block_size``-token training blocks. Per input row the output says
+    exactly where its tokens land: ``start_tok`` (0-based position in
+    the concatenated stream), ``first_block``/``offset_in_block``,
+    ``last_block``, and ``n_blocks`` spanned — everything a loader needs
+    to materialize block ``b`` by fetching the docs whose
+    [first_block, last_block] range covers it. Rows with a zero/NULL
+    token count are dropped (they contribute no tokens).
+
+    The shuffle order is the Fibonacci-mixed hash priority
+    (``sample_priority_expr``; distinct salts give independent epoch
+    orders), key-tiebroken — reproducible across reruns, cluster sizes
+    and partitionings, like ``hash_split``.
+
+    Scale shape — a distributed prefix sum, NOT a global window: a
+    single ``Window.orderBy`` collapses the corpus onto one task. The
+    priority space [0, 2^32) is pre-chopped into ``order_buckets``
+    contiguous, hash-uniform ranges (deterministic integer division —
+    no sampled RangePartitioner boundaries, so separate passes can
+    never disagree); per-bucket token totals (``order_buckets`` rows)
+    prefix-sum on the driver and broadcast back; the window runs
+    per-bucket (~corpus/order_buckets rows per task). Everything is
+    BIGINT arithmetic — bit-exact against the SQL-window oracle.
+    """
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    if order_buckets < 1:
+        raise ValueError(f"order_buckets must be >= 1, got {order_buckets}")
+    width = -((1 << MIX_BITS) // -order_buckets)  # ceil: pid < order_buckets
+    base = (
+        df.select(F.col(key_col), F.col(count_col).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_prio", sample_priority_expr(F.col(key_col), salt))
+        .withColumn("_pid", F.expr(f"_prio div {width}"))
+    )
+    totals = sorted(
+        (r["_pid"], r["_tot"])
+        for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot")).collect()
+    )
+    offsets, running = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, running))
+        running += tot
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, schema="_pid BIGINT, _poff BIGINT")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_prio").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_poff") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = base.join(F.broadcast(off_df), "_pid").withColumn("start_tok", start)
+    last = F.expr(f"(start_tok + n_tokens - 1) div {block_size}")
+    first = F.expr(f"start_tok div {block_size}")
+    return out.select(
+        F.col(key_col),
+        F.col("n_tokens"),
+        F.col("start_tok"),
+        first.alias("first_block"),
+        (F.col("start_tok") % block_size).alias("offset_in_block"),
+        last.alias("last_block"),
+        (last - first + F.lit(1)).alias("n_blocks"),
+    )

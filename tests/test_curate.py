@@ -581,3 +581,100 @@ class TestSemanticContamination:
             semantic_contamination_flags(
                 df, "id", "e", df, "id", "e", probe_hamming=2
             )
+
+
+class TestSequencePack:
+    def _df(self, spark, n=200):
+        # deterministic token counts 1..13, a few zero/null rows
+        rows = [
+            (i, None if i % 41 == 0 else (0 if i % 17 == 0 else 1 + i % 13))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, n long")
+
+    def _pack(self, spark, df, block, buckets):
+        from pg_vectorize_spark.operators.curate import sequence_pack
+
+        return sorted(
+            map(tuple, sequence_pack(df, "doc_id", "n", block, order_buckets=buckets).collect())
+        )
+
+    def test_stream_is_gapless_and_block_math_holds(self, spark):
+        df = self._df(spark)
+        out = self._pack(spark, df, 7, 8)
+        # zero/null-count rows dropped
+        kept = df.filter("n > 0").count()
+        assert len(out) == kept
+        rows = sorted(out, key=lambda r: r[2])  # by start_tok
+        pos = 0
+        for (doc, n, start, first, off, last, nb) in rows:
+            assert start == pos, "concatenated stream has a gap/overlap"
+            assert first == start // 7 and off == start % 7
+            assert last == (start + n - 1) // 7
+            assert nb == last - first + 1
+            pos += n
+
+    def test_bucket_count_invariant(self, spark):
+        # the distributed prefix sum must not depend on how the priority
+        # space is chopped: 1 bucket (fully sequential) == 64 buckets
+        df = self._df(spark)
+        assert self._pack(spark, df, 16, 1) == self._pack(spark, df, 16, 64)
+
+    def test_partition_invariant(self, spark):
+        df = self._df(spark)
+        a = self._pack(spark, df.coalesce(1), 32, 8)
+        b = self._pack(spark, df.repartition(13), 32, 8)
+        assert a == b
+
+    def test_salt_gives_independent_epoch_orders(self, spark):
+        from pg_vectorize_spark.operators.curate import sequence_pack
+
+        df = self._df(spark).filter("n > 0")
+        a = {r["doc_id"]: r["start_tok"] for r in sequence_pack(df, "doc_id", "n", 8, salt="|e0").collect()}
+        b = {r["doc_id"]: r["start_tok"] for r in sequence_pack(df, "doc_id", "n", 8, salt="|e1").collect()}
+        assert a != b  # a different epoch order
+        assert set(a) == set(b)  # over the same docs
+
+    def test_rejects_bad_args(self, spark):
+        from pg_vectorize_spark.operators.curate import sequence_pack
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            sequence_pack(df, "doc_id", "n", 0)
+        with pytest.raises(ValueError):
+            sequence_pack(df, "doc_id", "n", 8, order_buckets=0)
+
+    def test_empty_input(self, spark):
+        df = self._df(spark).filter("n < 0")
+        assert self._pack(spark, df, 8, 8) == []
+
+
+class TestLineDedup:
+    def _run(self, spark, texts):
+        from pg_vectorize_spark.functions.text import line_dedup_exprs
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+        ex = line_dedup_exprs(F.col("t"))
+        return {
+            r["id"]: (r["n"], r["k"], r["d"], r["c"])
+            for r in df.select(
+                "id",
+                ex["n_lines"].alias("n"),
+                ex["n_kept_lines"].alias("k"),
+                ex["had_dup_lines"].alias("d"),
+                ex["clean_text"].alias("c"),
+            ).collect()
+        }
+
+    def test_first_occurrence_survives_in_order(self, spark):
+        out = self._run(spark, ["a\nb\na\nc\nb\na"])
+        assert out[0] == (6, 3, True, "a\nb\nc")
+
+    def test_no_dups_is_identity(self, spark):
+        out = self._run(spark, ["x\ny\nz"])
+        assert out[0] == (3, 3, False, "x\ny\nz")
+
+    def test_empty_and_null(self, spark):
+        out = self._run(spark, ["", None])
+        assert out[0] == (1, 1, False, "")
+        assert out[1] == (1, 1, False, "")
