@@ -692,6 +692,31 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merges() -> list[tuple[str, str]]:
+    """The committed BPE merge fixture (scripts/make_bpe_merges.py) —
+    a model artifact like the PQ codebook: trained once, deterministic,
+    committed; the gate verifies the distributed ENCODE under it."""
+    import json
+
+    with open("/root/repo/tests/fixtures/bpe_merges.json") as f:
+        return [tuple(m) for m in json.load(f)["merges"]]
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real learned-subword tokenization (operators/bpe.py, Sennrich et
+    al. 2016) under the committed 60-merge fixture: per-doc word count,
+    BPE token count, and the md5 of the whole token stream. Broadcast
+    merges + mapInPandas with a per-batch word cache (Zipf: most word
+    occurrences are cache hits) — Arrow-batched, zero shuffle. The
+    oracle replays the encode as a recursive CTE (one left-to-right
+    merge pass per rank, the pass-per-merge form that provably equals
+    the canonical priority encode — operators/bpe.py docstring)."""
+    from pg_vectorize_spark.operators.bpe import bpe_encode_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, "doc_id", "text", _bpe_merges())
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus mixing by language: en replicated
     2.5x (multi-epoch), fr/es downsampled, zh dropped. Zero-shuffle
@@ -2378,6 +2403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/check_oracle.py — rotate into the r11 window) ---
     "sequence_pack": q_sequence_pack,
     "line_dedup": q_line_dedup,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 
@@ -3746,6 +3772,61 @@ FROM offs GROUP BY original_id, floor(start / 200)
 """
 
 
+def _oracle_bpe_token_count() -> str:
+    """Replay the BPE encode under the committed merges as a recursive
+    CTE: distinct words start as chars + '</w>'; step i applies merge i
+    as ONE left-to-right greedy pass, expressed as a string-state
+    list_reduce (the trailing-symbol test ``acc LIKE '% ' || a`` is
+    exact because symbols never contain spaces or LIKE wildcards —
+    alphabet is [a-z0-9] plus '</w>')."""
+    merges = _bpe_merges()
+    mvals = ", ".join(
+        f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
+    )
+    n = len(merges)
+    pass_expr = """
+list_reduce(string_split(r.s, ' '), (acc, x) ->
+  CASE WHEN x = m.mb AND (acc = m.ma OR acc LIKE '% ' || m.ma)
+       THEN CASE WHEN acc = m.ma THEN m.ma || m.mb
+                 ELSE left(acc, len(acc) - len(m.ma)) || m.ma || m.mb END
+       ELSE acc || ' ' || x END)
+"""
+    return f"""
+WITH RECURSIVE m(rank, ma, mb) AS (SELECT * FROM (VALUES {mvals}) t(r, a, b)),
+w AS (SELECT doc_id, {O.sql_words('text')} AS words FROM documents),
+p AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) AS i
+  FROM w
+),
+dw AS (SELECT DISTINCT word FROM p),
+r(word, step, s) AS (
+  SELECT word, 0,
+    array_to_string(
+      list_transform(range(1, len(word)+1), j -> word[j:j]) || ['</w>'],
+      ' ')
+  FROM dw
+  UNION ALL
+  SELECT r.word, r.step + 1, {pass_expr}
+  FROM r JOIN m ON m.rank = r.step + 1
+),
+enc AS (SELECT word, s FROM r WHERE step = {n}),
+agg AS (
+  SELECT p.doc_id,
+         count(*) AS n_words,
+         sum(len(string_split(enc.s, ' ')))::BIGINT AS n_bpe_tokens,
+         md5(string_agg(enc.s, ' ' ORDER BY p.i)) AS token_hash
+  FROM p JOIN enc ON p.word = enc.word
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_words, 0) AS n_words,
+       coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(agg.token_hash, md5('')) AS token_hash
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 ORACLE: dict[str, str] = {
     "semantic_search_topk": _oracle_semantic_topk(),
     # the indexed path must return the EXACT brute-force ranking — same
@@ -4508,6 +4589,7 @@ SELECT doc_id,
   md5(array_to_string(kept, chr(10))) AS clean_hash
 FROM k
 """,
+    "bpe_token_count": _oracle_bpe_token_count(),
 }
 
 # IVF-probed hard negatives (VERDICT r6 #5): the oracle INDEPENDENTLY

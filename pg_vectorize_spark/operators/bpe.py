@@ -1,0 +1,204 @@
+"""Byte-pair-encoding tokenizer: distributed training corpus pass,
+driver-side merge learning, broadcast-merges distributed encode.
+
+The reference engine counts tokens only as a trim heuristic
+(extension/src/core/openai.rs:166 whitespace units); a training-data
+pipeline additionally needs a REAL learned subword tokenizer to measure
+and pack the corpus it ships. This is Sennrich et al. 2016 BPE over the
+repo's word tokenization (functions/text.raw_words_expr — lowercase,
+``[^a-z0-9]+`` splits), with a ``</w>`` end-of-word symbol.
+
+Scale shape:
+- Training's corpus-scale work is ONE distributed word count
+  (explode + groupBy — map-side partial agg, |vocab| output rows).
+  Merge learning then runs on the driver over a deterministically
+  capped word table (count desc, word asc; ``max_words``) —
+  O(vocab x merges) on a Zipf-bounded table, the sentencepiece/HF
+  practice. No per-merge Spark job: at 100 TB the word count is the
+  only pass that sees the corpus.
+- Encoding broadcasts the merge list (a few KB) and runs mapInPandas
+  with a per-batch word cache — Zipf means most word occurrences are
+  cache hits, so per-doc work is ~distinct-new-words, not tokens.
+
+Determinism: ties in pair counts break to the lexicographically
+smallest pair, and the vocab cap orders (count desc, word asc), so the
+same corpus always learns the same merges on any cluster layout.
+
+Encode semantics: merges are applied in rank order, one left-to-right
+pass each. This equals the canonical lowest-rank-first priority encode:
+merging a pair never creates a NEW adjacency between two other
+pre-existing symbols, so once pass i has run, pair i can never reappear
+— and the single left-to-right pass handles self-overlap ('aaa' with
+(a,a) -> ('aa','a')) exactly like the canonical scan. The SQL oracle
+mirrors this pass-per-merge form as a recursive CTE.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.functions.text import raw_words_expr
+
+EOW = "</w>"
+_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def words_of(text: str | None) -> list[str]:
+    """Python mirror of ``raw_words_expr`` (parity tested)."""
+    return [w for w in _WORD_SPLIT.split((text or "").lower()) if w]
+
+
+def bpe_word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Distributed (word, n) table — the only corpus-scale pass of
+    training. Map-side partial agg; output is |vocab| rows."""
+    return (
+        df.select(F.explode(raw_words_expr(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_pass(sym: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """One left-to-right merge pass of pair (a, b) over a symbol tuple."""
+    out: list[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    word_counts: DataFrame | Iterable[tuple[str, int]],
+    n_merges: int,
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a (word, n) table.
+
+    Accepts the ``bpe_word_counts`` DataFrame (capped deterministically
+    at ``max_words`` by count desc, word asc before the collect) or an
+    in-memory iterable. Returns the merge list in rank order; stops
+    early when no adjacent pair is left (fully merged vocab).
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if isinstance(word_counts, DataFrame):
+        rows = (
+            word_counts.orderBy(F.col("n").desc(), F.col("word").asc())
+            .limit(max_words)
+            .collect()
+        )
+        vocab = [(r["word"], int(r["n"])) for r in rows]
+    else:
+        vocab = [(w, int(n)) for w, n in word_counts]
+    syms: dict[str, tuple[str, ...]] = {
+        w: tuple(w) + (EOW,) for w, _ in vocab
+    }
+    counts = dict(vocab)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter[tuple[str, str]] = Counter()
+        for w, c in counts.items():
+            s = syms[w]
+            for p in zip(s, s[1:]):
+                pair_counts[p] += c
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best)
+        a, b = best
+        for w, s in syms.items():
+            # cheap adjacency pre-test before the rebuild pass
+            if a in s and b in s:
+                syms[w] = merge_pass(s, a, b)
+    return merges
+
+
+def encode_word(
+    word: str, merges: Sequence[tuple[str, str]]
+) -> tuple[str, ...]:
+    """Encode one word: chars + EOW, then every merge in rank order
+    (one pass each — see the module docstring for why this equals the
+    canonical priority encode)."""
+    sym = tuple(word) + (EOW,)
+    for a, b in merges:
+        if len(sym) > 1 and a in sym and b in sym:
+            sym = merge_pass(sym, a, b)
+    return sym
+
+
+def encode_text(
+    text: str | None,
+    merges: Sequence[tuple[str, str]],
+    cache: dict[str, tuple[str, ...]] | None = None,
+) -> list[str]:
+    """Concatenated per-word encodings of a document, in word order."""
+    if cache is None:
+        cache = {}
+    toks: list[str] = []
+    for w in words_of(text):
+        enc = cache.get(w)
+        if enc is None:
+            enc = cache[w] = encode_word(w, merges)
+        toks.extend(enc)
+    return toks
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Per-doc BPE stats under a committed merge list: word count, token
+    count, and the md5 of the space-joined token stream (the oracle's
+    value gate). Broadcast merges + mapInPandas with a per-batch word
+    cache; Arrow-batched, zero shuffle."""
+    import pandas as pd
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    key_type = dict(df.dtypes)[key_col]
+    schema = (
+        f"{key_col} {key_type}, n_words long, n_bpe_tokens long, "
+        "token_hash string"
+    )
+    cols = df.select(key_col, text_col)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[str, ...]] = {}
+        for pdf in it:
+            n_words, n_toks, hashes = [], [], []
+            for t in pdf[text_col]:
+                ws = words_of(t if isinstance(t, str) else None)
+                toks: list[str] = []
+                for w in ws:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = cache[w] = encode_word(w, merge_list)
+                    toks.extend(enc)
+                n_words.append(len(ws))
+                n_toks.append(len(toks))
+                hashes.append(
+                    hashlib.md5(" ".join(toks).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_toks,
+                    "token_hash": hashes,
+                }
+            )
+
+    return cols.mapInPandas(fn, schema)
