@@ -661,6 +661,50 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-side view of sequence packing (operators/curate.
+    pack_blocks): explode each doc into the blocks it spans, then
+    aggregate per training block — how many doc slices fill it, the
+    token total (== block size except the final block by construction),
+    and a hash of the ordered slice manifest. Generator explode (linear,
+    no shuffle) + one agg on the uniform block_id key."""
+    from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    packed = sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
+    m = pack_blocks(packed, PACK_BLOCK)
+    part = F.concat_ws(
+        "",
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        F.col("doc_from").cast("string"),
+        F.lit("-"),
+        F.col("doc_to").cast("string"),
+    )
+    return (
+        m.withColumn("_part", part)
+        .groupBy("block_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("doc_to") - F.col("doc_from")).alias("block_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("offset_in_block", "_part"))
+                        ),
+                        lambda x: x["_part"],
+                    ),
+                )
+            ).alias("manifest_hash"),
+        )
+    )
+
+
 # Line-ify the single-line corpus (sentence boundaries -> newlines, the
 # c4_flags fixture trick) and re-append the FIRST line on every 7th doc
 # so both branches of the dedup are exercised; same SQL expression
@@ -2402,6 +2446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r10 (no driver row yet; self-verified via
     # scripts/check_oracle.py — rotate into the r11 window) ---
     "sequence_pack": q_sequence_pack,
+    "pack_manifest": q_pack_manifest,
     "line_dedup": q_line_dedup,
     "bpe_token_count": q_bpe_token_count,
 }
@@ -4571,6 +4616,38 @@ SELECT doc_id, n_tokens, start_tok,
   ((start_tok + n_tokens - 1) // {PACK_BLOCK}
     - start_tok // {PACK_BLOCK} + 1)::BIGINT AS n_blocks
 FROM c
+""",
+    "pack_manifest": f"""
+WITH base AS (
+  SELECT doc_id, {O.sql_token_count('text')} AS n_tokens,
+         {O.sql_sample_priority('doc_id', '|pack')} AS prio
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY prio, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS start_tok
+  FROM base WHERE n_tokens > 0
+), e AS (
+  SELECT doc_id, n_tokens, start_tok,
+    unnest(generate_series(start_tok // {PACK_BLOCK},
+                           (start_tok + n_tokens - 1) // {PACK_BLOCK}))
+      AS block_id
+  FROM c
+), s AS (
+  SELECT block_id, doc_id,
+    greatest(start_tok - block_id * {PACK_BLOCK}, 0) AS offset_in_block,
+    greatest(block_id * {PACK_BLOCK} - start_tok, 0) AS doc_from,
+    least(block_id * {PACK_BLOCK} + {PACK_BLOCK} - start_tok, n_tokens)
+      AS doc_to
+  FROM e
+)
+SELECT block_id, count(*) AS n_docs,
+  sum(doc_to - doc_from)::BIGINT AS block_tokens,
+  md5(string_agg(doc_id::VARCHAR || ':' || doc_from::VARCHAR || '-'
+        || doc_to::VARCHAR, ',' ORDER BY offset_in_block))
+    AS manifest_hash
+FROM s GROUP BY block_id
 """,
     "line_dedup": f"""
 WITH l AS (

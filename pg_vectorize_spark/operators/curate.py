@@ -959,3 +959,41 @@ def sequence_pack(
         last.alias("last_block"),
         (last - first + F.lit(1)).alias("n_blocks"),
     )
+
+
+def pack_blocks(packed: DataFrame, block_size: int) -> DataFrame:
+    """The loader-side view of ``sequence_pack``: one row per
+    (block_id, doc) saying which token slice of the doc fills the block.
+    A training loader materializes block ``b`` by fetching its rows in
+    ``offset_in_block`` order and concatenating
+    ``tokens[doc_from:doc_to)`` of each doc.
+
+    Columns: block_id, doc_id (or the pack's key), offset_in_block
+    (where the slice starts inside the block), doc_from/doc_to (the
+    half-open token slice of the doc). Every block except the last sums
+    to exactly ``block_size`` tokens by construction.
+
+    Scale shape: a generator explode (each doc emits its n_blocks rows —
+    corpus_tokens/block_size + n_docs rows total, linear) — no shuffle
+    here; downstream per-block aggregations shuffle on the uniform
+    block_id key.
+    """
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    key_col = packed.columns[0]
+    e = packed.withColumn(
+        "block_id", F.explode(F.sequence(F.col("first_block"), F.col("last_block")))
+    )
+    block_start = F.col("block_id") * F.lit(block_size)
+    return e.select(
+        F.col("block_id"),
+        F.col(key_col),
+        F.greatest(F.col("start_tok") - block_start, F.lit(0)).alias(
+            "offset_in_block"
+        ),
+        F.greatest(block_start - F.col("start_tok"), F.lit(0)).alias("doc_from"),
+        F.least(
+            block_start + F.lit(block_size) - F.col("start_tok"),
+            F.col("n_tokens"),
+        ).alias("doc_to"),
+    )

@@ -678,3 +678,55 @@ class TestLineDedup:
         out = self._run(spark, ["", None])
         assert out[0] == (1, 1, False, "")
         assert out[1] == (1, 1, False, "")
+
+
+class TestPackBlocks:
+    def _manifest(self, spark, block):
+        from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
+
+        rows = [(i, 1 + (i * 7) % 23) for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        packed = sequence_pack(df, "doc_id", "n", block, order_buckets=8)
+        return packed, pack_blocks(packed, block).collect()
+
+    def test_blocks_full_and_slices_reassemble(self, spark):
+        block = 16
+        packed, m = self._manifest(spark, block)
+        total = sum(r["n_tokens"] for r in packed.collect())
+        last_block = (total - 1) // block
+        # per-block token sums: exactly block_size except the last
+        per_block = {}
+        for r in m:
+            per_block.setdefault(r["block_id"], 0)
+            per_block[r["block_id"]] += r["doc_to"] - r["doc_from"]
+        for b, s in per_block.items():
+            want = total - last_block * block if b == last_block else block
+            assert s == want, (b, s)
+        # per-doc slices tile [0, n_tokens) in block order without gaps
+        by_doc = {}
+        for r in m:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["block_id"], r["doc_from"], r["doc_to"])
+            )
+        n_of = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+        for doc, slices in by_doc.items():
+            slices.sort()
+            assert slices[0][1] == 0
+            assert slices[-1][2] == n_of[doc]
+            for (_, _, t0), (_, f1, _) in zip(slices, slices[1:]):
+                assert t0 == f1, "gap inside a doc's slices"
+
+    def test_offsets_are_block_local(self, spark):
+        block = 16
+        _, m = self._manifest(spark, block)
+        for r in m:
+            assert 0 <= r["offset_in_block"] < block
+            assert 0 <= r["doc_from"] < r["doc_to"]
+
+    def test_rejects_bad_block(self, spark):
+        from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
+
+        df = spark.createDataFrame([(0, 5)], "doc_id long, n long")
+        packed = sequence_pack(df, "doc_id", "n", 8)
+        with pytest.raises(ValueError):
+            pack_blocks(packed, 0)
