@@ -661,6 +661,21 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement (operators/curate.
+    sample_weighted, Efraimidis & Spirakis 2006): top-25 exponential-race
+    draw weighted by token count. Per-row projection +
+    TakeOrderedAndProject — never a full sort; libm-Arrow ln keeps the
+    race keys bit-identical to DuckDB's."""
+    from pg_vectorize_spark.operators.curate import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("w")
+    )
+    return sample_weighted(base, "doc_id", "w", 25)
+
+
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The loader-side view of sequence packing (operators/curate.
     pack_blocks): explode each doc into the blocks it spans, then
@@ -2449,6 +2464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_manifest": q_pack_manifest,
     "line_dedup": q_line_dedup,
     "bpe_token_count": q_bpe_token_count,
+    "sample_weighted": q_sample_weighted,
 }
 
 
@@ -4667,6 +4683,20 @@ SELECT doc_id,
 FROM k
 """,
     "bpe_token_count": _oracle_bpe_token_count(),
+    "sample_weighted": f"""
+WITH b AS (
+  SELECT doc_id, ({O.sql_token_count('text')})::DOUBLE AS weight,
+    (({O.sql_sample_priority('doc_id', '|wsample')} + 1)::DOUBLE
+      / 4294967297.0) AS u
+  FROM documents
+), kx AS (
+  SELECT doc_id, weight, (-ln(u)) / weight AS sample_key
+  FROM b WHERE weight > 0
+)
+SELECT doc_id, weight, sample_key,
+  row_number() OVER (ORDER BY sample_key, doc_id)::INT AS sample_rank
+FROM kx ORDER BY sample_key, doc_id LIMIT 25
+""",
 }
 
 # IVF-probed hard negatives (VERDICT r6 #5): the oracle INDEPENDENTLY

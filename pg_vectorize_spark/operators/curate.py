@@ -997,3 +997,60 @@ def pack_blocks(packed: DataFrame, block_size: int) -> DataFrame:
             F.col("n_tokens"),
         ).alias("doc_to"),
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "|wsample",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the exponential-race form): row i gets the race key
+    ``-ln(u_i) / w_i`` from a deterministic per-key uniform
+    ``u_i = (hash+1) / (2^32+1)``; the k SMALLEST keys are the sample —
+    inclusion odds proportional to weight, reproducible across reruns,
+    cluster sizes and partitionings (the ``hash_split`` property). The
+    quality-weighted corpus draw of a training pipeline: weight by a
+    quality/length score and the sample tilts to it deterministically.
+
+    Output: (key, weight, sample_key, sample_rank 1..k). Rows with
+    NULL or non-positive weight are excluded (they never win a race).
+    Like ``sample_exact``, draws are prefix-stable: rank <= j is
+    exactly the k=j sample.
+
+    Scale shape: a per-row projection followed by a global top-k —
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    NEVER a full sort; the only ordered state is k rows. The final
+    rank window runs over those k rows only.
+
+    Float discipline: u and w are exact doubles (integer-derived), and
+    ``ln`` comes from Python's libm in one Arrow batch — bit-identical
+    to DuckDB's ``ln`` (JVM Math.log is 1 ulp off on some inputs, the
+    ``unigram_logprob`` precedent) — so ``-ln(u)/w`` is two correctly-
+    rounded ops over identical operands in both engines and the race
+    order is bit-exact.
+    """
+    import math as _math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    prio = sample_priority_expr(F.col(key_col), salt)
+    base = (
+        df.select(F.col(key_col), F.col(weight_col).cast("double").alias("weight"))
+        .filter(F.col("weight") > 0)
+        .withColumn(
+            "_u",
+            (prio + F.lit(1)).cast("double") / F.lit(float((1 << 32) + 1)),
+        )
+    )
+    _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
+    keyed = base.withColumn("sample_key", -_ln(F.col("_u")) / F.col("weight"))
+    top = keyed.orderBy(
+        F.col("sample_key").asc(), F.col(key_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("sample_key").asc(), F.col(key_col).asc())
+    return top.select(key_col, "weight", "sample_key").withColumn(
+        "sample_rank", F.row_number().over(w)
+    )

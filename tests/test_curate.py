@@ -730,3 +730,55 @@ class TestPackBlocks:
         packed = sequence_pack(df, "doc_id", "n", 8)
         with pytest.raises(ValueError):
             pack_blocks(packed, 0)
+
+
+class TestSampleWeighted:
+    def _df(self, spark, n=400):
+        # two weight tiers: heavy rows (w=50) vs light rows (w=1)
+        rows = [(i, 50.0 if i % 4 == 0 else 1.0) for i in range(n)]
+        return spark.createDataFrame(rows, "id long, w double")
+
+    def test_weight_tilts_inclusion(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_weighted
+
+        out = sample_weighted(self._df(spark), "id", "w", 40).collect()
+        assert len(out) == 40
+        heavy = sum(1 for r in out if r["id"] % 4 == 0)
+        # heavy rows are 25% of the corpus at 50x weight; a uniform draw
+        # would include ~10 — the race must strongly prefer them
+        assert heavy > 25
+
+    def test_prefix_stable_and_ranked(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_weighted
+
+        df = self._df(spark)
+        s10 = sample_weighted(df, "id", "w", 10).collect()
+        s5 = sample_weighted(df, "id", "w", 5).collect()
+        assert [r["id"] for r in s5] == [r["id"] for r in s10[:5]]
+        assert [r["sample_rank"] for r in s10] == list(range(1, 11))
+        keys = [r["sample_key"] for r in s10]
+        assert keys == sorted(keys)
+
+    def test_partition_invariant(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_weighted
+
+        df = self._df(spark)
+        a = [r["id"] for r in sample_weighted(df.coalesce(1), "id", "w", 15).collect()]
+        b = [r["id"] for r in sample_weighted(df.repartition(11), "id", "w", 15).collect()]
+        assert a == b
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_weighted
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)],
+            "id long, w double",
+        )
+        got = {r["id"] for r in sample_weighted(df, "id", "w", 10).collect()}
+        assert got == {1, 5}
+
+    def test_rejects_bad_k(self, spark):
+        from pg_vectorize_spark.operators.curate import sample_weighted
+
+        with pytest.raises(ValueError):
+            sample_weighted(self._df(spark), "id", "w", 0)
