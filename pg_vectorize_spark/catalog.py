@@ -62,6 +62,13 @@ class JobRecord:
     #: survives — covers the initial load, which the index probe can't),
     #: plus the manager's num_hashes/bands/shingle_k/band_buckets.
     dedup_params: dict = field(default_factory=dict)
+    #: opt-in ingest-time quality gate (beyond reference parity): per-row
+    #: predicates over the same null-safe concatenated content the embed
+    #: stage sees; rows failing any enabled rule are skipped by the scan
+    #: and streaming ingest paths (an update degrading below the gate
+    #: keeps the doc's previous embedding). Keys: min_tokens, max_tokens,
+    #: min_quality, langs, require_c4, c4_min_sentences.
+    curate_params: dict = field(default_factory=dict)
     params: dict = field(default_factory=dict)
     created_at: str = field(
         default_factory=lambda: datetime.now(timezone.utc).isoformat()

@@ -102,6 +102,16 @@ VALID_INDEX_DIST_TYPES = {
     "cosine",
 }
 
+#: the ingest-time quality gate's accepted keys (_curate_filter)
+CURATE_KEYS = {
+    "min_tokens",
+    "max_tokens",
+    "min_quality",
+    "langs",
+    "require_c4",
+    "c4_min_sentences",
+}
+
 
 class VectorizeSession:
     def __init__(
@@ -445,6 +455,57 @@ class VectorizeSession:
                 "min_jaccard", 0.7
             )
         )
+
+    def _curate_filter(self, job: JobRecord, changed: DataFrame) -> DataFrame:
+        """Opt-in ingest-time quality gate (``curate_params``; beyond
+        reference parity — the batch curation operators applied at the
+        ingest seam): per-row predicates over the SAME null-safe
+        concatenated content the embed stage sees, so rows failing any
+        enabled rule never reach the provider. An update that degrades a
+        doc below the gate is skipped — the previous embedding stays (a
+        quality gate should not ingest garbage revisions). Pure
+        whole-stage-codegen expressions: zero shuffle, identical
+        semantics on batch scans and streaming micro-batches. Explicit
+        ``handle_update`` id lists bypass it, like the dedup filter —
+        a named-id command is an intentional user action."""
+        params = dict(getattr(job, "curate_params", None) or {})
+        if not params:
+            return changed
+        from pg_vectorize_spark.functions.text import (
+            c4_flags_exprs,
+            lang_id_expr,
+            quality_score_expr,
+            token_count_expr,
+        )
+
+        content = concat_source_columns(job.src_columns)
+        out = changed
+        if "min_tokens" in params:
+            out = out.filter(
+                token_count_expr(content) >= int(params["min_tokens"])
+            )
+        if "max_tokens" in params:
+            out = out.filter(
+                token_count_expr(content) <= int(params["max_tokens"])
+            )
+        if "min_quality" in params:
+            out = out.filter(
+                quality_score_expr(content)
+                >= float(params["min_quality"])
+            )
+        if "langs" in params:
+            out = out.filter(
+                lang_id_expr(content).isin(
+                    [str(lang) for lang in params["langs"]]
+                )
+            )
+        if params.get("require_c4"):
+            flags = c4_flags_exprs(
+                content,
+                min_sentences=int(params.get("c4_min_sentences", 3)),
+            )
+            out = out.filter(flags["pass_c4"])
+        return out
 
     def _dedup_filter_new(
         self,
@@ -838,6 +899,7 @@ class VectorizeSession:
         fts_index: bool = True,
         fts_params: dict | None = None,
         dedup_params: dict | None = None,
+        curate_params: dict | None = None,
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269).
@@ -860,6 +922,12 @@ class VectorizeSession:
             raise VectorizeError(
                 f"Invalid index_method: {index_method} "
                 f"(valid: {INDEX_METHODS})"
+            )
+        unknown = set(curate_params or {}) - CURATE_KEYS
+        if unknown:
+            raise VectorizeError(
+                f"Unknown curate_params keys: {sorted(unknown)} "
+                f"(valid: {sorted(CURATE_KEYS)})"
             )
         # realtime is trigger-driven on the reference and requires the
         # separate embeddings table (search.rs:36-38 errors on append);
@@ -898,6 +966,9 @@ class VectorizeSession:
             # empty => NEW rows near-duplicating an ingested doc are
             # skipped by every ingest path (min_jaccard default 0.7)
             dedup_params=dict(dedup_params or {}),
+            # opt-in ingest-time quality gate (_curate_filter): rows
+            # failing any enabled per-row rule never reach the embed stage
+            curate_params=dict(curate_params or {}),
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain
@@ -933,8 +1004,9 @@ class VectorizeSession:
             )
         else:
             changed = src
-        # opt-in ingest-time near-dup filter: NEW rows that near-duplicate
-        # an already-ingested doc never reach the embed stage
+        # opt-in ingest-time quality gate, then the near-dup filter: rows
+        # failing either never reach the embed stage
+        changed = self._curate_filter(job, changed)
         changed, dedup_sigs = self._dedup_filter_new(job, changed)
         # search tokens ride the embed checkpoint (one source-lineage
         # materialization feeds every maintenance write below)

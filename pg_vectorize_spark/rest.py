@@ -323,6 +323,7 @@ class _Handler(BaseHTTPRequestHandler):
                     # opt-in ingest-time near-dup filter (MinHash band
                     # index; beyond reference parity)
                     dedup_params=body.get("dedup_params"),
+                    curate_params=body.get("curate_params"),
                 )
                 self._send(200, {"id": job.job_name, "dim": job.dim})
             except KeyError as e:

@@ -154,6 +154,11 @@ class RealtimePipeline:
             # signature work shrinks to the changed rows; prior's key set
             # replaces the filter's own snapshot read for its new-key
             # split
+            # opt-in ingest-time quality gate BEFORE the dedup filter
+            # (cheap per-row predicates shrink the signature work; the
+            # dropped sets are independent - a row failing the gate never
+            # belongs in the corpus regardless of novelty)
+            changed = sess._curate_filter(job, changed)
             changed, dedup_sigs = sess._dedup_filter_new(
                 job,
                 changed,
