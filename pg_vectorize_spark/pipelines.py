@@ -271,6 +271,73 @@ class CorpusPipeline:
             )
         return self._derive(dedup_survivors(self._df, self.pkey, pairs))
 
+    def dedup_lines(self) -> "CorpusPipeline":
+        """Intra-doc repeated-line removal (functions/text.line_dedup_exprs):
+        rewrites the text column with each distinct line's first occurrence
+        — the in-page cleanup that runs BEFORE any cross-corpus dedup.
+        Zero shuffle."""
+        from pg_vectorize_spark.functions.text import line_dedup_exprs
+
+        clean = line_dedup_exprs(F.col(self.text_col))["clean_text"]
+        return self._derive(self._df.withColumn(self.text_col, clean))
+
+    # ------------------------------------------------------------ sampling
+
+    def sample_weighted(self, k: int, weight_col: str | None = None) -> DataFrame:
+        """Exact weighted draw without replacement (operators/curate.
+        sample_weighted; Efraimidis-Spirakis race, TakeOrdered plan).
+        Defaults the weight to quality_score (computing it if absent) —
+        the quality-weighted corpus draw. Terminal: returns the k-row
+        sample joined back to the pipeline's columns."""
+        from pg_vectorize_spark.operators.curate import (
+            sample_weighted as _sw,
+        )
+
+        df = self._df
+        if weight_col is None:
+            if "quality_score" not in df.columns:
+                df = df.withColumn(
+                    "quality_score", quality_score_expr(F.col(self.text_col))
+                )
+            weight_col = "quality_score"
+        top = _sw(df, self.pkey, weight_col, k)
+        return top.select(self.pkey, "sample_rank").join(df, self.pkey)
+
+    # ------------------------------------------------------------ packing
+
+    def pack(self, block_size: int = 2048) -> DataFrame:
+        """GPT-style sequence packing (operators/curate.sequence_pack):
+        per-doc block placement under a deterministic shuffle order,
+        token counts from the repo tokenizer. Terminal."""
+        from pg_vectorize_spark.functions.text import token_count_expr
+        from pg_vectorize_spark.operators.curate import sequence_pack
+
+        base = self._df.select(
+            F.col(self.pkey),
+            token_count_expr(F.col(self.text_col)).alias("n_tokens"),
+        )
+        return sequence_pack(base, self.pkey, "n_tokens", block_size)
+
+    def bpe_tokenize(
+        self, n_merges: int = 200, merges=None
+    ) -> "CorpusPipeline":
+        """Learned-subword stats (operators/bpe.py): trains merges on this
+        corpus (one distributed word-count pass) unless a committed merge
+        list is given, then adds n_words / n_bpe_tokens / token_hash via
+        the broadcast-merges encode."""
+        from pg_vectorize_spark.operators.bpe import (
+            bpe_encode_counts,
+            bpe_train,
+            bpe_word_counts,
+        )
+
+        if merges is None:
+            merges = bpe_train(
+                bpe_word_counts(self._df, self.text_col), n_merges
+            )
+        enc = bpe_encode_counts(self._df, self.pkey, self.text_col, merges)
+        return self._derive(self._df.join(enc, self.pkey))
+
     # ------------------------------------------------------------ chunking
 
     def chunk(self, max_chunk_size: int = 1000) -> DataFrame:

@@ -233,3 +233,35 @@ def test_with_bigram_logprob(spark):
     assert set(rows) == {1, 2}
     assert rows[1]["n_bigrams"] == rows[2]["n_bigrams"]
     assert rows[1]["mean_logprob"] is not None
+
+
+def test_late_r10_steps(spark):
+    """dedup_lines / sample_weighted / pack / bpe_tokenize compose."""
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    df = spark.createDataFrame(
+        [
+            (i, f"the quick brown fox number {i} jumps\nbanner line\n"
+                f"banner line\nover the lazy dog again and again")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    pipe = CorpusPipeline(spark, df, text_col="text", pkey="doc_id")
+
+    cleaned = pipe.dedup_lines()
+    t0 = cleaned.df().filter("doc_id = 0").collect()[0]["text"]
+    assert t0.count("banner line") == 1
+
+    samp = cleaned.sample_weighted(5)
+    rows = samp.collect()
+    assert len(rows) == 5
+    assert {"sample_rank", "text", "doc_id"} <= set(samp.columns)
+
+    packed = cleaned.pack(block_size=32)
+    assert packed.count() == 30
+    assert packed.agg({"n_tokens": "sum"}).collect()[0][0] > 0
+
+    enc = cleaned.bpe_tokenize(n_merges=20).df()
+    r = enc.filter("doc_id = 1").collect()[0]
+    assert r["n_bpe_tokens"] >= r["n_words"] > 0
