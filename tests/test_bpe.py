@@ -163,3 +163,42 @@ class TestSparkParity:
         assert len(merges) == fx["n_merges"] == 60
         enc = encode_word("the", merges)
         assert "".join(enc) == "the" + EOW
+
+
+class TestIncrementalTrainerParity:
+    """bpe_train (incremental pair-index + lazy heap) must equal the
+    naive full-recount trainer bit-for-bit, including tie-breaks."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcd", min_size=1, max_size=8),
+                st.integers(min_value=1, max_value=50),
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        st.integers(min_value=0, max_value=25),
+    )
+    def test_property_identical_merges(self, vocab, n_merges):
+        from pg_vectorize_spark.operators.bpe import _bpe_train_naive
+
+        dedup = list({w: (w, c) for w, c in vocab}.values())
+        assert bpe_train(dedup, n_merges) == _bpe_train_naive(
+            dedup, n_merges
+        )
+
+    def test_committed_fixture_reproduces(self, spark):
+        # the fixture was trained via bpe_word_counts on sf0.001; the
+        # incremental trainer must regenerate it exactly
+        import json
+
+        from pg_vectorize_spark.operators.bpe import bpe_word_counts
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        merges = bpe_train(bpe_word_counts(docs, "text"), 60)
+        with open("/root/repo/tests/fixtures/bpe_merges.json") as f:
+            assert [tuple(m) for m in json.load(f)["merges"]] == merges
