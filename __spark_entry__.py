@@ -2368,10 +2368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
     "dup_span_stats": q_dup_span_stats,
     "multimodal_meta": q_multimodal_meta,
-    "json_rows": q_json_rows,
-    "collect_changed_ids": q_collect_changed_ids,
     "gopher_flags": q_gopher_flags,
-    "hash_split": q_hash_split,
     "corpus_mix": q_corpus_mix,
     "sample_exact": q_sample_exact,
     "vocabulary_topk": q_vocabulary_topk,
@@ -2381,8 +2378,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "asof_join_bucketed": q_asof_join_bucketed,
     "attribution_window_join": q_attribution_window_join,
-    "token_count": q_token_count,
-    "doc_fingerprint": q_doc_fingerprint,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "repetition_score": q_repetition_score,
@@ -2412,6 +2407,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdf_apply": q_cdf_apply,
     "incremental_scan_events": q_incremental_scan_events,
     "fts_search_overlay": q_fts_search_overlay,
+    # --- positions 46-50: NEW in r10 — no driver row yet, so they take
+    # window slots ahead of everything with existing driver evidence
+    # (the five trivial expression gates they displaced — json_rows,
+    # collect_changed_ids, hash_split, token_count, doc_fingerprint —
+    # moved to the tail: r8 driver rows + r9/r10 self-verification) ---
+    "sequence_pack": q_sequence_pack,
+    "pack_manifest": q_pack_manifest,
+    "line_dedup": q_line_dedup,
+    "bpe_token_count": q_bpe_token_count,
+    "sample_weighted": q_sample_weighted,
     # --- beyond position 50: freshest driver evidence is r9 — rotate
     # these into the leading positions next round (r11) ---
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -2458,13 +2463,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
-    # --- new in r10 (no driver row yet; self-verified via
-    # scripts/check_oracle.py — rotate into the r11 window) ---
-    "sequence_pack": q_sequence_pack,
-    "pack_manifest": q_pack_manifest,
-    "line_dedup": q_line_dedup,
-    "bpe_token_count": q_bpe_token_count,
-    "sample_weighted": q_sample_weighted,
+    # --- displaced from the r10 window to make room for the five new
+    # r10 gates: trivial pure-expression gates, r8 driver rows + r9/r10
+    # self-verification; rotate back in r11 ---
+    "json_rows": q_json_rows,
+    "collect_changed_ids": q_collect_changed_ids,
+    "hash_split": q_hash_split,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 

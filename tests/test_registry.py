@@ -57,27 +57,32 @@ class TestRegistryConsistency:
     # r9 gate; a mis-rotation must fail here, in pytest, not at the
     # driver).
     R10_WINDOW = [
-        # positions 1-43: freshest driver rows are r8
+        # positions 1-38: freshest driver rows are r8 (five trivial
+        # expression gates — json_rows, collect_changed_ids, hash_split,
+        # token_count, doc_fingerprint — yielded their slots to the five
+        # NEW r10 gates and moved to the registry tail)
         "fts_search_topk", "dedup_semantic_cluster", "hard_negatives",
         "fts_stemmed", "simhash_neardup_pairs", "dedup_embedding_cosine",
         "ann_ivf_topk", "ann_signbit_lsh_topk", "dup_span_stats",
-        "multimodal_meta", "json_rows", "collect_changed_ids",
-        "gopher_flags", "hash_split", "corpus_mix", "sample_exact",
+        "multimodal_meta", "gopher_flags", "corpus_mix", "sample_exact",
         "vocabulary_topk", "unigram_logprob", "events_windowed_agg",
         "sessionize_events", "asof_join_events", "asof_join_bucketed",
-        "attribution_window_join", "token_count", "doc_fingerprint",
-        "quality_score", "lang_id", "repetition_score", "pii_scrub",
+        "attribution_window_join", "quality_score", "lang_id",
+        "repetition_score", "pii_scrub",
         "mp4_frame_extract", "dsir_weights", "c4_flags",
         "paragraph_dedup", "change_detection", "append_method_scan",
         "quantized_search_topk", "maxsim_search_topk", "pq_adc_search",
         "pq_rerank_search", "fts_bm25", "hybrid_bm25",
         "fts_cover_density", "semantic_search_indexed",
-        # positions 44-50: re-gates on r10-touched code paths (incl.
+        # positions 39-45: re-gates on r10-touched code paths (incl.
         # the NEW driver-side probe gate, same oracle as the Spark
         # probe; minhash_jaccard_estimate — r9-green — yielded its slot)
         "neardup_index_probe", "neardup_probe_local",
         "dedup_minhash_lsh", "minhash_signatures", "cdf_apply",
         "incremental_scan_events", "fts_search_overlay",
+        # positions 46-50: NEW in r10 — first-ever driver rows
+        "sequence_pack", "pack_manifest", "line_dedup",
+        "bpe_token_count", "sample_weighted",
     ]
 
     def test_r10_window_names(self):
