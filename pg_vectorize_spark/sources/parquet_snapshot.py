@@ -321,6 +321,19 @@ class BucketedSnapshotDataset(SnapshotDataset):
         # every later write uses the SAME key regardless of column order
         return df.columns[0]
 
+    def _clear_crash_residue(self, new_dir: str) -> None:
+        """A writer that died after creating (some of) the next version
+        dir but before the pointer flip leaves an orphan above
+        ``_CURRENT``. ``write_full``'s static Spark overwrite clears it
+        implicitly, but the partial-rewrite paths don't always write
+        Spark output there (empty-affected delete) or write with
+        ``mode("append")`` (``append_rows``), and the untouched-bucket
+        link loop would inherit the orphan's stale files — resurrecting
+        rows or duplicating them. Readers never resolve an above-pointer
+        version, so removal is always safe."""
+        if os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)
+
     def _link_bucket(self, src_dir: str, dst_dir: str) -> None:
         os.makedirs(dst_dir, exist_ok=True)
         for name in os.listdir(src_dir):
@@ -360,6 +373,7 @@ class BucketedSnapshotDataset(SnapshotDataset):
         v = cur_v + 1
         new_dir = self._version_dir(v)
         cur_dir = self._version_dir(cur_v)
+        self._clear_crash_residue(new_dir)
         tagged = new_df.withColumn(self.BUCKET_COL, self._bucket_expr(key))
         if affected_from_output:
             affected = None  # derived from the written partitions below
@@ -498,6 +512,7 @@ class BucketedSnapshotDataset(SnapshotDataset):
         v = cur_v + 1
         new_dir = self._version_dir(v)
         cur_dir = self._version_dir(cur_v)
+        self._clear_crash_residue(new_dir)
         affected: list = []
         if replace_keys_df is not None:
             replace_keys_df = replace_keys_df.select(key).localCheckpoint()

@@ -285,3 +285,72 @@ class TestReadForKeys:
         base = SnapshotDataset(spark, str(tmp_path / "p"))
         base.write_full(df)
         assert base.read_for_keys(keys, "id").count() == 200
+
+
+class TestCrashResidue:
+    """A writer that dies after materializing (part of) v=N+1 but before
+    the pointer flip leaves an orphan dir above _CURRENT. Every later
+    write targets that same version number; the append-mode and
+    link-loop paths must not inherit the orphan's files (resurrected /
+    duplicated rows)."""
+
+    def _plant_orphan(self, spark, ds):
+        """Simulate the crash: materialize a would-be next version
+        holding rows that were never committed."""
+        import shutil
+
+        cur = ds.current_version()
+        orphan = ds._version_dir(cur + 1)
+        ghost = spark.createDataFrame(
+            [(7, "GHOST7"), (777, "GHOST777")], "k long, v string"
+        )
+        (
+            ghost.withColumn(ds.BUCKET_COL, ds._bucket_expr("k"))
+            .write.mode("overwrite")
+            .partitionBy(ds.BUCKET_COL)
+            .parquet(orphan)
+        )
+        assert os.path.isdir(orphan)
+        return orphan
+
+    def test_merge_after_crash_drops_orphan(self, spark, tmp_path, base_df):
+        ds = BucketedSnapshotDataset(
+            spark, str(tmp_path / "m"), n_buckets=8
+        )
+        ds.write_full(base_df)
+        self._plant_orphan(spark, ds)
+        upd = spark.createDataFrame([(3, "NEW3")], "k long, v string")
+        ds.merge_upsert(upd, "k")
+        got = _rows(ds)
+        assert (3, "NEW3") in got
+        assert not any(v.startswith("GHOST") for _, v in got)
+        assert len(got) == 40
+
+    def test_append_after_crash_drops_orphan(self, spark, tmp_path, base_df):
+        ds = BucketedSnapshotDataset(
+            spark, str(tmp_path / "a"), n_buckets=8
+        )
+        ds.write_full(base_df)
+        self._plant_orphan(spark, ds)
+        new = spark.createDataFrame([(100, "v100")], "k long, v string")
+        ds.append_rows(new, "k")  # pure-insert fast path: no Spark
+        # overwrite ever touches the orphan's other buckets
+        got = _rows(ds)
+        assert (100, "v100") in got
+        assert not any(v.startswith("GHOST") for _, v in got)
+        assert len(got) == 41
+
+    def test_empty_affected_delete_after_crash(self, spark, tmp_path, base_df):
+        """delete_keys with keys absent from the table writes no Spark
+        output at all — historically the path with nothing to clear the
+        orphan."""
+        ds = BucketedSnapshotDataset(
+            spark, str(tmp_path / "d"), n_buckets=8
+        )
+        ds.write_full(base_df)
+        self._plant_orphan(spark, ds)
+        miss = spark.createDataFrame([(5000,)], "k long")
+        ds.delete_keys(miss, "k")
+        got = _rows(ds)
+        assert not any(v.startswith("GHOST") for _, v in got)
+        assert len(got) == 40
