@@ -810,6 +810,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, "text", "doc_id")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al. 2020
+    §4.3): unigram-LM score + lang-id, then head/middle/tail NTILE(3)
+    within each language — the standard keep-head/middle curation step.
+    Scale shape: distributed per-language rank over deterministic
+    nano-score ranges (a few-hundred-row driver prefix sum), never a
+    per-language single-task window; closed-form BIGINT NTILE matches
+    SQL NTILE exactly (operators/curate.perplexity_buckets)."""
+    from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id")
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-order-aware perplexity filter: per-doc mean CONDITIONAL
     bigram log-likelihood under the corpus's own add-0.5-smoothed bigram
@@ -2379,7 +2393,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_bucketed": q_asof_join_bucketed,
     "attribution_window_join": q_attribution_window_join,
     "quality_score": q_quality_score,
-    "lang_id": q_lang_id,
     "repetition_score": q_repetition_score,
     "pii_scrub": q_pii_scrub,
     "mp4_frame_extract": q_mp4_frame_extract,
@@ -2417,6 +2430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "bpe_token_count": q_bpe_token_count,
     "sample_weighted": q_sample_weighted,
+    "perplexity_buckets": q_perplexity_buckets,
     # --- beyond position 50: freshest driver evidence is r9 — rotate
     # these into the leading positions next round (r11) ---
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -2471,6 +2485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,  # yielded its slot to perplexity_buckets,
+    # which exercises the same lang-id expression inside its oracle
 }
 
 
@@ -3016,6 +3032,43 @@ per AS (
 SELECT doc_id, n_words,
        ((s::DOUBLE / 1000000000.0) / n_words::DOUBLE) AS mean_logprob
 FROM per
+"""
+
+
+def _oracle_perplexity_buckets() -> str:
+    # mirrors operators/curate.perplexity_buckets: the unigram nano-log
+    # score (same CTEs as _oracle_unigram_logprob), lang-id, then plain
+    # SQL NTILE(3) per language — the Spark side's distributed rank +
+    # closed-form BIGINT tile map must land on identical buckets
+    return f"""
+WITH w AS (
+  SELECT d.doc_id, unnest({O.sql_words('d.text')}) AS word FROM documents d
+),
+v AS (SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM v),
+lp AS (
+  SELECT word,
+         floor(ln(n::DOUBLE / total) * 1000000000.0)::BIGINT AS lp9
+  FROM v, tot
+),
+per AS (
+  SELECT w.doc_id, sum(lp9)::BIGINT AS s, count(*)::BIGINT AS n_words
+  FROM w JOIN lp USING (word) GROUP BY w.doc_id
+),
+scored AS (
+  SELECT p.doc_id, {O.sql_lang_id('d.text')} AS lang, p.n_words,
+         ((s::DOUBLE / 1000000000.0) / n_words::DOUBLE) AS mean_logprob
+  FROM per p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_words, mean_logprob,
+       NTILE(3) OVER (
+         PARTITION BY lang ORDER BY mean_logprob DESC, doc_id ASC
+       )::INT AS bucket,
+       CASE NTILE(3) OVER (
+              PARTITION BY lang ORDER BY mean_logprob DESC, doc_id ASC)
+         WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle'
+       END AS ppl_bucket
+FROM scored
 """
 
 
@@ -4357,6 +4410,7 @@ WHERE emb_updated_at IS NULL
     "corpus_mix": _oracle_corpus_mix(),
     "vocabulary_topk": _oracle_vocabulary_topk(),
     "unigram_logprob": _oracle_unigram_logprob(),
+    "perplexity_buckets": _oracle_perplexity_buckets(),
     "bigram_logprob": _oracle_bigram_logprob(),
     "sample_exact": _oracle_sample_exact(),
     "source_divergence": _oracle_source_divergence(),

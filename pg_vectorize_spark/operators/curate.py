@@ -1054,3 +1054,104 @@ def sample_weighted(
     return top.select(key_col, "weight", "sample_key").withColumn(
         "sample_rank", F.row_number().over(w)
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    n_buckets: int = 3,
+    rank_buckets_width: int = 1 << 26,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020
+    §4.3): score every document with the corpus's own unigram LM
+    (``unigram_logprob``), identify its language, and split EACH
+    language's documents into ``n_buckets`` equal NTILE groups by score
+    — bucket 1 ('head') is the best-scoring third, 3 ('tail') the
+    worst. CCNet keeps head+middle and drops (or down-samples) tail;
+    the caller filters on ``ppl_bucket``.
+
+    Output: (pkey, lang, n_words, mean_logprob, bucket, ppl_bucket);
+    zero-word docs are absent (they have no score).
+
+    Scale shape — a distributed per-language rank, NOT a per-language
+    window: ``Window.partitionBy(lang)`` collapses each language onto
+    ONE task, and a 100-TB crawl has a handful of languages. Instead
+    the nano-log score axis is chopped into deterministic contiguous
+    ranges (``floor(score*1e9) div rank_buckets_width`` — data-
+    independent integer division, so no sampled boundaries), per-
+    (lang, range) counts prefix-sum on the driver (a few hundred rows),
+    and the rank window runs per (lang, range). Ties share a double
+    score, hence a range — ordering never straddles a boundary. The
+    rank -> NTILE bucket map is closed-form BIGINT arithmetic, exact
+    against the SQL ``NTILE(n) OVER (PARTITION BY lang ORDER BY score
+    DESC, pkey)`` oracle.
+    """
+    from pg_vectorize_spark.functions.text import lang_id_expr
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    scored = unigram_logprob(df, text_col, pkey).join(
+        df.select(F.col(pkey), lang_id_expr(F.col(text_col)).alias("lang")),
+        pkey,
+    )
+    # deterministic contiguous ranges of the (descending) score order:
+    # negate the nano-score so range id ASC == score DESC
+    q9 = F.floor(F.col("mean_logprob") * F.lit(float(LOGPROB_SCALE))).cast(
+        "long"
+    )
+    base = scored.withColumn("_q9", q9).withColumn(
+        "_rid", F.expr(f"(-_q9) div {rank_buckets_width}")
+    )
+    counts = sorted(
+        ((r["lang"], r["_rid"]), r["_n"])
+        for r in base.groupBy("lang", "_rid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets, totals, running = [], {}, {}
+    for (lang, rid), n in counts:
+        offsets.append((lang, rid, running.get(lang, 0)))
+        running[lang] = running.get(lang, 0) + n
+    totals = running
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(l, r, o, totals[l]) for l, r, o in offsets],
+        schema="lang STRING, _rid BIGINT, _roff BIGINT, _nlang BIGINT",
+    )
+    w = Window.partitionBy("lang", "_rid").orderBy(
+        F.col("mean_logprob").desc(), F.col(pkey).asc()
+    )
+    ranked = base.join(F.broadcast(off_df), ["lang", "_rid"]).withColumn(
+        "_rank", F.col("_roff") + F.row_number().over(w)
+    )
+    # closed-form NTILE(k): q = n div k rows per tile, the first
+    # r = n % k tiles take one extra row; integer ceil(a/b) is
+    # (a + b - 1) div b. All BIGINT, so the comparison against the SQL
+    # NTILE oracle is exact. The ELSE branch's div-by-zero when q = 0
+    # (fewer rows than tiles) is unreachable: rank <= n = r there.
+    k = n_buckets
+    bucket = F.expr(
+        f"""CASE
+          WHEN _rank <= (_nlang % {k}) * ((_nlang div {k}) + 1)
+          THEN (_rank + (_nlang div {k})) div ((_nlang div {k}) + 1)
+          ELSE (_nlang % {k})
+               + ((_rank - (_nlang % {k}) * ((_nlang div {k}) + 1)
+                   + (_nlang div {k}) - 1) div (_nlang div {k}))
+        END"""
+    ).cast("int")
+    label = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        if n_buckets >= 2
+        else F.lit("head")
+    )
+    return ranked.select(
+        pkey,
+        "lang",
+        "n_words",
+        "mean_logprob",
+        bucket.alias("bucket"),
+        label.alias("ppl_bucket"),
+    )

@@ -782,3 +782,89 @@ class TestSampleWeighted:
 
         with pytest.raises(ValueError):
             sample_weighted(self._df(spark), "id", "w", 0)
+
+
+class TestPerplexityBuckets:
+    """CCNet per-language perplexity terciles — the distributed rank +
+    closed-form BIGINT NTILE must agree with SQL NTILE semantics on
+    every shape: uneven tiles, fewer rows than tiles, tied scores, and
+    any input partitioning."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tile_sizes_follow_ntile(self, spark):
+        from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+        # 8 docs, one language -> NTILE(3) sizes must be 3/3/2
+        rows = [
+            (i, "the and for with this " + " ".join(f"w{i}x{j}" for j in range(i + 1)))
+            for i in range(8)
+        ]
+        out = perplexity_buckets(self._docs(spark, rows), "text", "doc_id")
+        got = out.groupBy("bucket").count().collect()
+        sizes = {r["bucket"]: r["count"] for r in got}
+        assert sizes == {1: 3, 2: 3, 3: 2}
+
+    def test_head_outranks_tail(self, spark):
+        from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+        rows = [
+            (i, "the and for with this " + " ".join(f"w{i}x{j}" for j in range(i + 1)))
+            for i in range(9)
+        ]
+        out = perplexity_buckets(self._docs(spark, rows), "text", "doc_id")
+        pdf = {r["doc_id"]: r for r in out.collect()}
+        heads = [r["mean_logprob"] for r in pdf.values() if r["bucket"] == 1]
+        tails = [r["mean_logprob"] for r in pdf.values() if r["bucket"] == 3]
+        assert min(heads) >= max(tails)
+        labels = {r["bucket"]: r["ppl_bucket"] for r in pdf.values()}
+        assert labels == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_fewer_rows_than_tiles(self, spark):
+        from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+        rows = [(0, "the cat"), (1, "the the the dog")]
+        out = perplexity_buckets(self._docs(spark, rows), "text", "doc_id")
+        got = sorted((r["bucket"]) for r in out.collect())
+        assert got == [1, 2]  # NTILE: each row its own tile, no tile 3
+
+    def test_partition_invariance(self, spark):
+        from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+        rows = [
+            (i, "le la et les une " + " ".join(f"m{i}n{j}" for j in range(i % 5 + 1)))
+            for i in range(20)
+        ] + [
+            (100 + i, "the and for with " + " ".join(f"w{i}q{j}" for j in range(i % 7 + 1)))
+            for i in range(20)
+        ]
+        df = self._docs(spark, rows)
+        a = perplexity_buckets(df.repartition(1), "text", "doc_id")
+        b = perplexity_buckets(df.repartition(16), "text", "doc_id")
+        ka = {(r["doc_id"], r["lang"], r["bucket"]) for r in a.collect()}
+        kb = {(r["doc_id"], r["lang"], r["bucket"]) for r in b.collect()}
+        assert ka == kb
+        assert len({lang for _, lang, _ in ka}) >= 2  # really per-language
+
+    def test_narrow_rank_buckets_cross_boundaries(self, spark):
+        from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+        # width=1 nano-unit forces every distinct score into its own
+        # range — the driver prefix sum does ALL the ranking work
+        rows = [
+            (i, "the and for with this " + " ".join(f"w{i}x{j}" for j in range(i + 1)))
+            for i in range(9)
+        ]
+        df = self._docs(spark, rows)
+        wide = perplexity_buckets(df, "text", "doc_id")
+        narrow = perplexity_buckets(df, "text", "doc_id", rank_buckets_width=1)
+        assert {tuple(r) for r in wide.collect()} == {
+            tuple(r) for r in narrow.collect()
+        }
+
+    def test_rejects_bad_buckets(self, spark):
+        from pg_vectorize_spark.operators.curate import perplexity_buckets
+
+        with pytest.raises(ValueError):
+            perplexity_buckets(self._docs(spark, [(0, "x")]), "text", "doc_id", 0)

@@ -67,7 +67,7 @@ class TestRegistryConsistency:
         "multimodal_meta", "gopher_flags", "corpus_mix", "sample_exact",
         "vocabulary_topk", "unigram_logprob", "events_windowed_agg",
         "sessionize_events", "asof_join_events", "asof_join_bucketed",
-        "attribution_window_join", "quality_score", "lang_id",
+        "attribution_window_join", "quality_score",
         "repetition_score", "pii_scrub",
         "mp4_frame_extract", "dsir_weights", "c4_flags",
         "paragraph_dedup", "change_detection", "append_method_scan",
@@ -80,9 +80,11 @@ class TestRegistryConsistency:
         "neardup_index_probe", "neardup_probe_local",
         "dedup_minhash_lsh", "minhash_signatures", "cdf_apply",
         "incremental_scan_events", "fts_search_overlay",
-        # positions 46-50: NEW in r10 — first-ever driver rows
+        # positions 45-50: NEW in r10 — first-ever driver rows
+        # (lang_id yielded its slot to perplexity_buckets, which
+        # exercises the same lang-id expression inside its oracle)
         "sequence_pack", "pack_manifest", "line_dedup",
-        "bpe_token_count", "sample_weighted",
+        "bpe_token_count", "sample_weighted", "perplexity_buckets",
     ]
 
     def test_r10_window_names(self):
