@@ -286,3 +286,78 @@ def bpe_encode_counts(
             )
 
     return cols.mapInPandas(fn, schema)
+
+
+def bpe_vocab(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> list[str]:
+    """The sorted distinct token strings the merge list produces on this
+    corpus — the id space for ``bpe_encode_ids``. Bounded by (distinct
+    corpus characters + len(merges)), so collecting it is driver-cheap.
+    Computed with the SAME per-batch word-cache encode as the encoders,
+    one Arrow pass + one distinct."""
+    import pandas as pd
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[str, ...]] = {}
+        for pdf in it:
+            seen: set[str] = set()
+            for t in pdf[text_col]:
+                for w in words_of(t if isinstance(t, str) else None):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = cache[w] = encode_word(w, merge_list)
+                    seen.update(enc)
+            yield pd.DataFrame({"token": sorted(seen)})
+
+    toks = df.select(text_col).mapInPandas(fn, "token string").distinct()
+    return sorted(r["token"] for r in toks.collect())
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    vocab: Sequence[str],
+    unk_id: int = -1,
+) -> DataFrame:
+    """Per-doc BPE token-id arrays — the trainer-facing encode
+    (``bpe_encode_counts`` is the stats view; this one feeds
+    ``sequence_pack`` -> ``pack_blocks`` -> ``materialize_blocks``).
+    Token ids are positions in the given ``vocab`` (build it with
+    ``bpe_vocab`` on the training corpus and COMMIT it — id stability
+    across runs is the vocab file's job, not this function's); tokens
+    outside the vocab map to ``unk_id``. Broadcast merges + vocab into
+    mapInPandas with a per-batch word cache; Arrow-batched, zero
+    shuffle."""
+    import pandas as pd
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+    ids = {t: i for i, t in enumerate(vocab)}
+    key_type = dict(df.dtypes)[key_col]
+    schema = f"{key_col} {key_type}, token_ids array<long>"
+    cols = df.select(key_col, text_col)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            out = []
+            for t in pdf[text_col]:
+                doc: list[int] = []
+                for w in words_of(t if isinstance(t, str) else None):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = cache[w] = [
+                            ids.get(tok, unk_id)
+                            for tok in encode_word(w, merge_list)
+                        ]
+                    doc.extend(enc)
+                out.append(doc)
+            yield pd.DataFrame({key_col: pdf[key_col], "token_ids": out})
+
+    return cols.mapInPandas(fn, schema)

@@ -318,6 +318,54 @@ class CorpusPipeline:
         )
         return sequence_pack(base, self.pkey, "n_tokens", block_size)
 
+    def write_shards(
+        self,
+        path: str,
+        block_size: int = 2048,
+        blocks_per_shard: int = 2048,
+        n_merges: int = 200,
+        merges=None,
+        vocab=None,
+    ) -> DataFrame:
+        """Terminal: the full trainer hand-off. BPE-encode this corpus to
+        token ids (training merges/vocab here unless committed ones are
+        given), sequence-pack the id streams, materialize the blocks and
+        write them as shard-partitioned parquet with a validating
+        manifest (sources/training_shards.py). Returns the manifest."""
+        from pg_vectorize_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_train,
+            bpe_vocab,
+            bpe_word_counts,
+        )
+        from pg_vectorize_spark.operators.curate import pack_blocks
+        from pg_vectorize_spark.operators.curate import (
+            sequence_pack as _sp,
+        )
+        from pg_vectorize_spark.sources.training_shards import (
+            materialize_blocks,
+            write_training_shards,
+        )
+
+        if merges is None:
+            merges = bpe_train(
+                bpe_word_counts(self._df, self.text_col), n_merges
+            )
+        if vocab is None:
+            vocab = bpe_vocab(self._df, self.text_col, merges)
+        ids = bpe_encode_ids(
+            self._df, self.pkey, self.text_col, merges, vocab
+        ).localCheckpoint()  # read twice: counts for packing + slices
+        counts = ids.select(
+            F.col(self.pkey),
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+        packed = _sp(counts, self.pkey, "n_tokens", block_size)
+        mat = materialize_blocks(
+            pack_blocks(packed, block_size), ids, self.pkey, "token_ids"
+        )
+        return write_training_shards(mat, path, blocks_per_shard)
+
     def bpe_tokenize(
         self, n_merges: int = 200, merges=None
     ) -> "CorpusPipeline":

@@ -265,3 +265,22 @@ def test_late_r10_steps(spark):
     enc = cleaned.bpe_tokenize(n_merges=20).df()
     r = enc.filter("doc_id = 1").collect()[0]
     assert r["n_bpe_tokens"] >= r["n_words"] > 0
+
+
+def test_write_shards_end_to_end(spark, tmp_path):
+    """Fluent trainer hand-off: corpus -> BPE ids -> packed shards on
+    disk with a clean manifest."""
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+    from pg_vectorize_spark.sources.training_shards import validate_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta {i % 4}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    manifest = CorpusPipeline(spark, docs, "doc_id", "text").write_shards(
+        path, block_size=16, blocks_per_shard=2, n_merges=20
+    )
+    rows = manifest.collect()
+    assert rows and sum(r["n_blocks"] for r in rows) >= 2
+    assert validate_shards(spark, path).count() == 0
