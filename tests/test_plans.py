@@ -252,3 +252,22 @@ def test_maxsim_partial_agg_take_ordered(spark, entrymod):
     assert "partial_max" in rep.text or "HashAggregate" in rep.text
     assert "SortMergeJoin" not in rep.text, rep.summary()
     assert "CartesianProduct" not in rep.text, rep.summary()
+
+
+def test_perplexity_buckets_distributed_rank(spark, entrymod):
+    """CCNet bucketing: the per-language rank must run per (lang,
+    score-range) — a Window partitioned by BOTH keys — never a
+    per-language (single-task-per-language) or global window; no
+    cartesian fan-out."""
+    df = entrymod.queries()["perplexity_buckets"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text, rep.summary()
+    # exactly one window, and its partition spec carries the range id
+    assert rep.text.count("windowspecdefinition") >= 1
+    assert "_rid" in rep.text.split("windowspecdefinition")[1][:80], (
+        "rank window lost the score-range partitioning key:\n"
+        + rep.summary()
+    )
+    assert "windowspecdefinition()" not in rep.text, (
+        "global (empty-partition) window found:\n" + rep.summary()
+    )
