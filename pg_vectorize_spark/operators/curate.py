@@ -1155,3 +1155,105 @@ def perplexity_buckets(
         bucket.alias("bucket"),
         label.alias("ppl_bucket"),
     )
+
+
+def unimax_budgets(
+    lang_tokens: list[tuple[str, int]],
+    total_budget: int,
+    max_epochs: float = 4.0,
+) -> dict[str, float]:
+    """UniMax budget waterfilling (Chung et al. 2023): distribute a
+    total token budget over languages as uniformly as possible, capping
+    every language at ``max_epochs`` passes over its own corpus.
+
+    Languages ascending by corpus size: if spreading the remaining
+    budget uniformly over the remaining languages would exceed a
+    language's epoch cap, it gets ``max_epochs * corpus`` and the rest
+    re-spreads; otherwise every remaining language gets the uniform
+    share. Returns epochs per language (budget_l / corpus_l). Pure
+    driver arithmetic over one tiny per-language row set — the sampling
+    itself is ``unimax_sample``.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    sized = sorted(
+        ((lang, int(n)) for lang, n in lang_tokens if n > 0),
+        key=lambda x: (x[1], x[0]),
+    )
+    epochs: dict[str, float] = {}
+    remaining_budget = float(total_budget)
+    remaining = len(sized)
+    for lang, n in sized:
+        uniform = remaining_budget / remaining
+        alloc = min(uniform, max_epochs * n)
+        epochs[lang] = alloc / n
+        remaining_budget -= alloc
+        remaining -= 1
+    return epochs
+
+
+def unimax_sample(
+    df: DataFrame,
+    key_col: str,
+    lang_col: str,
+    count_col: str,
+    total_budget: int,
+    max_epochs: float = 4.0,
+    salt: str = "|unimax",
+) -> DataFrame:
+    """Materialize a UniMax-sampled corpus: each document appears
+    ``floor(epochs_lang)`` times plus one more with probability
+    ``frac(epochs_lang)`` — deterministic per (doc, copy, salt), so the
+    mix is reproducible across reruns, cluster sizes and partitionings
+    (same discipline as ``hash_split``).
+
+    Output: one row per kept copy — (key, lang, n_tokens, copy) with
+    copy in [0, ceil(epochs)). Expected kept tokens per language equal
+    the language's UniMax budget; the realized count concentrates
+    tightly around it (per-doc independent coin for the fractional
+    epoch only).
+
+    Scale shape: one tiny per-language aggregate (collected — bounded
+    by the language inventory), broadcast epochs join, then a generator
+    explode of at most ceil(epochs) copies per row and a per-row hash
+    coin — no shuffle beyond the aggregate, linear in output size.
+    """
+    totals = [
+        (r["l"], r["n"])
+        for r in df.groupBy(F.col(lang_col).alias("l"))
+        .agg(F.sum(F.col(count_col).cast("long")).alias("n"))
+        .collect()
+    ]
+    epochs = unimax_budgets(totals, total_budget, max_epochs)
+    if not epochs:
+        return df.select(
+            F.col(key_col),
+            F.col(lang_col),
+            F.col(count_col).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("copy"),
+        ).limit(0)
+    spark = df.sparkSession
+    eps = spark.createDataFrame(
+        [(lang, e) for lang, e in epochs.items()],
+        schema=f"{lang_col} STRING, _epochs DOUBLE",
+    )
+    base = df.select(
+        F.col(key_col),
+        F.col(lang_col),
+        F.col(count_col).cast("long").alias("n_tokens"),
+    ).join(F.broadcast(eps), lang_col)
+    full = F.floor(F.col("_epochs")).cast("long")
+    frac = F.col("_epochs") - full.cast("double")
+    copies = base.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0).cast("long"), full))
+    )
+    # copy < floor(epochs): always kept; copy == floor(epochs): kept
+    # with probability frac via the deterministic per-(doc, copy) coin
+    coin = sample_priority_expr(
+        F.concat_ws("#", F.col(key_col).cast("string"), F.col("copy")),
+        salt,
+    ).cast("double") / F.lit(float(1 << MIX_BITS))
+    kept = copies.filter((F.col("copy") < full) | (coin < frac))
+    return kept.select(key_col, lang_col, "n_tokens", "copy")

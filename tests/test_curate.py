@@ -868,3 +868,110 @@ class TestPerplexityBuckets:
 
         with pytest.raises(ValueError):
             perplexity_buckets(self._docs(spark, [(0, "x")]), "text", "doc_id", 0)
+
+
+class TestUnimax:
+    """UniMax budget waterfilling + deterministic sampled materialization
+    (Chung et al. 2023)."""
+
+    def test_waterfill_caps_low_resource(self):
+        from pg_vectorize_spark.operators.curate import unimax_budgets
+
+        # tiny language hits the 2-epoch cap; the rest split the
+        # remainder uniformly
+        eps = unimax_budgets(
+            [("xx", 100), ("en", 10_000), ("fr", 10_000)],
+            total_budget=10_200,
+            max_epochs=2.0,
+        )
+        assert eps["xx"] == pytest.approx(2.0)
+        assert eps["en"] == pytest.approx(0.5)
+        assert eps["fr"] == pytest.approx(0.5)
+        # budgets sum to the total
+        sizes = {"xx": 100, "en": 10_000, "fr": 10_000}
+        assert sum(eps[l] * sizes[l] for l in eps) == pytest.approx(10_200)
+
+    def test_uniform_when_no_cap_binds(self):
+        from pg_vectorize_spark.operators.curate import unimax_budgets
+
+        eps = unimax_budgets(
+            [("a", 1000), ("b", 2000)], total_budget=900, max_epochs=10.0
+        )
+        # uniform 450/450 tokens -> epochs inversely proportional to size
+        assert eps["a"] == pytest.approx(0.45)
+        assert eps["b"] == pytest.approx(0.225)
+
+    def test_budget_exceeding_all_caps(self):
+        from pg_vectorize_spark.operators.curate import unimax_budgets
+
+        eps = unimax_budgets(
+            [("a", 10), ("b", 20)], total_budget=10_000, max_epochs=3.0
+        )
+        assert eps == {"a": pytest.approx(3.0), "b": pytest.approx(3.0)}
+
+    def test_rejects_bad_args(self):
+        from pg_vectorize_spark.operators.curate import unimax_budgets
+
+        with pytest.raises(ValueError):
+            unimax_budgets([("a", 1)], -1)
+        with pytest.raises(ValueError):
+            unimax_budgets([("a", 1)], 10, max_epochs=0)
+
+    def _corpus(self, spark):
+        rows = (
+            [(i, "en", 100) for i in range(200)]
+            + [(1000 + i, "fr", 100) for i in range(40)]
+            + [(2000 + i, "xx", 100) for i in range(2)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+    def test_sample_tracks_budgets(self, spark):
+        from pg_vectorize_spark.operators.curate import (
+            unimax_budgets,
+            unimax_sample,
+        )
+
+        df = self._corpus(spark)
+        budget, cap = 12_000, 2.0
+        out = unimax_sample(df, "doc_id", "lang", "n_tokens", budget, cap)
+        got = {
+            r["lang"]: r["tok"]
+            for r in out.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("tok"))
+            .collect()
+        }
+        eps = unimax_budgets(
+            [("en", 20_000), ("fr", 4_000), ("xx", 200)], budget, cap
+        )
+        for lang, size in (("en", 20_000), ("fr", 4_000), ("xx", 200)):
+            want = eps[lang] * size
+            assert got[lang] == pytest.approx(want, rel=0.2), (lang, got)
+        # full copies are exact: xx is capped at 2.0 epochs -> every doc
+        # exactly twice, no coin involved
+        xx = out.filter(F.col("lang") == "xx").collect()
+        assert sorted((r["doc_id"], r["copy"]) for r in xx) == [
+            (2000, 0), (2000, 1), (2001, 0), (2001, 1),
+        ]
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from pg_vectorize_spark.operators.curate import unimax_sample
+
+        df = self._corpus(spark)
+        a = unimax_sample(df.repartition(1), "doc_id", "lang", "n_tokens", 9_000)
+        b = unimax_sample(df.repartition(13), "doc_id", "lang", "n_tokens", 9_000)
+        ka = {(r["doc_id"], r["copy"]) for r in a.collect()}
+        kb = {(r["doc_id"], r["copy"]) for r in b.collect()}
+        assert ka == kb
+        # a different salt gives a different fractional-coin draw
+        c = unimax_sample(
+            df, "doc_id", "lang", "n_tokens", 9_000, salt="|unimax2"
+        )
+        kc = {(r["doc_id"], r["copy"]) for r in c.collect()}
+        assert kc != ka
+
+    def test_empty_input(self, spark):
+        from pg_vectorize_spark.operators.curate import unimax_sample
+
+        df = spark.createDataFrame([], "doc_id long, lang string, n_tokens long")
+        out = unimax_sample(df, "doc_id", "lang", "n_tokens", 1000)
+        assert out.count() == 0
