@@ -209,6 +209,17 @@ class VectorizeSession:
                 self._emb_ds(job.job_name).read(), job.primary_key
             )
             return
+        if mgr.retrain_recommended():
+            # the compaction-cadence drift observation crossed the
+            # growth/skew thresholds: the frozen quantizer no longer
+            # describes the corpus, so retrain from the just-merged
+            # snapshot (which already holds emb_new) instead of filing
+            # the batch into stale cells. build() resets the baseline
+            # and clears the flag.
+            mgr.build(
+                self._emb_ds(job.job_name).read(), job.primary_key
+            )
+            return
         mgr.upsert(
             emb_new.select(job.primary_key, "embeddings"),
             job.primary_key,

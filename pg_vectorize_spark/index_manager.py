@@ -96,6 +96,15 @@ class JobIndexManager:
         self.residual = bool(p.get("residual", True))
         self.train = p.get("train", "first")  # first | kmeans
         self.compact_every = _pos("compact_every", 16)
+        # drift thresholds (observed at the compaction cadence): corpus
+        # grown >= 4x since the quantizer trained, or one cell holding
+        # >= 8x its fair share, recommends a retrain
+        self.retrain_growth = float(p.get("retrain_growth", 4.0))
+        self.retrain_skew = float(p.get("retrain_skew", 8.0))
+        if self.retrain_growth <= 1.0 or self.retrain_skew <= 1.0:
+            raise VectorizeError(
+                "retrain_growth and retrain_skew must be > 1"
+            )
 
     # ------------------------------------------------------------ state io
 
@@ -162,6 +171,7 @@ class JobIndexManager:
         if self.method == "brute":
             return
         emb_df = emb_df.select(F.col(pkey), F.col("embeddings"))
+        built_rows = emb_df.count()  # drift baseline (growth ratio)
         if self.method == "signbit":
             from pg_vectorize_spark.operators.ann import build_signbit_index
 
@@ -171,7 +181,7 @@ class JobIndexManager:
             self._save_quantizer(
                 {"method": "signbit", "nbits": self.nbits, "pkey": pkey}
             )
-            self._reset_maint()
+            self._reset_maint(built_rows=built_rows)
             return
         centroids = self._train_centroids(emb_df, pkey)
         state: dict = {
@@ -241,7 +251,7 @@ class JobIndexManager:
                 assigned_df=assigned,
             )
         self._save_quantizer(state)
-        self._reset_maint()
+        self._reset_maint(built_rows=built_rows)
 
     # --------------------------------------------------------- maintenance
 
@@ -302,10 +312,22 @@ class JobIndexManager:
         self.delete(emb_df.select(pkey), pkey)
         self.add(emb_df, pkey)
 
-    def _reset_maint(self) -> None:
+    def _reset_maint(self, built_rows: int | None = None) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
+        state: dict = {"ops_since_compact": 0}
+        if built_rows is not None:
+            state["built_rows"] = int(built_rows)
+        else:
+            # keep the build-time row count across compactions
+            try:
+                with open(self._maint_path) as f:
+                    prev = json.load(f)
+                if "built_rows" in prev:
+                    state["built_rows"] = prev["built_rows"]
+            except (FileNotFoundError, ValueError):
+                pass
         with open(self._maint_path, "w") as f:
-            json.dump({"ops_since_compact": 0}, f)
+            json.dump(state, f)
 
     def _bump_maint(self) -> None:
         try:
@@ -343,7 +365,91 @@ class JobIndexManager:
             self.spark, self.index_dir, part_col=part_col, max_files=4
         )
         self._reset_maint()
+        # piggyback drift observation on the compaction cadence: one
+        # tiny per-cell count aggregate every compact_every batches, not
+        # per micro-batch. The observation only RECOMMENDS — the next
+        # ingest acts (engine._index_upsert), because a retrain needs
+        # the embeddings snapshot this manager doesn't hold.
+        try:
+            stats = self.drift_stats()
+        except Exception:
+            stats = None
+        if stats is not None and (
+            stats["growth"] >= self.retrain_growth
+            or stats["skew"] >= self.retrain_skew
+        ):
+            self._flag_retrain(stats)
         return n
+
+    # --------------------------------------------------------------- drift
+
+    def drift_stats(self) -> dict | None:
+        """How far the frozen quantizer has drifted from the data it was
+        trained on. Returns None for brute/absent indexes, else::
+
+            rows        current indexed vectors
+            built_rows  vectors at quantizer-training time (0 if unknown)
+            growth      rows / built_rows (inf when built_rows unknown->0)
+            max_share   largest cell's fraction of all rows
+            skew        max_share * configured cell count (1.0 = perfectly
+                        even; k = one cell holds k times its fair share)
+
+        A grown corpus makes nprobe cells cover a smaller data fraction
+        (recall decay); a skewed cell makes every probe that touches it
+        scan-heavy (latency). Both mean the centroids no longer describe
+        the data — the fix is a retrain, not more maintenance."""
+        if self.method == "brute" or not self.exists():
+            return None
+        part_col = "bucket" if self.method == "signbit" else "cell"
+        per = (
+            self.spark.read.parquet(self.index_dir)
+            .groupBy(part_col)
+            .count()
+            .collect()
+        )
+        rows = sum(r["count"] for r in per)
+        max_rows = max((r["count"] for r in per), default=0)
+        n_cells = (
+            (1 << self.nbits)
+            if self.method == "signbit"
+            else self.n_centroids
+        )
+        try:
+            with open(self._maint_path) as f:
+                built = int(json.load(f).get("built_rows", 0))
+        except (FileNotFoundError, ValueError):
+            built = 0
+        return {
+            "rows": rows,
+            "built_rows": built,
+            "growth": (rows / built) if built > 0 else float("inf"),
+            "max_share": (max_rows / rows) if rows > 0 else 0.0,
+            "skew": (max_rows / rows * n_cells) if rows > 0 else 0.0,
+            "n_cells": n_cells,
+        }
+
+    def _flag_retrain(self, stats: dict) -> None:
+        try:
+            with open(self._maint_path) as f:
+                state = json.load(f)
+        except (FileNotFoundError, ValueError):
+            state = {"ops_since_compact": 0}
+        state["retrain_recommended"] = True
+        state["drift"] = {
+            k: (None if v == float("inf") else v) for k, v in stats.items()
+        }
+        with open(self._maint_path, "w") as f:
+            json.dump(state, f)
+
+    def retrain_recommended(self) -> bool:
+        """True when the last drift observation crossed the growth/skew
+        thresholds. Cleared by the next ``build`` (which resets the
+        maintenance state with a fresh baseline)."""
+        try:
+            with open(self._maint_path) as f:
+                return bool(json.load(f).get("retrain_recommended"))
+        except (FileNotFoundError, ValueError):
+            return False
 
     # --------------------------------------------------------------- probe
 

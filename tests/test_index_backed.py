@@ -541,3 +541,129 @@ class TestCompactionCadence:
             for r in spark.read.parquet(str(tmp_path / "cidx")).collect()
         }
         assert got == set(range(35))
+
+
+class TestDriftRetrain:
+    """Quantizer drift: the compaction cadence OBSERVES (per-cell count
+    aggregate, growth + skew vs the build-time baseline), the next
+    ingest ACTS (engine retrains from the merged snapshot). The frozen
+    quantizer is otherwise never silently retrained — incremental adds
+    must stay cheap."""
+
+    def _vecs(self, spark, lo, hi, axis=0):
+        base = [0.0, 0.0, 0.0, 0.0]
+
+        def v(i):
+            out = list(base)
+            out[axis] = 1.0
+            out[(axis + 1) % 4] = float(i % 97) / 97.0
+            return out
+
+        return spark.createDataFrame(
+            [(i, v(i)) for i in range(lo, hi)],
+            "id long, embeddings array<double>",
+        )
+
+    def _mgr(self, spark, tmp_path, **extra):
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        params = {
+            "n_centroids": 4,
+            "nprobe": 4,
+            "compact_every": 2,
+            "train": "kmeans",
+        }
+        params.update(extra)
+        return JobIndexManager(spark, str(tmp_path / "didx"), "ivf", params)
+
+    def test_drift_stats_baseline(self, spark, tmp_path):
+        mgr = self._mgr(spark, tmp_path)
+        mgr.build(self._vecs(spark, 0, 40), "id")
+        s = mgr.drift_stats()
+        assert s["rows"] == 40 and s["built_rows"] == 40
+        assert s["growth"] == pytest.approx(1.0)
+        assert not mgr.retrain_recommended()
+
+    def test_growth_triggers_recommendation(self, spark, tmp_path):
+        mgr = self._mgr(spark, tmp_path)
+        mgr.build(self._vecs(spark, 0, 10), "id")
+        # 5x growth in two adds; compact_every=2 runs the observation
+        mgr.add(self._vecs(spark, 10, 30), "id")
+        mgr.add(self._vecs(spark, 30, 50), "id")
+        s = mgr.drift_stats()
+        assert s["growth"] == pytest.approx(5.0)
+        assert mgr.retrain_recommended()
+
+    def test_skew_triggers_recommendation(self, spark, tmp_path):
+        mgr = self._mgr(spark, tmp_path, retrain_growth=100.0,
+                        retrain_skew=2.5)
+        mgr.build(self._vecs(spark, 0, 40, axis=0), "id")
+        # drifted distribution: every new vector lands in one region
+        mgr.add(self._vecs(spark, 100, 130, axis=2), "id")
+        mgr.add(self._vecs(spark, 130, 160, axis=2), "id")
+        s = mgr.drift_stats()
+        assert s["skew"] >= 2.5
+        assert mgr.retrain_recommended()
+
+    def test_rebuild_clears_flag_and_resets_baseline(self, spark, tmp_path):
+        mgr = self._mgr(spark, tmp_path)
+        mgr.build(self._vecs(spark, 0, 10), "id")
+        mgr.add(self._vecs(spark, 10, 30), "id")
+        mgr.add(self._vecs(spark, 30, 50), "id")
+        assert mgr.retrain_recommended()
+        mgr.build(self._vecs(spark, 0, 50), "id")
+        assert not mgr.retrain_recommended()
+        s = mgr.drift_stats()
+        assert s["built_rows"] == 50 and s["growth"] == pytest.approx(1.0)
+
+    def test_engine_ingest_acts_on_recommendation(
+        self, spark, tmp_path, corpus_src
+    ):
+        """End-to-end: grow an indexed job far past the drift threshold
+        via scan_job batches; the recommendation appears at a compaction
+        and the NEXT ingest retrains (baseline resets, flag clears,
+        search parity holds)."""
+        import json
+        import os
+
+        sess = VectorizeSession(
+            spark, workspace=str(tmp_path / "ws_drift")
+        )
+        src = spark.read.parquet(corpus_src)
+        inc_path = str(tmp_path / "drift_src")
+        src.filter(F.col("id") < 20).write.parquet(inc_path)
+        sess.create_job(
+            "djob",
+            inc_path,
+            columns=["content"],
+            primary_key="id",
+            index_method="ivf",
+            index_params={
+                "n_centroids": 4,
+                "nprobe": 4,
+                "compact_every": 2,
+                "retrain_growth": 3.0,
+            },
+        )
+        sess.scan_job("djob")
+        maint = os.path.join(
+            str(tmp_path / "ws_drift"), "jobs", "djob", "index",
+            "_MAINT.json",
+        )
+        built0 = json.load(open(maint))["built_rows"]
+        assert built0 == 20
+        # three growth batches of 40 each -> 140 rows >= 3x baseline;
+        # compact_every=2 guarantees an observation fires along the way
+        for lo in (20, 60, 100):
+            src.filter(
+                (F.col("id") >= lo) & (F.col("id") < lo + 40)
+            ).write.mode("append").parquet(inc_path)
+            sess.scan_job("djob")
+        state = json.load(open(maint))
+        # the retrain already ran on the ingest after the observation:
+        # baseline moved past the build-time 20 and the flag is clear
+        assert state["built_rows"] > 20
+        assert not state.get("retrain_recommended", False)
+        got = _indexed_actual(sess, "djob", QUERY, k=10)
+        want = _brute_expected(sess, "djob", QUERY, k=10)
+        assert got == want
