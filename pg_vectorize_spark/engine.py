@@ -1336,23 +1336,59 @@ class VectorizeSession:
         filters: dict[str, str] | None = None,
         where_sql: str | None = None,
         api_key: str | None = None,
+        diversify: float | None = None,
+        diversify_pool: int = 50,
     ) -> list[dict]:
-        """vectorize.search(): semantic top-k, JSON-shaped rows."""
+        """vectorize.search(): semantic top-k, JSON-shaped rows.
+
+        ``diversify=lambda`` (0..1) MMR-reranks: fetch a
+        ``diversify_pool``-sized relevance pool (after filters), then
+        greedily trade relevance against similarity-to-already-selected
+        (operators/search.mmr_rerank) down to ``num_results``. lambda=1
+        is pure relevance; ~0.5-0.8 de-duplicates near-identical hits."""
         job = self.catalog.get(job_name)
         if not self._emb_ds(job_name).exists():
             raise VectorizeError(f"job {job_name} has no embeddings yet")
         qv = self._query_vec(job, query, api_key)
+        pool = (
+            max(num_results, diversify_pool)
+            if diversify is not None
+            else num_results
+        )
         df = _semantic_op(
             self._source_df(job),
-            self._emb_candidates(job, qv, num_results),
+            self._emb_candidates(job, qv, pool),
             job.primary_key,
             qv,
-            num_results=num_results,
+            num_results=pool,
             return_columns=return_columns,
             filters=parse_filters(filters) if filters else None,
             where_sql=where_sql,
             pre_normalized=True,
         )
+        if diversify is not None:
+            from pg_vectorize_spark.operators.search import mmr_rerank
+
+            pk = job.primary_key
+            with_vecs = df.join(
+                self._emb_ds(job_name)
+                .read()
+                .select(pk, "embeddings"),
+                pk,
+            )
+            mmr = mmr_rerank(
+                with_vecs,
+                pk,
+                "embeddings",
+                "similarity_score",
+                num_results,
+                lambda_=diversify,
+            )
+            df = (
+                df.drop("similarity_score")
+                .join(mmr, pk)
+                .orderBy("mmr_rank")
+            )
         return [r.asDict(recursive=True) for r in df.collect()]
 
     def full_text_search(

@@ -754,3 +754,79 @@ def _fuse_and_project(
     return ordered.select(
         *cols, "rrf_score", "semantic_rank", "fts_rank", "similarity_score"
     ).limit(num_results)
+
+
+def mmr_rerank(
+    candidates,
+    pkey: str,
+    emb_col: str,
+    score_col: str,
+    k: int,
+    lambda_: float = 0.7,
+):
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998): greedily pick the candidate maximizing
+    ``lambda * relevance - (1 - lambda) * max_cosine(selected)`` —
+    relevance alone returns k near-duplicates when the corpus has them;
+    MMR trades a little relevance for coverage.
+
+    ``candidates`` is an already-ranked TOP-POOL result (relevance
+    score + unit-norm embedding per row). MMR is inherently sequential
+    in k, and the pool is bounded by the caller (pool <= a few hundred
+    by construction — the upstream top-k did the corpus-scale work), so
+    the greedy loop runs on the driver over the collected pool: numpy
+    dot products over a (pool, dim) matrix, O(pool * k) — microseconds.
+    This is a deliberate driver-side step on a BOUNDED set, the same
+    contract as the reference's client-side fusion (engine.py ext
+    mode), not a corpus-scale collect.
+
+    Ties (equal MMR objective) break by ascending pkey for determinism.
+    Returns a DataFrame (pkey, <score_col>, mmr_score, mmr_rank) with
+    mmr_rank 1..k in selection order.
+    """
+    import numpy as np
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = candidates.select(pkey, score_col, emb_col).collect()
+    if not rows:
+        schema = (
+            f"{dict(candidates.dtypes)[pkey]}"  # keep the key's type
+        )
+        return candidates.sparkSession.createDataFrame(
+            [],
+            f"{pkey} {schema}, {score_col} double, "
+            "mmr_score double, mmr_rank int",
+        )
+    keys = [r[pkey] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    mat = np.array([[float(x) for x in r[emb_col]] for r in rows])
+    n = len(rows)
+    selected: list[int] = []
+    max_sim = np.zeros(n)  # max cosine to any selected row
+    picked = np.zeros(n, dtype=bool)
+    scores: list[float] = []
+    order = np.argsort([str(kk) for kk in keys])  # stable tie info
+    key_rank = np.empty(n)
+    key_rank[order] = np.arange(n)
+    for _ in range(min(k, n)):
+        obj = lambda_ * rel - (1.0 - lambda_) * max_sim
+        obj = np.where(picked, -np.inf, obj)
+        best = np.flatnonzero(obj == obj.max())
+        i = int(best[np.argmin(key_rank[best])])
+        selected.append(i)
+        scores.append(float(obj[i]))
+        picked[i] = True
+        max_sim = np.maximum(max_sim, mat @ mat[i])
+    out_rows = [
+        (keys[i], float(rel[i]), scores[j], j + 1)
+        for j, i in enumerate(selected)
+    ]
+    key_type = dict(candidates.dtypes)[pkey]
+    return candidates.sparkSession.createDataFrame(
+        out_rows,
+        f"{pkey} {key_type}, {score_col} double, "
+        "mmr_score double, mmr_rank int",
+    )

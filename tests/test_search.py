@@ -471,3 +471,118 @@ def test_rest_rank_param_roundtrip():
 
     with _pytest.raises(ValueError):
         _search_args({"job_name": "j", "query": "q", "rank": "nope"})
+
+
+class TestMmrRerank:
+    """MMR diversification (Carbonell & Goldstein 1998): greedy
+    relevance-vs-redundancy trade over a bounded candidate pool."""
+
+    def _pool(self, spark):
+        # two tight clusters + one outlier; relevance favors cluster A
+        import math
+
+        def unit(x, y):
+            n = math.sqrt(x * x + y * y)
+            return [x / n, y / n, 0.0]
+
+        rows = [
+            (1, 0.99, unit(1.0, 0.00)),   # cluster A (near-dups)
+            (2, 0.98, unit(1.0, 0.01)),
+            (3, 0.97, unit(1.0, 0.02)),
+            (4, 0.80, unit(0.0, 1.0)),    # cluster B
+            (5, 0.60, unit(-1.0, 0.3)),   # outlier
+        ]
+        return spark.createDataFrame(
+            rows, "id long, similarity_score double, embeddings array<double>"
+        )
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from pg_vectorize_spark.operators.search import mmr_rerank
+
+        out = mmr_rerank(
+            self._pool(spark), "id", "embeddings", "similarity_score",
+            k=3, lambda_=1.0,
+        ).collect()
+        assert [r["id"] for r in out] == [1, 2, 3]
+        assert [r["mmr_rank"] for r in out] == [1, 2, 3]
+
+    def test_diversity_breaks_up_near_dup_cluster(self, spark):
+        from pg_vectorize_spark.operators.search import mmr_rerank
+
+        out = mmr_rerank(
+            self._pool(spark), "id", "embeddings", "similarity_score",
+            k=3, lambda_=0.5,
+        ).collect()
+        ids = [r["id"] for r in out]
+        assert ids[0] == 1  # best relevance always first
+        assert 4 in ids  # cluster B surfaces
+        assert not {2, 3} <= set(ids)  # the near-dups don't BOTH survive
+
+    def test_deterministic_tie_break(self, spark):
+        from pg_vectorize_spark.operators.search import mmr_rerank
+
+        rows = [
+            (10, 0.9, [1.0, 0.0]),
+            (2, 0.9, [1.0, 0.0]),  # identical row, smaller key
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, similarity_score double, embeddings array<double>"
+        )
+        out = mmr_rerank(
+            df, "id", "embeddings", "similarity_score", k=2, lambda_=0.7
+        ).collect()
+        assert [r["id"] for r in out][0] == 10  # '10' < '2' lexicographic
+        # stable across repartition
+        out2 = mmr_rerank(
+            df.repartition(4), "id", "embeddings", "similarity_score",
+            k=2, lambda_=0.7,
+        ).collect()
+        assert [r["id"] for r in out] == [r["id"] for r in out2]
+
+    def test_k_exceeds_pool_and_validation(self, spark):
+        import pytest as _pytest
+
+        from pg_vectorize_spark.operators.search import mmr_rerank
+
+        out = mmr_rerank(
+            self._pool(spark), "id", "embeddings", "similarity_score",
+            k=50, lambda_=0.7,
+        ).collect()
+        assert len(out) == 5
+        with _pytest.raises(ValueError):
+            mmr_rerank(
+                self._pool(spark), "id", "embeddings",
+                "similarity_score", k=0,
+            )
+        with _pytest.raises(ValueError):
+            mmr_rerank(
+                self._pool(spark), "id", "embeddings",
+                "similarity_score", k=1, lambda_=1.5,
+            )
+
+    def test_engine_diversified_search(self, spark, tmp_path):
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            F.col("doc_id").alias("id"), F.col("text").alias("content")
+        ).filter(F.col("id") < 120)
+        src = str(tmp_path / "mmr_src")
+        docs.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_mmr"))
+        sess.create_job("mjob", src, columns=["content"], primary_key="id")
+        sess.scan_job("mjob")
+        plain = sess.search("mjob", "spark merge data", num_results=5)
+        div = sess.search(
+            "mjob", "spark merge data", num_results=5, diversify=0.5
+        )
+        assert len(div) == 5
+        assert [r["mmr_rank"] for r in div] == [1, 2, 3, 4, 5]
+        # the top hit is relevance-first in both
+        assert div[0]["id"] == plain[0]["id"]
+        # lambda=1 over the same pool returns the plain top-5 ids in order
+        div1 = sess.search(
+            "mjob", "spark merge data", num_results=5, diversify=1.0
+        )
+        assert [r["id"] for r in div1] == [r["id"] for r in plain]
