@@ -1259,6 +1259,64 @@ class VectorizeSession:
             df.createOrReplaceTempView("vectorize_jobs")
         return df
 
+    def job_stats(self, job_name: str) -> dict:
+        """Operational snapshot of one job — the observability view a
+        100-TB deployment watches (the reference's vectorize.job +
+        pg_stat machinery rolled into one call): snapshot sizes and
+        versions, the ANN index's drift stats + retrain flag, and which
+        auxiliary indexes are live. Row counts are metadata-cheap scans
+        (parquet footers), the drift block is one per-cell count
+        aggregate — an ops call, not a hot-path one."""
+        job = self.catalog.get(job_name)
+        out: dict = {
+            "job_name": job_name,
+            "table_method": job.table_method,
+            "index_method": getattr(job, "index_method", "brute")
+            or "brute",
+            "schedule": job.schedule,
+        }
+        emb = self._emb_ds(job_name)
+        out["embeddings"] = {
+            "exists": emb.exists(),
+            "rows": emb.read().count() if emb.exists() else 0,
+            "version": emb.current_version(),
+        }
+        tok = self._tok_ds(job_name)
+        out["tokens"] = {
+            "exists": tok.exists(),
+            "rows": tok.read().count() if tok.exists() else 0,
+            "version": tok.current_version(),
+        }
+        mgr = self._index_mgr(job)
+        if mgr is not None and mgr.exists():
+            drift = mgr.drift_stats() or {}
+            # JSON-safe: growth is inf when the build baseline is unknown
+            drift = {
+                k: (None if v == float("inf") else v)
+                for k, v in drift.items()
+            }
+            out["ann_index"] = {
+                "exists": True,
+                "drift": drift,
+                "retrain_recommended": mgr.retrain_recommended(),
+            }
+        else:
+            out["ann_index"] = {"exists": False}
+        fts = self._fts_mgr(job)
+        out["fts_index"] = {
+            "exists": bool(fts is not None and fts.exists())
+        }
+        dd = self._dedup_mgr(job)
+        out["dedup_index"] = {
+            "enabled": dd is not None,
+            "has_data": bool(
+                dd is not None
+                and dd.exists()
+                and dd._load_meta().get("has_data", True)
+            ),
+        }
+        return out
+
     def job_view(self, job_name: str) -> DataFrame:
         """<job>_view: source ⋈ embeddings (core/src/query.rs:311-320)."""
         job = self.catalog.get(job_name)

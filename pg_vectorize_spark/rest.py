@@ -269,6 +269,20 @@ class _Handler(BaseHTTPRequestHandler):
             }
             self._run_search(params)
             return
+        if url.path in ("/v1/jobs", "/v1/jobs/"):
+            self._send(200, {"jobs": self.session.catalog.list_jobs()})
+            return
+        if url.path.startswith("/v1/jobs/") and url.path.endswith(
+            "/stats"
+        ):
+            name = url.path[len("/v1/jobs/") : -len("/stats")]
+            try:
+                self._send(200, self.session.job_stats(name))
+            except JobNotFoundError:
+                self._send(404, {"error": f"job not found: {name}"})
+            except VectorizeError as e:
+                self._send(500, {"error": str(e)})
+            return
         self._send(404, {"error": "not found"})
 
     def do_POST(self) -> None:  # noqa: N802

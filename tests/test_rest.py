@@ -268,3 +268,41 @@ def test_create_indexed_table_and_search(served):
         },
     )
     assert code == 400
+
+
+class TestJobsAndStats:
+    def test_jobs_listing_and_stats(self, served):
+        base, src = served
+        code, body = _post(
+            base + "/api/v1/table",
+            {
+                "job_name": "stats_job",
+                "src_path": src,
+                "columns": ["content"],
+                "primary_key": "id",
+                "index_method": "ivf",
+                "index_params": {"n_centroids": 2, "nprobe": 2},
+            },
+        )
+        assert code == 200, body
+        code, body = _get(base + "/v1/jobs")
+        assert code == 200 and "stats_job" in body["jobs"]
+        code, stats = _get(base + "/v1/jobs/stats_job/stats")
+        assert code == 200, stats
+        assert stats["embeddings"]["exists"]
+        assert stats["embeddings"]["rows"] == 3
+        assert stats["index_method"] == "ivf"
+        assert stats["ann_index"]["exists"]
+        d = stats["ann_index"]["drift"]
+        assert d["rows"] == 3 and d["built_rows"] == 3
+        assert stats["ann_index"]["retrain_recommended"] is False
+        assert stats["fts_index"]["exists"]
+        assert stats["dedup_index"] == {
+            "enabled": False,
+            "has_data": False,
+        }
+
+    def test_stats_unknown_job_404(self, served):
+        base, _ = served
+        code, body = _get(base + "/v1/jobs/nope/stats")
+        assert code == 404 and "not found" in body["error"]
