@@ -888,6 +888,11 @@ class VectorizeSession:
             provider=provider,
             request_cap=self.config.provider_request_cap,
             passthrough_cols=passthrough,
+            # embed each distinct content once and join back — worth the
+            # extra exchanges exactly when the provider is metered HTTP
+            dedup_content=bool(
+                (job.params or {}).get("embed_dedup_content", False)
+            ),
         ).withColumn("updated_at", F.current_timestamp())
         return embedded.localCheckpoint()
 
@@ -911,6 +916,7 @@ class VectorizeSession:
         fts_params: dict | None = None,
         dedup_params: dict | None = None,
         curate_params: dict | None = None,
+        embed_dedup_content: bool = False,
     ) -> JobRecord:
         """vectorize.table(): catalog row + dim discovery + initial load +
         tokens backfill + view registration (core/src/init.rs:122-269).
@@ -983,7 +989,17 @@ class VectorizeSession:
             # persisted like the reference's JobParams.api_key
             # (core/src/types.rs:118-131) so scheduled scans resolve it via
             # the arg -> params -> env chain
-            params={"api_key": api_key} if api_key else {},
+            params={
+                **({"api_key": api_key} if api_key else {}),
+                # embed each distinct content once per batch and join the
+                # vector back (operators/embed.py dedup_content) — the
+                # metered-HTTP-provider cost lever
+                **(
+                    {"embed_dedup_content": True}
+                    if embed_dedup_content
+                    else {}
+                ),
+            },
         )
         self.catalog.create(job)
         if run_initial_load:

@@ -108,6 +108,7 @@ def embed_bulk_pandas(
     out_col: str = "embeddings",
     request_cap: int = 2_048,
     passthrough_cols: Sequence[str] = (),
+    dedup_content: bool = False,
 ) -> DataFrame:
     """Arrow-batched bulk embedding through an EmbeddingProvider.
 
@@ -119,6 +120,16 @@ def embed_bulk_pandas(
     ``passthrough_cols`` ride through the Arrow batch unchanged (keeping
     e.g. a content fingerprint avoids re-evaluating the upstream plan with
     a join-back).
+
+    ``dedup_content=True`` embeds each DISTINCT text once and joins the
+    vector back to every key carrying it — crawl corpora repeat
+    boilerplate heavily, and a metered HTTP provider bills per token
+    either way. Exactness: the join key is the full text (no
+    hash-collision exposure), and deterministic providers make the
+    output bit-identical to the direct path. Trade-off: the pure
+    zero-shuffle map becomes distinct + join-back (two exchanges) — off
+    by default; worth it exactly when provider cost dominates shuffle
+    cost, i.e. any real HTTP provider.
     """
     if provider is None:
         provider = LocalHashEmbedder(dim=dim or 64, normalize=normalize)
@@ -145,10 +156,44 @@ def embed_bulk_pandas(
             yield pd.DataFrame(out)
 
     _ = vec_dim  # dimension check is the provider's contract
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    if dedup_content:
+        from pyspark.sql import functions as F
+
+        # null and "" embed identically (fillna below) — normalize the
+        # join key so they land on one representative
+        keyed = df.select(
+            *[pkey, *passthrough_cols],
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+        uniq = ensure_min_partitions(
+            keyed.select(text_col).distinct()
+        )
+
+        def embed_uniq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                texts = pdf[text_col].tolist()
+                vecs: list[list[float]] = []
+                for i in range(0, len(texts), request_cap):
+                    vecs.extend(
+                        provider.generate_embedding(
+                            texts[i : i + request_cap]
+                        )
+                    )
+                yield pd.DataFrame(
+                    {text_col: pdf[text_col].values, out_col: vecs}
+                )
+
+        uniq_emb = uniq.mapInPandas(
+            embed_uniq, schema=f"{text_col} string, {out_col} array<double>"
+        )
+        return keyed.join(uniq_emb, text_col).select(
+            pkey, out_col, *passthrough_cols
+        )
+
     cols = [pkey, text_col, *passthrough_cols]
     # pure map: fan narrow inputs out so one small file / one row group
     # doesn't serialize the whole embed onto a single task
-    from pg_vectorize_spark.operators.skew import ensure_min_partitions
-
     narrow = ensure_min_partitions(df.select(*cols))
     return narrow.mapInPandas(embed_partition, schema=schema)
