@@ -1456,3 +1456,83 @@ def paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    k: int = 20,
+    hash_ngrams: bool = True,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the cleanup step
+    ``duplicated_span_stats`` audits for (Lee et al. 2022 §4: keep one
+    occurrence of each duplicated span, delete the rest). Rule: a k-word
+    window appearing verbatim in >= 2 documents survives only in its
+    FIRST bearer (min pkey — the same deterministic survivor rule as
+    paragraph_dedup); every other bearer drops the window's word
+    positions. A document with no cross-doc spans keeps its text
+    byte-identical; a cleaned document is rebuilt as the surviving words
+    space-joined (whitespace normalization is inherent to word-level
+    span removal — flagged in ``was_rewritten``).
+
+    Output: (pkey, clean_text, n_words, n_removed_words, was_rewritten).
+
+    Scale shape: posexplode to (doc, start-pos, window-key); one keyed
+    aggregate per window key (min bearer + distinct-doc count); a semi
+    shape back onto occurrences (equi-join on the window key — never
+    doc x doc); removed start-positions collect per DOC (bounded by the
+    doc's own window count); the rebuild is a per-row array expression
+    (word x removed-interval containment test — O(words · spans) within
+    one document, zero further shuffle). ``hash_ngrams`` as in the audit:
+    8-byte keys for the 100-TB shuffle, exact strings for tests.
+    """
+    from pg_vectorize_spark.functions.text import (
+        raw_words_expr,
+        word_ngrams_expr,
+    )
+
+    grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
+    win = df.select(
+        F.col(pkey), F.posexplode(grams).alias("pos", "gram")
+    )
+    gkey = (
+        F.xxhash64("gram") if hash_ngrams else F.col("gram")
+    ).alias("gkey")
+    win = win.select(F.col(pkey), F.col("pos"), gkey).localCheckpoint(
+        eager=False
+    )
+    bearers = win.groupBy("gkey").agg(
+        F.min(pkey).alias("_keeper"),
+        F.count_distinct(F.col(pkey)).alias("_docs"),
+    )
+    removed = (
+        win.join(
+            bearers.filter(F.col("_docs") >= 2), "gkey"
+        )
+        .filter(F.col(pkey) != F.col("_keeper"))
+        .groupBy(pkey)
+        .agg(F.array_sort(F.collect_set("pos")).alias("_starts"))
+    )
+    words = raw_words_expr(F.col(text_col))
+    out = df.join(removed, pkey, "left")
+    keep_words = F.filter(
+        F.transform(words, lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(k)),
+        ),
+    )
+    kept = F.transform(keep_words, lambda s: s["w"])
+    n_words = F.size(words).cast("long")
+    return out.select(
+        F.col(pkey),
+        F.when(F.col("_starts").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+        n_words.alias("n_words"),
+        F.when(F.col("_starts").isNull(), F.lit(0).cast("long"))
+        .otherwise(n_words - F.size(kept).cast("long"))
+        .alias("n_removed_words"),
+        F.col("_starts").isNotNull().alias("was_rewritten"),
+    )

@@ -225,6 +225,25 @@ class CorpusPipeline:
         )
         return self._derive(self._df.join(keep, self.pkey, "left_semi"))
 
+    def remove_dup_spans(self, k: int = 20) -> "CorpusPipeline":
+        """REWRITE documents instead of dropping them: every cross-doc
+        verbatim k-word span survives only in its first bearer; later
+        bearers keep their unique text with the span excised
+        (operators/dedup.remove_dup_spans — Lee et al. 2022 §4's
+        keep-one-occurrence rule). Complements ``filter_dup_spans``,
+        which drops mostly-boilerplate docs outright."""
+        from pg_vectorize_spark.operators.dedup import remove_dup_spans
+
+        cleaned = remove_dup_spans(
+            self._df, self.text_col, self.pkey, k=k
+        ).select(self.pkey, "clean_text", "was_rewritten")
+        out = (
+            self._df.join(cleaned, self.pkey)
+            .withColumn(self.text_col, F.col("clean_text"))
+            .drop("clean_text")
+        )
+        return self._derive(out)
+
     # ------------------------------------------------------------ dedup
 
     def duplicate_pairs(

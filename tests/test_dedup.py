@@ -690,3 +690,92 @@ class TestBucketedCosineRescoreParity:
             cosine_neardup_pairs_bucketed(
                 self._corpus(spark, 5), "id", "vec", rescore_mode="x"
             )
+
+
+class TestRemoveDupSpans:
+    """Exact-substring span removal (Lee et al. 2022 §4): first bearer
+    keeps the span, later bearers lose exactly its word positions;
+    untouched docs stay byte-identical."""
+
+    SPAN = "alpha beta gamma delta epsilon"  # the shared 5-word span
+
+    def _docs(self, spark):
+        rows = [
+            (1, f"one two {self.SPAN} three four"),     # first bearer
+            (2, f"intro {self.SPAN} outro words here"), # loses the span
+            (3, "totally unrelated text with no duplication at all"),
+            (4, f"prefix padding {self.SPAN}"),          # loses it too
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _clean(self, spark, k=5):
+        from pg_vectorize_spark.operators.dedup import remove_dup_spans
+
+        return {
+            r["doc_id"]: r
+            for r in remove_dup_spans(
+                self._docs(spark), "text", "doc_id", k=k,
+                hash_ngrams=False,
+            ).collect()
+        }
+
+    def test_first_bearer_keeps_text_verbatim(self, spark):
+        got = self._clean(spark)
+        assert got[1]["clean_text"] == f"one two {self.SPAN} three four"
+        assert not got[1]["was_rewritten"]
+        assert got[1]["n_removed_words"] == 0
+
+    def test_later_bearers_lose_exactly_the_span(self, spark):
+        got = self._clean(spark)
+        assert got[2]["clean_text"] == "intro outro words here"
+        assert got[2]["was_rewritten"]
+        assert got[2]["n_removed_words"] == 5
+        assert got[4]["clean_text"] == "prefix padding"
+        assert got[4]["n_removed_words"] == 5
+
+    def test_untouched_doc_byte_identical(self, spark):
+        got = self._clean(spark)
+        assert (
+            got[3]["clean_text"]
+            == "totally unrelated text with no duplication at all"
+        )
+        assert not got[3]["was_rewritten"]
+
+    def test_overlapping_windows_union_of_positions(self, spark):
+        from pg_vectorize_spark.operators.dedup import remove_dup_spans
+
+        # a 6-word shared run yields TWO overlapping 5-word windows in
+        # each doc; removal must take the union (6 words), not 10
+        run = "p q r s t u"
+        rows = [
+            (1, f"{run} tail"),
+            (2, f"head {run}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(
+                df, "text", "doc_id", k=5, hash_ngrams=False
+            ).collect()
+        }
+        assert got[1]["n_removed_words"] == 0  # first bearer
+        assert got[2]["clean_text"] == "head"
+        assert got[2]["n_removed_words"] == 6
+
+    def test_hashed_path_matches_exact_path(self, spark):
+        from pg_vectorize_spark.operators.dedup import remove_dup_spans
+
+        df = self._docs(spark)
+        a = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+            for r in remove_dup_spans(
+                df, "text", "doc_id", k=5, hash_ngrams=False
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_words"])
+            for r in remove_dup_spans(
+                df.repartition(7), "text", "doc_id", k=5, hash_ngrams=True
+            ).collect()
+        }
+        assert a == b

@@ -284,3 +284,26 @@ def test_write_shards_end_to_end(spark, tmp_path):
     rows = manifest.collect()
     assert rows and sum(r["n_blocks"] for r in rows) >= 2
     assert validate_shards(spark, path).count() == 0
+
+
+def test_remove_dup_spans_step(spark):
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    span = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {span} three"),
+            (2, f"intro {span} outro"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        CorpusPipeline(spark, docs, "doc_id", "text")
+        .remove_dup_spans(k=5)
+        .df()
+    )
+    got = {r["doc_id"]: (r["text"], r["was_rewritten"]) for r in out.collect()}
+    assert got[1] == (f"one two {span} three", False)
+    assert got[2] == ("intro outro", True)
+    assert got[3] == ("nothing shared here at all", False)
