@@ -504,3 +504,111 @@ class TestListMatrixProperties:
         )
         m = _list_matrix(arr.slice(1, 2))
         assert m is not None and m.tolist() == [[3.0, 4.0], [5.0, 6.0]]
+
+
+class TestUnimaxProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(
+                        min_codepoint=97, max_codepoint=122
+                    ),
+                    min_size=1,
+                    max_size=4,
+                ),
+                st.integers(min_value=1, max_value=10**9),
+            ),
+            min_size=0,
+            max_size=20,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=0, max_value=10**12),
+        st.floats(min_value=0.1, max_value=16.0),
+    )
+    @settings(max_examples=300)
+    def test_waterfill_invariants(self, langs, budget, cap):
+        from pg_vectorize_spark.operators.curate import unimax_budgets
+
+        eps = unimax_budgets(langs, budget, cap)
+        sizes = dict(langs)
+        # every epoch respects the cap (fp tolerance)
+        assert all(e <= cap * (1 + 1e-9) for e in eps.values())
+        total = sum(eps[l] * sizes[l] for l in eps)
+        ceiling = min(budget, cap * sum(sizes.values()))
+        # budgets sum to min(budget, all-caps ceiling), never exceed
+        assert total <= ceiling * (1 + 1e-9) + 1e-6
+        if langs:
+            assert total == __import__("pytest").approx(ceiling, rel=1e-9)
+        # monotone fairness: a smaller corpus never gets FEWER epochs
+        by_size = sorted(eps, key=lambda l: (sizes[l], l))
+        for a, b in zip(by_size, by_size[1:]):
+            assert eps[a] >= eps[b] - 1e-9
+
+
+class TestNtileClosedForm:
+    @given(
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=300)
+    def test_matches_sql_ntile_definition(self, n, k):
+        # the closed form used in perplexity_buckets, pure python replay
+        q, r = divmod(n, k)
+        tiles = []
+        for rank in range(1, n + 1):
+            if rank <= r * (q + 1):
+                tiles.append((rank + q) // (q + 1))
+            else:
+                tiles.append(r + (rank - r * (q + 1) + q - 1) // q)
+        # SQL NTILE: first r tiles have q+1 rows, rest q rows, in order
+        want = []
+        for t in range(1, k + 1):
+            want += [t] * ((q + 1) if t <= r else q)
+        want = want[:n]
+        assert tiles == want
+
+
+class TestSpanRemovalProperties:
+    @given(
+        word_docs=st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=6),  # tiny vocab
+                min_size=0,
+                max_size=18,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        k=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_survivor_words_are_subsequence_and_audit_consistent(
+        self, spark, word_docs, k
+    ):
+        """For any corpus: the cleaned word stream is a subsequence of
+        the original; the first bearer of every duplicated window is
+        untouched at that window; removed counts match was_rewritten."""
+        from pg_vectorize_spark.operators.dedup import remove_dup_spans
+
+        rows = [
+            (i, " ".join(f"w{w}" for w in ws))
+            for i, ws in enumerate(word_docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(
+                df, "text", "doc_id", k=k, hash_ngrams=False
+            ).collect()
+        }
+        for i, ws in enumerate(word_docs):
+            orig = [f"w{w}" for w in ws]
+            clean = out[i]["clean_text"].split() if out[i]["clean_text"] else []
+            # subsequence check
+            it = iter(orig)
+            assert all(any(c == o for o in it) for c in clean)
+            assert out[i]["n_words"] == len(orig)
+            assert out[i]["n_removed_words"] == len(orig) - len(clean)
+            if not out[i]["was_rewritten"]:
+                assert out[i]["n_removed_words"] == 0
