@@ -1429,13 +1429,26 @@ class VectorizeSession:
             if diversify is not None
             else num_results
         )
+        pk = job.primary_key
+        # the MMR join-back needs the key; if the caller's projection
+        # omits it, carry it through the pool internally and drop it
+        # from the final rows (the non-diversify contract allows
+        # pkey-less return_columns)
+        drop_pk = (
+            diversify is not None
+            and return_columns is not None
+            and pk not in return_columns
+        )
+        pool_columns = (
+            [pk, *return_columns] if drop_pk else return_columns
+        )
         df = _semantic_op(
             self._source_df(job),
             self._emb_candidates(job, qv, pool),
-            job.primary_key,
+            pk,
             qv,
             num_results=pool,
-            return_columns=return_columns,
+            return_columns=pool_columns,
             filters=parse_filters(filters) if filters else None,
             where_sql=where_sql,
             pre_normalized=True,
@@ -1443,7 +1456,6 @@ class VectorizeSession:
         if diversify is not None:
             from pg_vectorize_spark.operators.search import mmr_rerank
 
-            pk = job.primary_key
             with_vecs = df.join(
                 self._emb_ds(job_name)
                 .read()
@@ -1463,6 +1475,8 @@ class VectorizeSession:
                 .join(mmr, pk)
                 .orderBy("mmr_rank")
             )
+            if drop_pk:
+                df = df.drop(pk)
         return [r.asDict(recursive=True) for r in df.collect()]
 
     def full_text_search(

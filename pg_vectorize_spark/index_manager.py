@@ -370,11 +370,28 @@ class JobIndexManager:
         # per micro-batch. The observation only RECOMMENDS — the next
         # ingest acts (engine._index_upsert), because a retrain needs
         # the embeddings snapshot this manager doesn't hold.
+        #
+        # Only flag when a retrain can actually CHANGE the quantizer:
+        # signbit buckets are data-independent (sign patterns) and
+        # train='first' centroids come from the snapshot's same leading
+        # rows — rebuilding either reproduces the same cells, so a skew
+        # flag would trigger a full-corpus rebuild on every cycle
+        # forever without converging. kmeans is the only trained mode.
+        if self.method == "signbit" or self.train != "kmeans":
+            return n
         try:
             stats = self.drift_stats()
         except Exception:
             stats = None
-        if stats is not None and (
+        if stats is None:
+            return n
+        if stats["growth"] is None:
+            # unknown baseline (index predates drift tracking): adopt
+            # the current size as the baseline instead of flagging —
+            # missing metadata is not drift
+            self._reset_maint(built_rows=stats["rows"])
+            return n
+        if (
             stats["growth"] >= self.retrain_growth
             or stats["skew"] >= self.retrain_skew
         ):
@@ -389,7 +406,9 @@ class JobIndexManager:
 
             rows        current indexed vectors
             built_rows  vectors at quantizer-training time (0 if unknown)
-            growth      rows / built_rows (inf when built_rows unknown->0)
+            growth      rows / built_rows (None when the baseline is
+                        unknown — an index built before drift tracking;
+                        the next compaction adopts the current size)
             max_share   largest cell's fraction of all rows
             skew        max_share * configured cell count (1.0 = perfectly
                         even; k = one cell holds k times its fair share)
@@ -422,7 +441,7 @@ class JobIndexManager:
         return {
             "rows": rows,
             "built_rows": built,
-            "growth": (rows / built) if built > 0 else float("inf"),
+            "growth": (rows / built) if built > 0 else None,
             "max_share": (max_rows / rows) if rows > 0 else 0.0,
             "skew": (max_rows / rows * n_cells) if rows > 0 else 0.0,
             "n_cells": n_cells,
@@ -435,9 +454,7 @@ class JobIndexManager:
         except (FileNotFoundError, ValueError):
             state = {"ops_since_compact": 0}
         state["retrain_recommended"] = True
-        state["drift"] = {
-            k: (None if v == float("inf") else v) for k, v in stats.items()
-        }
+        state["drift"] = stats  # growth is None-or-float: JSON-safe
         with open(self._maint_path, "w") as f:
             json.dump(state, f)
 

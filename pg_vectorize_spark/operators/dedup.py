@@ -1472,9 +1472,13 @@ def remove_dup_spans(
     FIRST bearer (min pkey — the same deterministic survivor rule as
     paragraph_dedup); every other bearer drops the window's word
     positions. A document with no cross-doc spans keeps its text
-    byte-identical; a cleaned document is rebuilt as the surviving words
-    space-joined (whitespace normalization is inherent to word-level
-    span removal — flagged in ``was_rewritten``).
+    byte-identical; a cleaned document is rebuilt from its surviving
+    ORIGINAL whitespace tokens space-joined — casing and punctuation
+    survive; only inter-token whitespace normalizes (flagged in
+    ``was_rewritten``). Window MATCHING is case/punctuation-insensitive
+    (each token normalizes to lowercase alphanumerics for the key), so
+    'Hello, World' and 'hello world' count as the same span — the
+    boilerplate semantics Lee et al. pipelines use.
 
     Output: (pkey, clean_text, n_words, n_removed_words, was_rewritten).
 
@@ -1487,12 +1491,23 @@ def remove_dup_spans(
     one document, zero further shuffle). ``hash_ngrams`` as in the audit:
     8-byte keys for the 100-TB shuffle, exact strings for tests.
     """
-    from pg_vectorize_spark.functions.text import (
-        raw_words_expr,
-        word_ngrams_expr,
-    )
+    from pg_vectorize_spark.functions.text import word_ngrams_expr
 
-    grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
+    def _tokens(text):
+        # ORIGINAL whitespace tokens — the same index space the rebuild
+        # filters on, so window positions and surviving tokens align
+        return F.filter(
+            F.split(F.coalesce(text, F.lit("")), r"\s+"),
+            lambda t: t != "",
+        )
+
+    def _norm(tokens):
+        return F.transform(
+            tokens,
+            lambda t: F.regexp_replace(F.lower(t), "[^a-z0-9]", ""),
+        )
+
+    grams = word_ngrams_expr(_norm(_tokens(F.col(text_col))), k)
     win = df.select(
         F.col(pkey), F.posexplode(grams).alias("pos", "gram")
     )
@@ -1514,7 +1529,7 @@ def remove_dup_spans(
         .groupBy(pkey)
         .agg(F.array_sort(F.collect_set("pos")).alias("_starts"))
     )
-    words = raw_words_expr(F.col(text_col))
+    words = _tokens(F.col(text_col))
     out = df.join(removed, pkey, "left")
     keep_words = F.filter(
         F.transform(words, lambda w, i: F.struct(w.alias("w"), i.alias("i"))),

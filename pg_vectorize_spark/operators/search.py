@@ -808,7 +808,13 @@ def mmr_rerank(
     max_sim = np.zeros(n)  # max cosine to any selected row
     picked = np.zeros(n, dtype=bool)
     scores: list[float] = []
-    order = np.argsort([str(kk) for kk in keys])  # stable tie info
+    # ascending-pkey tie rank in the key's NATIVE order (numeric keys
+    # compare numerically, matching the engine's F.asc convention);
+    # string fallback only for un-orderable key types
+    try:
+        order = sorted(range(n), key=lambda i: keys[i])
+    except TypeError:
+        order = sorted(range(n), key=lambda i: str(keys[i]))
     key_rank = np.empty(n)
     key_rank[order] = np.arange(n)
     for _ in range(min(k, n)):

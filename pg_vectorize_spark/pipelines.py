@@ -238,7 +238,10 @@ class CorpusPipeline:
             self._df, self.text_col, self.pkey, k=k
         ).select(self.pkey, "clean_text", "was_rewritten")
         out = (
-            self._df.join(cleaned, self.pkey)
+            # a prior rewrite pass may have left was_rewritten — drop it
+            # so chained calls keep a stable, unambiguous schema
+            self._df.drop("was_rewritten")
+            .join(cleaned, self.pkey)
             .withColumn(self.text_col, F.col("clean_text"))
             .drop("clean_text")
         )

@@ -117,9 +117,12 @@ def write_training_shards(
         raise ValueError(
             f"blocks_per_shard must be >= 1, got {blocks_per_shard}"
         )
+    # the block lineage (pack + materialize shuffles) feeds THREE
+    # consumers here — shard count, the data write, the manifest agg;
+    # materialize it once instead of re-running the dominant cost 3x
     tagged = blocks_mat.withColumn(
         SHARD_COL, F.expr(f"block_id div {blocks_per_shard}")
-    )
+    ).localCheckpoint()
     n_shards = tagged.select(SHARD_COL).distinct().count()
     (
         tagged.repartition(max(n_shards, 1), F.col(SHARD_COL))

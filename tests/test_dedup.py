@@ -779,3 +779,43 @@ class TestRemoveDupSpans:
             ).collect()
         }
         assert a == b
+
+    def test_case_and_punctuation_survive_rewrite(self, spark):
+        """Review finding: the rebuild must come from ORIGINAL tokens —
+        a rewritten doc keeps its casing/punctuation in the surviving
+        text; matching stays case/punct-insensitive."""
+        from pg_vectorize_spark.operators.dedup import remove_dup_spans
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon tail"),
+            (2, 'Dr. Smith said: "Hello!" Alpha, Beta; GAMMA delta epsilon'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(
+                df, "text", "doc_id", k=5, hash_ngrams=False
+            ).collect()
+        }
+        # doc 2's normalized tokens match doc 1's span -> excised, but
+        # the untouched prefix keeps every byte of case + punctuation
+        assert got[2]["was_rewritten"]
+        assert got[2]["clean_text"] == 'Dr. Smith said: "Hello!"'
+        assert got[1]["clean_text"] == "alpha beta gamma delta epsilon tail"
+
+    def test_chained_pipeline_rewrites_keep_schema(self, spark):
+        from pg_vectorize_spark.pipelines import CorpusPipeline
+
+        span = " ".join(f"s{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(1, f"{span} one"), (2, f"{span} two"), (3, "unrelated doc")],
+            "doc_id long, text string",
+        )
+        out = (
+            CorpusPipeline(spark, df, "doc_id", "text")
+            .remove_dup_spans(k=5)
+            .remove_dup_spans(k=4)
+            .df()
+        )
+        assert out.columns.count("was_rewritten") == 1
+        assert out.count() == 3

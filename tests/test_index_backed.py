@@ -616,6 +616,43 @@ class TestDriftRetrain:
         s = mgr.drift_stats()
         assert s["built_rows"] == 50 and s["growth"] == pytest.approx(1.0)
 
+    def test_untrained_quantizers_never_flag(self, spark, tmp_path):
+        """signbit buckets are data-independent and train='first'
+        centroids reproduce on rebuild — flagging either would loop a
+        pointless full rebuild every cycle (review finding)."""
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        for method, params in (
+            ("signbit", {"nbits": 3, "compact_every": 2}),
+            ("ivf", {"n_centroids": 4, "compact_every": 2}),  # train=first
+        ):
+            mgr = JobIndexManager(
+                spark, str(tmp_path / f"nf_{method}"), method, params
+            )
+            mgr.build(self._vecs(spark, 0, 10), "id")
+            mgr.add(self._vecs(spark, 10, 60, axis=2), "id")  # 6x + skew
+            mgr.add(self._vecs(spark, 60, 110, axis=2), "id")
+            assert not mgr.retrain_recommended(), method
+
+    def test_unknown_baseline_adopts_not_flags(self, spark, tmp_path):
+        """An index whose _MAINT.json predates drift tracking has no
+        built_rows: the first observation adopts the current size as
+        the baseline instead of flagging (missing metadata != drift)."""
+        import json
+        import os
+
+        mgr = self._mgr(spark, tmp_path)
+        mgr.build(self._vecs(spark, 0, 30), "id")
+        # simulate the pre-upgrade state
+        with open(os.path.join(str(tmp_path / "didx"), "_MAINT.json"), "w") as f:
+            json.dump({"ops_since_compact": 0}, f)
+        assert mgr.drift_stats()["growth"] is None
+        mgr.add(self._vecs(spark, 30, 35), "id")
+        mgr.add(self._vecs(spark, 35, 40), "id")  # cadence observation
+        assert not mgr.retrain_recommended()
+        s = mgr.drift_stats()
+        assert s["built_rows"] == 40 and s["growth"] == 1.0
+
     def test_engine_ingest_acts_on_recommendation(
         self, spark, tmp_path, corpus_src
     ):
@@ -643,6 +680,7 @@ class TestDriftRetrain:
                 "nprobe": 4,
                 "compact_every": 2,
                 "retrain_growth": 3.0,
+                "train": "kmeans",  # only trained quantizers auto-retrain
             },
         )
         sess.scan_job("djob")

@@ -531,7 +531,9 @@ class TestMmrRerank:
         out = mmr_rerank(
             df, "id", "embeddings", "similarity_score", k=2, lambda_=0.7
         ).collect()
-        assert [r["id"] for r in out][0] == 10  # '10' < '2' lexicographic
+        # ascending pkey in the key's NATIVE (numeric) order, matching
+        # the engine's F.asc convention: 2 before 10
+        assert [r["id"] for r in out][0] == 2
         # stable across repartition
         out2 = mmr_rerank(
             df.repartition(4), "id", "embeddings", "similarity_score",
@@ -586,3 +588,12 @@ class TestMmrRerank:
             "mjob", "spark merge data", num_results=5, diversify=1.0
         )
         assert [r["id"] for r in div1] == [r["id"] for r in plain]
+        # return_columns WITHOUT the pkey: the key rides the pool
+        # internally and is dropped from the final rows
+        div2 = sess.search(
+            "mjob", "spark merge data", num_results=4,
+            return_columns=["content"], diversify=0.5,
+        )
+        assert len(div2) == 4
+        assert all("content" in r and "id" not in r for r in div2)
+        assert [r["mmr_rank"] for r in div2] == [1, 2, 3, 4]
