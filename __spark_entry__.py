@@ -2432,7 +2432,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": q_sample_weighted,
     "perplexity_buckets": q_perplexity_buckets,
     # --- beyond position 50: freshest driver evidence is r9 — rotate
-    # these into the leading positions next round (r11) ---
+    # these into the leading positions next round (r11). NOTE for r11:
+    # the registry now sits AT the 100-name cap the 2-round rotation
+    # policy allows (tests/test_registry.py::test_window_holds_fifty);
+    # before adding another oracle gate, either retire a redundant one
+    # or amend the policy (e.g. count same-session check_oracle.py
+    # self-verification — run every round since r7 — as the freshness
+    # evidence for names beyond the driver window, as VERDICT r9 did)---
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
