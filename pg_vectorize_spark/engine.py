@@ -1532,6 +1532,8 @@ class VectorizeSession:
         where_sql: str | None = None,
         api_key: str | None = None,
         rank: str = "overlap",
+        diversify: float | None = None,
+        diversify_pool: int = 50,
     ) -> list[dict]:
         """vectorize.hybrid_search() — server-side RRF shape.
 
@@ -1539,7 +1541,11 @@ class VectorizeSession:
         ts_rank_cd analog (core/src/query.rs:764-776) instead of plain
         term overlap before the RRF fusion; ``rank='bm25'`` scores it with
         Okapi BM25 (multiset tf + corpus idf/avgdl).
-        """
+
+        ``diversify=lambda`` MMR-reranks a ``diversify_pool``-sized fused
+        pool down to ``num_results`` (same contract as ``search()``; RRF
+        scores are min-max normalized inside the trade-off since they
+        live near 1/rrf_k)."""
         job = self.catalog.get(job_name)
         if not self._emb_ds(job_name).exists():
             raise VectorizeError(f"job {job_name} has no embeddings yet")
@@ -1549,22 +1555,36 @@ class VectorizeSession:
             if self._tok_ds(job_name).exists()
             else None
         )
+        pk = job.primary_key
+        pool = (
+            max(num_results, diversify_pool)
+            if diversify is not None
+            else num_results
+        )
+        drop_pk = (
+            diversify is not None
+            and return_columns is not None
+            and pk not in return_columns
+        )
+        pool_columns = (
+            [pk, *return_columns] if drop_pk else return_columns
+        )
         df = _hybrid_op(
             self._source_df(job),
             # the semantic branch ranks its own top-window_size, so the
             # probe floor is the window (falls back to 5x num_results,
             # operators/search.py default) rather than num_results
-            self._emb_candidates(job, qv, window_size or 5 * num_results),
-            job.primary_key,
+            self._emb_candidates(job, qv, window_size or 5 * pool),
+            pk,
             qv,
             query,
             text_cols=job.src_columns,
-            num_results=num_results,
+            num_results=pool,
             window_size=window_size,
             rrf_k=rrf_k,
             semantic_weight=semantic_weight,
             fts_weight=fts_weight,
-            return_columns=return_columns,
+            return_columns=pool_columns,
             filters=parse_filters(filters) if filters else None,
             where_sql=where_sql,
             pre_normalized=True,
@@ -1575,6 +1595,29 @@ class VectorizeSession:
             # the postings index here (VERDICT r6 #2)
             fts_scored_df=self._fts_probe_scores(job, query),
         )
+        if diversify is not None:
+            from pg_vectorize_spark.operators.search import mmr_rerank
+
+            with_vecs = df.join(
+                self._emb_ds(job_name).read().select(pk, "embeddings"),
+                pk,
+            )
+            mmr = mmr_rerank(
+                with_vecs,
+                pk,
+                "embeddings",
+                "rrf_score",
+                num_results,
+                lambda_=diversify,
+                normalize_scores=True,
+            )
+            df = (
+                df.drop("rrf_score")
+                .join(mmr, pk)
+                .orderBy("mmr_rank")
+            )
+            if drop_pk:
+                df = df.drop(pk)
         return [r.asDict(recursive=True) for r in df.collect()]
 
     def hybrid_search_extension_mode(

@@ -763,12 +763,19 @@ def mmr_rerank(
     score_col: str,
     k: int,
     lambda_: float = 0.7,
+    normalize_scores: bool = False,
 ):
     """Maximal Marginal Relevance diversification (Carbonell & Goldstein
     1998): greedily pick the candidate maximizing
     ``lambda * relevance - (1 - lambda) * max_cosine(selected)`` —
     relevance alone returns k near-duplicates when the corpus has them;
     MMR trades a little relevance for coverage.
+
+    ``normalize_scores=True`` min-max scales relevance over the pool
+    before the trade-off — required when the score's scale is far from
+    cosine's (RRF scores live near 1/rrf_k, so unnormalized they would
+    let the similarity penalty dominate any lambda). The returned
+    ``score_col`` stays the ORIGINAL score either way.
 
     ``candidates`` is an already-ranked TOP-POOL result (relevance
     score + unit-norm embedding per row). MMR is inherently sequential
@@ -801,7 +808,12 @@ def mmr_rerank(
             "mmr_score double, mmr_rank int",
         )
     keys = [r[pkey] for r in rows]
-    rel = np.array([float(r[score_col]) for r in rows])
+    raw_rel = np.array([float(r[score_col]) for r in rows])
+    rel = raw_rel
+    if normalize_scores and len(rows) > 1:
+        lo, hi = raw_rel.min(), raw_rel.max()
+        if hi > lo:
+            rel = (raw_rel - lo) / (hi - lo)
     mat = np.array([[float(x) for x in r[emb_col]] for r in rows])
     n = len(rows)
     selected: list[int] = []
@@ -827,7 +839,7 @@ def mmr_rerank(
         picked[i] = True
         max_sim = np.maximum(max_sim, mat @ mat[i])
     out_rows = [
-        (keys[i], float(rel[i]), scores[j], j + 1)
+        (keys[i], float(raw_rel[i]), scores[j], j + 1)
         for j, i in enumerate(selected)
     ]
     key_type = dict(candidates.dtypes)[pkey]

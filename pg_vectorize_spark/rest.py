@@ -39,7 +39,7 @@ from pg_vectorize_spark.errors import (
 
 _KNOWN_SEARCH_PARAMS = {
     "job_name", "query", "limit", "window_size", "rrf_k",
-    "semantic_wt", "fts_wt", "rank",
+    "semantic_wt", "fts_wt", "rank", "diversify", "diversify_pool",
 }
 
 _VALID_RANKS = {"overlap", "cover_density", "bm25"}
@@ -109,6 +109,15 @@ def _search_args(params: dict[str, str]) -> tuple[dict, dict[str, str]]:
         raise ValueError(
             "limit and window_size must be >= 1, rrf_k must be >= 0"
         )
+    if "diversify" in params:
+        div = float(params["diversify"])
+        if not 0.0 <= div <= 1.0:
+            raise ValueError("diversify must be in [0, 1]")
+        args["diversify"] = div
+        dp = int(params.get("diversify_pool", 50))
+        if dp < 1:
+            raise ValueError("diversify_pool must be >= 1")
+        args["diversify_pool"] = dp
     if args["rank"] not in _VALID_RANKS:
         raise ValueError(
             f"rank must be one of {sorted(_VALID_RANKS)}, got {args['rank']!r}"

@@ -306,3 +306,38 @@ class TestJobsAndStats:
         base, _ = served
         code, body = _get(base + "/v1/jobs/nope/stats")
         assert code == 404 and "not found" in body["error"]
+
+
+class TestDiversifyParams:
+    def test_search_with_diversify(self, served):
+        base, src = served
+        code, body = _post(
+            base + "/api/v1/table",
+            {
+                "job_name": "items_div",
+                "src_path": src,
+                "columns": ["content"],
+                "primary_key": "id",
+            },
+        )
+        assert code == 200, body
+        code, body = _get(
+            base
+            + "/api/v1/search?job_name=items_div&query=pizza&limit=2&diversify=0.6"
+        )
+        assert code == 200, body
+        assert len(body) == 2
+        assert [r["mmr_rank"] for r in body] == [1, 2]
+
+    def test_diversify_validation(self, served):
+        base, _ = served
+        # validation fires before job resolution, so no job needed
+        code, body = _get(
+            base + "/api/v1/search?job_name=items_div&query=x&diversify=1.5"
+        )
+        assert code == 400 and "diversify" in body["error"]
+        code, body = _get(
+            base
+            + "/api/v1/search?job_name=items_div&query=x&diversify=0.5&diversify_pool=0"
+        )
+        assert code == 400 and "diversify_pool" in body["error"]

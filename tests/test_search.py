@@ -597,3 +597,31 @@ class TestMmrRerank:
         assert len(div2) == 4
         assert all("content" in r and "id" not in r for r in div2)
         assert [r["mmr_rank"] for r in div2] == [1, 2, 3, 4]
+
+    def test_engine_hybrid_diversified(self, spark, tmp_path):
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select(
+            F.col("doc_id").alias("id"), F.col("text").alias("content")
+        ).filter(F.col("id") < 120)
+        src = str(tmp_path / "hmmr_src")
+        docs.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_hmmr"))
+        sess.create_job("hjob", src, columns=["content"], primary_key="id")
+        sess.scan_job("hjob")
+        plain = sess.hybrid_search("hjob", "spark merge data", num_results=5)
+        div = sess.hybrid_search(
+            "hjob", "spark merge data", num_results=5, diversify=0.6
+        )
+        assert len(div) == 5
+        assert [r["mmr_rank"] for r in div] == [1, 2, 3, 4, 5]
+        assert div[0]["id"] == plain[0]["id"]  # top fused hit leads
+        # pkey-less projection works on the hybrid path too
+        div2 = sess.hybrid_search(
+            "hjob", "spark merge data", num_results=3,
+            return_columns=["content"], diversify=0.6,
+        )
+        assert len(div2) == 3
+        assert all("content" in r and "id" not in r for r in div2)
