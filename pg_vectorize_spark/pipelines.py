@@ -225,6 +225,29 @@ class CorpusPipeline:
         )
         return self._derive(self._df.join(keep, self.pkey, "left_semi"))
 
+    def classifier_filter(
+        self,
+        model,
+        alpha: float | None = 9.0,
+        threshold: float | None = None,
+    ) -> "CorpusPipeline":
+        """GPT-3-style curation filter (operators/classify.py): score
+        every doc with the trained linear quality model, then keep via
+        the deterministic Pareto lottery (``alpha``) or, when
+        ``threshold`` is given instead, a plain score cutoff. Train the
+        model with ``train_curation_classifier(curated, raw, ...)``."""
+        from pg_vectorize_spark.operators.classify import (
+            pareto_lottery_filter,
+            score_quality,
+        )
+
+        scored = score_quality(model, self._df, self.text_col)
+        if threshold is not None:
+            kept = scored.filter(F.col("quality_prob") >= threshold)
+        else:
+            kept = pareto_lottery_filter(scored, self.pkey, alpha=alpha)
+        return self._derive(kept.drop("quality_prob"))
+
     def remove_dup_spans(self, k: int = 20) -> "CorpusPipeline":
         """REWRITE documents instead of dropping them: every cross-doc
         verbatim k-word span survives only in its first bearer; later

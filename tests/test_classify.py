@@ -1,0 +1,138 @@
+"""GPT-3-style linear quality classifier (operators/classify.py):
+hashed word+bigram logistic regression, curated-vs-raw training recipe,
+and the deterministic Pareto acceptance lottery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark.operators.classify import (
+    pareto_lottery_filter,
+    score_quality,
+    train_curation_classifier,
+    train_quality_classifier,
+)
+
+
+def _clean_texts(n):
+    base = [
+        "the committee published its annual report on regional water policy",
+        "researchers measured the effect of temperature on reaction rates",
+        "the novel follows a family across three generations of change",
+        "engineers designed the bridge to withstand seismic activity",
+    ]
+    return [
+        f"{base[i % len(base)]} volume {i} with further careful analysis"
+        for i in range(n)
+    ]
+
+
+def _garble_texts(n):
+    return [
+        f"zzk{i} qqp lnx vvb {i} kjh zxw ppo {i} mmn bbv ccx qwe {i} rty"
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def model_and_frames(spark):
+    curated = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_clean_texts(60))],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(_garble_texts(60))],
+        "doc_id long, text string",
+    )
+    model = train_curation_classifier(curated, raw, "text", hash_dim=1 << 14)
+    return model, curated, raw
+
+
+class TestQualityClassifier:
+    def test_separates_clean_from_garble(self, spark, model_and_frames):
+        model, curated, raw = model_and_frames
+        test = spark.createDataFrame(
+            [(1, _clean_texts(70)[65]), (2, _garble_texts(70)[65])],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["quality_prob"]
+            for r in score_quality(model, test, "text").collect()
+        }
+        assert got[1] > 0.8 and got[2] < 0.2
+
+    def test_score_is_plain_double_and_schema_stable(
+        self, spark, model_and_frames
+    ):
+        model, curated, _ = model_and_frames
+        out = score_quality(model, curated, "text")
+        assert out.columns == ["doc_id", "text", "quality_prob"]
+        assert dict(out.dtypes)["quality_prob"] == "double"
+
+    def test_explicit_label_training(self, spark):
+        labeled = spark.createDataFrame(
+            [(t, 1.0) for t in _clean_texts(40)]
+            + [(t, 0.0) for t in _garble_texts(40)],
+            "text string, label double",
+        )
+        model = train_quality_classifier(
+            labeled, "text", "label", hash_dim=1 << 14
+        )
+        probe = spark.createDataFrame(
+            [(1, _clean_texts(50)[45])], "doc_id long, text string"
+        )
+        [r] = score_quality(model, probe, "text").collect()
+        assert r["quality_prob"] > 0.5
+
+
+class TestParetoLottery:
+    def _scored(self, spark):
+        # 200 docs with scores spread over [0, 1)
+        rows = [(i, i / 200.0) for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, quality_prob double")
+
+    def test_keep_rate_tracks_score(self, spark):
+        df = self._scored(spark)
+        kept = pareto_lottery_filter(df, "doc_id", alpha=9.0)
+        ids = {r["doc_id"] for r in kept.collect()}
+        # Lomax(9): P[keep | s] = (2 - s)^-9 — steeply score-shaped.
+        # bottom quartile (s < 0.25): P < 0.007; top decile (s >= 0.95):
+        # P in [0.63, 0.95]
+        hi = sum(1 for i in range(190, 200) if i in ids) / 10
+        lo = sum(1 for i in range(0, 50) if i in ids) / 50
+        assert hi >= 0.5
+        assert lo <= 0.1
+        assert len(ids) > 0
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        df = self._scored(spark)
+        a = {r["doc_id"] for r in pareto_lottery_filter(df.repartition(1), "doc_id").collect()}
+        b = {r["doc_id"] for r in pareto_lottery_filter(df.repartition(16), "doc_id").collect()}
+        assert a == b
+        c = {
+            r["doc_id"]
+            for r in pareto_lottery_filter(df, "doc_id", salt="|p2").collect()
+        }
+        assert c != a  # independent lottery under a different salt
+
+    def test_rejects_bad_alpha(self, spark):
+        with pytest.raises(ValueError):
+            pareto_lottery_filter(self._scored(spark), "doc_id", alpha=0)
+
+
+def test_pipeline_classifier_filter(spark, model_and_frames):
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    model, curated, raw = model_and_frames
+    mixed = curated.unionByName(raw)
+    pipe = CorpusPipeline(spark, mixed, "doc_id", "text")
+    # hard threshold: clean survives, garble doesn't
+    kept = pipe.classifier_filter(model, threshold=0.5).df()
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert all(i < 1000 for i in ids) and len(ids) >= 55
+    # lottery mode keeps schema and is deterministic
+    a = {r["doc_id"] for r in pipe.classifier_filter(model).df().collect()}
+    b = {r["doc_id"] for r in pipe.classifier_filter(model).df().collect()}
+    assert a == b
+    assert kept.columns == ["doc_id", "text"]
