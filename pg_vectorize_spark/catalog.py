@@ -67,7 +67,9 @@ class JobRecord:
     #: stage sees; rows failing any enabled rule are skipped by the scan
     #: and streaming ingest paths (an update degrading below the gate
     #: keeps the doc's previous embedding). Keys: min_tokens, max_tokens,
-    #: min_quality, langs, require_c4, c4_min_sentences.
+    #: min_quality, langs, require_c4, c4_min_sentences,
+    #: classifier_path + classifier_min_prob (a trained linear quality
+    #: model — operators/classify.py — scored at the gate).
     curate_params: dict = field(default_factory=dict)
     params: dict = field(default_factory=dict)
     created_at: str = field(

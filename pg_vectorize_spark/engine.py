@@ -110,6 +110,8 @@ CURATE_KEYS = {
     "langs",
     "require_c4",
     "c4_min_sentences",
+    "classifier_path",
+    "classifier_min_prob",
 }
 
 
@@ -516,7 +518,47 @@ class VectorizeSession:
                 min_sentences=int(params.get("c4_min_sentences", 3)),
             )
             out = out.filter(flags["pass_c4"])
+        if "classifier_path" in params:
+            # trained linear quality model (operators/classify.py) at
+            # the ingest seam: score the gate content, keep rows at or
+            # above classifier_min_prob (hard threshold — the Pareto
+            # lottery is a corpus-curation device; an ingest gate should
+            # be deterministic per doc CONTENT, not per doc id). The
+            # scorer is a per-row map against broadcast coefficients,
+            # so the gate stays shuffle-free like the expression rules.
+            model = self._load_gate_classifier(params["classifier_path"])
+            thr = float(params.get("classifier_min_prob", 0.5))
+            from pg_vectorize_spark.operators.classify import (
+                model_text_col,
+                score_quality,
+            )
+
+            # score a minimal (pkey, content-as-the-model's-input)
+            # projection — the model's tokenizer input column is fixed
+            # at training time and may collide with a source column —
+            # then semi-join survivors back (batch-sized, broadcast)
+            pk = job.primary_key
+            gate_col = model_text_col(model)
+            score_in = out.select(F.col(pk), content.alias(gate_col))
+            keep = (
+                score_quality(model, score_in, gate_col)
+                .filter(F.col("quality_prob") >= thr)
+                .select(pk)
+            )
+            out = out.join(F.broadcast(keep), pk, "left_semi")
         return out
+
+    def _load_gate_classifier(self, path: str):
+        """Load-and-cache the gate's PipelineModel (one JVM-side load
+        per session per path, not per micro-batch)."""
+        cache = getattr(self, "_gate_classifiers", None)
+        if cache is None:
+            cache = self._gate_classifiers = {}
+        if path not in cache:
+            from pyspark.ml import PipelineModel
+
+            cache[path] = PipelineModel.load(path)
+        return cache[path]
 
     def _dedup_filter_new(
         self,

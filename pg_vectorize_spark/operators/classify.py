@@ -118,6 +118,14 @@ def train_curation_classifier(
     )
 
 
+def model_text_col(model) -> str:
+    """The text input column a trained model expects — fixed at
+    training time by the tokenizer stage (callers renaming their text
+    column must alias to this)."""
+    feats = model.stages[0]
+    return feats.stages[0].getInputCol()
+
+
 def score_quality(model, df: DataFrame, text_col: str) -> DataFrame:
     """Add ``quality_prob`` to ``df`` — a pure per-row map (hash
     features + one dot product against the broadcast coefficients)."""

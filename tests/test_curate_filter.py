@@ -162,3 +162,68 @@ class TestCurateFilterStreaming:
             r["id"] for r in sess._emb_ds("cs").read().select("id").collect()
         }
         assert ids == {1, 3}
+
+
+class TestClassifierGate:
+    """curate_params classifier_path: a trained linear quality model at
+    the ingest seam (scored on the gate content, keyed semi-join back)."""
+
+    def test_classifier_gates_ingest(self, spark, tmp_path):
+        from pg_vectorize_spark.engine import VectorizeSession
+        from pg_vectorize_spark.operators.classify import (
+            train_curation_classifier,
+        )
+        from pyspark.sql import functions as F
+
+        clean = [
+            f"the committee published report {i} on water policy analysis"
+            for i in range(30)
+        ]
+        garble = [f"zzk{i} qqp lnx vvb kjh zxw ppo mmn bbv" for i in range(30)]
+        cur = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(clean)], "id long, content string"
+        )
+        raw = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(garble)], "id long, content string"
+        )
+        model = train_curation_classifier(cur, raw, "content", hash_dim=1 << 14)
+        mpath = str(tmp_path / "gate_model")
+        model.write().overwrite().save(mpath)
+
+        # corpus: 10 clean + 10 garble rows
+        rows = [(i, clean[i]) for i in range(10)] + [
+            (100 + i, garble[i]) for i in range(10)
+        ]
+        src = str(tmp_path / "gate_src")
+        spark.createDataFrame(rows, "id long, content string").write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_gate"))
+        sess.create_job(
+            "gjob",
+            src,
+            columns=["content"],
+            primary_key="id",
+            curate_params={
+                "classifier_path": mpath,
+                "classifier_min_prob": 0.5,
+            },
+        )
+        sess.scan_job("gjob")
+        emb_ids = {
+            r["id"] for r in sess._emb_ds("gjob").read().select("id").collect()
+        }
+        assert emb_ids == set(range(10))  # garble never reached the embed
+
+    def test_unknown_key_still_rejected(self, spark, tmp_path):
+        from pg_vectorize_spark.engine import VectorizeSession
+        from pg_vectorize_spark.errors import VectorizeError
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "x")], "id long, content string")
+        src = str(tmp_path / "uk_src")
+        df.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_uk"))
+        with _pytest.raises(VectorizeError):
+            sess.create_job(
+                "ukjob", src, columns=["content"], primary_key="id",
+                curate_params={"classifier_prob": 0.5},  # misspelled
+            )
