@@ -44,10 +44,13 @@ class TestRegistryConsistency:
         # the rotation policy's window is exactly the first 50 names;
         # each must be distinct (dict guarantees) and the registry big
         # enough that a 2-round rotation covers everything
-        assert len(names) <= 100, (
-            "registry grew past 2x the window — a 2-round rotation can "
-            "no longer keep every query's driver evidence <= 2 rounds "
-            "old; revisit the policy comment in __spark_entry__"
+        assert len(names) <= 150, (
+            "registry grew past 3x the window — even the amended "
+            "3-round rotation (VERDICT r10 #3: same-session "
+            "check_oracle.py runs are interim evidence for names "
+            "outside the driver window) can no longer keep every "
+            "query's driver evidence <= 3 rounds old; revisit the "
+            "policy comment in __spark_entry__ and COVERAGE.md"
         )
 
     # The EXACT intended first-50 window for the current round — update
@@ -56,46 +59,40 @@ class TestRegistryConsistency:
     # in the comment block silently dropped fts_search_topk out of the
     # r9 gate; a mis-rotation must fail here, in pytest, not at the
     # driver).
-    R10_WINDOW = [
-        # positions 1-38: freshest driver rows are r8 (five trivial
-        # expression gates — json_rows, collect_changed_ids, hash_split,
-        # token_count, doc_fingerprint — yielded their slots to the five
-        # NEW r10 gates and moved to the registry tail)
-        "fts_search_topk", "dedup_semantic_cluster", "hard_negatives",
-        "fts_stemmed", "simhash_neardup_pairs", "dedup_embedding_cosine",
-        "ann_ivf_topk", "ann_signbit_lsh_topk", "dup_span_stats",
-        "multimodal_meta", "gopher_flags", "corpus_mix", "sample_exact",
-        "vocabulary_topk", "unigram_logprob", "events_windowed_agg",
-        "sessionize_events", "asof_join_events", "asof_join_bucketed",
-        "attribution_window_join", "quality_score",
-        "repetition_score", "pii_scrub",
-        "mp4_frame_extract", "dsir_weights", "c4_flags",
-        "paragraph_dedup", "change_detection", "append_method_scan",
-        "quantized_search_topk", "maxsim_search_topk", "pq_adc_search",
-        "pq_rerank_search", "fts_bm25", "hybrid_bm25",
-        "fts_cover_density", "semantic_search_indexed",
-        # positions 39-45: re-gates on r10-touched code paths (incl.
-        # the NEW driver-side probe gate, same oracle as the Spark
-        # probe; minhash_jaccard_estimate — r9-green — yielded its slot)
-        "neardup_index_probe", "neardup_probe_local",
-        "dedup_minhash_lsh", "minhash_signatures", "cdf_apply",
-        "incremental_scan_events", "fts_search_overlay",
-        # positions 45-50: NEW in r10 — first-ever driver rows
-        # (lang_id yielded its slot to perplexity_buckets, which
-        # exercises the same lang-id expression inside its oracle)
-        "sequence_pack", "pack_manifest", "line_dedup",
-        "bpe_token_count", "sample_weighted", "perplexity_buckets",
+    R11_WINDOW = [
+        # positions 1-6: freshest driver row is r8 (displaced from
+        # the r10 window by the late-r10 gates; check_oracle
+        # self-verified every round since) — oldest evidence leads
+        "json_rows", "collect_changed_ids", "hash_split", "token_count",
+        "doc_fingerprint", "lang_id",
+        # positions 7-50: freshest driver row is r9 — the full
+        # r10 rotated-out set returns to the window
+        "minhash_jaccard_estimate", "view_join", "dedup_exact",
+        "record_fetch_by_ids", "embed_documents", "embedding_pool",
+        "chunked_embed_pool", "knn_join", "multimodal_decode",
+        "bigram_logprob", "dedup_ngram_jaccard", "dedup_simhash",
+        "embedding_truncate", "embedding_quantize", "corpus_stats",
+        "domain_cap", "quality_filter", "inverted_index", "decontaminate",
+        "ann_multiprobe_lsh_topk", "frame_sample", "text_normalize",
+        "orders_rollup", "multimodal_pipeline", "dedup_survivors",
+        "source_divergence", "dedup_transitive", "batch_texts",
+        "token_budget_batches", "chunk_table", "where_sql_filter",
+        "typed_filters_part", "hard_negatives_indexed", "mp3_metadata",
+        "semantic_decontaminate", "semantic_search_topk",
+        "semantic_search_filtered", "hybrid_rrf_search", "hybrid_weighted",
+        "orphan_cleanup", "job_hybrid_e2e", "fts_search_indexed",
+        "hybrid_rrf_indexed", "search_tokens",
     ]
 
-    def test_r10_window_names(self):
+    def test_r11_window_names(self):
         names = list(entry.queries())[:50]
-        assert len(self.R10_WINDOW) == 50, (
-            f"intended window lists {len(self.R10_WINDOW)} names, not 50"
+        assert len(self.R11_WINDOW) == 50, (
+            f"intended window lists {len(self.R11_WINDOW)} names, not 50"
         )
-        assert names == self.R10_WINDOW, (
+        assert names == self.R11_WINDOW, (
             "first-50 registry window drifted from the intended "
             f"rotation; first divergence at position "
-            f"{next(i for i, (a, b) in enumerate(zip(names, self.R10_WINDOW)) if a != b) + 1}"
+            f"{next(i for i, (a, b) in enumerate(zip(names, self.R11_WINDOW)) if a != b) + 1}"
         )
 
     def test_oracles_are_nonempty_sql(self):
