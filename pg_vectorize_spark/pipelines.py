@@ -411,6 +411,89 @@ class CorpusPipeline:
         )
         return write_training_shards(mat, path, blocks_per_shard)
 
+    def write_shards_unimax(
+        self,
+        path: str,
+        total_budget: int,
+        max_epochs: float = 4.0,
+        block_size: int = 2048,
+        blocks_per_shard: int = 2048,
+        n_merges: int = 200,
+        merges=None,
+        vocab=None,
+    ) -> DataFrame:
+        """Terminal: UniMax language-budget sampling feeding the shard
+        sink end-to-end (VERDICT r10 stretch #7) — language budgets are
+        waterfilled in MODEL tokens (BPE ids, not whitespace words),
+        each document materializes its deterministic epoch copies, and
+        every copy packs as its own stream element under a composite
+        (doc, copy) key so two copies of one doc land at different,
+        reproducible block positions. Returns the shard manifest.
+
+        Scale shape: the language aggregate is inventory-sized; the
+        epoch explode is linear in output tokens; everything downstream
+        is the write_shards pipeline (one uniform-key shuffle + the
+        distributed pack prefix sum + whole-shard write tasks).
+        """
+        from pg_vectorize_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_train,
+            bpe_vocab,
+            bpe_word_counts,
+        )
+        from pg_vectorize_spark.operators.curate import (
+            pack_blocks,
+            sequence_pack,
+            unimax_sample,
+        )
+        from pg_vectorize_spark.sources.training_shards import (
+            materialize_blocks,
+            write_training_shards,
+        )
+
+        if merges is None:
+            merges = bpe_train(
+                bpe_word_counts(self._df, self.text_col), n_merges
+            )
+        if vocab is None:
+            vocab = bpe_vocab(self._df, self.text_col, merges)
+        ids = bpe_encode_ids(
+            self._df, self.pkey, self.text_col, merges, vocab
+        ).localCheckpoint()  # read three times: budgets, counts, slices
+        base = ids.join(
+            self._df.select(
+                F.col(self.pkey),
+                lang_id_expr(F.col(self.text_col)).alias("_lang"),
+            ),
+            self.pkey,
+        ).select(
+            self.pkey,
+            "_lang",
+            F.size("token_ids").cast("long").alias("_n_ids"),
+            "token_ids",
+        )
+        sampled = unimax_sample(
+            base, self.pkey, "_lang", "_n_ids", total_budget, max_epochs
+        )
+        # composite (doc, copy) stream key: every epoch copy is its own
+        # pack element with an independent deterministic position
+        ck = F.concat_ws(
+            "#", F.col(self.pkey).cast("string"), F.col("copy")
+        )
+        copies = sampled.select(
+            F.col(self.pkey), ck.alias("_ck"), F.col("n_tokens")
+        )
+        packed = sequence_pack(
+            copies.select("_ck", "n_tokens"), "_ck", "n_tokens", block_size
+        )
+        tok_by_copy = copies.join(
+            ids.select(self.pkey, "token_ids"), self.pkey
+        ).select("_ck", "token_ids")
+        mat = materialize_blocks(
+            pack_blocks(packed, block_size), tok_by_copy, "_ck", "token_ids"
+        )
+        return write_training_shards(mat, path, blocks_per_shard)
+
     def bpe_tokenize(
         self, n_merges: int = 200, merges=None
     ) -> "CorpusPipeline":

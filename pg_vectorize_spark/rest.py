@@ -284,12 +284,15 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path.startswith("/v1/jobs/") and url.path.endswith(
             "/stats"
         ):
-            name = url.path[len("/v1/jobs/") : -len("/stats")]
+            name = unquote(url.path[len("/v1/jobs/") : -len("/stats")])
             try:
                 self._send(200, self.session.job_stats(name))
             except JobNotFoundError:
                 self._send(404, {"error": f"job not found: {name}"})
-            except VectorizeError as e:
+            except Exception as e:  # noqa: BLE001 — a corrupt maint/
+                # index file surfacing as JSONDecodeError (or any
+                # analysis error) must return a JSON 500, not drop the
+                # connection (ADVICE r10)
                 self._send(500, {"error": str(e)})
             return
         self._send(404, {"error": "not found"})

@@ -81,6 +81,35 @@ class SnapshotDataset:
         bucket-pruned scan."""
         return self.read()
 
+    def metadata_row_count(self) -> int | None:
+        """Exact row count from parquet FOOTERS of the current version —
+        zero Spark jobs, driver-local metadata reads only. None when the
+        snapshot is absent or the path isn't driver-readable (remote
+        object store without a local mount): callers fall back to a
+        Spark count. Snapshots are merged by primary key, so this is
+        also the exact distinct-key count — which is what the streaming
+        full-delete anomaly guard needs (rows > n_delete_keys proves a
+        survivor without scanning any data)."""
+        v = self.current_version()
+        if v is None:
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for dirpath, _dirnames, filenames in os.walk(
+                self._version_dir(v)
+            ):
+                for name in filenames:
+                    if not name.endswith(".parquet"):
+                        continue
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, name)
+                    ).metadata.num_rows
+            return total
+        except Exception:
+            return None
+
     def write_full(self, df: DataFrame) -> int:
         """Write a complete new snapshot (initial load / full refresh)."""
         v = (self.current_version() or 0) + 1

@@ -561,3 +561,138 @@ class TestRound7AdviceFixes:
         # expiry raises the bound to the cutoff
         _ts_lb_set(d, t0)
         assert _ts_lb_load(d) == t0
+
+
+class TestRound10AdviceFixes:
+    """ADVICE.md round-10 findings (fixed r11): MMR join-back column
+    ambiguity, classifier-gate no-join scoring with a non-colliding
+    model column, REST stats robustness."""
+
+    def test_diversify_with_embeddings_source_column(
+        self, spark, tmp_path
+    ):
+        """A source table carrying its own ``embeddings`` column made
+        the MMR join-back ambiguous (return_columns=None projects it
+        into the pool, then the snapshot join added a second column of
+        the same name). The snapshot vector now joins under a reserved
+        internal name."""
+        rows = [
+            (i, f"document number {i} about topic {i % 3}", [float(i)])
+            for i in range(12)
+        ]
+        src = str(tmp_path / "mmr_src")
+        spark.createDataFrame(
+            rows, "id long, content string, embeddings array<double>"
+        ).write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_mmr"))
+        sess.create_job(
+            "mjob", src, columns=["content"], primary_key="id"
+        )
+        got = sess.search(
+            "mjob", "document about topic", num_results=4, diversify=0.6
+        )
+        assert len(got) == 4
+        hyb = sess.hybrid_search(
+            "mjob", "document about topic", num_results=4, diversify=0.6
+        )
+        assert len(hyb) == 4
+
+    def test_classifier_gate_non_colliding_model_column(
+        self, spark, tmp_path
+    ):
+        """Gate model trained on a column name the job does NOT have:
+        the no-join scorer attaches the model input column directly
+        (the colliding case is covered by test_curate_filter)."""
+        from pg_vectorize_spark.operators.classify import (
+            train_curation_classifier,
+        )
+
+        clean = [
+            f"the committee published report {i} on water policy"
+            for i in range(25)
+        ]
+        garble = [f"zzk{i} qqp lnx vvb kjh zxw ppo" for i in range(25)]
+        cur = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(clean)], "id long, text string"
+        )
+        raw = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(garble)], "id long, text string"
+        )
+        model = train_curation_classifier(
+            cur, raw, "text", hash_dim=1 << 14
+        )
+        mpath = str(tmp_path / "gate_model_nc")
+        model.write().overwrite().save(mpath)
+        rows = [(i, clean[i]) for i in range(8)] + [
+            (100 + i, garble[i]) for i in range(8)
+        ]
+        src = str(tmp_path / "gate_src_nc")
+        spark.createDataFrame(
+            rows, "id long, content string"
+        ).write.parquet(src)
+        sess = VectorizeSession(
+            spark, workspace=str(tmp_path / "ws_gate_nc")
+        )
+        sess.create_job(
+            "gjob2",
+            src,
+            columns=["content"],
+            primary_key="id",
+            curate_params={
+                "classifier_path": mpath,
+                "classifier_min_prob": 0.5,
+            },
+        )
+        sess.scan_job("gjob2")
+        emb_ids = {
+            r["id"]
+            for r in sess._emb_ds("gjob2").read().select("id").collect()
+        }
+        assert emb_ids == set(range(8))
+        # and the gate did not mutate the stored schema: embeddings
+        # snapshot carries the usual columns only
+        cols = set(sess._emb_ds("gjob2").read().columns)
+        assert "text" not in cols and "quality_prob" not in cols
+
+    def test_rest_stats_returns_json_500_on_internal_error(
+        self, spark, tmp_path
+    ):
+        """Any non-Vectorize exception from job_stats (corrupt maint
+        file etc.) must come back as a JSON 500, not a dropped
+        connection; the path segment is URL-decoded."""
+        from pg_vectorize_spark.rest import run_in_thread
+
+        df = spark.createDataFrame([(1, "x")], "id long, content string")
+        src = str(tmp_path / "rs_src")
+        df.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_rs"))
+        sess.create_job("rsjob", src, columns=["content"], primary_key="id")
+
+        def boom(name):
+            raise RuntimeError(f"corrupt maint file for {name}")
+
+        sess.job_stats = boom
+        server, thread = run_in_thread(sess)
+        try:
+            port = server.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/jobs/rsjob/stats"
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=10)
+            assert ei.value.code == 500
+            body = json.loads(ei.value.read().decode())
+            assert "corrupt maint file for rsjob" in body["error"]
+            # URL-encoded name decodes before lookup (unknown job -> 404
+            # mentioning the DECODED name)
+            with pytest.raises(urllib.error.HTTPError) as ei2:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/v1/jobs/no%5Fsuch/stats",
+                    timeout=10,
+                )
+            assert ei2.value.code in (404, 500)
+            body2 = json.loads(ei2.value.read().decode())
+            assert "no_such" in body2["error"]
+        finally:
+            server.shutdown()
+            thread.join(timeout=5)

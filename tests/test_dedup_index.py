@@ -223,6 +223,10 @@ class TestMaintenance:
         }
 
     def test_delete_removes_matches(self, spark, tmp_path, corpus):
+        """Batch-sized deletes DEFER (tombstones, r11): probes exclude
+        the keys immediately, while the physical band/sidecar rows
+        leave at the compaction fold — one bucket rewrite per
+        compact_every batches instead of one per delete."""
         mgr = _mgr(spark, tmp_path)
         mgr.build(corpus, "doc_id", "text")
         mgr.delete(
@@ -230,8 +234,89 @@ class TestMaintenance:
         )
         res = mgr.probe(corpus.filter("doc_id = 1"), "doc_id", "text")
         assert {r["match_doc_id"] for r in res.collect()} == set()
+        # deferred: rows still physical, suppressed by the tombstones
+        assert mgr._load_tombstones() == {2, 3}
+        idx = spark.read.parquet(mgr.index_dir)
+        assert idx.filter("doc_id in (2, 3)").count() > 0
+        # the fold applies the physical delete and clears the store
+        mgr.maybe_compact(force=True)
+        assert mgr._load_tombstones() == set()
         idx = spark.read.parquet(mgr.index_dir)
         assert idx.filter("doc_id in (2, 3)").count() == 0
+        assert (
+            mgr._sigs_ds().read().filter("doc_id in (2, 3)").count() == 0
+        )
+        res = mgr.probe(corpus.filter("doc_id = 1"), "doc_id", "text")
+        assert {r["match_doc_id"] for r in res.collect()} == set()
+
+    def test_tombstoned_key_reinsert_before_fold(
+        self, spark, tmp_path, corpus
+    ):
+        """The deferral's hardest invariant: a key deleted (tombstoned)
+        and re-inserted BEFORE the fold must (a) lose its tombstone,
+        (b) have its STALE physical band rows evicted (the sidecar row
+        that survived deferral locates them), so only the new text
+        matches — on both the local and the Spark upsert path."""
+        for path in ("local", "spark"):
+            mgr = _mgr(spark, tmp_path / path)
+            mgr.build(corpus, "doc_id", "text")
+            mgr.delete(
+                spark.createDataFrame([(2,)], "doc_id long"), "doc_id"
+            )
+            assert mgr._load_tombstones() == {2}
+            new_text = (
+                "entirely new replacement text with zero old overlap"
+            )
+            re_df = spark.createDataFrame(
+                [(2, new_text)], "doc_id long, text string"
+            )
+            if path == "local":
+                mgr.upsert_local(
+                    mgr.signatures_local([(2, new_text)]),
+                    "doc_id",
+                    "bigint",
+                )
+            else:
+                mgr.upsert(re_df, "doc_id", "text")
+            assert mgr._load_tombstones() == set()
+            # old text must no longer find 2 (stale rows evicted) ...
+            old_probe = spark.createDataFrame(
+                [(200, corpus.collect()[1]["text"])],
+                "doc_id long, text string",
+            )
+            assert 2 not in {
+                r["match_doc_id"]
+                for r in mgr.probe(old_probe, "doc_id", "text").collect()
+            }
+            # ... while the new text does
+            new_probe = spark.createDataFrame(
+                [(201, new_text)], "doc_id long, text string"
+            )
+            assert 2 in {
+                r["match_doc_id"]
+                for r in mgr.probe(new_probe, "doc_id", "text").collect()
+            }
+
+    def test_probe_local_excludes_tombstones(
+        self, spark, tmp_path, corpus
+    ):
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        probe_rows = [(101, corpus.collect()[0]["text"])]
+        sig_rows = mgr.signatures_local(probe_rows)
+        before = {
+            m
+            for _, m, _ in mgr.probe_local(sig_rows, "doc_id", "bigint")
+        }
+        assert {1, 2, 3} <= before
+        mgr.delete(
+            spark.createDataFrame([(2,), (3,)], "doc_id long"), "doc_id"
+        )
+        after = {
+            m
+            for _, m, _ in mgr.probe_local(sig_rows, "doc_id", "bigint")
+        }
+        assert after == before - {2, 3}
 
     def test_delete_all_keys_then_probe_and_refill(
         self, spark, tmp_path, corpus, batch
@@ -244,6 +329,9 @@ class TestMaintenance:
         mgr = _mgr(spark, tmp_path)
         mgr.build(corpus, "doc_id", "text")
         mgr.delete(corpus.select("doc_id"), "doc_id")
+        # deferred delete: the fold applies the physical removal and
+        # flips has_data when it empties every bucket
+        mgr.maybe_compact(force=True)
         assert mgr._load_meta()["has_data"] is False
         # probe + near_dup_keys + compact on the emptied index: no crash
         assert mgr.probe(batch, "doc_id", "text").count() == 0
@@ -384,6 +472,18 @@ class TestEngineDedupFilter:
         sess.scan_job("dj")
         assert self._emb_ids(sess) == {1, 2}
         mgr = sess._dedup_mgr(sess.catalog.get("dj"))
+        # the cascade defers batch-sized deletes (tombstones, r11):
+        # logically gone at once — no probe can match id=3 ...
+        assert 3 in mgr._load_tombstones()
+        probe = spark.createDataFrame(
+            [(300, self.SRC_ROWS[2][1])], "id long, content string"
+        ).selectExpr("id", "content as _dedup_text")
+        assert 3 not in {
+            r["match_id"]
+            for r in mgr.probe(probe, "id", "_dedup_text").collect()
+        }
+        # ... and physically gone at the compaction fold
+        mgr.maybe_compact(force=True)
         idx = spark.read.parquet(mgr.index_dir)
         assert idx.filter("id = 3").count() == 0
         assert mgr._sigs_ds().read().filter("id = 3").count() == 0
@@ -698,3 +798,28 @@ class TestSigsBucketsDerivation:
         fresh.build(df, "doc_id", "text")
         assert fresh.sigs_buckets == 64
         assert fresh._load_meta()["sigs_buckets"] == 64
+
+
+class TestLocalReadCap:
+    def test_probe_local_same_rows_under_either_read_path(
+        self, spark, tmp_path, corpus
+    ):
+        """The byte-capped driver-local parquet read (r11) must be
+        invisible: forcing the cap to 0 (Spark-scan fallback) yields
+        bit-identical probe rows, including after a deferred delete."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        mgr.delete(
+            spark.createDataFrame([(3,)], "doc_id long"), "doc_id"
+        )
+        sig_rows = mgr.signatures_local(
+            [(101, corpus.collect()[0]["text"])]
+        )
+        fast = sorted(mgr.probe_local(sig_rows, "doc_id", "bigint"))
+        try:
+            mgr.LOCAL_READ_CAP_BYTES = 0
+            slow = sorted(mgr.probe_local(sig_rows, "doc_id", "bigint"))
+        finally:
+            del mgr.LOCAL_READ_CAP_BYTES
+        assert fast == slow and fast
+        assert all(m != 3 for _, m, _ in fast)

@@ -316,13 +316,30 @@ class TestCombinedDeleteParity:
             }
             return idx, sigs
 
+        # both paths DEFER the batch-sized delete identically (r11
+        # tombstones) and leave identical physical state pre-fold ...
+        assert (
+            mgr._load_tombstones()
+            == twin._load_tombstones()
+            == set(deleted)
+        )
+        got, want = dump(mgr), dump(twin)
+        assert got == want
+        # ... and identical physical state after the compaction fold,
+        # with the deleted keys' rows gone
+        mgr.maybe_compact(force=True)
+        twin.maybe_compact(force=True)
         got, want = dump(mgr), dump(twin)
         assert got == want
         assert not any(k in deleted for k, *_ in got[0])
+        assert not any(k in deleted for k, _ in got[1])
 
     def test_upsert_local_delete_only_delegates(self, spark, built_mgr):
         mgr, corpus = built_mgr
         mgr.upsert_local([], "id", "bigint", delete_keys=[1])
+        # deferred: logically gone at once, physically at the fold
+        assert mgr._load_tombstones() == {1}
+        mgr.maybe_compact(force=True)
         assert (
             spark.read.parquet(mgr.index_dir).filter("id = 1").count()
             == 0

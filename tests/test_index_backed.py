@@ -616,6 +616,46 @@ class TestDriftRetrain:
         s = mgr.drift_stats()
         assert s["built_rows"] == 50 and s["growth"] == pytest.approx(1.0)
 
+    def test_irreducible_skew_does_not_reflag(self, spark, tmp_path):
+        """ADVICE r10: a corpus whose fresh kmeans build is ALREADY past
+        the skew threshold (many near-identical vectors) must not
+        re-flag at every compaction — build() records the post-build
+        skew and the observation flags only skew WORSE than that
+        baseline, so the engine stops paying a full-corpus rebuild
+        every compact_every batches for a partition no retrain can
+        improve."""
+        import json
+        import os
+
+        def dup_heavy(spark, lo, hi, n_distinct=4):
+            # all but n_distinct rows collapse onto one point
+            rows = []
+            for i in range(lo, hi):
+                if i - lo < n_distinct:
+                    v = [0.0] * 4
+                    v[i % 4] = 1.0
+                else:
+                    v = [0.5, 0.5, 0.0, 0.0]
+                rows.append((i, v))
+            return spark.createDataFrame(
+                rows, "id long, embeddings array<double>"
+            )
+
+        mgr = self._mgr(spark, tmp_path, retrain_growth=100.0,
+                        retrain_skew=2.5)
+        mgr.build(dup_heavy(spark, 0, 40), "id")
+        with open(
+            os.path.join(str(tmp_path / "didx"), "_MAINT.json")
+        ) as f:
+            built_skew = json.load(f)["built_skew"]
+        assert built_skew >= 2.5  # the corpus is irreducibly skewed
+        # churn past the compaction cadence with the same distribution
+        mgr.add(dup_heavy(spark, 40, 45, n_distinct=1), "id")
+        mgr.add(dup_heavy(spark, 45, 50, n_distinct=1), "id")
+        s = mgr.drift_stats()
+        assert s["skew"] >= 2.5  # still past the absolute threshold...
+        assert not mgr.retrain_recommended()  # ...but not worse: no flag
+
     def test_untrained_quantizers_never_flag(self, spark, tmp_path):
         """signbit buckets are data-independent and train='first'
         centroids reproduce on rebuild — flagging either would loop a

@@ -60,12 +60,15 @@ class TestRegistryConsistency:
     # r9 gate; a mis-rotation must fail here, in pytest, not at the
     # driver).
     R11_WINDOW = [
-        # positions 1-6: freshest driver row is r8 (displaced from
+        # position 1: NEW in r11 (corpus->blocks composite) — first
+        # driver row; search_tokens yielded its slot (3-round policy)
+        "corpus_to_shards",
+        # positions 2-7: freshest driver row is r8 (displaced from
         # the r10 window by the late-r10 gates; check_oracle
         # self-verified every round since) — oldest evidence leads
         "json_rows", "collect_changed_ids", "hash_split", "token_count",
         "doc_fingerprint", "lang_id",
-        # positions 7-50: freshest driver row is r9 — the full
+        # positions 8-50: freshest driver row is r9 — the full
         # r10 rotated-out set returns to the window
         "minhash_jaccard_estimate", "view_join", "dedup_exact",
         "record_fetch_by_ids", "embed_documents", "embedding_pool",
@@ -81,7 +84,7 @@ class TestRegistryConsistency:
         "semantic_decontaminate", "semantic_search_topk",
         "semantic_search_filtered", "hybrid_rrf_search", "hybrid_weighted",
         "orphan_cleanup", "job_hybrid_e2e", "fts_search_indexed",
-        "hybrid_rrf_indexed", "search_tokens",
+        "hybrid_rrf_indexed",
     ]
 
     def test_r11_window_names(self):
