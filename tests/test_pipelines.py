@@ -315,6 +315,8 @@ def test_corpus_to_shards_composite_roundtrip(spark, tmp_path):
     with the written shards read back block-exactly via
     read_training_shard. Mirrors the `corpus_to_shards` oracle gate,
     which pins the block manifest against DuckDB; this pins the FILES."""
+    from pyspark.sql import functions as F
+
     from pg_vectorize_spark.pipelines import CorpusPipeline
     from pg_vectorize_spark.sources.training_shards import (
         read_training_shard,
@@ -323,11 +325,12 @@ def test_corpus_to_shards_composite_roundtrip(spark, tmp_path):
 
     rows = []
     for i in range(20):
-        line = f"alpha beta gamma delta run {i % 5} epsilon zeta"
-        # repeated line inside the doc (line dedup must drop one) and a
-        # planted near-dup pair every 5th doc (minhash dedup drops the
-        # larger key)
-        rows.append((i, f"{line}\n{line}\nomega psi {i if i % 5 else 0}"))
+        # distinct text per doc, except every 5th doc duplicates doc 0's
+        # (minhash dedup keeps only the min key of that clique); each doc
+        # repeats its own first line (line dedup must drop the repeat)
+        j = 0 if i % 5 == 0 else i
+        line = f"alpha{j} beta{j} gamma{j} delta run {j} epsilon zeta"
+        rows.append((i, f"{line}\n{line}\nomega psi tail {j}"))
     # a garble row the quality gate should drop
     rows.append((99, "zzk qqp lnx vvb kjh zxw"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -342,11 +345,14 @@ def test_corpus_to_shards_composite_roundtrip(spark, tmp_path):
     curated = pipe.df()
     kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert 99 not in kept  # quality gate
-    assert len(kept) < 20  # minhash dedup dropped planted near-dups
-    # line dedup applied: no doc's text retains the doubled line
+    # the doc-0 duplicate clique {0, 5, 10, 15} collapsed to its min key
+    assert 0 in kept and not kept & {5, 10, 15}
+    # line dedup applied: the repeated first line is gone (it would read
+    # "... zeta alpha..." if the repeat survived the collapse)
+    assert curated.filter(F.col("text").rlike("zeta alpha")).count() == 0
     assert curated.filter(
-        F.col("text").contains("zeta alpha beta")
-    ).count() == curated.count()  # collapsed to one space-joined line
+        F.col("text").contains("zeta omega psi")
+    ).count() == curated.count()
 
     path = str(tmp_path / "cshards")
     manifest = pipe.write_shards(
@@ -354,11 +360,11 @@ def test_corpus_to_shards_composite_roundtrip(spark, tmp_path):
     )
     mrows = manifest.collect()
     assert mrows and validate_shards(spark, path).count() == 0
-    shard0 = sorted(r["shard_id"] for r in mrows)[0]
+    shard0 = sorted(r["shard"] for r in mrows)[0]
     blocks = read_training_shard(spark, path, shard0).collect()
     assert blocks
     for b in blocks:
-        assert len(b["token_ids"]) == 16
+        assert len(b["tokens"]) == 16
 
 
 def test_write_shards_unimax_epochs_and_determinism(spark, tmp_path):
@@ -393,7 +399,7 @@ def test_write_shards_unimax_epochs_and_determinism(spark, tmp_path):
                 blocks_per_shard=4,
                 n_merges=20,
             )
-            .orderBy("shard_id")
+            .orderBy("shard")
             .collect()
         )
 
@@ -401,5 +407,5 @@ def test_write_shards_unimax_epochs_and_determinism(spark, tmp_path):
     m2 = run(str(tmp_path / "u2"))
     assert [r.asDict() for r in m1] == [r.asDict() for r in m2]
     assert validate_shards(spark, str(tmp_path / "u1")).count() == 0
-    blocks = read_training_shard(spark, str(tmp_path / "u1"), m1[0]["shard_id"])
+    blocks = read_training_shard(spark, str(tmp_path / "u1"), m1[0]["shard"])
     assert blocks.count() >= 1
