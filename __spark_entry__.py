@@ -749,14 +749,26 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_LINE_DEDUP_LINED).alias("text")
     )
-    pipe = (
+    # lazy checkpoint after the per-row stages: the MinHash dedup reads
+    # its input twice (signature pass + survivor join-back) and the pack
+    # re-reads the survivors — without the checkpoints that is THREE
+    # full re-evaluations of the documents scan (3x corpus I/O at
+    # 100 TB); with them the corpus is scanned once
+    cleaned = (
         CorpusPipeline(spark, docs, pkey="doc_id", text_col="text")
         .filter_quality(min_score=0.5)
         .dedup_lines()
         .normalize_text(strip_html=False)
-        .dedup("minhash")
+        .df()
+        .localCheckpoint(eager=False)
     )
-    base = pipe.df().select(
+    curated = (
+        CorpusPipeline(spark, cleaned, pkey="doc_id", text_col="text")
+        .dedup("minhash")
+        .df()
+        .localCheckpoint(eager=False)
+    )
+    base = curated.select(
         "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
     )
     packed = sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
