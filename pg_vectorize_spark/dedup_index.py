@@ -224,7 +224,10 @@ class MinHashBandIndexManager:
         tombs.update(keys)
         self._save_tombstones(tombs, pkey_type)
         self._bump_maint()
-        if len(tombs) > self.TOMB_FOLD_CAP:
+        # re-read: _bump_maint may itself have compacted (cadence hit)
+        # and folded the store — forcing again would rewrite the whole
+        # just-compacted index a second time (review r11)
+        if len(self._load_tombstones()) > self.TOMB_FOLD_CAP:
             self.maybe_compact(force=True)
 
     def _clear_tombstones_for(self, keys: set) -> set:
@@ -462,6 +465,25 @@ class MinHashBandIndexManager:
         if new_rows.isEmpty():
             return
         keys = df.select(pkey).distinct()
+        tombs = self._load_tombstones()
+        if tombs:
+            # deleted-then-reinserted keys must lose their tombstones —
+            # ALL batch keys, not only the ones with a surviving sidecar
+            # row (review r11: a tombstoned key that never got indexed,
+            # e.g. filtered before ingest, has no sidecar row, and
+            # leaving its tombstone would suppress it forever and let
+            # the next fold delete its fresh rows). Runs on BOTH the
+            # has_data branches (the empty-index refill must clear
+            # too). The checkpointed band-row frame carries every batch
+            # key — one tiny job, only while tombstones exist;
+            # sidecar-found keys additionally go through the old-bucket
+            # rewrite below.
+            hit = {
+                r[0]
+                for r in new_rows.select(pkey).distinct().collect()
+            } & tombs
+            if hit:
+                self._clear_tombstones_for(hit)
         sigs_ds = self._sigs_ds()
         old_buckets: list = []
         old_keys = None
@@ -479,17 +501,6 @@ class MinHashBandIndexManager:
                     .collect()
                 }
             )
-            tombs = self._load_tombstones()
-            if tombs:
-                # deleted-then-reinserted keys: a tombstoned key whose
-                # sidecar row survived the deferral shows up in this
-                # (checkpointed, batch-bounded) lookup — clear its
-                # tombstone; the old-bucket rewrite below evicts its
-                # stale band rows. One tiny job on the checkpoint, only
-                # while tombstones exist.
-                hit = {r[0] for r in old_keys.collect()} & tombs
-                if hit:
-                    self._clear_tombstones_for(hit)
         if not meta.get("has_data", True):
             self._clustered(new_rows).write.mode("overwrite").partitionBy(
                 self.PART_COL
@@ -571,6 +582,12 @@ class MinHashBandIndexManager:
                 meta = self._load_meta()
                 meta["has_data"] = False
                 self._save_meta(meta)
+                # an emptied index has no rows left to suppress —
+                # orphaned tombstones would shadow a later refill's
+                # keys (review r11)
+                self._save_tombstones(
+                    set(), meta.get("pkey_type", "bigint")
+                )
         sigs_ds.delete_keys(keys_df.select(pkey), pkey)
 
     def _rewrite_affected(
@@ -622,6 +639,13 @@ class MinHashBandIndexManager:
 
     def maybe_compact(self, force: bool = False) -> int:
         if not self.exists() or not self._load_meta().get("has_data", True):
+            # no live rows -> nothing to fold or compact; drop any
+            # orphaned tombstones so they cannot shadow a refill
+            # (review r11)
+            if self.exists() and self._load_tombstones():
+                self._save_tombstones(
+                    set(), self._load_meta().get("pkey_type", "bigint")
+                )
             return 0
         if not force:
             try:
@@ -869,12 +893,21 @@ class MinHashBandIndexManager:
     LOCAL_READ_CAP_BYTES = 64 << 20
 
     def _local_parquet_rows(
-        self, dirs: list[str], columns: list[str], cap: int
+        self,
+        root: str,
+        dirs: list[str],
+        columns: list[str],
+        cap: int,
     ) -> list[tuple] | None:
         """Row tuples for ``columns`` from the parquet files under the
         given partition dirs, read driver-locally with pyarrow. None
-        when the files exceed ``cap`` bytes, a dir isn't driver-readable
-        (remote store), or pyarrow fails — callers keep the Spark scan."""
+        when the files exceed ``cap`` bytes, ``root`` isn't a
+        driver-readable directory (remote store — a missing PARTITION
+        dir under a readable root is a genuinely empty bucket, a
+        missing root is indistinguishable from unreachable, review
+        r11), or pyarrow fails — callers keep the Spark scan."""
+        if not os.path.isdir(root):
+            return None
         try:
             files: list[str] = []
             total = 0
@@ -954,6 +987,7 @@ class MinHashBandIndexManager:
             if v is not None:
                 vdir = sigs_ds._version_dir(v)
                 local = self._local_parquet_rows(
+                    vdir,
                     [
                         os.path.join(
                             vdir, f"{sigs_ds.BUCKET_COL}={b}"
@@ -1019,6 +1053,7 @@ class MinHashBandIndexManager:
         # byte-capped driver-local read of the pruned band buckets
         # (zero Spark jobs); None -> the Spark scan below (100-TB shape)
         idx_rows = self._local_parquet_rows(
+            self.index_dir,
             [
                 os.path.join(self.index_dir, f"{self.PART_COL}={b}")
                 for b in buckets
@@ -1230,7 +1265,11 @@ class MinHashBandIndexManager:
             self._save_tombstones(tombs, pkey_type)
             if len(tombs) > self.TOMB_FOLD_CAP:
                 self._bump_maint()
-                self.maybe_compact(force=True)
+                # the bump may already have compacted at cadence and
+                # folded the store (review r11) — only force if the
+                # overflow is still there
+                if len(self._load_tombstones()) > self.TOMB_FOLD_CAP:
+                    self.maybe_compact(force=True)
                 return
         self._bump_maint()
 

@@ -413,15 +413,10 @@ class JobFtsIndexManager:
         in the pending store — the GIN pending-list write path, shared
         by fastupdate mode and the adaptive wide-update escape."""
         keys = new_tokens_df.select(pkey).distinct()
-        # distinct dataset paths — parallel driver threads (see
-        # overlay_ingest)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f1 = ex.submit(self._tomb_ds().merge_upsert, keys, pkey)
-            f2 = ex.submit(self._pending_ds().merge_upsert, new_p, pkey)
-            f1.result()
-            f2.result()
+        # tombstones BEFORE pending — the fail-safe crash ordering (see
+        # overlay_ingest, review r11)
+        self._tomb_ds().merge_upsert(keys, pkey)
+        self._pending_ds().merge_upsert(new_p, pkey)
         self._bump_maint()
 
     def overlay_ingest(
@@ -469,21 +464,16 @@ class JobFtsIndexManager:
             .unionByName(delete_keys_df.select(pkey))
             .distinct()
         )
-        # the two stores are distinct dataset paths — write them on
-        # parallel driver threads (the realtime micro-batch is
-        # job-count-bound, VERDICT r8 #1; measured ~0.8 s/batch saved)
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f1 = ex.submit(self._tomb_ds().merge_upsert, keys, pkey)
-            f2 = ex.submit(
-                self._pending_ds().merge_upsert,
-                new_p,
-                pkey,
-                delete_keys_df=delete_keys_df,
-            )
-            f1.result()
-            f2.result()
+        # ORDER MATTERS (review r11): tombstones commit BEFORE pending.
+        # A crash between the two then leaves keys temporarily ABSENT
+        # (masked, no pending yet) until the batch retries — never the
+        # fail-open state of new pending rows served alongside unmasked
+        # stale base postings. The ~0.4 s a parallel write saved is not
+        # worth inverting the failure direction.
+        self._tomb_ds().merge_upsert(keys, pkey)
+        self._pending_ds().merge_upsert(
+            new_p, pkey, delete_keys_df=delete_keys_df
+        )
         self._bump_maint()
         return True
 

@@ -215,11 +215,20 @@ class RealtimePipeline:
                     early_dedup.start()
 
             # shared embed stage (api-key chain + request cap +
-            # checkpoint); search tokens ride the same checkpoint
-            embedded = sess._embed_changed(
-                job, changed, api_key=None, with_tokens=True
-            )
-            has_new = bool(embedded.head(1))
+            # checkpoint); search tokens ride the same checkpoint. A
+            # failure here must JOIN the early maintenance thread before
+            # propagating (review r11): otherwise the thread keeps
+            # mutating the band index for a batch that never commits,
+            # racing the retried batch's own maintenance.
+            try:
+                embedded = sess._embed_changed(
+                    job, changed, api_key=None, with_tokens=True
+                )
+                has_new = bool(embedded.head(1))
+            except BaseException:
+                if early_dedup is not None:
+                    early_dedup.join()
+                raise
         if not has_new and emb_del is None and tok_del is None:
             # nothing to write (an all-refused delete-only batch still
             # reports its refusals so the keys are quarantined); join

@@ -823,3 +823,64 @@ class TestLocalReadCap:
             del mgr.LOCAL_READ_CAP_BYTES
         assert fast == slow and fast
         assert all(m != 3 for _, m, _ in fast)
+
+    def test_tombstoned_unindexed_key_reinsert_spark_path(
+        self, spark, tmp_path, corpus
+    ):
+        """Review r11: a delete cascade may tombstone a key that never
+        entered the index (filtered before ingest). Re-inserting it via
+        the SPARK upsert path must clear the tombstone even though no
+        sidecar row exists — otherwise the key stays probe-invisible
+        and the next fold physically deletes its fresh rows."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        # key 999 was never indexed; the cascade tombstones it anyway
+        mgr.delete_local([999], "doc_id", "bigint")
+        assert 999 in mgr._load_tombstones()
+        text = "a brand new document about tombstone regression tests"
+        mgr.upsert(
+            spark.createDataFrame(
+                [(999, text)], "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+        )
+        assert 999 not in mgr._load_tombstones()
+        probe = spark.createDataFrame(
+            [(500, text)], "doc_id long, text string"
+        )
+        assert 999 in {
+            r["match_doc_id"]
+            for r in mgr.probe(probe, "doc_id", "text").collect()
+        }
+        # and the fold must NOT remove its rows
+        mgr.maybe_compact(force=True)
+        assert 999 in {
+            r["match_doc_id"]
+            for r in mgr.probe(probe, "doc_id", "text").collect()
+        }
+
+    def test_tombstones_cleared_when_index_empties(
+        self, spark, tmp_path, corpus
+    ):
+        """Review r11: an emptied index (oversized eager delete) must
+        not keep orphaned tombstones that would shadow a refill."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        mgr.delete_local([1, 2], "doc_id", "bigint")
+        # oversized-path eager delete of everything
+        cap = mgr.TOMB_BATCH_CAP
+        try:
+            mgr.TOMB_BATCH_CAP = -1  # force the eager path
+            mgr.delete(corpus.select("doc_id"), "doc_id")
+        finally:
+            mgr.TOMB_BATCH_CAP = cap
+        assert mgr._load_meta()["has_data"] is False
+        assert mgr._load_tombstones() == set()
+        # refill: previously-tombstoned keys serve again
+        mgr.upsert(corpus, "doc_id", "text")
+        probe = corpus.filter("doc_id = 1")
+        assert 2 in {
+            r["match_doc_id"]
+            for r in mgr.probe(probe, "doc_id", "text").collect()
+        }
