@@ -1370,6 +1370,37 @@ class VectorizeSession:
             df.createOrReplaceTempView("vectorize_jobs")
         return df
 
+    def maintain(self, job_name: str) -> dict:
+        """Force maintenance on every persisted structure of a job — the
+        VACUUM analog (the reference leans on Postgres autovacuum +
+        index maintenance; here the same hygiene runs on the op-count
+        cadence automatically, and THIS is the explicit off-peak knob):
+        fold deferred deletes (band-index tombstones, postings
+        pending/tombstone overlay) and compact small files on the ANN /
+        postings / band indexes and the snapshot datasets. Returns the
+        per-structure compaction counts. Deployments whose realtime
+        batches cannot absorb a cadence-triggered fold (the p95 cost
+        documented in SCALING.md) call this from a scheduler instead and
+        raise ``compact_every``."""
+        job = self.catalog.get(job_name)
+        out: dict = {"job_name": job_name}
+        mgr = self._index_mgr(job)
+        if mgr is not None and mgr.exists():
+            out["ann_index"] = mgr.maybe_compact(force=True)
+        fts = self._fts_mgr(job)
+        if fts is not None and fts.exists():
+            out["postings_index"] = fts.maybe_compact(force=True)
+        dd = self._dedup_mgr(job)
+        if dd is not None and dd.exists():
+            out["band_index"] = dd.maybe_compact(force=True)
+        for kind in ("embeddings", "search_tokens"):
+            ds = self._ds(job_name, kind)
+            if ds.exists() and hasattr(ds, "compact"):
+                v = ds.compact()
+                if v is not None:
+                    out[f"{kind}_snapshot_version"] = v
+        return out
+
     def job_stats(self, job_name: str) -> dict:
         """Operational snapshot of one job — the observability view a
         100-TB deployment watches (the reference's vectorize.job +

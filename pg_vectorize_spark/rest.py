@@ -299,6 +299,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802
         url = urlparse(self.path)
+        if url.path.startswith("/v1/jobs/") and url.path.endswith(
+            "/maintain"
+        ):
+            name = unquote(
+                url.path[len("/v1/jobs/") : -len("/maintain")]
+            )
+            try:
+                self._send(200, self.session.maintain(name))
+            except JobNotFoundError:
+                self._send(404, {"error": f"job not found: {name}"})
+            except Exception as e:  # noqa: BLE001 — JSON 500, never a
+                # dropped connection (same contract as /stats)
+                self._send(500, {"error": str(e)})
+            return
         if url.path == "/v1/embeddings":
             try:
                 body = self._body()

@@ -884,3 +884,34 @@ class TestLocalReadCap:
             r["match_doc_id"]
             for r in mgr.probe(probe, "doc_id", "text").collect()
         }
+
+    def test_engine_maintain_folds_tombstones(self, spark, tmp_path):
+        """VectorizeSession.maintain() (the VACUUM analog / off-peak
+        fold knob): deferred band-index deletes fold physically and the
+        tombstone store clears."""
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        rows = [
+            (i, f"document number {i} about maintenance and folding")
+            for i in range(6)
+        ]
+        src = str(tmp_path / "m_src")
+        spark.createDataFrame(
+            rows, "id long, content string"
+        ).write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "m_ws"))
+        sess.create_job(
+            "mj", src, columns=["content"], primary_key="id",
+            dedup_params={"min_jaccard": 0.7},
+        )
+        job = sess.catalog.get("mj")
+        mgr = sess._dedup_mgr(job)
+        sess._dedup_delete(
+            job, spark.createDataFrame([(1,), (2,)], "id long")
+        )
+        assert mgr._load_tombstones() == {1, 2}
+        out = sess.maintain("mj")
+        assert out["job_name"] == "mj" and "band_index" in out
+        assert mgr._load_tombstones() == set()
+        idx = spark.read.parquet(mgr.index_dir)
+        assert idx.filter("id in (1, 2)").count() == 0

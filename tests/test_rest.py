@@ -307,6 +307,30 @@ class TestJobsAndStats:
         code, body = _get(base + "/v1/jobs/nope/stats")
         assert code == 404 and "not found" in body["error"]
 
+    def test_maintain_route(self, served):
+        """POST /v1/jobs/<name>/maintain — the VACUUM analog: forces a
+        fold + compaction across the job's persisted structures and
+        returns per-structure counts; unknown job is a 404."""
+        base, src = served
+        code, body = _post(
+            base + "/api/v1/table",
+            {
+                "job_name": "maint_job",
+                "src_path": src,
+                "columns": ["content"],
+                "primary_key": "id",
+                "index_method": "ivf",
+                "index_params": {"n_centroids": 2, "nprobe": 2},
+            },
+        )
+        assert code == 200, body
+        code, out = _post(base + "/v1/jobs/maint_job/maintain", {})
+        assert code == 200, out
+        assert out["job_name"] == "maint_job"
+        assert "ann_index" in out and "postings_index" in out
+        code, body = _post(base + "/v1/jobs/nope/maintain", {})
+        assert code == 404 and "not found" in body["error"]
+
 
 class TestDiversifyParams:
     def test_search_with_diversify(self, served):
