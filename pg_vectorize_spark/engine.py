@@ -1448,6 +1448,12 @@ class VectorizeSession:
         out["fts_index"] = {
             "exists": bool(fts is not None and fts.exists())
         }
+        if fts is not None and fts.exists():
+            # deferred-maintenance state (r11): a live pending/tombstone
+            # overlay means probes pay the bounded overlay overhead
+            # until the next fold — the signal an operator watches to
+            # decide whether to call maintain() off-peak
+            out["fts_index"]["overlay_live"] = fts._overlay_live()
         dd = self._dedup_mgr(job)
         out["dedup_index"] = {
             "enabled": dd is not None,
@@ -1457,6 +1463,10 @@ class VectorizeSession:
                 and dd._load_meta().get("has_data", True)
             ),
         }
+        if dd is not None and dd.exists():
+            out["dedup_index"]["pending_tombstones"] = len(
+                dd._load_tombstones()
+            )
         return out
 
     def job_view(self, job_name: str) -> DataFrame:
