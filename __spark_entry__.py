@@ -832,6 +832,48 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, "doc_id", "text", _bpe_merges())
 
 
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE tokens per word) and
+    compression (chars per BPE token) under the committed 60-merge
+    fixture — the multilingual-tokenizer health metric training teams
+    track (a language whose fertility blows up is being byte-shredded
+    and will train poorly; Chung et al. 2023 report exactly this table
+    when setting UniMax budgets). One mapInPandas encode pass + one
+    per-language aggregate — the encode cost is the corpus scan, the
+    agg key is the (tiny) language inventory."""
+    from pg_vectorize_spark.operators.bpe import bpe_encode_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_counts(docs, "doc_id", "text", _bpe_merges())
+    per = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("_chars")
+    ).join(enc.select("doc_id", "n_words", "n_bpe_tokens"), "doc_id")
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_bpe_tokens",
+        "total_chars",
+        F.when(
+            F.col("total_words") > 0,
+            F.col("total_bpe_tokens").cast("double")
+            / F.col("total_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("total_bpe_tokens") > 0,
+            F.col("total_chars").cast("double")
+            / F.col("total_bpe_tokens").cast("double"),
+        ).alias("chars_per_token"),
+    )
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus mixing by language: en replicated
     2.5x (multi-epoch), fr/es downsampled, zh dropped. Zero-shuffle
@@ -2431,6 +2473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 driver row + every-round self-verification, yields its slot
     # under the amended 3-round policy) ---
     "corpus_to_shards": q_corpus_to_shards,
+    "tokenizer_fertility": q_tokenizer_fertility,
     # --- positions 2-7: freshest driver row is r8 (displaced from the
     # r10 window by the late-r10 gates; self-verified every round
     # since) — the oldest evidence in the registry, so they lead ---
@@ -2483,12 +2526,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orphan_cleanup": q_orphan_cleanup,
     "job_hybrid_e2e": q_job_hybrid_e2e,
     "fts_search_indexed": q_fts_search_indexed,
-    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     # --- beyond position 50: search_tokens (r9 driver row, yielded its
     # slot to corpus_to_shards) + the r10 driver rows
     # (CORRECTNESS_r10.json,
     # 50/50 green) — the freshest evidence, so they sit out the r11
     # window and rotate back in r12 ---
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
     "fts_search_topk": q_fts_search_topk,
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
@@ -4031,6 +4074,75 @@ FROM offs GROUP BY original_id, floor(start / 200)
 """
 
 
+def _bpe_enc_ctes(mvals: str, pass_expr: str, n: int) -> str:
+    """The shared encode CTE chain (merges -> per-word recursive merge
+    passes -> ``enc(word, s)``), reused by the bpe_token_count and
+    tokenizer_fertility oracles."""
+    return f"""m(rank, ma, mb) AS (SELECT * FROM (VALUES {mvals}) t(r, a, b)),
+w AS (SELECT doc_id, {O.sql_words('text')} AS words FROM documents),
+p AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) AS i
+  FROM w
+),
+dw AS (SELECT DISTINCT word FROM p),
+r(word, step, s) AS (
+  SELECT word, 0,
+    array_to_string(
+      list_transform(range(1, len(word)+1), j -> word[j:j]) || ['</w>'],
+      ' ')
+  FROM dw
+  UNION ALL
+  SELECT r.word, r.step + 1, {pass_expr}
+  FROM r JOIN m ON m.rank = r.step + 1
+),
+enc AS (SELECT word, s FROM r WHERE step = {n})"""
+
+
+def _oracle_tokenizer_fertility() -> str:
+    """Per-language tokenizer fertility under the committed merges:
+    BPE tokens per word and characters per BPE token — the
+    multilingual-tokenizer health metric (a language whose fertility
+    blows up is being byte-shredded). Shares the recursive encode CTEs
+    with the bpe_token_count oracle."""
+    merges = _bpe_merges()
+    mvals = ", ".join(
+        f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
+    )
+    n = len(merges)
+    pass_expr = """
+list_reduce(string_split(r.s, ' '), (acc, x) ->
+  CASE WHEN x = m.mb AND (acc = m.ma OR acc LIKE '% ' || m.ma)
+       THEN CASE WHEN acc = m.ma THEN m.ma || m.mb
+                 ELSE left(acc, len(acc) - len(m.ma)) || m.ma || m.mb END
+       ELSE acc || ' ' || x END)
+"""
+    return f"""
+WITH RECURSIVE {_bpe_enc_ctes(mvals, pass_expr, n)},
+perdoc AS (
+  SELECT p.doc_id,
+         count(*) AS n_words,
+         sum(len(string_split(enc.s, ' ')))::BIGINT AS n_bpe
+  FROM p JOIN enc ON p.word = enc.word
+  GROUP BY p.doc_id
+)
+SELECT d.lang,
+  count(*) AS n_docs,
+  coalesce(sum(perdoc.n_words), 0)::BIGINT AS total_words,
+  coalesce(sum(perdoc.n_bpe), 0)::BIGINT AS total_bpe_tokens,
+  sum(len(d.text))::BIGINT AS total_chars,
+  CASE WHEN coalesce(sum(perdoc.n_words), 0) > 0
+       THEN coalesce(sum(perdoc.n_bpe), 0)::DOUBLE
+            / sum(perdoc.n_words)::DOUBLE END AS fertility,
+  CASE WHEN coalesce(sum(perdoc.n_bpe), 0) > 0
+       THEN sum(len(d.text))::DOUBLE
+            / sum(perdoc.n_bpe)::DOUBLE END AS chars_per_token
+FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+GROUP BY d.lang
+"""
+
+
+
 def _oracle_bpe_token_count() -> str:
     """Replay the BPE encode under the committed merges as a recursive
     CTE: distinct words start as chars + '</w>'; step i applies merge i
@@ -4051,25 +4163,7 @@ list_reduce(string_split(r.s, ' '), (acc, x) ->
        ELSE acc || ' ' || x END)
 """
     return f"""
-WITH RECURSIVE m(rank, ma, mb) AS (SELECT * FROM (VALUES {mvals}) t(r, a, b)),
-w AS (SELECT doc_id, {O.sql_words('text')} AS words FROM documents),
-p AS (
-  SELECT doc_id, unnest(words) AS word,
-         generate_subscripts(words, 1) AS i
-  FROM w
-),
-dw AS (SELECT DISTINCT word FROM p),
-r(word, step, s) AS (
-  SELECT word, 0,
-    array_to_string(
-      list_transform(range(1, len(word)+1), j -> word[j:j]) || ['</w>'],
-      ' ')
-  FROM dw
-  UNION ALL
-  SELECT r.word, r.step + 1, {pass_expr}
-  FROM r JOIN m ON m.rank = r.step + 1
-),
-enc AS (SELECT word, s FROM r WHERE step = {n}),
+WITH RECURSIVE {_bpe_enc_ctes(mvals, pass_expr, n)},
 agg AS (
   SELECT p.doc_id,
          count(*) AS n_words,
@@ -4882,6 +4976,7 @@ SELECT doc_id,
 FROM k
 """,
     "corpus_to_shards": _oracle_corpus_to_shards(),
+    "tokenizer_fertility": _oracle_tokenizer_fertility(),
     "bpe_token_count": _oracle_bpe_token_count(),
     "sample_weighted": f"""
 WITH b AS (

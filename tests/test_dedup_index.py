@@ -915,3 +915,60 @@ class TestLocalReadCap:
         assert mgr._load_tombstones() == set()
         idx = spark.read.parquet(mgr.index_dir)
         assert idx.filter("id in (1, 2)").count() == 0
+
+
+class TestDeferralEquivalence:
+    def test_probe_with_tombstones_equals_eager_delete(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """The deferral's external contract: an index with PENDING
+        tombstones must be probe-indistinguishable (both paths, exact
+        est values) from a twin whose deletes were applied eagerly —
+        for every delete subset of the planted near-dup corpus."""
+        import itertools
+        import shutil
+
+        base = _mgr(spark, tmp_path / "base")
+        base.build(corpus, "doc_id", "text")
+        batch_rows = [(r["doc_id"], r["text"]) for r in batch.collect()]
+        for i, subset in enumerate(
+            [(2,), (1, 3), (2, 3, 4), (1, 2, 3, 4, 5, 6, 7)]
+        ):
+            # deferred twin
+            d_dir = str(tmp_path / f"d{i}")
+            shutil.copytree(base.index_dir, d_dir)
+            deferred = MinHashBandIndexManager(spark, d_dir, PARAMS)
+            deferred.delete_local(list(subset), "doc_id", "bigint")
+            assert deferred._load_tombstones() == set(subset)
+            # eager twin (force past the tombstone escape)
+            e_dir = str(tmp_path / f"e{i}")
+            shutil.copytree(base.index_dir, e_dir)
+            eager = MinHashBandIndexManager(spark, e_dir, PARAMS)
+            cap = eager.TOMB_BATCH_CAP
+            try:
+                eager.TOMB_BATCH_CAP = -1
+                eager.delete(
+                    spark.createDataFrame(
+                        [(k,) for k in subset], "doc_id long"
+                    ),
+                    "doc_id",
+                )
+            finally:
+                eager.TOMB_BATCH_CAP = cap
+            assert eager._load_tombstones() == set()
+            if not eager._load_meta().get("has_data", True):
+                # full wipe: the deferred twin must also probe empty
+                got = deferred.probe(batch, "doc_id", "text").count()
+                assert got == 0
+                continue
+            want = _probe_set(eager.probe(batch, "doc_id", "text"))
+            got = _probe_set(deferred.probe(batch, "doc_id", "text"))
+            assert got == want, subset
+            sig_rows = deferred.signatures_local(batch_rows)
+            got_local = {
+                (a, b, round(j, 9))
+                for a, b, j in deferred.probe_local(
+                    sig_rows, "doc_id", "bigint"
+                )
+            }
+            assert got_local == want, subset

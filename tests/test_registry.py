@@ -60,9 +60,11 @@ class TestRegistryConsistency:
     # r9 gate; a mis-rotation must fail here, in pytest, not at the
     # driver).
     R11_WINDOW = [
-        # position 1: NEW in r11 (corpus->blocks composite) — first
-        # driver row; search_tokens yielded its slot (3-round policy)
-        "corpus_to_shards",
+        # positions 1-2: NEW in r11 (corpus->blocks composite +
+        # per-language tokenizer fertility) — first driver rows;
+        # search_tokens and hybrid_rrf_indexed yielded their slots
+        # (r9 rows + every-round self-verification, 3-round policy)
+        "corpus_to_shards", "tokenizer_fertility",
         # positions 2-7: freshest driver row is r8 (displaced from
         # the r10 window by the late-r10 gates; check_oracle
         # self-verified every round since) — oldest evidence leads
@@ -84,7 +86,6 @@ class TestRegistryConsistency:
         "semantic_decontaminate", "semantic_search_topk",
         "semantic_search_filtered", "hybrid_rrf_search", "hybrid_weighted",
         "orphan_cleanup", "job_hybrid_e2e", "fts_search_indexed",
-        "hybrid_rrf_indexed",
     ]
 
     def test_r11_window_names(self):
