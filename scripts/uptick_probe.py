@@ -17,12 +17,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# r12 adjudication set (VERDICT r11 wrong #1): driver-to-driver
+# upticks that cleared their recorded r11 spreads.
 GATES = [
-    "fts_search_topk",   # driver 0.95 -> 2.02 s (spread 0.809)
-    "fts_stemmed",       # 0.44 -> 1.16 (spread 2.9)
-    "hard_negatives",    # 0.62 -> 1.18 (spread 3.0)
-    "ann_ivf_topk",      # 1.06 -> 1.40
-    "multimodal_pipeline",  # 0.77 -> 1.09
+    "knn_join",      # driver 1.09 -> 1.38 s (+26%, spread 0.197)
+    "token_count",   # 0.30 -> 0.36 (+21%, spread 0.19)
 ]
 
 
@@ -43,8 +42,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # untimed warmup (bench.py pattern)
-    qs["token_count"](spark, sf_dir).write.format("noop").mode(
+    # untimed warmup (bench.py pattern) — a neutral gate, NOT one
+    # under adjudication, so the first measured run of each flagged
+    # gate still pays only the usual warm-session cost
+    qs["change_detection"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
