@@ -576,17 +576,24 @@ class VectorizeSession:
             # collision is side-stepped by renaming the source column
             # for the scoring pass and restoring it after.
             gate_col = model_text_col(model)
-            tmp = None
+            # ADVICE r11: the scoring pass writes BOTH the model's
+            # input column AND the score column 'quality_prob' — a
+            # source column by EITHER name would be clobbered by the
+            # scoring withColumn and destroyed by the post-filter
+            # drop. Rename every colliding source column out of the
+            # way for the scoring pass and restore it after.
+            renames: dict[str, str] = {}
             scored_in = out
+            for clash in {gate_col, "quality_prob"}:
+                if clash in out.columns:
+                    renames[clash] = f"__gate_src_{clash}"
+                    scored_in = scored_in.withColumnRenamed(
+                        clash, renames[clash]
+                    )
             gate_content = content
-            if gate_col in out.columns:
-                tmp = f"__gate_src_{gate_col}"
-                scored_in = out.withColumnRenamed(gate_col, tmp)
+            if renames:
                 gate_content = concat_source_columns(
-                    [
-                        tmp if c == gate_col else c
-                        for c in job.src_columns
-                    ]
+                    [renames.get(c, c) for c in job.src_columns]
                 )
             out = (
                 score_quality(
@@ -597,8 +604,8 @@ class VectorizeSession:
                 .filter(F.col("quality_prob") >= thr)
                 .drop("quality_prob", gate_col)
             )
-            if tmp is not None:
-                out = out.withColumnRenamed(tmp, gate_col)
+            for orig, tmp in renames.items():
+                out = out.withColumnRenamed(tmp, orig)
         return out
 
     def _load_gate_classifier(self, path: str):

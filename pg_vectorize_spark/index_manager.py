@@ -181,7 +181,7 @@ class JobIndexManager:
             self._save_quantizer(
                 {"method": "signbit", "nbits": self.nbits, "pkey": pkey}
             )
-            self._reset_maint(built_rows=built_rows)
+            self._reset_maint(built_rows=built_rows, fresh_build=True)
             return
         centroids = self._train_centroids(emb_df, pkey)
         state: dict = {
@@ -265,7 +265,9 @@ class JobIndexManager:
             stats = self.drift_stats()
             if stats is not None:
                 built_skew = stats["skew"]
-        self._reset_maint(built_rows=built_rows, built_skew=built_skew)
+        self._reset_maint(
+            built_rows=built_rows, built_skew=built_skew, fresh_build=True
+        )
 
     # --------------------------------------------------------- maintenance
 
@@ -343,11 +345,19 @@ class JobIndexManager:
         self,
         built_rows: int | None = None,
         built_skew: float | None = None,
+        fresh_build: bool = False,
     ) -> None:
+        """``fresh_build=True`` (the build() paths) distinguishes
+        'build produced no skew baseline — CLEAR it' from the
+        compaction paths' 'keep the prior baseline' (ADVICE r11: a
+        rebuild that can't produce a baseline — signbit, train !=
+        kmeans, drift_stats None — must not inherit a stale one from a
+        different quantizer, or maybe_compact's 1.05x skew comparison
+        runs against the wrong build)."""
         os.makedirs(self.index_dir, exist_ok=True)
         state: dict = {"ops_since_compact": 0}
         prev: dict = {}
-        if built_rows is None or built_skew is None:
+        if built_rows is None or (built_skew is None and not fresh_build):
             # keep the build-time baselines across compactions
             try:
                 with open(self._maint_path) as f:
@@ -360,7 +370,7 @@ class JobIndexManager:
             state["built_rows"] = prev["built_rows"]
         if built_skew is not None:
             state["built_skew"] = float(built_skew)
-        elif "built_skew" in prev:
+        elif "built_skew" in prev and not fresh_build:
             state["built_skew"] = prev["built_skew"]
         with open(self._maint_path, "w") as f:
             json.dump(state, f)

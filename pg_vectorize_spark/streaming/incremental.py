@@ -40,6 +40,7 @@ cannot arrive as a micro-batch (the reference sees deletes via the FK
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -300,10 +301,14 @@ class RealtimePipeline:
             return _run_parallel(emb_branch, tok_branch)
         finally:
             # the early band-index thread must land inside the batch
-            # transaction — a failure fails (and retries) the batch
+            # transaction — a failure fails (and retries) the batch.
+            # When a BRANCH failure is already propagating, its
+            # traceback is the diagnostic — don't let the early
+            # thread's error replace it from this finally block
+            # (ADVICE r11); either way the batch fails and retries.
             if early_dedup is not None:
                 early_dedup.join()
-                if early_err:
+                if early_err and sys.exc_info()[1] is None:
                     raise early_err[0]
 
     # -- stream wiring -------------------------------------------------------
@@ -468,10 +473,13 @@ class ChangeFeedPipeline(RealtimePipeline):
             # PRE-batch state (any derived row outside the delete
             # set ends the scan at the first hit), not a corpus
             # count per batch — the count only runs on the rare
-            # zero-survivor path to apply the size floor. Runs INSIDE
-            # each dataset's maintenance branch (pre-write), so it
-            # overlaps the other family's work instead of adding a
-            # serial stage.
+            # zero-survivor path to apply the size floor. Vetting is
+            # hoisted to ONE up-front pass in _apply_batch (r11) —
+            # both families' refusals are decided before either
+            # branch writes, so a refused family quarantines without
+            # the other having already committed, and the
+            # footer-metadata shortcut means the common case costs
+            # zero Spark jobs rather than one probe per family.
             if (
                 not ds.exists()
                 or self.allow_full_delete

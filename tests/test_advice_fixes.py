@@ -696,3 +696,122 @@ class TestRound10AdviceFixes:
         finally:
             server.shutdown()
             thread.join(timeout=5)
+
+
+class TestRound11AdviceFixes:
+    """ADVICE.md round-11 findings (fixed r12): the classifier gate's
+    score column clobbering a same-named source column; a rebuild that
+    can't produce a skew baseline inheriting the previous build's."""
+
+    def test_classifier_gate_quality_prob_source_column(
+        self, spark, tmp_path
+    ):
+        """A source table carrying its OWN ``quality_prob`` column (and
+        a ``content`` column colliding with the model's input name):
+        the scoring pass must rename BOTH out of the way and restore
+        them — previously the post-filter drop('quality_prob', ...)
+        destroyed the source column and the gate-content concat over
+        job.src_columns failed to resolve it."""
+        from pg_vectorize_spark.operators.classify import (
+            train_curation_classifier,
+        )
+
+        clean = [
+            f"the committee published report {i} on water policy analysis"
+            for i in range(30)
+        ]
+        garble = [
+            f"zzk{i} qqp lnx vvb kjh zxw ppo mmn bbv" for i in range(30)
+        ]
+        cur = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(clean)],
+            "id long, content string",
+        )
+        raw = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(garble)],
+            "id long, content string",
+        )
+        model = train_curation_classifier(
+            cur, raw, "content", hash_dim=1 << 14
+        )
+        mpath = str(tmp_path / "gate_model_qp")
+        model.write().overwrite().save(mpath)
+
+        # corpus rows carry a quality_prob SOURCE column that is also
+        # part of the embedded content
+        rows = [(i, clean[i], f"grade {i % 3}") for i in range(10)] + [
+            (100 + i, garble[i], f"grade {i % 3}") for i in range(10)
+        ]
+        src = str(tmp_path / "gate_src_qp")
+        spark.createDataFrame(
+            rows, "id long, content string, quality_prob string"
+        ).write.parquet(src)
+        sess = VectorizeSession(
+            spark, workspace=str(tmp_path / "ws_gate_qp")
+        )
+        sess.create_job(
+            "gjobqp",
+            src,
+            columns=["content", "quality_prob"],
+            primary_key="id",
+            curate_params={
+                "classifier_path": mpath,
+                "classifier_min_prob": 0.5,
+            },
+        )
+        sess.scan_job("gjobqp")
+        emb_ids = {
+            r["id"]
+            for r in sess._emb_ds("gjobqp").read().select("id").collect()
+        }
+        assert emb_ids == set(range(10))  # garble gated, clean kept
+
+    def test_rebuild_without_baseline_clears_stale_skew(
+        self, spark, tmp_path
+    ):
+        """A kmeans build records built_skew; a rebuild over the same
+        index dir whose quantizer can't produce one (train='first')
+        must CLEAR it, not inherit a baseline from a different
+        quantizer (maybe_compact's 1.05x comparison would otherwise
+        run against stale state)."""
+        import json as _json
+        import os as _os
+
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        def dup_heavy(lo, hi, n_distinct=4):
+            rows = []
+            for i in range(lo, hi):
+                if i - lo < n_distinct:
+                    v = [0.0] * 4
+                    v[i % 4] = 1.0
+                else:
+                    v = [0.5, 0.5, 0.0, 0.0]
+                rows.append((i, v))
+            return spark.createDataFrame(
+                rows, "id long, embeddings array<double>"
+            )
+
+        idx = str(tmp_path / "skewidx")
+        mgr = JobIndexManager(
+            spark,
+            idx,
+            "ivf",
+            {"n_centroids": 4, "compact_every": 2, "train": "kmeans"},
+        )
+        mgr.build(dup_heavy(0, 40), "id")
+        with open(_os.path.join(idx, "_MAINT.json")) as f:
+            assert "built_skew" in _json.load(f)
+        # same dir, untrained quantizer: the rebuild has no baseline
+        mgr2 = JobIndexManager(
+            spark, idx, "ivf", {"n_centroids": 4, "compact_every": 2}
+        )
+        mgr2.build(dup_heavy(0, 40), "id")
+        with open(_os.path.join(idx, "_MAINT.json")) as f:
+            state = _json.load(f)
+        assert "built_skew" not in state
+        assert state["built_rows"] == 40
+        # compaction paths still inherit what the build recorded
+        mgr2._reset_maint()
+        with open(_os.path.join(idx, "_MAINT.json")) as f:
+            assert _json.load(f)["built_rows"] == 40
