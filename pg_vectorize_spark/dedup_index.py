@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,6 +85,15 @@ class MinHashBandIndexManager:
             1, int(p.get("sigs_buckets", self.band_buckets))
         )
         self.compact_every = max(1, int(p.get("compact_every", 16)))
+        #: max band buckets physically rewritten per CADENCE fold
+        #: slice (VERDICT r11 #2: the monolithic fold rewrote every
+        #: affected bucket in one cadence batch — a measured 42.8 s
+        #: p95 spike at 5k-row cells). 0 disables slicing (every fold
+        #: is full). maintain()/TOMB_FOLD_CAP folds are always full.
+        self.fold_bucket_cap = max(
+            0,
+            int(p.get("fold_bucket_cap", max(8, self.band_buckets // 4))),
+        )
         if self.num_hashes % self.bands:
             raise ValueError(
                 f"num_hashes={self.num_hashes} not divisible by "
@@ -189,23 +199,56 @@ class MinHashBandIndexManager:
         return os.path.join(self.index_dir, "_TOMBSTONES.json")
 
     def _load_tombstones(self) -> set:
+        return self._load_tomb_state()["keys"]
+
+    def _load_tomb_state(self) -> dict:
+        """Full deferred-delete state: ``keys`` = EVERY suppressed key
+        (what probes anti-join); ``gen_keys``/``gen_remaining`` = the
+        sliced fold's in-flight generation — the key snapshot being
+        folded and the band buckets not yet rewritten for it (None =
+        no generation started)."""
         try:
             with open(self._tomb_path) as f:
-                return set(json.load(f)["keys"])
+                raw = json.load(f)
+            keys = set(raw["keys"])
         except (OSError, ValueError, KeyError):
-            return set()
+            return {"keys": set(), "gen_keys": set(), "gen_remaining": None}
+        gen_keys = set(raw.get("gen_keys", [])) & keys
+        gen_remaining = raw.get("gen_remaining")
+        if not gen_keys:
+            gen_remaining = None
+        return {
+            "keys": keys,
+            "gen_keys": gen_keys,
+            "gen_remaining": gen_remaining,
+        }
 
-    def _save_tombstones(self, keys: set, pkey_type: str) -> None:
+    def _save_tomb_state(self, state: dict, pkey_type: str) -> None:
+        keys = state.get("keys") or set()
         if not keys:
             try:
                 os.remove(self._tomb_path)
             except OSError:
                 pass
             return
+        payload: dict = {"pkey_type": pkey_type, "keys": sorted(keys)}
+        gen_keys = (state.get("gen_keys") or set()) & keys
+        if gen_keys and state.get("gen_remaining") is not None:
+            payload["gen_keys"] = sorted(gen_keys)
+            payload["gen_remaining"] = sorted(state["gen_remaining"])
         fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix="_TOMB.")
         with os.fdopen(fd, "w") as f:
-            json.dump({"pkey_type": pkey_type, "keys": sorted(keys)}, f)
+            json.dump(payload, f)
         os.replace(tmp, self._tomb_path)
+
+    def _save_tombstones(self, keys: set, pkey_type: str) -> None:
+        """Replace the suppressed-key set, PRESERVING any in-flight fold
+        generation (pruned to the surviving keys — a re-inserted key
+        must leave the generation too, or a later slice would drop its
+        fresh rows)."""
+        st = self._load_tomb_state()
+        st["keys"] = keys
+        self._save_tomb_state(st, pkey_type)
 
     def delete_local(
         self, keys: list, pkey: str, pkey_type: str
@@ -226,9 +269,11 @@ class MinHashBandIndexManager:
         self._bump_maint()
         # re-read: _bump_maint may itself have compacted (cadence hit)
         # and folded the store — forcing again would rewrite the whole
-        # just-compacted index a second time (review r11)
+        # just-compacted index a second time (review r11). The overflow
+        # fold is FULL: a sliced fold would leave the probe anti-join
+        # side over the cap.
         if len(self._load_tombstones()) > self.TOMB_FOLD_CAP:
-            self.maybe_compact(force=True)
+            self.maybe_compact(force=True, full_fold=True)
 
     def _clear_tombstones_for(self, keys: set) -> set:
         """Drop re-inserted keys from the tombstone store; returns the
@@ -242,6 +287,153 @@ class MinHashBandIndexManager:
                 self._load_meta().get("pkey_type", "bigint"),
             )
         return hit
+
+    def _tombstone_bucket_footprint(
+        self, keys: set, pkey: str, pkey_type: str
+    ) -> list:
+        """Every band bucket holding a physical band row of ``keys`` —
+        the sidecar-derived map the sliced fold walks. Driver-local
+        sidecar read when the key type allows (the fold runs at
+        compaction cadence; the set is TOMB_FOLD_CAP-bounded), Spark
+        read otherwise."""
+        from pg_vectorize_spark import dedup_local
+
+        if pkey_type in dedup_local.LOCAL_KEY_TYPES:
+            sigs = self._sidecar_sigs_for_keys_local(
+                sorted(keys), pkey, pkey_type
+            )
+            return sorted(
+                {
+                    bb
+                    for _, _, _, bb in self._band_rows_local(
+                        sorted(sigs.items())
+                    )
+                }
+            )
+        sigs_ds = self._sigs_ds()
+        if not sigs_ds.exists():
+            return []
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in sorted(keys)], f"{pkey} {pkey_type}"
+        )
+        old = sigs_ds.read_for_keys(keys_df, pkey).join(
+            keys_df, pkey, "left_semi"
+        )
+        return sorted(
+            r[self.PART_COL]
+            for r in self._band_rows(old, pkey)
+            .select(self.PART_COL)
+            .distinct()
+            .collect()
+        )
+
+    def _fold_tombstones(self, bucket_cap: int | None) -> tuple[int, int]:
+        """Advance the deferred-delete fold by at most ``bucket_cap``
+        band-bucket rewrites (falsy = fold EVERYTHING pending). Returns
+        (keys_folded, buckets_rewritten).
+
+        Generation scheme (VERDICT r11 #2 — the monolithic fold was the
+        42.8 s p95 batch): freeze the current tombstone set as a
+        generation, compute its full bucket footprint ONCE from the
+        sidecar, then rewrite ≤ cap of those buckets per cadence —
+        dropping EVERY currently-tombstoned key's rows opportunistically
+        (safe: probes anti-join the tombstone set regardless, and
+        sidecar rows survive until the generation completes, so a
+        re-insert can still locate its stale rows). Only when the
+        generation's last bucket is rewritten do its keys leave the
+        tombstone set and the sidecar — per-cadence cost is bounded by
+        the cap × bucket width no matter how many keys are pending,
+        and a generation over B buckets completes in ceil(B/cap)
+        cadences regardless of key count (the per-key-complete
+        alternative — fold only keys whose whole footprint fits the
+        slice — does NOT converge: with uniform band hashing the
+        probability a key's ``bands`` buckets all land in a cap-sized
+        slice is (cap/B)^bands). Keys tombstoned while a generation is
+        in flight wait for the next one."""
+        meta = self._load_meta()
+        pkey = meta["pkey"]
+        pkey_type = meta.get("pkey_type", "bigint")
+        st = self._load_tomb_state()
+        keys: set = st["keys"]
+        keys_folded = 0
+        buckets_rewritten = 0
+        gen_keys: set = st["gen_keys"]
+        gen_remaining = st["gen_remaining"]
+        while keys:
+            if gen_remaining is None:
+                gen_keys = set(keys)
+                gen_remaining = self._tombstone_bucket_footprint(
+                    gen_keys, pkey, pkey_type
+                )
+            while gen_remaining:
+                room = (
+                    None
+                    if not bucket_cap
+                    else bucket_cap - buckets_rewritten
+                )
+                if room is not None and room <= 0:
+                    break
+                take = (
+                    gen_remaining
+                    if room is None
+                    else gen_remaining[:room]
+                )
+                drop_df = self.spark.createDataFrame(
+                    [(k,) for k in sorted(keys)], f"{pkey} {pkey_type}"
+                )
+                self._rewrite_affected(sorted(take), drop_df, pkey, None)
+                buckets_rewritten += len(take)
+                gen_remaining = gen_remaining[len(take):]
+                if not any(
+                    name.startswith(f"{self.PART_COL}=")
+                    for name in os.listdir(self.index_dir)
+                ):
+                    # the slice emptied the index: flip has_data, drop
+                    # every pending sidecar row, clear ALL deferred
+                    # state — nothing is left to suppress or fold
+                    meta2 = self._load_meta()
+                    meta2["has_data"] = False
+                    self._save_meta(meta2)
+                    sigs_ds = self._sigs_ds()
+                    if sigs_ds.exists():
+                        sigs_ds.delete_keys(
+                            self.spark.createDataFrame(
+                                [(k,) for k in sorted(keys)],
+                                f"{pkey} {pkey_type}",
+                            ),
+                            pkey,
+                        )
+                    self._save_tomb_state({"keys": set()}, pkey_type)
+                    return (keys_folded + len(keys), buckets_rewritten)
+            if gen_remaining:
+                break  # cap reached mid-generation
+            # generation complete: its keys' stale rows are all gone —
+            # sidecar rows go too, and the keys leave the suppressed set
+            if gen_keys:
+                sigs_ds = self._sigs_ds()
+                if sigs_ds.exists():
+                    sigs_ds.delete_keys(
+                        self.spark.createDataFrame(
+                            [(k,) for k in sorted(gen_keys)],
+                            f"{pkey} {pkey_type}",
+                        ),
+                        pkey,
+                    )
+                keys = keys - gen_keys
+                keys_folded += len(gen_keys)
+            gen_keys = set()
+            gen_remaining = None
+            if bucket_cap and buckets_rewritten >= bucket_cap:
+                break
+        self._save_tomb_state(
+            {
+                "keys": keys,
+                "gen_keys": gen_keys,
+                "gen_remaining": gen_remaining,
+            },
+            pkey_type,
+        )
+        return (keys_folded, buckets_rewritten)
 
     def _sigs_ds(self):
         # BUCKETED: the sidecar is corpus-sized, so a plain snapshot
@@ -621,9 +813,22 @@ class MinHashBandIndexManager:
             )
 
 
-    def _reset_maint(self) -> None:
+    def _reset_maint(self, last_fold: dict | None = None) -> None:
+        state: dict = {"ops_since_compact": 0}
+        if last_fold is None:
+            # keep the last fold-cost observation across resets — it's
+            # the number a deployment sizes compact_every against
+            try:
+                with open(self._maint_path) as f:
+                    prev = json.load(f)
+                if "last_fold" in prev:
+                    state["last_fold"] = prev["last_fold"]
+            except (OSError, ValueError):
+                pass
+        else:
+            state["last_fold"] = last_fold
         with open(self._maint_path, "w") as f:
-            json.dump({"ops_since_compact": 0}, f)
+            json.dump(state, f)
 
     def _bump_maint(self) -> None:
         try:
@@ -637,7 +842,16 @@ class MinHashBandIndexManager:
         if state["ops_since_compact"] >= self.compact_every:
             self.maybe_compact(force=True)
 
-    def maybe_compact(self, force: bool = False) -> int:
+    def maybe_compact(
+        self, force: bool = False, full_fold: bool = False
+    ) -> int:
+        """Cadence maintenance: advance the deferred-delete fold (a
+        ``fold_bucket_cap``-bounded SLICE by default — VERDICT r11 #2:
+        the monolithic fold + compaction landed 42.8 s on one cadence
+        batch at 5k-row cells), then compact small files.
+        ``full_fold=True`` (maintain(), the TOMB_FOLD_CAP overflow
+        paths) folds every pending tombstone regardless of the cap —
+        the off-peak / bounded-anti-join knob."""
         if not self.exists() or not self._load_meta().get("has_data", True):
             # no live rows -> nothing to fold or compact; drop any
             # orphaned tombstones so they cannot shadow a refill
@@ -658,22 +872,29 @@ class MinHashBandIndexManager:
             except OSError:
                 return 0
         # fold deferred deletes FIRST so compaction compacts the
-        # post-delete state: one physical bucket rewrite per
-        # compact_every batches instead of one per delete-carrying
-        # batch (the tombstone deferral's amortization point)
-        tombs = self._load_tombstones()
-        if tombs:
-            meta = self._load_meta()
-            pkey = meta["pkey"]
-            pkey_type = meta.get("pkey_type", "bigint")
-            keys_df = self.spark.createDataFrame(
-                [(k,) for k in sorted(tombs)], f"{pkey} {pkey_type}"
-            )
-            self._delete_eager(keys_df, pkey)
-            self._save_tombstones(set(), pkey_type)
+        # post-delete state: bounded bucket rewrites per compact_every
+        # batches instead of one per delete-carrying batch (the
+        # tombstone deferral's amortization point)
+        last_fold = None
+        if self._load_tombstones():
+            t0 = time.monotonic()
+            cap = None if full_fold else self.fold_bucket_cap
+            keys_folded, buckets = self._fold_tombstones(cap)
+            st = self._load_tomb_state()
+            last_fold = {
+                "secs": round(time.monotonic() - t0, 3),
+                "keys_folded": keys_folded,
+                "buckets_rewritten": buckets,
+                "pending_keys": len(st["keys"]),
+                "pending_buckets": (
+                    len(st["gen_remaining"])
+                    if st["gen_remaining"] is not None
+                    else None
+                ),
+            }
             if not self._load_meta().get("has_data", True):
                 # the fold emptied the index — nothing left to compact
-                self._reset_maint()
+                self._reset_maint(last_fold=last_fold)
                 return 0
         from pg_vectorize_spark.operators.ann import compact_index
 
@@ -685,7 +906,7 @@ class MinHashBandIndexManager:
         sigs_ds = self._sigs_ds()
         if sigs_ds.exists():
             sigs_ds.compact()
-        self._reset_maint()
+        self._reset_maint(last_fold=last_fold)
         return n
 
     # --------------------------------------------------------------- probe
@@ -1267,9 +1488,10 @@ class MinHashBandIndexManager:
                 self._bump_maint()
                 # the bump may already have compacted at cadence and
                 # folded the store (review r11) — only force if the
-                # overflow is still there
+                # overflow is still there (full fold: the cap bounds
+                # the probe anti-join side, a slice would leave it over)
                 if len(self._load_tombstones()) > self.TOMB_FOLD_CAP:
-                    self.maybe_compact(force=True)
+                    self.maybe_compact(force=True, full_fold=True)
                 return
         self._bump_maint()
 

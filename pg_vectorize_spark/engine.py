@@ -1399,7 +1399,11 @@ class VectorizeSession:
             out["postings_index"] = fts.maybe_compact(force=True)
         dd = self._dedup_mgr(job)
         if dd is not None and dd.exists():
-            out["band_index"] = dd.maybe_compact(force=True)
+            # full fold: maintain() is the off-peak knob — it must
+            # leave zero pending tombstones, not a bounded slice
+            out["band_index"] = dd.maybe_compact(
+                force=True, full_fold=True
+            )
         for kind in ("embeddings", "search_tokens"):
             ds = self._ds(job_name, kind)
             if ds.exists() and hasattr(ds, "compact"):
@@ -1471,9 +1475,25 @@ class VectorizeSession:
             ),
         }
         if dd is not None and dd.exists():
-            out["dedup_index"]["pending_tombstones"] = len(
-                dd._load_tombstones()
-            )
+            st = dd._load_tomb_state()
+            out["dedup_index"]["pending_tombstones"] = len(st["keys"])
+            if st["gen_remaining"] is not None:
+                # a sliced fold is mid-generation: this many band
+                # buckets remain before the generation's keys leave
+                # the anti-join set
+                out["dedup_index"]["fold_pending_buckets"] = len(
+                    st["gen_remaining"]
+                )
+            try:
+                with open(dd._maint_path) as f:
+                    lf = json.load(f).get("last_fold")
+            except (OSError, ValueError):
+                lf = None
+            if lf is not None:
+                # last observed fold cost — the number a deployment
+                # sizes compact_every / fold_bucket_cap against its
+                # p95 budget (VERDICT r11 stretch #7)
+                out["dedup_index"]["last_fold"] = lf
         return out
 
     def job_view(self, job_name: str) -> DataFrame:

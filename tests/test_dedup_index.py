@@ -329,9 +329,11 @@ class TestMaintenance:
         mgr = _mgr(spark, tmp_path)
         mgr.build(corpus, "doc_id", "text")
         mgr.delete(corpus.select("doc_id"), "doc_id")
-        # deferred delete: the fold applies the physical removal and
-        # flips has_data when it empties every bucket
-        mgr.maybe_compact(force=True)
+        # deferred delete: the (full) fold applies the physical removal
+        # and flips has_data when it empties every bucket — a cadence
+        # slice would take ceil(footprint/fold_bucket_cap) calls, so a
+        # delete-everything teardown uses the maintain() knob
+        mgr.maybe_compact(force=True, full_fold=True)
         assert mgr._load_meta()["has_data"] is False
         # probe + near_dup_keys + compact on the emptied index: no crash
         assert mgr.probe(batch, "doc_id", "text").count() == 0
@@ -972,3 +974,127 @@ class TestDeferralEquivalence:
                 )
             }
             assert got_local == want, subset
+
+    def test_partial_fold_states_probe_equivalent(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """Sliced-fold extension (VERDICT r11 #2): with
+        fold_bucket_cap=1, EVERY intermediate fold state — mid-
+        generation, generation boundary, fully folded — must stay
+        probe-indistinguishable (both paths) from the eager twin, and
+        the fold must converge to zero pending tombstones."""
+        import shutil
+
+        params = dict(PARAMS, fold_bucket_cap=1)
+        base = _mgr(spark, tmp_path / "base", params)
+        base.build(corpus, "doc_id", "text")
+        subset = (1, 3, 4)
+        # eager twin (force past the tombstone escape)
+        e_dir = str(tmp_path / "eager")
+        shutil.copytree(base.index_dir, e_dir)
+        eager = MinHashBandIndexManager(spark, e_dir, params)
+        cap = eager.TOMB_BATCH_CAP
+        try:
+            eager.TOMB_BATCH_CAP = -1
+            eager.delete(
+                spark.createDataFrame(
+                    [(k,) for k in subset], "doc_id long"
+                ),
+                "doc_id",
+            )
+        finally:
+            eager.TOMB_BATCH_CAP = cap
+        want = _probe_set(eager.probe(batch, "doc_id", "text"))
+        batch_rows = [(r["doc_id"], r["text"]) for r in batch.collect()]
+
+        deferred = base
+        deferred.delete_local(list(subset), "doc_id", "bigint")
+        assert deferred._load_tombstones() == set(subset)
+        seen_states = 0
+        for _ in range(80):  # hard stop far above any real fold length
+            if not deferred._load_tombstones():
+                break
+            deferred.maybe_compact(force=True)  # one cap-bounded slice
+            st = deferred._load_tomb_state()
+            assert st["gen_keys"] <= st["keys"]
+            got = _probe_set(deferred.probe(batch, "doc_id", "text"))
+            assert got == want, f"spark probe diverged at state {st}"
+            sig_rows = deferred.signatures_local(batch_rows)
+            got_local = {
+                (a, b, round(j, 9))
+                for a, b, j in deferred.probe_local(
+                    sig_rows, "doc_id", "bigint"
+                )
+            }
+            assert got_local == want, f"local probe diverged at {st}"
+            seen_states += 1
+        assert deferred._load_tombstones() == set()
+        assert seen_states >= 2  # cap=1 must take multiple slices
+        # fully folded store equals the eager twin physically too:
+        # sidecar rows for the folded keys are gone
+        sigs = deferred._sidecar_sigs_for_keys_local(
+            sorted(subset), "doc_id", "bigint"
+        )
+        assert sigs == {}
+        # fold observability landed in the maint state
+        import json as _json
+
+        with open(deferred._maint_path) as f:
+            lf = _json.load(f)["last_fold"]
+        assert lf["buckets_rewritten"] >= 1
+        assert lf["pending_keys"] == 0
+
+    def test_reinsert_mid_generation_survives_fold(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """A key re-inserted while its generation is mid-fold must (a)
+        leave the tombstone set AND the generation, (b) keep its fresh
+        rows through the remaining slices, and (c) the store must still
+        converge to zero pending."""
+        params = dict(PARAMS, fold_bucket_cap=1)
+        mgr = _mgr(spark, tmp_path, params)
+        mgr.build(corpus, "doc_id", "text")
+        mgr.delete_local([1, 2, 4], "doc_id", "bigint")
+        # advance ONE slice — generation now in flight
+        mgr.maybe_compact(force=True)
+        st = mgr._load_tomb_state()
+        assert st["gen_remaining"] is not None
+        # re-insert key 1 with text near-duplicating the batch's 101
+        re_rows = [
+            (1, "the quick brown fox jumps over the lazy dog near the river")
+        ]
+        mgr.upsert_local(
+            mgr.signatures_local(re_rows),
+            "doc_id",
+            "bigint",
+            prior_keys=frozenset([1]),
+        )
+        assert 1 not in mgr._load_tombstones()
+        assert 1 not in mgr._load_tomb_state()["gen_keys"]
+        # fold to completion
+        for _ in range(80):
+            if not mgr._load_tombstones():
+                break
+            mgr.maybe_compact(force=True)
+        assert mgr._load_tombstones() == set()
+        # 101 must still match the re-inserted key 1 (fresh rows kept);
+        # 2 and 4 must not match anything (folded away)
+        got = _probe_set(mgr.probe(batch, "doc_id", "text"))
+        assert (101, 1, 1.0) in got
+        assert not any(m in (2, 4) for _, m, _ in got)
+
+    def test_full_fold_clears_mid_generation_state(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """maintain()'s full_fold=True must finish an in-flight
+        generation AND everything tombstoned after it, in one call."""
+        params = dict(PARAMS, fold_bucket_cap=1)
+        mgr = _mgr(spark, tmp_path, params)
+        mgr.build(corpus, "doc_id", "text")
+        mgr.delete_local([1, 2], "doc_id", "bigint")
+        mgr.maybe_compact(force=True)  # one slice: gen in flight
+        mgr.delete_local([4], "doc_id", "bigint")  # arrives mid-gen
+        mgr.maybe_compact(force=True, full_fold=True)
+        assert mgr._load_tombstones() == set()
+        got = _probe_set(mgr.probe(batch, "doc_id", "text"))
+        assert not any(m in (1, 2, 4) for _, m, _ in got)
