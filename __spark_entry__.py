@@ -1626,6 +1626,82 @@ def q_job_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_job_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-DATA-PATH seam gate (VERDICT r11 #4): raw docs ->
+    ingest-time CURATION gate (curate_params: min_quality + min_tokens,
+    engine._curate_filter) -> ingest-time MinHash DEDUP gate
+    (dedup_params with within_batch=True — on the initial load every
+    row is new, so the in-batch lowest-key-survives rule IS the corpus
+    dedup, engine._dedup_filter_new) -> embed -> snapshot/index
+    maintenance -> hybrid_search. `corpus_to_shards` proves the
+    curation pipeline and `job_hybrid_e2e` the job lifecycle; this
+    gate proves the SEAM a real deployment runs — curated survivors
+    becoming the embedding job's corpus, search serving ONLY them.
+
+    Oracle: DuckDB replays the survivor set (quality/token filter,
+    then banded MinHash pairs at the same 16-hash/4-band parameters
+    with est_jaccard >= threshold, smaller-key-survives greedy chain)
+    and re-derives hash-BoW embeddings + FTS + RRF over the survivors
+    alone — a hit for a filtered-out document anywhere in the top-10
+    breaks the gate. Same full-width ANN probe rationale as
+    job_hybrid_e2e (index ranking == brute, pruning gated separately).
+    Workspace cached per SF behind the source fingerprint."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_vectorize_spark.engine import VectorizeSession
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ws = os.path.join(tempfile.gettempdir(), f"pvs_gate_cws_{sfname}")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp_path = os.path.join(ws, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            fresh = fh.read() == fp
+    except OSError:
+        pass
+    sess = VectorizeSession(spark, workspace=ws)
+    if not (fresh and sess.catalog.exists("cgate")):
+        shutil.rmtree(ws, ignore_errors=True)
+        sess = VectorizeSession(spark, workspace=ws)
+        sess.create_job(
+            "cgate",
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text"],
+            primary_key="doc_id",
+            index_method="ivf",
+            index_params={"n_centroids": 8, "nprobe": 8},
+            curate_params={"min_quality": 0.5, "min_tokens": 8},
+            dedup_params={"min_jaccard": 0.7, "within_batch": True},
+        )
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    rows = sess.hybrid_search(
+        "cgate",
+        QUERY_TEXT,
+        num_results=10,
+        window_size=50,
+        return_columns=["doc_id", "lang"],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                r["doc_id"],
+                r["lang"],
+                r["rrf_score"],
+                r["semantic_rank"],
+                r["fts_rank"],
+                r["similarity_score"],
+            )
+            for r in rows
+        ],
+        "doc_id long, lang string, rrf_score double, semantic_rank int, "
+        "fts_rank int, similarity_score double",
+    )
+
+
 def q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-audio frame-header parsing under the hash gate
     (codec.parse_mp3_frames / binary.mp3_metadata): per document a
@@ -2533,6 +2609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window and rotate back in r12 ---
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
+    "curate_job_search_e2e": q_curate_job_search_e2e,
     "fts_search_topk": q_fts_search_topk,
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
@@ -5102,6 +5179,144 @@ LIMIT 10
 
 
 ORACLE["job_hybrid_e2e"] = _oracle_job_hybrid()
+
+
+# Curation -> job -> search seam: the survivor set (quality/token gate,
+# then smaller-key-survives banded MinHash dedup at the job's threshold)
+# is recomputed from the raw fixture, and the whole hybrid-search oracle
+# runs over the SURVIVORS alone — engine._curate_filter order (curate
+# before dedup, engine.py scan path) is replayed exactly, so a doc that
+# should have been filtered appearing in the top-10 breaks the gate.
+def _oracle_curate_job_search() -> str:
+    dim = EMBED_DIM
+    qlit = "'" + QUERY_TEXT + "'"
+    match = O.sql_fts_match("search_tokens", QUERY_TERMS)
+    score = O.sql_fts_score("search_tokens", QUERY_TERMS)
+    return f"""
+WITH qual AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  WHERE ({O.sql_quality_score('d.text')}) >= 0.5
+    AND ({O.sql_token_count('d.text')}) >= 8
+),
+c AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({O.sql_word_shingles('text', 3)},
+                        s -> {O.sql_poly_hash('s')}) AS codes
+  FROM qual
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+),
+bands AS (
+  SELECT s.doc_id, tb.band,
+         array_to_string(
+           list_transform(s.signature[(tb.band*4 + 1):(tb.band*4 + 4)],
+                          x -> x::VARCHAR), ',') AS band_key
+  FROM sig s, generate_series(0, 3) AS tb(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+dups AS (
+  SELECT DISTINCT cand.b_id AS doc_id
+  FROM cand
+  JOIN sig sa ON cand.a_id = sa.doc_id
+  JOIN sig sb ON cand.b_id = sb.doc_id
+  WHERE len(list_filter(range(1, 17),
+        i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16.0
+        >= 0.7
+),
+surv AS MATERIALIZED (
+  SELECT q.doc_id, q.text AS t, q.lang FROM qual q
+  WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = q.doc_id)
+),
+b AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({O.sql_features('t')},
+                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
+  FROM surv
+),
+cc AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, {dim}),
+                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
+           AS counts
+  FROM b
+),
+emb AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS ev
+  FROM (
+    SELECT doc_id, counts,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
+    FROM cc
+  )
+),
+qb AS MATERIALIZED (
+  SELECT list_transform({O.sql_features(qlit)},
+                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
+),
+qc AS MATERIALIZED (
+  SELECT list_transform(range(0, {dim}),
+                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
+           AS counts
+  FROM qb
+),
+q AS MATERIALIZED (
+  SELECT CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
+              ELSE counts END AS qv
+  FROM (
+    SELECT counts,
+           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
+    FROM qc
+  )
+),
+sem AS (
+  SELECT doc_id, similarity_score,
+         ROW_NUMBER() OVER (ORDER BY similarity_score DESC, doc_id ASC)
+           AS semantic_rank
+  FROM (
+    SELECT e.doc_id, {O.sql_dot('e.ev', 'q.qv')} AS similarity_score
+    FROM emb e CROSS JOIN q
+  )
+  ORDER BY similarity_score DESC, doc_id ASC
+  LIMIT 50
+),
+ftsb AS (
+  SELECT doc_id, fts_score,
+         ROW_NUMBER() OVER (ORDER BY fts_score DESC, doc_id ASC) AS fts_rank
+  FROM (
+    SELECT doc_id, {score} AS fts_score
+    FROM (SELECT s.doc_id, {O.sql_tokens('s.t')} AS search_tokens
+          FROM surv s)
+    WHERE {match}
+  )
+  ORDER BY fts_score DESC, doc_id ASC
+  LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(sem.doc_id, ftsb.doc_id) AS doc_id,
+         sem.similarity_score, sem.semantic_rank, ftsb.fts_rank,
+         COALESCE(1.0 / (60 + sem.semantic_rank), 0.0)
+         + COALESCE(1.0 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
+  FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
+)
+SELECT s.doc_id, s.lang, f.rrf_score,
+       f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
+       f.similarity_score
+FROM surv s INNER JOIN fused f ON s.doc_id = f.doc_id
+ORDER BY f.rrf_score DESC, s.doc_id ASC
+LIMIT 10
+"""
+
+
+ORACLE["curate_job_search_e2e"] = _oracle_curate_job_search()
 
 _sd_bucket = (
     "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN power(2, j)::BIGINT ELSE 0::BIGINT END)), (a, x) -> a + x)"

@@ -26,6 +26,7 @@ Per-job artifacts live under ``<workspace>/jobs/<job>/``:
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
