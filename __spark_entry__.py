@@ -2321,6 +2321,28 @@ def q_search_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual stemmed-token table (r12 — VERDICT r11 #6): the
+    analyzer dispatched per document by lang_id — Spanish and French
+    light-stem rule sets (the same three-engine regex spec pattern as
+    the English set, functions/text.LIGHT_STEM_RULES_BY_LANG) with
+    their own pinned stop-word lists; languages without a rule set
+    (de/zh/unknown) take the UNSTEMMED analyzer, because wrong-language
+    suffix stripping is worse than none. The reference hardcodes
+    to_tsvector('english', ...) (core/src/query.rs:233) — §2 parity is
+    the English default; this gate is the multilingual extension an
+    LLM-data pipeline needs. Pure per-row expressions: zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = T.lang_id_expr(F.col("text"))
+    toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+    return docs.select(
+        "doc_id",
+        lang.alias("detected_lang"),
+        F.array_join(F.array_sort(toks), " ").alias("search_tokens"),
+        F.size(toks).alias("n_terms"),
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GIN-index analog (SURVEY §4): term -> document-frequency +
     sorted posting list, built by explode + groupBy."""
@@ -2610,6 +2632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
     "curate_job_search_e2e": q_curate_job_search_e2e,
+    "fts_multilang_stemmed": q_fts_multilang_stemmed,
     "fts_search_topk": q_fts_search_topk,
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
@@ -4958,6 +4981,29 @@ SELECT doc_id,
        array_to_string(list_sort({O.sql_tokens('text')}), ' ') AS search_tokens,
        len({O.sql_tokens('text')})::INT AS n_terms
 FROM documents
+""",
+    # multilang analyzer: the per-language CASE computed over a lang CTE
+    # so sql_lang_id evaluates once per row; rule-set-less languages take
+    # the unstemmed branch (functions/text.multilang_tokens_expr)
+    "fts_multilang_stemmed": f"""
+WITH l AS MATERIALIZED (
+  SELECT d.doc_id, d.text, {O.sql_lang_id('d.text')} AS detected_lang
+  FROM documents d
+),
+t AS (
+  SELECT doc_id, detected_lang,
+         CASE
+           WHEN detected_lang = 'en' THEN {O.sql_tokens('text', True, 'en')}
+           WHEN detected_lang = 'es' THEN {O.sql_tokens('text', True, 'es')}
+           WHEN detected_lang = 'fr' THEN {O.sql_tokens('text', True, 'fr')}
+           ELSE {O.sql_tokens('text', False)}
+         END AS toks
+  FROM l
+)
+SELECT doc_id, detected_lang,
+       array_to_string(list_sort(toks), ' ') AS search_tokens,
+       len(toks)::INT AS n_terms
+FROM t
 """,
     "inverted_index": f"""
 WITH tok AS MATERIALIZED (

@@ -67,10 +67,72 @@ LIGHT_STEM_RULES: list[tuple[str, str]] = [
 ]
 
 
-def light_stem(token: str) -> str:
+# Non-English light-stem rule sets (r12 — VERDICT r11 #6): the same
+# three-engine spec pattern as the English set (ordered, end-anchored,
+# suffix-REPLACING-with-strictly-shorter, first character never touched,
+# only constructs with identical Java/RE2/Python semantics). These are
+# OUR spec, not Snowball: the trade is linguistic fidelity for
+# bit-identical parity across Spark exprs, DuckDB oracles, and the
+# driver-side query analyzer. The analyzer tokenizes on [^a-z0-9]+, so
+# the rules (and stop-word lists) are ASCII-only by construction —
+# accented characters split tokens upstream of stemming.
+LIGHT_STEM_RULES_ES: list[tuple[str, str]] = [
+    # ONE plural rule (vowel+s — covers -s AND -es plurals, since the
+    # final-e rule below then unifies 'ciudade'->'ciudad' with the
+    # singular): a second s-rule would CASCADE (rules chain top to
+    # bottom, each firing at most once — 'clases' must not lose its
+    # plural s twice)
+    (r"([a-z]{2})ces$", r"\1z"),        # luces -> luz, veces -> vez
+    (r"([a-z]{2}[aeiou])s$", r"\1"),    # casas -> casa; ciudades -> ciudade
+    (r"([a-z]{3})mente$", r"\1"),       # rapidamente -> rapida
+    (r"([a-z]{2})ando$", r"\1"),        # hablando -> habl
+    (r"([a-z]{2})iendo$", r"\1"),       # comiendo -> com
+    (r"([a-z]{2})e$", r"\1"),           # ciudade -> ciudad; clase(s) -> clas
+]
+
+LIGHT_STEM_RULES_FR: list[tuple[str, str]] = [
+    (r"([a-z]{2})eaux$", r"\1eau"),     # chateaux -> chateau
+    (r"([a-z]{2})aux$", r"\1al"),       # journaux -> journal
+    (r"([a-z]{2}[^s])s$", r"\1"),       # maisons -> maison; keeps 'ss'
+    (r"([a-z]{3})ment$", r"\1"),        # rapidement -> rapide
+    (r"([a-z]{2})ant$", r"\1"),         # parlant -> parl
+    (r"([a-z]{2})e$", r"\1"),           # petite -> petit, rapide -> rapid
+]
+
+LIGHT_STEM_RULES_BY_LANG: dict[str, list[tuple[str, str]]] = {
+    "en": LIGHT_STEM_RULES,
+    "es": LIGHT_STEM_RULES_ES,
+    "fr": LIGHT_STEM_RULES_FR,
+}
+
+# Pinned ASCII-only stop-word subsets (deterministic, oracle-embeddable —
+# same rationale as the English list above).
+STOP_WORDS_ES = (
+    "el la los las de del que y en un una por con no es al lo se su "
+    "para como mas pero sin sobre este esta son fue ha muy ya o"
+).split()
+STOP_WORDS_FR = (
+    "le la les de des du et un une en dans pour par sur avec ne pas "
+    "que qui au aux ce cette est sont il elle nous vous ils ou se"
+).split()
+
+STOP_WORDS_BY_LANG: dict[str, list[str]] = {
+    "en": STOP_WORDS,
+    "es": STOP_WORDS_ES,
+    "fr": STOP_WORDS_FR,
+}
+
+#: languages with a light-stem rule set; everything else (de/zh/unknown)
+#: falls back to the UNSTEMMED analyzer under multilang dispatch —
+#: applying English suffix rules to German text stems WRONGLY, and no
+#: stemming beats wrong stemming for recall-neutral token matching
+STEMMED_LANGS = tuple(sorted(LIGHT_STEM_RULES_BY_LANG))
+
+
+def light_stem(token: str, lang: str = "en") -> str:
     """Python form of the light stemmer (must match stem_token_expr /
     oracle.sql_stem rule for rule)."""
-    for pat, repl in LIGHT_STEM_RULES:
+    for pat, repl in LIGHT_STEM_RULES_BY_LANG[lang]:
         token = _re.sub(pat, repl, token)
     return token
 
@@ -93,10 +155,22 @@ _JAVA_STEM_RULES: list[tuple[str, str]] = [
 ]
 
 
-def stem_token_expr(tok: Column) -> Column:
+def _java_stem_rules(lang: str) -> list[tuple[str, str]]:
+    """Java-regex form of a language's rule list: English keeps its
+    hand-collapsed backref form; the other sets have no pattern
+    backrefs, so only the replacement syntax converts (\\1 -> $1)."""
+    if lang == "en":
+        return _JAVA_STEM_RULES
+    return [
+        (pat, repl.replace("\\1", "$1"))
+        for pat, repl in LIGHT_STEM_RULES_BY_LANG[lang]
+    ]
+
+
+def stem_token_expr(tok: Column, lang: str = "en") -> Column:
     """Spark form: the same rule chain as nested regexp_replace (pure JVM)."""
     out = tok
-    for pat, repl in _JAVA_STEM_RULES:
+    for pat, repl in _java_stem_rules(lang):
         out = F.regexp_replace(out, pat, repl)
     return out
 
@@ -107,20 +181,59 @@ def stop_words_sql_array() -> str:
     return f"[{inner}]"
 
 
-def tokens_expr(text: Column, stem: bool = True) -> Column:
+def tokens_expr(text: Column, stem: bool = True, lang: str = "en") -> Column:
     """Analyzer: lower -> tokenize -> de-empty -> stop-words -> stem ->
     distinct.
 
     The Spark analog of ``to_tsvector('english', col)`` minus positions
     (core/src/init.rs:250-259); stemming uses the light-stemmer spec above.
     ``stem=False`` is the 'simple' analyzer (tsvector's 'simple' config).
-    """
+    ``lang`` selects the rule set AND stop-word list (r12 multilingual
+    extension — the reference hardcodes 'english', core/src/query.rs:233,
+    so 'en' stays the default everywhere)."""
     raw = F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+")
     nonempty = F.filter(raw, lambda t: t != "")
-    kept = F.array_except(nonempty, F.array(*[F.lit(w) for w in STOP_WORDS]))
+    stops = STOP_WORDS_BY_LANG[lang] if stem else STOP_WORDS
+    kept = F.array_except(nonempty, F.array(*[F.lit(w) for w in stops]))
     if stem:
-        kept = F.transform(kept, stem_token_expr)
+        kept = F.transform(kept, lambda t: stem_token_expr(t, lang))
     return F.array_distinct(kept)
+
+
+def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
+    """Per-row language-dispatched analyzer (r12 — an LLM-data pipeline
+    searching a multilingual corpus must not run English suffix rules on
+    Spanish text): ``lang_id_expr`` picks the rule set + stop-word list;
+    languages WITHOUT a rule set (de/zh/unknown) take the unstemmed
+    'simple' analyzer — no stemming beats wrong stemming. Pass ``lang``
+    to reuse an already-computed language column."""
+    if lang is None:
+        lang = lang_id_expr(text)
+    out = tokens_expr(text, stem=False)
+    for code in STEMMED_LANGS:
+        out = F.when(
+            lang == code, tokens_expr(text, stem=True, lang=code)
+        ).otherwise(out)
+    return out
+
+
+def detect_lang(text: str | None) -> str:
+    """Driver-side ``lang_id_expr`` (must match it row for row) — used by
+    the 'multilang' query analyzer to stem the QUERY with the same rule
+    set its language's documents were indexed under."""
+    words = {
+        t
+        for t in _re.split(r"[^a-z0-9]+", (text or "").lower())
+        if t
+    }
+    scores = {
+        lng: len(words & set(markers))
+        for lng, markers in sorted(LANG_MARKERS.items())
+    }
+    best = max(scores.values())
+    if best == 0:
+        return "unknown"
+    return min(lng for lng, s in scores.items() if s == best)
 
 
 def query_scoped_tokens_expr(
@@ -160,7 +273,10 @@ def query_scoped_tokens_expr(
         & (F.length(w) >= min_len)
         & ~w.isin(*STOP_WORDS),
     )
-    return F.array_distinct(F.transform(cand, stem_token_expr))
+    # single-arg lambda, NOT the bare function: F.transform feeds
+    # (element, index) to two-parameter callables, and stem_token_expr
+    # now has a lang default
+    return F.array_distinct(F.transform(cand, lambda t: stem_token_expr(t)))
 
 
 def stemmed_tokens_udf():
@@ -220,7 +336,9 @@ def analyze_query_stemmed(query: str) -> list[str]:
     return out
 
 
-def analyze_query(query: str, stem: bool = True) -> list[str]:
+def analyze_query(
+    query: str, stem: bool = True, lang: str = "en"
+) -> list[str]:
     """Driver-side analyzer for query strings (plainto_tsquery + OR-rewrite).
 
     Must produce exactly what tokens_expr computes on the same string:
@@ -229,8 +347,9 @@ def analyze_query(query: str, stem: bool = True) -> list[str]:
     """
     import re
 
+    stops = STOP_WORDS_BY_LANG[lang] if stem else STOP_WORDS
     toks = [t for t in re.split(r"[^a-z0-9]+", (query or "").lower()) if t]
-    kept = [t for t in toks if t not in set(STOP_WORDS)]
+    kept = [t for t in toks if t not in set(stops)]
     seen: set[str] = set()
     deduped: list[str] = []
     for t in kept:
@@ -238,7 +357,7 @@ def analyze_query(query: str, stem: bool = True) -> list[str]:
             seen.add(t)
             deduped.append(t)
     if stem:
-        deduped = [light_stem(t) for t in deduped]
+        deduped = [light_stem(t, lang) for t in deduped]
     seen2: set[str] = set()
     out: list[str] = []
     for t in deduped:

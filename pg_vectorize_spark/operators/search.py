@@ -58,10 +58,23 @@ DEFAULT_RRF_K = 60
 
 def _analyze(query: str, analyzer: str) -> list[str]:
     """'english' (default): light-stemmed, oracle-expressible; 'simple':
-    unstemmed; 'english_porter' (alias 'english_stem'): Porter UDF path."""
+    unstemmed; 'english_porter' (alias 'english_stem'): Porter UDF path;
+    'multilang' (r12): the QUERY's detected language picks its light-stem
+    rule set — matching multilang_tokens_expr's per-document dispatch —
+    with the unstemmed fallback for rule-set-less languages."""
     if analyzer in ("english_porter", "english_stem"):
         return analyze_query_stemmed(query)
     if analyzer == "simple":
+        return analyze_query(query, stem=False)
+    if analyzer == "multilang":
+        from pg_vectorize_spark.functions.text import (
+            STEMMED_LANGS,
+            detect_lang,
+        )
+
+        lang = detect_lang(query)
+        if lang in STEMMED_LANGS:
+            return analyze_query(query, stem=True, lang=lang)
         return analyze_query(query, stem=False)
     return analyze_query(query)
 
@@ -71,6 +84,10 @@ def _doc_tokens(concat: Column, analyzer: str) -> Column:
         return stemmed_tokens_udf()(concat)
     if analyzer == "simple":
         return tokens_expr(concat, stem=False)
+    if analyzer == "multilang":
+        from pg_vectorize_spark.functions.text import multilang_tokens_expr
+
+        return multilang_tokens_expr(concat)
     return tokens_expr(concat)
 
 
@@ -438,7 +455,7 @@ def bm25_scores(
             lambda w: w.substr(1, 1).isin(*first_chars)
             & (F.length(w) >= min_len),
         )
-        stems = F.transform(cand, stem_token_expr)
+        stems = F.transform(cand, lambda t: stem_token_expr(t))
     else:
         stems = nonstop
     # Two projections on purpose: _stems is aliased once here, and the tf

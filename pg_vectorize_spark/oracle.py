@@ -20,7 +20,9 @@ from __future__ import annotations
 from pg_vectorize_spark.functions.text import (
     LANG_MARKERS,
     LIGHT_STEM_RULES,
+    LIGHT_STEM_RULES_BY_LANG,
     STOP_WORDS,
+    STOP_WORDS_BY_LANG,
 )
 from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
 
@@ -43,25 +45,31 @@ def sql_words(text: str) -> str:
     )
 
 
-def sql_stem(tok: str) -> str:
-    """The light-stemmer rule chain (text.LIGHT_STEM_RULES) as nested
-    regexp_replace; DuckDB's RE2 engine uses backslash group refs, which is
-    the canonical form the rules are stored in."""
+def sql_stem(tok: str, lang: str = "en") -> str:
+    """The light-stemmer rule chain (text.LIGHT_STEM_RULES_BY_LANG) as
+    nested regexp_replace; DuckDB's RE2 engine uses backslash group refs,
+    which is the canonical form the rules are stored in."""
     out = tok
-    for pat, repl in LIGHT_STEM_RULES:
+    for pat, repl in LIGHT_STEM_RULES_BY_LANG[lang]:
         out = f"regexp_replace({out}, '{pat}', '{repl}')"
     return out
 
 
-def sql_tokens(text: str, stem: bool = True) -> str:
+def sql_tokens(text: str, stem: bool = True, lang: str = "en") -> str:
     """Analyzer tokens: words minus stop-words, stemmed, distinct
-    (text.tokens_expr)."""
+    (text.tokens_expr). ``lang`` selects rule set + stop-word list."""
+    stops = (
+        sql_str_array(STOP_WORDS_BY_LANG[lang]) if stem else sql_stop_words()
+    )
     kept = (
         f"list_filter({sql_words(text)}, "
-        f"t -> NOT list_contains({sql_stop_words()}, t))"
+        f"t -> NOT list_contains({stops}, t))"
     )
     if stem:
-        kept = f"list_transform(list_distinct({kept}), t -> {sql_stem('t')})"
+        kept = (
+            f"list_transform(list_distinct({kept}), "
+            f"t -> {sql_stem('t', lang)})"
+        )
     return f"list_distinct({kept})"
 
 

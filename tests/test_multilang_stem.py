@@ -1,0 +1,205 @@
+"""Multilingual light-stem rule sets (r12 — VERDICT r11 #6): the
+Spanish/French analyzers must satisfy the same three-engine parity
+contract as the English set — the Python form (light_stem), the Spark
+regexp_replace chain (stem_token_expr), and the DuckDB RE2 chain
+(oracle.sql_stem) produce bit-identical outputs rule for rule — plus
+the analyzer invariants the query-scoped fast path and the multilang
+dispatch rely on (first char preserved, never lengthens), and
+query-vs-document analyzer agreement per language.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pg_vectorize_spark import oracle as O
+from pg_vectorize_spark.functions.text import (
+    LIGHT_STEM_RULES_BY_LANG,
+    STEMMED_LANGS,
+    STOP_WORDS_BY_LANG,
+    analyze_query,
+    detect_lang,
+    light_stem,
+    multilang_tokens_expr,
+    stem_token_expr,
+    tokens_expr,
+)
+
+# Spec fixtures: (token, expected stem) per language — at least one word
+# per rule, plus no-rule words and short-token guards.
+STEM_FIXTURES: dict[str, list[tuple[str, str]]] = {
+    "es": [
+        ("luces", "luz"),            # ces -> z
+        ("veces", "vez"),
+        ("ciudades", "ciudad"),      # plural s, then final-e
+        ("papeles", "papel"),
+        ("casas", "casa"),           # vowel + s
+        ("libros", "libro"),
+        ("rapidamente", "rapida"),   # -mente
+        ("hablando", "habl"),        # -ando
+        ("comiendo", "com"),         # -iendo
+        ("clases", "clas"),          # clases -> clas ...
+        ("clase", "clas"),           # ... and clase -> clas (final e)
+        ("azul", "azul"),            # no rule fires
+        ("es", "es"),                # short tokens guarded by {2,3}
+        ("dos", "dos"),
+    ],
+    "fr": [
+        ("chateaux", "chateau"),     # -eaux
+        ("journaux", "journal"),     # -aux -> -al
+        ("maisons", "maison"),       # plural s
+        ("rapidement", "rapid"),     # -ment, then final e
+        ("rapide", "rapid"),         # agrees with the adverb
+        ("parlant", "parl"),         # -ant
+        ("petite", "petit"),         # final e
+        ("classes", "class"),        # plural s, then final e
+        ("classe", "class"),         # agrees with the plural
+        ("bleu", "bleu"),            # no rule fires
+        ("les", "les"),              # short tokens guarded
+    ],
+    "en": [
+        ("running", "run"),
+        ("windows", "window"),
+        ("dresses", "dress"),
+        ("merge", "merg"),
+    ],
+}
+
+
+class TestThreeEngineParity:
+    @pytest.mark.parametrize("lang", sorted(STEM_FIXTURES))
+    def test_python_form_matches_fixtures(self, lang):
+        for tok, want in STEM_FIXTURES[lang]:
+            assert light_stem(tok, lang) == want, (lang, tok)
+
+    @pytest.mark.parametrize("lang", sorted(STEM_FIXTURES))
+    def test_spark_chain_matches_python(self, spark, lang):
+        toks = [t for t, _ in STEM_FIXTURES[lang]]
+        df = spark.createDataFrame([(t,) for t in toks], "tok string")
+        got = {
+            r["tok"]: r["stem"]
+            for r in df.select(
+                "tok", stem_token_expr(F.col("tok"), lang).alias("stem")
+            ).collect()
+        }
+        for tok, want in STEM_FIXTURES[lang]:
+            assert got[tok] == want, (lang, tok)
+
+    @pytest.mark.parametrize("lang", sorted(STEM_FIXTURES))
+    def test_duckdb_chain_matches_python(self, lang):
+        con = duckdb.connect()
+        for tok, want in STEM_FIXTURES[lang]:
+            got = con.sql(
+                f"SELECT {O.sql_stem(repr(tok), lang)} AS s"
+            ).fetchone()[0]
+            assert got == want, (lang, tok)
+
+    @pytest.mark.parametrize("lang", sorted(LIGHT_STEM_RULES_BY_LANG))
+    def test_rule_invariants(self, lang):
+        """Every rule replaces a suffix with something strictly shorter
+        and never touches the first character — the invariants the
+        query-scoped fast path (en) and dispatch sanity rely on."""
+        corpus = [t for t, _ in STEM_FIXTURES[lang]] + [
+            "information",
+            "generaciones",
+            "nationales",
+            "aaa",
+            "zz",
+            "a",
+            "",
+        ]
+        for tok in corpus:
+            s = light_stem(tok, lang)
+            assert len(s) <= len(tok), (lang, tok, s)
+            if tok:
+                assert s and s[0] == tok[0], (lang, tok, s)
+
+
+class TestMultilangAnalyzer:
+    DOCS = [
+        (1, "the windows are running the merged batches today", "en"),
+        (2, "las casas y las luces de las ciudades grandes", "es"),
+        (3, "les maisons et les journaux des villes rapidement", "fr"),
+        (4, "der hund und die katze sind in dem haus mit den", "de"),
+    ]
+
+    def test_detect_lang_matches_spark(self, spark):
+        from pg_vectorize_spark.functions.text import lang_id_expr
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.DOCS], "id long, text string"
+        )
+        got = {
+            r["id"]: r["lang"]
+            for r in df.select(
+                "id", lang_id_expr(F.col("text")).alias("lang")
+            ).collect()
+        }
+        for i, t, want in self.DOCS:
+            assert got[i] == want, (i, t)
+            assert detect_lang(t) == want, (i, t)
+
+    def test_dispatch_stems_per_language(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.DOCS], "id long, text string"
+        )
+        got = {
+            r["id"]: set(r["toks"])
+            for r in df.select(
+                "id",
+                multilang_tokens_expr(F.col("text")).alias("toks"),
+            ).collect()
+        }
+        assert "run" in got[1] and "window" in got[1]  # en rules
+        assert "luz" in got[2] and "ciudad" in got[2]  # es rules
+        assert "casa" in got[2]  # es stop-words removed 'las/y/de'
+        assert "las" not in got[2]
+        assert "maison" in got[3] and "journal" in got[3]  # fr rules
+        assert "les" not in got[3]
+        # de: unstemmed fallback — tokens appear verbatim (minus the
+        # ENGLISH stop list, the documented 'simple' analyzer contract)
+        assert "hund" in got[4] and "katze" in got[4]
+        assert "haus" in got[4] and "der" in got[4]
+
+    @pytest.mark.parametrize("lang", sorted(STEMMED_LANGS))
+    def test_query_analyzer_agrees_with_doc_analyzer(self, spark, lang):
+        """analyze_query(lang) must equal tokens_expr(lang) on the same
+        string — the match contract fts search depends on."""
+        text = {
+            "en": "the windows are running merged batches",
+            "es": "las luces de las ciudades y las casas grandes",
+            "fr": "les journaux des maisons et les petites villes",
+        }[lang]
+        want = analyze_query(text, stem=True, lang=lang)
+        df = spark.createDataFrame([(text,)], "t string")
+        got = df.select(
+            tokens_expr(F.col("t"), stem=True, lang=lang).alias("toks")
+        ).collect()[0]["toks"]
+        assert list(got) == want
+
+    def test_search_multilang_analyzer_end_to_end(self, spark):
+        """fts_search(analyzer='multilang'): a Spanish query stemmed
+        with Spanish rules matches Spanish docs whose tokens were
+        stemmed with the same rules."""
+        from pg_vectorize_spark.operators.search import full_text_search
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.DOCS], "id long, content string"
+        )
+        got = full_text_search(
+            df,
+            "id",
+            "las luces de la ciudad",  # 'luces'->'luz', 'ciudad'
+            ["content"],
+            num_results=5,
+            analyzer="multilang",
+        )
+        ids = [r["id"] for r in got.collect()]
+        assert ids and ids[0] == 2
+
+    def test_stop_word_lists_ascii_only(self):
+        for lang, words in STOP_WORDS_BY_LANG.items():
+            for w in words:
+                assert w == w.lower() and w.isascii(), (lang, w)
