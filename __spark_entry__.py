@@ -2555,33 +2555,87 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Registration order matters: the driver's correctness gate samples
-    # the FIRST 50 registered queries. Rotation policy (standing, VERDICT
-    # r3 #2 ... r10 #2b, amended r11 per VERDICT r10 #3): oldest driver
-    # evidence rotates in FIRST; names outside the window carry
-    # same-session `scripts/check_oracle.py` full-registry runs (done
-    # every round since r7, recorded in BENCH_NOTES.md) as interim
-    # freshness evidence, so the rotation period is now up to THREE
-    # rounds and the cap is 150 names (3 windows; asserted in
-    # tests/test_registry.py::test_window_holds_fifty). The exact
-    # first-50 window is ASSERTED in
-    # tests/test_registry.py::test_r11_window_names.
-    # --- position 1: NEW in r11 — no driver row yet, takes a window
-    # slot ahead of everything with existing evidence (search_tokens,
-    # r9 driver row + every-round self-verification, yields its slot
-    # under the amended 3-round policy) ---
+    # Registry order IS the rotation policy (COVERAGE.md): the first 50
+    # names are the driver's correctness window, asserted in
+    # tests/test_registry.py::test_r12_window_names.
+    # --- positions 1-2: NEW in r12 (curation->job->search seam;
+    # multilingual analyzer) — no driver row yet, take window slots
+    # ahead of everything with existing evidence ---
+    "curate_job_search_e2e": q_curate_job_search_e2e,
+    "fts_multilang_stemmed": q_fts_multilang_stemmed,
+    # --- positions 3-4: freshest driver row is r9 (yielded their
+    # slots in r11; oldest evidence in the registry) ---
+    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
+    "search_tokens": q_search_tokens,
+    # --- positions 5-50: freshest driver row is r10 (the r11
+    # rotated-out set returns; 4 names wait for r13 — the window is
+    # oversubscribed by the two new gates — carried on this session's
+    # full check_oracle run per the 3-round policy) ---
+    "fts_search_topk": q_fts_search_topk,
+    "dedup_semantic_cluster": q_dedup_semantic_cluster,
+    "hard_negatives": q_hard_negatives,
+    "fts_stemmed": q_fts_stemmed,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
+    "dup_span_stats": q_dup_span_stats,
+    "gopher_flags": q_gopher_flags,
+    "corpus_mix": q_corpus_mix,
+    "unigram_logprob": q_unigram_logprob,
+    "events_windowed_agg": q_events_windowed_agg,
+    "sessionize_events": q_sessionize_events,
+    "asof_join_events": q_asof_join_events,
+    "asof_join_bucketed": q_asof_join_bucketed,
+    "attribution_window_join": q_attribution_window_join,
+    "quality_score": q_quality_score,
+    "repetition_score": q_repetition_score,
+    "pii_scrub": q_pii_scrub,
+    "mp4_frame_extract": q_mp4_frame_extract,
+    "dsir_weights": q_dsir_weights,
+    "paragraph_dedup": q_paragraph_dedup,
+    "change_detection": q_change_detection,
+    "append_method_scan": q_append_method_scan,
+    "quantized_search_topk": q_quantized_search_topk,
+    "maxsim_search_topk": q_maxsim_search_topk,
+    "pq_adc_search": q_pq_adc_search,
+    "pq_rerank_search": q_pq_rerank_search,
+    "fts_bm25": q_fts_bm25,
+    "hybrid_bm25": q_hybrid_bm25,
+    "fts_cover_density": q_fts_cover_density,
+    "semantic_search_indexed": q_semantic_search_indexed,
+    "neardup_index_probe": q_neardup_index_probe,
+    "neardup_probe_local": q_neardup_probe_local,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "minhash_signatures": q_minhash_signatures,
+    "cdf_apply": q_cdf_apply,
+    "incremental_scan_events": q_incremental_scan_events,
+    "fts_search_overlay": q_fts_search_overlay,
+    "sequence_pack": q_sequence_pack,
+    "pack_manifest": q_pack_manifest,
+    "line_dedup": q_line_dedup,
+    "bpe_token_count": q_bpe_token_count,
+    "sample_weighted": q_sample_weighted,
+    "perplexity_buckets": q_perplexity_buckets,
+    # --- positions 51-54: the four r10-evidence names waiting for
+    # r13 (least load-bearing of their families: sampling covered by
+    # hash_split/sample_weighted, C4 by gopher/quality/repetition,
+    # multimodal meta by decode/pipeline, vocab by the LM logprob
+    # gates) — they lead the r13 window ---
+    "sample_exact": q_sample_exact,
+    "c4_flags": q_c4_flags,
+    "multimodal_meta": q_multimodal_meta,
+    "vocabulary_topk": q_vocabulary_topk,
+    # --- tail: r11 driver rows (CORRECTNESS_r11.json, 50/50 green) —
+    # the freshest evidence, so they sit out the r12 window ---
     "corpus_to_shards": q_corpus_to_shards,
     "tokenizer_fertility": q_tokenizer_fertility,
-    # --- positions 2-7: freshest driver row is r8 (displaced from the
-    # r10 window by the late-r10 gates; self-verified every round
-    # since) — the oldest evidence in the registry, so they lead ---
     "json_rows": q_json_rows,
     "collect_changed_ids": q_collect_changed_ids,
     "hash_split": q_hash_split,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
-    # --- positions 7-50: freshest driver row is r9 (rotated in r11) ---
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "view_join": q_view_join,
     "dedup_exact": q_dedup_exact,
@@ -2624,65 +2678,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orphan_cleanup": q_orphan_cleanup,
     "job_hybrid_e2e": q_job_hybrid_e2e,
     "fts_search_indexed": q_fts_search_indexed,
-    # --- beyond position 50: search_tokens (r9 driver row, yielded its
-    # slot to corpus_to_shards) + the r10 driver rows
-    # (CORRECTNESS_r10.json,
-    # 50/50 green) — the freshest evidence, so they sit out the r11
-    # window and rotate back in r12 ---
-    "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
-    "search_tokens": q_search_tokens,
-    "curate_job_search_e2e": q_curate_job_search_e2e,
-    "fts_multilang_stemmed": q_fts_multilang_stemmed,
-    "fts_search_topk": q_fts_search_topk,
-    "dedup_semantic_cluster": q_dedup_semantic_cluster,
-    "hard_negatives": q_hard_negatives,
-    "fts_stemmed": q_fts_stemmed,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_signbit_lsh_topk": q_ann_signbit_lsh_topk,
-    "dup_span_stats": q_dup_span_stats,
-    "multimodal_meta": q_multimodal_meta,
-    "gopher_flags": q_gopher_flags,
-    "corpus_mix": q_corpus_mix,
-    "sample_exact": q_sample_exact,
-    "vocabulary_topk": q_vocabulary_topk,
-    "unigram_logprob": q_unigram_logprob,
-    "events_windowed_agg": q_events_windowed_agg,
-    "sessionize_events": q_sessionize_events,
-    "asof_join_events": q_asof_join_events,
-    "asof_join_bucketed": q_asof_join_bucketed,
-    "attribution_window_join": q_attribution_window_join,
-    "quality_score": q_quality_score,
-    "repetition_score": q_repetition_score,
-    "pii_scrub": q_pii_scrub,
-    "mp4_frame_extract": q_mp4_frame_extract,
-    "dsir_weights": q_dsir_weights,
-    "c4_flags": q_c4_flags,
-    "paragraph_dedup": q_paragraph_dedup,
-    "change_detection": q_change_detection,
-    "append_method_scan": q_append_method_scan,
-    "quantized_search_topk": q_quantized_search_topk,
-    "maxsim_search_topk": q_maxsim_search_topk,
-    "pq_adc_search": q_pq_adc_search,
-    "pq_rerank_search": q_pq_rerank_search,
-    "fts_bm25": q_fts_bm25,
-    "hybrid_bm25": q_hybrid_bm25,
-    "fts_cover_density": q_fts_cover_density,
-    "semantic_search_indexed": q_semantic_search_indexed,
-    "neardup_index_probe": q_neardup_index_probe,
-    "neardup_probe_local": q_neardup_probe_local,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "minhash_signatures": q_minhash_signatures,
-    "cdf_apply": q_cdf_apply,
-    "incremental_scan_events": q_incremental_scan_events,
-    "fts_search_overlay": q_fts_search_overlay,
-    "sequence_pack": q_sequence_pack,
-    "pack_manifest": q_pack_manifest,
-    "line_dedup": q_line_dedup,
-    "bpe_token_count": q_bpe_token_count,
-    "sample_weighted": q_sample_weighted,
-    "perplexity_buckets": q_perplexity_buckets,
 }
 
 
