@@ -229,6 +229,47 @@ def _source_fingerprint(src: str) -> str:
     return repr((st.st_size, st.st_mtime_ns))
 
 
+def _cached_gate_session(
+    spark: SparkSession, sf_dir: str, ws_prefix: str, job_name: str, **job_kwargs
+):
+    """Fingerprint-cached VectorizeSession for the engine-lifecycle
+    gates (job_hybrid_e2e, curate_job_search_e2e): the workspace is
+    keyed per SF behind the documents fixture's fingerprint, so
+    repeated invocations time the QUERY path like a deployed engine,
+    and a changed fixture rebuilds the job. One definition — the
+    cache-freshness logic cannot diverge between gates (review r12)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pg_vectorize_spark.engine import VectorizeSession
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    ws = os.path.join(tempfile.gettempdir(), f"{ws_prefix}_{sfname}")
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp_path = os.path.join(ws, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            fresh = fh.read() == fp
+    except OSError:
+        pass
+    sess = VectorizeSession(spark, workspace=ws)
+    if not (fresh and sess.catalog.exists(job_name)):
+        shutil.rmtree(ws, ignore_errors=True)
+        sess = VectorizeSession(spark, workspace=ws)
+        sess.create_job(
+            job_name,
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["text"],
+            primary_key="doc_id",
+            **job_kwargs,
+        )
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    return sess
+
+
 def _fts_gate_index(spark: SparkSession, sf_dir: str):
     """Build (or reuse) the persisted FTS postings index over the
     documents fixture — the per-SF scratch-dir + source-fingerprint
@@ -1570,38 +1611,16 @@ def q_job_hybrid_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the brute ranking exactly (partial-probe pruning is gated
     separately by semantic_search_indexed); the FTS postings probe is
     lossless at any width. The workspace is cached per SF behind the
-    source fingerprint — repeated invocations time the QUERY path,
-    like a deployed engine."""
-    import os
-    import shutil
-    import tempfile
-
-    from pg_vectorize_spark.engine import VectorizeSession
-
-    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    ws = os.path.join(tempfile.gettempdir(), f"pvs_gate_ws_{sfname}")
-    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    fp_path = os.path.join(ws, "_SOURCE_FP")
-    fresh = False
-    try:
-        with open(fp_path) as fh:
-            fresh = fh.read() == fp
-    except OSError:
-        pass
-    sess = VectorizeSession(spark, workspace=ws)
-    if not (fresh and sess.catalog.exists("gate")):
-        shutil.rmtree(ws, ignore_errors=True)
-        sess = VectorizeSession(spark, workspace=ws)
-        sess.create_job(
-            "gate",
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["text"],
-            primary_key="doc_id",
-            index_method="ivf",
-            index_params={"n_centroids": 8, "nprobe": 8},
-        )
-        with open(fp_path, "w") as fh:
-            fh.write(fp)
+    source fingerprint (_cached_gate_session) — repeated invocations
+    time the QUERY path, like a deployed engine."""
+    sess = _cached_gate_session(
+        spark,
+        sf_dir,
+        "pvs_gate_ws",
+        "gate",
+        index_method="ivf",
+        index_params={"n_centroids": 8, "nprobe": 8},
+    )
     rows = sess.hybrid_search(
         "gate",
         QUERY_TEXT,
@@ -1645,39 +1664,18 @@ def q_curate_job_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone — a hit for a filtered-out document anywhere in the top-10
     breaks the gate. Same full-width ANN probe rationale as
     job_hybrid_e2e (index ranking == brute, pruning gated separately).
-    Workspace cached per SF behind the source fingerprint."""
-    import os
-    import shutil
-    import tempfile
-
-    from pg_vectorize_spark.engine import VectorizeSession
-
-    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    ws = os.path.join(tempfile.gettempdir(), f"pvs_gate_cws_{sfname}")
-    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    fp_path = os.path.join(ws, "_SOURCE_FP")
-    fresh = False
-    try:
-        with open(fp_path) as fh:
-            fresh = fh.read() == fp
-    except OSError:
-        pass
-    sess = VectorizeSession(spark, workspace=ws)
-    if not (fresh and sess.catalog.exists("cgate")):
-        shutil.rmtree(ws, ignore_errors=True)
-        sess = VectorizeSession(spark, workspace=ws)
-        sess.create_job(
-            "cgate",
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["text"],
-            primary_key="doc_id",
-            index_method="ivf",
-            index_params={"n_centroids": 8, "nprobe": 8},
-            curate_params={"min_quality": 0.5, "min_tokens": 8},
-            dedup_params={"min_jaccard": 0.7, "within_batch": True},
-        )
-        with open(fp_path, "w") as fh:
-            fh.write(fp)
+    Workspace cached per SF behind the source fingerprint
+    (_cached_gate_session)."""
+    sess = _cached_gate_session(
+        spark,
+        sf_dir,
+        "pvs_gate_cws",
+        "cgate",
+        index_method="ivf",
+        index_params={"n_centroids": 8, "nprobe": 8},
+        curate_params={"min_quality": 0.5, "min_tokens": 8},
+        dedup_params={"min_jaccard": 0.7, "within_batch": True},
+    )
     rows = sess.hybrid_search(
         "cgate",
         QUERY_TEXT,
@@ -4978,8 +4976,11 @@ SELECT doc_id,
 FROM documents
 """,
     # multilang analyzer: the per-language CASE computed over a lang CTE
-    # so sql_lang_id evaluates once per row; rule-set-less languages take
-    # the unstemmed branch (functions/text.multilang_tokens_expr)
+    # so sql_lang_id evaluates once per row; the WHEN list is GENERATED
+    # from STEMMED_LANGS exactly like the Spark dispatch
+    # (functions/text.multilang_tokens_expr iterates the same constant),
+    # so adding a rule set updates both engines together; rule-set-less
+    # languages take the unstemmed branch
     "fts_multilang_stemmed": f"""
 WITH l AS MATERIALIZED (
   SELECT d.doc_id, d.text, {O.sql_lang_id('d.text')} AS detected_lang
@@ -4988,9 +4989,7 @@ WITH l AS MATERIALIZED (
 t AS (
   SELECT doc_id, detected_lang,
          CASE
-           WHEN detected_lang = 'en' THEN {O.sql_tokens('text', True, 'en')}
-           WHEN detected_lang = 'es' THEN {O.sql_tokens('text', True, 'es')}
-           WHEN detected_lang = 'fr' THEN {O.sql_tokens('text', True, 'fr')}
+           {' '.join(f"WHEN detected_lang = '{lng}' THEN {O.sql_tokens('text', True, lng)}" for lng in T.STEMMED_LANGS)}
            ELSE {O.sql_tokens('text', False)}
          END AS toks
   FROM l
@@ -5126,22 +5125,28 @@ FROM kx ORDER BY sample_key, doc_id LIMIT 25
 # engine's normalize-at-write dot product, the FTS branch with the token
 # overlap, and fuses with RRF — verifying create_job -> scan_job ->
 # hybrid_search end-to-end, not a re-run of any engine code.
-def _oracle_job_hybrid() -> str:
-    # staged MATERIALIZED CTEs for the embeddings (same reason as
-    # _oracle_embed_documents: the single-expression sql_embed form
-    # re-evaluates the bucket list once per dimension — measured 379 s
-    # vs ~8 s at sf0.01 for this query)
+def _hybrid_oracle_sql(base: str, prefix_ctes: str = "") -> str:
+    """Shared engine-lifecycle hybrid oracle (job_hybrid_e2e and the
+    curation seam gate differ ONLY in the corpus the search runs over).
+    Staged MATERIALIZED CTEs for the embeddings (same reason as
+    _oracle_embed_documents: the single-expression sql_embed form
+    re-evaluates the bucket list once per dimension — measured 379 s
+    vs ~8 s at sf0.01 for this query). ``base`` must expose
+    (doc_id, text, lang); ``prefix_ctes`` (trailing comma + newline
+    included) prepends the CTEs that derive it — ONE oracle body, so an
+    RRF / embedding / tie-break fix cannot diverge between the gates
+    (review r12)."""
     dim = EMBED_DIM
     qlit = "'" + QUERY_TEXT + "'"
     toks = O.sql_tokens("d.text")
     match = O.sql_fts_match("search_tokens", QUERY_TERMS)
     score = O.sql_fts_score("search_tokens", QUERY_TERMS)
     return f"""
-WITH b AS MATERIALIZED (
+WITH {prefix_ctes}b AS MATERIALIZED (
   SELECT d.doc_id,
          list_transform({O.sql_features('d.text')},
                         f -> {O.sql_hash_bucket('f', dim)}) AS buckets
-  FROM documents d
+  FROM {base} d
 ),
 c AS MATERIALIZED (
   SELECT doc_id,
@@ -5197,7 +5202,7 @@ ftsb AS (
          ROW_NUMBER() OVER (ORDER BY fts_score DESC, doc_id ASC) AS fts_rank
   FROM (
     SELECT doc_id, {score} AS fts_score
-    FROM (SELECT d.doc_id, {toks} AS search_tokens FROM documents d)
+    FROM (SELECT d.doc_id, {toks} AS search_tokens FROM {base} d)
     WHERE {match}
   )
   ORDER BY fts_score DESC, doc_id ASC
@@ -5213,151 +5218,70 @@ fused AS (
 SELECT d.doc_id, d.lang, f.rrf_score,
        f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
        f.similarity_score
-FROM documents d INNER JOIN fused f ON d.doc_id = f.doc_id
+FROM {base} d INNER JOIN fused f ON d.doc_id = f.doc_id
 ORDER BY f.rrf_score DESC, d.doc_id ASC
 LIMIT 10
 """
 
 
-ORACLE["job_hybrid_e2e"] = _oracle_job_hybrid()
+ORACLE["job_hybrid_e2e"] = _hybrid_oracle_sql("documents")
 
 
 # Curation -> job -> search seam: the survivor set (quality/token gate,
-# then smaller-key-survives banded MinHash dedup at the job's threshold)
-# is recomputed from the raw fixture, and the whole hybrid-search oracle
-# runs over the SURVIVORS alone — engine._curate_filter order (curate
-# before dedup, engine.py scan path) is replayed exactly, so a doc that
-# should have been filtered appearing in the top-10 breaks the gate.
-def _oracle_curate_job_search() -> str:
-    dim = EMBED_DIM
-    qlit = "'" + QUERY_TEXT + "'"
-    match = O.sql_fts_match("search_tokens", QUERY_TERMS)
-    score = O.sql_fts_score("search_tokens", QUERY_TERMS)
-    return f"""
-WITH qual AS MATERIALIZED (
+# then smaller-key-survives banded MinHash dedup at the job's
+# threshold) is recomputed from the raw fixture, and the SHARED hybrid
+# oracle body runs over the survivors alone — engine._curate_filter
+# order (curate before dedup, engine.py scan path) is replayed exactly,
+# so a doc that should have been filtered appearing in the top-10
+# breaks the gate. The minhash CTEs carry an m- prefix to stay clear of
+# the shared body's CTE names.
+def _seam_survivor_ctes() -> str:
+    return f"""qual AS MATERIALIZED (
   SELECT d.doc_id, d.text, d.lang FROM documents d
   WHERE ({O.sql_quality_score('d.text')}) >= 0.5
     AND ({O.sql_token_count('d.text')}) >= 8
 ),
-c AS MATERIALIZED (
+mc AS MATERIALIZED (
   SELECT doc_id,
          list_transform({O.sql_word_shingles('text', 3)},
                         s -> {O.sql_poly_hash('s')}) AS codes
   FROM qual
 ),
-sig AS MATERIALIZED (
-  SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+msig AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_SIG} AS signature FROM mc WHERE len(codes) > 0
 ),
-bands AS (
+mbands AS (
   SELECT s.doc_id, tb.band,
          array_to_string(
            list_transform(s.signature[(tb.band*4 + 1):(tb.band*4 + 4)],
                           x -> x::VARCHAR), ',') AS band_key
-  FROM sig s, generate_series(0, 3) AS tb(band)
+  FROM msig s, generate_series(0, 3) AS tb(band)
 ),
-cand AS (
+mcand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  FROM mbands a
+  JOIN mbands b ON a.band = b.band AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
 ),
-dups AS (
-  SELECT DISTINCT cand.b_id AS doc_id
-  FROM cand
-  JOIN sig sa ON cand.a_id = sa.doc_id
-  JOIN sig sb ON cand.b_id = sb.doc_id
+mdups AS (
+  SELECT DISTINCT mcand.b_id AS doc_id
+  FROM mcand
+  JOIN msig sa ON mcand.a_id = sa.doc_id
+  JOIN msig sb ON mcand.b_id = sb.doc_id
   WHERE len(list_filter(range(1, 17),
         i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16.0
         >= 0.7
 ),
 surv AS MATERIALIZED (
-  SELECT q.doc_id, q.text AS t, q.lang FROM qual q
-  WHERE NOT EXISTS (SELECT 1 FROM dups WHERE dups.doc_id = q.doc_id)
+  SELECT q.doc_id, q.text, q.lang FROM qual q
+  WHERE NOT EXISTS (SELECT 1 FROM mdups WHERE mdups.doc_id = q.doc_id)
 ),
-b AS MATERIALIZED (
-  SELECT doc_id,
-         list_transform({O.sql_features('t')},
-                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
-  FROM surv
-),
-cc AS MATERIALIZED (
-  SELECT doc_id,
-         list_transform(range(0, {dim}),
-                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
-           AS counts
-  FROM b
-),
-emb AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
-              ELSE counts END AS ev
-  FROM (
-    SELECT doc_id, counts,
-           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
-    FROM cc
-  )
-),
-qb AS MATERIALIZED (
-  SELECT list_transform({O.sql_features(qlit)},
-                        f -> {O.sql_hash_bucket('f', dim)}) AS buckets
-),
-qc AS MATERIALIZED (
-  SELECT list_transform(range(0, {dim}),
-                        i -> len(list_filter(buckets, bk -> bk = i))::DOUBLE)
-           AS counts
-  FROM qb
-),
-q AS MATERIALIZED (
-  SELECT CASE WHEN nrm > 0 THEN list_transform(counts, x -> x / nrm)
-              ELSE counts END AS qv
-  FROM (
-    SELECT counts,
-           sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-                list_transform(counts, x -> x*x)), (a, x) -> a + x)) AS nrm
-    FROM qc
-  )
-),
-sem AS (
-  SELECT doc_id, similarity_score,
-         ROW_NUMBER() OVER (ORDER BY similarity_score DESC, doc_id ASC)
-           AS semantic_rank
-  FROM (
-    SELECT e.doc_id, {O.sql_dot('e.ev', 'q.qv')} AS similarity_score
-    FROM emb e CROSS JOIN q
-  )
-  ORDER BY similarity_score DESC, doc_id ASC
-  LIMIT 50
-),
-ftsb AS (
-  SELECT doc_id, fts_score,
-         ROW_NUMBER() OVER (ORDER BY fts_score DESC, doc_id ASC) AS fts_rank
-  FROM (
-    SELECT doc_id, {score} AS fts_score
-    FROM (SELECT s.doc_id, {O.sql_tokens('s.t')} AS search_tokens
-          FROM surv s)
-    WHERE {match}
-  )
-  ORDER BY fts_score DESC, doc_id ASC
-  LIMIT 50
-),
-fused AS (
-  SELECT COALESCE(sem.doc_id, ftsb.doc_id) AS doc_id,
-         sem.similarity_score, sem.semantic_rank, ftsb.fts_rank,
-         COALESCE(1.0 / (60 + sem.semantic_rank), 0.0)
-         + COALESCE(1.0 / (60 + ftsb.fts_rank), 0.0) AS rrf_score
-  FROM sem FULL OUTER JOIN ftsb ON sem.doc_id = ftsb.doc_id
-)
-SELECT s.doc_id, s.lang, f.rrf_score,
-       f.semantic_rank::INT AS semantic_rank, f.fts_rank::INT AS fts_rank,
-       f.similarity_score
-FROM surv s INNER JOIN fused f ON s.doc_id = f.doc_id
-ORDER BY f.rrf_score DESC, s.doc_id ASC
-LIMIT 10
 """
 
 
-ORACLE["curate_job_search_e2e"] = _oracle_curate_job_search()
+ORACLE["curate_job_search_e2e"] = _hybrid_oracle_sql(
+    "surv", prefix_ctes=_seam_survivor_ctes()
+)
 
 _sd_bucket = (
     "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j -> CASE WHEN embedding[(j+1)::INT] > 0 THEN power(2, j)::BIGINT ELSE 0::BIGINT END)), (a, x) -> a + x)"

@@ -243,9 +243,13 @@ class MinHashBandIndexManager:
 
     def _save_tombstones(self, keys: set, pkey_type: str) -> None:
         """Replace the suppressed-key set, PRESERVING any in-flight fold
-        generation (pruned to the surviving keys — a re-inserted key
-        must leave the generation too, or a later slice would drop its
-        fresh rows)."""
+        generation (pruned to the surviving keys). The pruning's
+        load-bearing reason is GENERATION COMPLETION, not the slices:
+        slice rewrites drop the CURRENT key set (which a re-inserted
+        key has already left), but the completion step deletes
+        gen_keys' sidecar rows — an unpruned re-inserted key would
+        lose its fresh sidecar row there, breaking the next
+        delete/re-insert's ability to locate its band rows."""
         st = self._load_tomb_state()
         st["keys"] = keys
         self._save_tomb_state(st, pkey_type)
@@ -274,6 +278,19 @@ class MinHashBandIndexManager:
         # side over the cap.
         if len(self._load_tombstones()) > self.TOMB_FOLD_CAP:
             self.maybe_compact(force=True, full_fold=True)
+
+    def last_fold(self) -> dict | None:
+        """The last fold's cost observation ({secs, keys_folded,
+        buckets_rewritten, pending_keys, pending_buckets}, written by
+        maybe_compact) — the number a deployment sizes compact_every /
+        fold_bucket_cap against its p95 budget. None before any fold.
+        Keeps the maint-file schema knowledge in THIS module (review
+        r12); job_stats surfaces it."""
+        try:
+            with open(self._maint_path) as f:
+                return json.load(f).get("last_fold")
+        except (OSError, ValueError):
+            return None
 
     def _clear_tombstones_for(self, keys: set) -> set:
         """Drop re-inserted keys from the tombstone store; returns the

@@ -26,7 +26,6 @@ Per-job artifacts live under ``<workspace>/jobs/<job>/``:
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Sequence
 
@@ -1485,11 +1484,7 @@ class VectorizeSession:
                 out["dedup_index"]["fold_pending_buckets"] = len(
                     st["gen_remaining"]
                 )
-            try:
-                with open(dd._maint_path) as f:
-                    lf = json.load(f).get("last_fold")
-            except (OSError, ValueError):
-                lf = None
+            lf = dd.last_fold()
             if lf is not None:
                 # last observed fold cost — the number a deployment
                 # sizes compact_every / fold_bucket_cap against its

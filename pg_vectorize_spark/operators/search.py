@@ -75,7 +75,25 @@ def _analyze(query: str, analyzer: str) -> list[str]:
         lang = detect_lang(query)
         if lang in STEMMED_LANGS:
             return analyze_query(query, stem=True, lang=lang)
-        return analyze_query(query, stem=False)
+        # marker-free queries — which is MOST short keyword queries,
+        # since the language markers are exactly the stop words users
+        # omit — must still match documents stemmed under any rule
+        # set: take the UNION of every variant (unstemmed + each
+        # language's stems). OR-semantics search matches whichever
+        # stem the document's own language applied; the broadening is
+        # bounded (|terms| x (1 + |rule sets|)) (review r12).
+        out: list[str] = []
+        seen: set[str] = set()
+        variants = [analyze_query(query, stem=False)] + [
+            analyze_query(query, stem=True, lang=lng)
+            for lng in STEMMED_LANGS
+        ]
+        for terms in variants:
+            for t in terms:
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
+        return out
     return analyze_query(query)
 
 

@@ -40,7 +40,6 @@ cannot arrive as a micro-batch (the reference sees deletes via the FK
 from __future__ import annotations
 
 import os
-import sys
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -297,19 +296,26 @@ class RealtimePipeline:
                 sess._tokens_delete(job, d)
             return tok_refused
 
+        # the early band-index thread must land inside the batch
+        # transaction — a failure fails (and retries) the batch. When a
+        # BRANCH failure is propagating, its traceback is the diagnostic
+        # — the early thread's error must not replace it (ADVICE r11);
+        # the except/else split scopes that decision to THIS try block
+        # (a sys.exc_info() check would also see unrelated exceptions
+        # being handled further up the stack and silently skip the
+        # raise, committing a batch whose band-index write failed —
+        # review r12).
         try:
-            return _run_parallel(emb_branch, tok_branch)
-        finally:
-            # the early band-index thread must land inside the batch
-            # transaction — a failure fails (and retries) the batch.
-            # When a BRANCH failure is already propagating, its
-            # traceback is the diagnostic — don't let the early
-            # thread's error replace it from this finally block
-            # (ADVICE r11); either way the batch fails and retries.
+            result = _run_parallel(emb_branch, tok_branch)
+        except BaseException:
             if early_dedup is not None:
                 early_dedup.join()
-                if early_err and sys.exc_info()[1] is None:
-                    raise early_err[0]
+            raise
+        if early_dedup is not None:
+            early_dedup.join()
+            if early_err:
+                raise early_err[0]
+        return result
 
     # -- stream wiring -------------------------------------------------------
 

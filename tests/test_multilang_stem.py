@@ -203,3 +203,33 @@ class TestMultilangAnalyzer:
         for lang, words in STOP_WORDS_BY_LANG.items():
             for w in words:
                 assert w == w.lower() and w.isascii(), (lang, w)
+
+    def test_marker_free_keyword_query_still_matches(self, spark):
+        """Review r12: short keyword queries omit exactly the stop words
+        language detection keys on — 'luces ciudad' detects as unknown.
+        The multilang analyzer must then take the UNION of every stem
+        variant so the query still matches documents stemmed under any
+        rule set (OR-semantics search)."""
+        from pg_vectorize_spark.operators.search import (
+            _analyze,
+            full_text_search,
+        )
+
+        assert detect_lang("luces ciudad") == "unknown"
+        terms = _analyze("luces ciudad", "multilang")
+        assert "luz" in terms and "ciudad" in terms  # es stems present
+        assert "luces" in terms  # unstemmed variant kept
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.DOCS], "id long, content string"
+        )
+        got = full_text_search(
+            df, "id", "luces ciudad", ["content"],
+            num_results=5, analyzer="multilang",
+        )
+        ids = [r["id"] for r in got.collect()]
+        assert ids and ids[0] == 2
+
+        # English keyword query, also marker-free
+        terms_en = _analyze("running windows", "multilang")
+        assert "run" in terms_en and "window" in terms_en
