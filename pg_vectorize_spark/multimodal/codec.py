@@ -29,6 +29,17 @@ and MP3 audio (Huffman + IMDCT + synthesis filterbank) — still raises
 NotImplementedError: the honest stub is retained for everything needing
 real codec libraries, never silently faked.
 
+Decision record (reviewed r7, r11, r12 — keep the stub): a pure-stdlib
+MP3 payload decode is ~2-3 kLoC of Huffman tables + IMDCT + polyphase
+synthesis and a video (H.264) decode far more, none of it exercising a
+single Spark-side pattern this repo doesn't already prove via the PNG/
+JPEG/WAV decoders (Arrow batching, schema, partitioning, deterministic
+features). In a container with codec libraries, swap ``decode_media``'s
+NotImplementedError branches for the library call — the Spark plumbing
+(mapInPandas signature, batch shape, metadata columns) is real and
+tested today. Reconsider-trigger: a gate that needs real audio/video
+FEATURES (not metadata), or the container gaining a codec lib.
+
 Decode is driven per-blob inside Arrow batches (``decode_media`` in
 binary.py); nothing here touches Spark. Features are a normalized
 ``n_features``-bucket histogram — intensity buckets for images, amplitude
