@@ -126,3 +126,19 @@ class TestRegistryConsistency:
 
         src = inspect.getsource(bench.main)
         assert "bench_names = list(qs)" in src
+
+
+class TestR13Handoff:
+    def test_deferred_names_lead_the_tail(self):
+        """The four r10-evidence names deferred from the r12 window
+        (COVERAGE.md rotation record) must sit at positions 51-54 so
+        the r13 rotation picks them FIRST — silently burying them in
+        the tail would let their driver evidence exceed the 3-round
+        policy."""
+        names = list(entry.queries())
+        assert names[50:54] == [
+            "sample_exact",
+            "c4_flags",
+            "multimodal_meta",
+            "vocabulary_topk",
+        ]
