@@ -2329,8 +2329,15 @@ def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix stripping is worse than none. The reference hardcodes
     to_tsvector('english', ...) (core/src/query.rs:233) — §2 parity is
     the English default; this gate is the multilingual extension an
-    LLM-data pipeline needs. Pure per-row expressions: zero shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    LLM-data pipeline needs. Pure per-row expressions — but the
+    analyzer chain is interpreted HOF work (regexp chains inside array
+    lambdas never enter codegen), so parallelism == input splits: the
+    single-file local fixture reads as ONE split and serializes the
+    whole corpus onto one core (measured 3.0 s at sf0.1 vs 2.2 s at
+    10x the rows with 8 splits). The explicit fan-out is one narrow
+    shuffle of (doc_id, text); at 100 TB the input has thousands of
+    natural splits and the repartition coalesces into the scan."""
+    docs = _t(spark, sf_dir, "documents").repartition(32)
     lang = T.lang_id_expr(F.col("text"))
     toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
     return docs.select(
