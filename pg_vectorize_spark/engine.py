@@ -36,7 +36,7 @@ from pg_vectorize_spark.catalog import Catalog, JobRecord
 from pg_vectorize_spark.config import DEFAULT_CONFIG, Config
 from pg_vectorize_spark.errors import VectorizeError
 from pg_vectorize_spark.filters import parse_filters
-from pg_vectorize_spark.functions.text import fingerprint_expr, tokens_expr
+from pg_vectorize_spark.functions.text import fingerprint_expr
 from pg_vectorize_spark.index_manager import INDEX_METHODS, JobIndexManager
 from pg_vectorize_spark.operators.change import (
     concat_source_columns,
@@ -460,6 +460,17 @@ class VectorizeSession:
             .localCheckpoint()
         )
 
+    @staticmethod
+    def _job_analyzer(job: JobRecord) -> str:
+        """The job's FTS analyzer (``fts_params={"analyzer": ...}``,
+        default 'english' — reference parity: core/src/query.rs:233
+        hardcodes to_tsvector('english')). 'multilang' (r12) dispatches
+        per DOCUMENT by lang_id at token-build time and per QUERY by
+        detect_lang — the multilingual-corpus configuration."""
+        return (getattr(job, "fts_params", None) or {}).get(
+            "analyzer", "english"
+        )
+
     def _fts_probe_scores(
         self, job: JobRecord, query: str
     ) -> DataFrame | None:
@@ -471,9 +482,9 @@ class VectorizeSession:
         mgr = self._fts_mgr(job)
         if mgr is None or not mgr.exists():
             return None
-        from pg_vectorize_spark.functions.text import analyze_query
+        from pg_vectorize_spark.operators.search import _analyze
 
-        return mgr.probe_scores(analyze_query(query))
+        return mgr.probe_scores(_analyze(query, self._job_analyzer(job)))
 
     # ---------------------------------------------------------- dedup index
 
@@ -977,7 +988,16 @@ class VectorizeSession:
         ]
         passthrough = ["content_fp"]
         if with_tokens:
-            cols.append(tokens_expr(content).alias("search_tokens"))
+            # the job's configured analyzer decides the stored token
+            # shape (fts_params={"analyzer": ...}); queries analyze
+            # with the same config, so match semantics hold end-to-end
+            from pg_vectorize_spark.operators.search import _doc_tokens
+
+            cols.append(
+                _doc_tokens(content, self._job_analyzer(job)).alias(
+                    "search_tokens"
+                )
+            )
             passthrough.append("search_tokens")
         work = changed.select(*cols)
         provider = get_provider(
@@ -1047,6 +1067,16 @@ class VectorizeSession:
             raise VectorizeError(
                 f"Unknown curate_params keys: {sorted(unknown)} "
                 f"(valid: {sorted(CURATE_KEYS)})"
+            )
+        _analyzers = (
+            "english", "simple", "english_porter", "english_stem",
+            "multilang",
+        )
+        if (fts_params or {}).get("analyzer", "english") not in _analyzers:
+            raise VectorizeError(
+                f"Unknown fts_params analyzer: "
+                f"{(fts_params or {}).get('analyzer')!r} "
+                f"(valid: {_analyzers})"
             )
         # realtime is trigger-driven on the reference and requires the
         # separate embeddings table (search.rs:36-38 errors on append);
@@ -1676,6 +1706,7 @@ class VectorizeSession:
             return_columns=return_columns,
             filters=parse_filters(filters) if filters else None,
             tokens_df=tokens_df,
+            analyzer=self._job_analyzer(job),
             rank=rank,
             # postings-index probe when the job has one (the planner-
             # picks-the-GIN-index analog): replaces the full tokens-
@@ -1756,6 +1787,7 @@ class VectorizeSession:
             where_sql=where_sql,
             pre_normalized=True,
             tokens_df=tokens_df,
+            analyzer=self._job_analyzer(job),
             rank=rank,
             # both branches pruned for an indexed job: the semantic
             # branch via the ANN cell probe above, the FTS branch via

@@ -233,3 +233,78 @@ class TestMultilangAnalyzer:
         # English keyword query, also marker-free
         terms_en = _analyze("running windows", "multilang")
         assert "run" in terms_en and "window" in terms_en
+
+
+class TestJobLevelAnalyzer:
+    """fts_params={"analyzer": ...} (r12): the job's stored token shape
+    AND its query analysis both follow the configured analyzer, so
+    match semantics hold across the tokens snapshot, the postings-index
+    probe, and hybrid fusion."""
+
+    def _mk(self, spark, tmp_path, analyzer):
+        from pg_vectorize_spark.engine import VectorizeSession
+
+        rows = [
+            (1, "the windows are running the merged batches today"),
+            (2, "las casas y las luces de las ciudades grandes"),
+            (3, "les maisons et les journaux des villes rapidement"),
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            rows, "id long, content string"
+        ).write.parquet(src)
+        sess = VectorizeSession(
+            spark, workspace=str(tmp_path / f"ws_{analyzer}")
+        )
+        sess.create_job(
+            "mjob",
+            src,
+            columns=["content"],
+            primary_key="id",
+            fts_params={"analyzer": analyzer},
+        )
+        return sess
+
+    def test_multilang_job_spanish_query_hits_index_path(
+        self, spark, tmp_path
+    ):
+        sess = self._mk(spark, tmp_path, "multilang")
+        # stored tokens carry per-language stems
+        toks = {
+            r["id"]: set(r["search_tokens"])
+            for r in sess._tok_ds("mjob").read().collect()
+        }
+        assert "luz" in toks[2] and "maison" in toks[3]
+        assert "run" in toks[1]
+        # Spanish query -> Spanish stems -> postings probe matches doc 2
+        got = sess.full_text_search("mjob", "las luces de la ciudad")
+        assert got and got[0]["id"] == 2
+        # hybrid path agrees (fts branch shares the analyzer)
+        hyb = sess.hybrid_search(
+            "mjob", "las luces de la ciudad", num_results=2
+        )
+        assert hyb and hyb[0]["id"] == 2
+
+    def test_default_analyzer_unchanged(self, spark, tmp_path):
+        sess = self._mk(spark, tmp_path, "english")
+        toks = {
+            r["id"]: set(r["search_tokens"])
+            for r in sess._tok_ds("mjob").read().collect()
+        }
+        # english rules applied to every doc regardless of language
+        assert "run" in toks[1] and "window" in toks[1]
+        assert "luz" not in toks[2]  # es rules NOT applied
+
+    def test_invalid_analyzer_rejected(self, spark, tmp_path):
+        from pg_vectorize_spark.engine import VectorizeSession
+        from pg_vectorize_spark.errors import VectorizeError
+
+        df = spark.createDataFrame([(1, "x")], "id long, content string")
+        src = str(tmp_path / "bad_src")
+        df.write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_bad"))
+        with pytest.raises(VectorizeError):
+            sess.create_job(
+                "bjob", src, columns=["content"], primary_key="id",
+                fts_params={"analyzer": "german_porter"},
+            )
