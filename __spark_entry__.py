@@ -2321,11 +2321,11 @@ def q_search_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual stemmed-token table (r12 — VERDICT r11 #6): the
-    analyzer dispatched per document by lang_id — Spanish and French
-    light-stem rule sets (the same three-engine regex spec pattern as
+    analyzer dispatched per document by lang_id — Spanish, French, and
+    German light-stem rule sets (the same three-engine regex spec pattern as
     the English set, functions/text.LIGHT_STEM_RULES_BY_LANG) with
     their own pinned stop-word lists; languages without a rule set
-    (de/zh/unknown) take the UNSTEMMED analyzer, because wrong-language
+    (zh/unknown) take the UNSTEMMED analyzer, because wrong-language
     suffix stripping is worse than none. The reference hardcodes
     to_tsvector('english', ...) (core/src/query.rs:233) — §2 parity is
     the English default; this gate is the multilingual extension an

@@ -99,7 +99,25 @@ LIGHT_STEM_RULES_FR: list[tuple[str, str]] = [
     (r"([a-z]{2})e$", r"\1"),           # petite -> petit, rapide -> rapid
 ]
 
+# German: the CISTEM-style light subset — strip the plural/case/
+# agreement suffixes with a 3-letter stem guard. NOTE the analyzer
+# tokenizes on [^a-z0-9]+, so umlauted words split upstream ("häuser"
+# -> "h","user") regardless of stemming — these rules serve the ASCII
+# token stream, same contract as the other sets. Order matters: the
+# longer suffixes first so '-ern' isn't half-eaten by '-n' chains;
+# rules chain top-to-bottom firing at most once each.
+LIGHT_STEM_RULES_DE: list[tuple[str, str]] = [
+    (r"([a-z]{3})ern$", r"\1"),   # kindern -> kind
+    (r"([a-z]{3})em$", r"\1"),    # kleinem -> klein
+    (r"([a-z]{3})en$", r"\1"),    # katzen -> katz
+    (r"([a-z]{3})er$", r"\1"),    # kleiner -> klein
+    (r"([a-z]{3})es$", r"\1"),    # kleines -> klein
+    (r"([a-z]{3})e$", r"\1"),     # katze -> katz (matches katzen)
+    (r"([a-z]{3})s$", r"\1"),     # autos -> auto
+]
+
 LIGHT_STEM_RULES_BY_LANG: dict[str, list[tuple[str, str]]] = {
+    "de": LIGHT_STEM_RULES_DE,
     "en": LIGHT_STEM_RULES,
     "es": LIGHT_STEM_RULES_ES,
     "fr": LIGHT_STEM_RULES_FR,
@@ -115,16 +133,24 @@ STOP_WORDS_FR = (
     "le la les de des du et un une en dans pour par sur avec ne pas "
     "que qui au aux ce cette est sont il elle nous vous ils ou se"
 ).split()
+# ASCII-only by the analyzer's tokenization contract: umlauted stop
+# words ("für", "über") never reach the stop filter as whole tokens
+STOP_WORDS_DE = (
+    "der die das den dem des und ist sind ein eine einem einen einer "
+    "eines in im mit von zu auf nicht auch als an bei nach aus er sie "
+    "es wir ihr wird sich"
+).split()
 
 STOP_WORDS_BY_LANG: dict[str, list[str]] = {
+    "de": STOP_WORDS_DE,
     "en": STOP_WORDS,
     "es": STOP_WORDS_ES,
     "fr": STOP_WORDS_FR,
 }
 
-#: languages with a light-stem rule set; everything else (de/zh/unknown)
+#: languages with a light-stem rule set; everything else (zh/unknown)
 #: falls back to the UNSTEMMED analyzer under multilang dispatch —
-#: applying English suffix rules to German text stems WRONGLY, and no
+#: applying another language's suffix rules stems WRONGLY, and no
 #: stemming beats wrong stemming for recall-neutral token matching
 STEMMED_LANGS = tuple(sorted(LIGHT_STEM_RULES_BY_LANG))
 
@@ -204,7 +230,7 @@ def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
     """Per-row language-dispatched analyzer (r12 — an LLM-data pipeline
     searching a multilingual corpus must not run English suffix rules on
     Spanish text): ``lang_id_expr`` picks the rule set + stop-word list;
-    languages WITHOUT a rule set (de/zh/unknown) take the unstemmed
+    languages WITHOUT a rule set (zh/unknown) take the unstemmed
     'simple' analyzer — no stemming beats wrong stemming. Pass ``lang``
     to reuse an already-computed language column."""
     if lang is None:

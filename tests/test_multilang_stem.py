@@ -65,6 +65,19 @@ STEM_FIXTURES: dict[str, list[tuple[str, str]]] = {
         ("dresses", "dress"),
         ("merge", "merg"),
     ],
+    "de": [
+        ("kindern", "kind"),         # -ern
+        ("kleinem", "klein"),        # -em
+        ("katzen", "katz"),          # -en ...
+        ("katze", "katz"),           # ... agrees with -e
+        ("kleiner", "klein"),        # -er
+        ("kleines", "klein"),        # -es
+        ("hauses", "hau"),           # -es, then final s (CISTEM-style)
+        ("haus", "hau"),             # agrees with the genitive
+        ("autos", "auto"),           # -s
+        ("wald", "wald"),            # no rule fires
+        ("des", "des"),              # short tokens guarded by {3}
+    ],
 }
 
 
@@ -158,10 +171,10 @@ class TestMultilangAnalyzer:
         assert "las" not in got[2]
         assert "maison" in got[3] and "journal" in got[3]  # fr rules
         assert "les" not in got[3]
-        # de: unstemmed fallback — tokens appear verbatim (minus the
-        # ENGLISH stop list, the documented 'simple' analyzer contract)
-        assert "hund" in got[4] and "katze" in got[4]
-        assert "haus" in got[4] and "der" in got[4]
+        # de rules (r12): German stop list removed, suffixes stripped
+        assert "hund" in got[4] and "katz" in got[4]
+        assert "hau" in got[4]  # haus -> hau (CISTEM-style final s)
+        assert "der" not in got[4] and "und" not in got[4]
 
     @pytest.mark.parametrize("lang", sorted(STEMMED_LANGS))
     def test_query_analyzer_agrees_with_doc_analyzer(self, spark, lang):
@@ -171,6 +184,7 @@ class TestMultilangAnalyzer:
             "en": "the windows are running merged batches",
             "es": "las luces de las ciudades y las casas grandes",
             "fr": "les journaux des maisons et les petites villes",
+            "de": "die katzen sind in dem kleinen haus mit den kindern",
         }[lang]
         want = analyze_query(text, stem=True, lang=lang)
         df = spark.createDataFrame([(text,)], "t string")
