@@ -2334,10 +2334,13 @@ def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas never enter codegen), so parallelism == input splits: the
     single-file local fixture reads as ONE split and serializes the
     whole corpus onto one core (measured 3.0 s at sf0.1 vs 2.2 s at
-    10x the rows with 8 splits). The explicit fan-out is one narrow
-    shuffle of (doc_id, text); at 100 TB the input has thousands of
-    natural splits and the repartition coalesces into the scan."""
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    10x the rows with 8 splits). ensure_min_partitions fans out ONLY
+    when splits < defaultParallelism — a no-op at scale, where a
+    hardcoded repartition(N) would CAP parallelism at N and shuffle
+    the whole corpus (review r12)."""
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     lang = T.lang_id_expr(F.col("text"))
     toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
     return docs.select(

@@ -466,10 +466,38 @@ class VectorizeSession:
         default 'english' — reference parity: core/src/query.rs:233
         hardcodes to_tsvector('english')). 'multilang' (r12) dispatches
         per DOCUMENT by lang_id at token-build time and per QUERY by
-        detect_lang — the multilingual-corpus configuration."""
+        detect_lang — the multilingual-corpus configuration.
+
+        Migration note: before r12 an analyzer key in fts_params was
+        accepted but IGNORED (tokens were always built with 'english').
+        A catalog from that era carrying the key must re-ingest
+        (delete_job + create_job, or scan_job over a fresh workspace)
+        or drop the key — the stored token snapshot and postings index
+        were built under 'english' and queries now analyze under the
+        configured name."""
         return (getattr(job, "fts_params", None) or {}).get(
             "analyzer", "english"
         )
+
+    def _check_rank_analyzer(self, job: JobRecord, rank: str) -> None:
+        """cover_density / bm25 re-derive per-word document scores with
+        expression-analyzer assumptions; the UDF and per-language
+        analyzers can't feed them — fail HERE with the job-level
+        contract error instead of a ValueError deep in the operator
+        (review r12)."""
+        from pg_vectorize_spark.operators.search import (
+            EXPRESSION_ANALYZERS,
+        )
+
+        analyzer = self._job_analyzer(job)
+        if rank != "overlap" and analyzer not in EXPRESSION_ANALYZERS:
+            raise VectorizeError(
+                f"rank={rank!r} requires an expression analyzer "
+                f"({EXPRESSION_ANALYZERS}); job "
+                f"{job.job_name!r} is configured with "
+                f"analyzer={analyzer!r} — use rank='overlap' for this "
+                "job or create it with an expression analyzer"
+            )
 
     def _fts_probe_scores(
         self, job: JobRecord, query: str
@@ -482,9 +510,11 @@ class VectorizeSession:
         mgr = self._fts_mgr(job)
         if mgr is None or not mgr.exists():
             return None
-        from pg_vectorize_spark.operators.search import _analyze
+        from pg_vectorize_spark.operators.search import analyze_query_for
 
-        return mgr.probe_scores(_analyze(query, self._job_analyzer(job)))
+        return mgr.probe_scores(
+            analyze_query_for(query, self._job_analyzer(job))
+        )
 
     # ---------------------------------------------------------- dedup index
 
@@ -991,10 +1021,12 @@ class VectorizeSession:
             # the job's configured analyzer decides the stored token
             # shape (fts_params={"analyzer": ...}); queries analyze
             # with the same config, so match semantics hold end-to-end
-            from pg_vectorize_spark.operators.search import _doc_tokens
+            from pg_vectorize_spark.operators.search import (
+                doc_tokens_for,
+            )
 
             cols.append(
-                _doc_tokens(content, self._job_analyzer(job)).alias(
+                doc_tokens_for(content, self._job_analyzer(job)).alias(
                     "search_tokens"
                 )
             )
@@ -1068,15 +1100,13 @@ class VectorizeSession:
                 f"Unknown curate_params keys: {sorted(unknown)} "
                 f"(valid: {sorted(CURATE_KEYS)})"
             )
-        _analyzers = (
-            "english", "simple", "english_porter", "english_stem",
-            "multilang",
-        )
-        if (fts_params or {}).get("analyzer", "english") not in _analyzers:
+        from pg_vectorize_spark.operators.search import ANALYZERS
+
+        if (fts_params or {}).get("analyzer", "english") not in ANALYZERS:
             raise VectorizeError(
                 f"Unknown fts_params analyzer: "
                 f"{(fts_params or {}).get('analyzer')!r} "
-                f"(valid: {_analyzers})"
+                f"(valid: {ANALYZERS})"
             )
         # realtime is trigger-driven on the reference and requires the
         # separate embeddings table (search.rs:36-38 errors on append);
@@ -1692,6 +1722,7 @@ class VectorizeSession:
         bm25 it also prunes the per-document re-scoring pass down to the
         matched documents (BM25's corpus stats stay global)."""
         job = self.catalog.get(job_name)
+        self._check_rank_analyzer(job, rank)
         tokens_df = (
             self._tok_ds(job_name).read()
             if self._tok_ds(job_name).exists()
@@ -1745,6 +1776,7 @@ class VectorizeSession:
         scores are min-max normalized inside the trade-off since they
         live near 1/rrf_k)."""
         job = self.catalog.get(job_name)
+        self._check_rank_analyzer(job, rank)
         if not self._emb_ds(job_name).exists():
             raise VectorizeError(f"job {job_name} has no embeddings yet")
         qv = self._query_vec(job, query, api_key)

@@ -99,22 +99,24 @@ LIGHT_STEM_RULES_FR: list[tuple[str, str]] = [
     (r"([a-z]{2})e$", r"\1"),           # petite -> petit, rapide -> rapid
 ]
 
-# German: the CISTEM-style light subset — strip the plural/case/
-# agreement suffixes with a 3-letter stem guard. NOTE the analyzer
+# German: CISTEM's iterative strip (Weissweiler & Fraser 2017),
+# UNROLLED — German stacks agreement suffixes ('lehr+er+s',
+# 'klein+en'), and a fire-once suffix list cannot make the inflected
+# forms of one lemma agree (review r12: 'lehrers'->'lehrer' but
+# 'lehrer'->'lehr'). CISTEM instead strips one suffix per loop
+# iteration until none fires; four unrolled (2-char, then 1-char)
+# iterations converge for realistic stacks: lehrer/lehrers -> 'lehr',
+# haus/hauses -> 'hau', kleinem/kleinen/kleiner/kleines/klein ->
+# 'klei', katze/katzen -> 'katz'. Fixed-literal alternation
+# ((em|er|nd)) has identical leftmost semantics in Java/RE2/Python —
+# the one construct added to the en-spec list. NOTE the analyzer
 # tokenizes on [^a-z0-9]+, so umlauted words split upstream ("häuser"
 # -> "h","user") regardless of stemming — these rules serve the ASCII
-# token stream, same contract as the other sets. Order matters: the
-# longer suffixes first so '-ern' isn't half-eaten by '-n' chains;
-# rules chain top-to-bottom firing at most once each.
+# token stream, same contract as the other sets.
 LIGHT_STEM_RULES_DE: list[tuple[str, str]] = [
-    (r"([a-z]{3})ern$", r"\1"),   # kindern -> kind
-    (r"([a-z]{3})em$", r"\1"),    # kleinem -> klein
-    (r"([a-z]{3})en$", r"\1"),    # katzen -> katz
-    (r"([a-z]{3})er$", r"\1"),    # kleiner -> klein
-    (r"([a-z]{3})es$", r"\1"),    # kleines -> klein
-    (r"([a-z]{3})e$", r"\1"),     # katze -> katz (matches katzen)
-    (r"([a-z]{3})s$", r"\1"),     # autos -> auto
-]
+    (r"([a-z]{4})(em|er|nd)$", r"\1"),  # 2-char agreement, stem >= 4
+    (r"([a-z]{3})[esnt]$", r"\1"),      # 1-char suffix, stem >= 3
+] * 4
 
 LIGHT_STEM_RULES_BY_LANG: dict[str, list[tuple[str, str]]] = {
     "de": LIGHT_STEM_RULES_DE,

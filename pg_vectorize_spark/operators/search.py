@@ -55,6 +55,27 @@ from pg_vectorize_spark.functions.vector import (
 DEFAULT_LIMIT = 10
 DEFAULT_RRF_K = 60
 
+#: the ONE analyzer registry (review r12): create_job validates against
+#: it, and the dispatchers below raise on anything outside it — a
+#: catalog written by a different version must fail loudly, not fall
+#: through to english rules silently
+ANALYZERS = (
+    "english", "simple", "english_porter", "english_stem", "multilang",
+)
+#: analyzers whose doc tokens are pure expressions the cover_density /
+#: bm25 re-scoring passes can re-derive per word; the UDF and
+#: per-language-dispatch analyzers are overlap-rank only
+EXPRESSION_ANALYZERS = ("english", "simple")
+
+
+def _check_analyzer(analyzer: str) -> None:
+    if analyzer not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {analyzer!r} (valid: {ANALYZERS}) — a "
+            "job record from a different version? rejecting rather than "
+            "silently analyzing with english rules"
+        )
+
 
 def _analyze(query: str, analyzer: str) -> list[str]:
     """'english' (default): light-stemmed, oracle-expressible; 'simple':
@@ -62,6 +83,7 @@ def _analyze(query: str, analyzer: str) -> list[str]:
     'multilang' (r12): the QUERY's detected language picks its light-stem
     rule set — matching multilang_tokens_expr's per-document dispatch —
     with the unstemmed fallback for rule-set-less languages."""
+    _check_analyzer(analyzer)
     if analyzer in ("english_porter", "english_stem"):
         return analyze_query_stemmed(query)
     if analyzer == "simple":
@@ -98,6 +120,7 @@ def _analyze(query: str, analyzer: str) -> list[str]:
 
 
 def _doc_tokens(concat: Column, analyzer: str) -> Column:
+    _check_analyzer(analyzer)
     if analyzer in ("english_porter", "english_stem"):
         return stemmed_tokens_udf()(concat)
     if analyzer == "simple":
@@ -107,6 +130,12 @@ def _doc_tokens(concat: Column, analyzer: str) -> Column:
 
         return multilang_tokens_expr(concat)
     return tokens_expr(concat)
+
+
+# public forms for cross-module callers (the engine's job-level
+# analyzer wiring) — the underscore dispatchers stay the internal names
+analyze_query_for = _analyze
+doc_tokens_for = _doc_tokens
 
 
 def _match_tokens(concat: Column, analyzer: str, terms: list[str]) -> Column:

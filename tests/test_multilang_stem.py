@@ -66,17 +66,28 @@ STEM_FIXTURES: dict[str, list[tuple[str, str]]] = {
         ("merge", "merg"),
     ],
     "de": [
-        ("kindern", "kind"),         # -ern
-        ("kleinem", "klein"),        # -em
-        ("katzen", "katz"),          # -en ...
-        ("katze", "katz"),           # ... agrees with -e
-        ("kleiner", "klein"),        # -er
-        ("kleines", "klein"),        # -es
-        ("hauses", "hau"),           # -es, then final s (CISTEM-style)
-        ("haus", "hau"),             # agrees with the genitive
-        ("autos", "auto"),           # -s
+        # CISTEM-style iterative strip: every inflected form of a lemma
+        # must land on the SAME stem (the review-r12 contract)
+        ("kindern", "kind"),
+        ("kinder", "kind"),
+        ("kindes", "kind"),
+        ("kind", "kind"),
+        ("kleinem", "klei"),
+        ("kleinen", "klei"),
+        ("kleiner", "klei"),
+        ("kleines", "klei"),
+        ("klein", "klei"),
+        ("katzen", "katz"),
+        ("katze", "katz"),
+        ("lehrers", "lehr"),
+        ("lehrer", "lehr"),
+        ("wagens", "wag"),
+        ("wagen", "wag"),
+        ("hauses", "hau"),
+        ("haus", "hau"),
+        ("autos", "auto"),
         ("wald", "wald"),            # no rule fires
-        ("des", "des"),              # short tokens guarded by {3}
+        ("des", "des"),              # short tokens guarded
     ],
 }
 
@@ -322,3 +333,41 @@ class TestJobLevelAnalyzer:
                 "bjob", src, columns=["content"], primary_key="id",
                 fts_params={"analyzer": "german_porter"},
             )
+
+
+class TestRankAnalyzerGuard:
+    def test_nonexpression_analyzer_rejects_rescoring_ranks(
+        self, spark, tmp_path
+    ):
+        """rank='bm25'/'cover_density' re-derive per-word scores with
+        expression-analyzer assumptions; a multilang job must fail with
+        the job-level contract error at the ENGINE entry, not a
+        ValueError deep in the operator (review r12)."""
+        from pg_vectorize_spark.engine import VectorizeSession
+        from pg_vectorize_spark.errors import VectorizeError
+
+        rows = [(1, "las casas y las luces de las ciudades grandes")]
+        src = str(tmp_path / "rg_src")
+        spark.createDataFrame(
+            rows, "id long, content string"
+        ).write.parquet(src)
+        sess = VectorizeSession(spark, workspace=str(tmp_path / "ws_rg"))
+        sess.create_job(
+            "rgjob", src, columns=["content"], primary_key="id",
+            fts_params={"analyzer": "multilang"},
+        )
+        for rank in ("bm25", "cover_density"):
+            with pytest.raises(VectorizeError, match="expression analyzer"):
+                sess.full_text_search("rgjob", "luces", rank=rank)
+            with pytest.raises(VectorizeError, match="expression analyzer"):
+                sess.hybrid_search("rgjob", "luces", rank=rank)
+        # overlap rank still serves
+        assert sess.full_text_search("rgjob", "las luces")
+
+    def test_unknown_analyzer_raises_in_dispatch(self):
+        """A job record from a different version must fail loudly, not
+        silently analyze with english rules (review r12)."""
+        from pg_vectorize_spark.operators.search import _analyze
+
+        with pytest.raises(ValueError, match="unknown analyzer"):
+            _analyze("query", "german_porter")
