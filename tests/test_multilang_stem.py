@@ -371,3 +371,50 @@ class TestRankAnalyzerGuard:
 
         with pytest.raises(ValueError, match="unknown analyzer"):
             _analyze("query", "german_porter")
+
+
+class TestRandomizedThreeEngineParity:
+    """Beyond the hand-picked fixtures: a seeded sweep of random ASCII
+    tokens (plus adversarial near-suffix forms) through all three
+    engines per language — the property the whole analyzer contract
+    rests on is that the three rule-chain executions are ONE function."""
+
+    def _tokens(self):
+        import random
+
+        rng = random.Random(0xC1573)
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        toks = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+                for _ in range(150)]
+        # adversarial: every rule suffix glued to random stems of
+        # boundary lengths (the {2,3,4} guards' edge cases)
+        sufs = ["es", "ies", "s", "ed", "ing", "e", "ces", "mente",
+                "ando", "iendo", "eaux", "aux", "ment", "ant", "em",
+                "er", "nd", "en", "n", "t", "ern", "ers", "ens"]
+        for s in sufs:
+            for n in (1, 2, 3, 4, 5):
+                toks.append("".join(rng.choice(alpha) for _ in range(n)) + s)
+        return sorted(set(toks))
+
+    @pytest.mark.parametrize("lang", sorted(LIGHT_STEM_RULES_BY_LANG))
+    def test_three_engines_agree(self, spark, lang):
+        toks = self._tokens()
+        want = {t: light_stem(t, lang) for t in toks}
+        # Spark chain, one job
+        df = spark.createDataFrame([(t,) for t in toks], "tok string")
+        got_spark = {
+            r["tok"]: r["stem"]
+            for r in df.select(
+                "tok", stem_token_expr(F.col("tok"), lang).alias("stem")
+            ).collect()
+        }
+        assert got_spark == want, lang
+        # DuckDB chain, one statement over a VALUES list
+        con = duckdb.connect()
+        vals = ", ".join(f"('{t}')" for t in toks)
+        rows = con.sql(
+            f"SELECT tok, {O.sql_stem('tok', lang)} AS stem "
+            f"FROM (VALUES {vals}) AS v(tok)"
+        ).fetchall()
+        got_duck = {t: s for t, s in rows}
+        assert got_duck == want, lang
