@@ -2565,20 +2565,80 @@ def q_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry order IS the rotation policy (COVERAGE.md): the first 50
     # names are the driver's correctness window, asserted in
-    # tests/test_registry.py::test_r12_window_names.
-    # --- positions 1-2: NEW in r12 (curation->job->search seam;
-    # multilingual analyzer) — no driver row yet, take window slots
-    # ahead of everything with existing evidence ---
+    # tests/test_registry.py::test_r13_window_names.
+    # --- positions 1-4: the four names deferred from the r12 window
+    # (3-round policy, COVERAGE.md rotation record) — their freshest
+    # driver row is r10, so they MUST lead r13 ---
+    "sample_exact": q_sample_exact,
+    "c4_flags": q_c4_flags,
+    "multimodal_meta": q_multimodal_meta,
+    "vocabulary_topk": q_vocabulary_topk,
+    # --- positions 5-50: freshest driver row is r11 (the r12
+    # rotated-out set returns, minus four names deferred to r14 —
+    # the window is oversubscribed by the four r12-deferred leads —
+    # carried on this session's full check_oracle run) ---
+    "corpus_to_shards": q_corpus_to_shards,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "json_rows": q_json_rows,
+    "collect_changed_ids": q_collect_changed_ids,
+    "hash_split": q_hash_split,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "view_join": q_view_join,
+    "dedup_exact": q_dedup_exact,
+    "record_fetch_by_ids": q_record_fetch_by_ids,
+    "embed_documents": q_embed_documents,
+    "embedding_pool": q_embedding_pool,
+    "chunked_embed_pool": q_chunked_embed_pool,
+    "knn_join": q_knn_join,
+    "multimodal_decode": q_multimodal_decode,
+    "bigram_logprob": q_bigram_logprob,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_quantize": q_embedding_quantize,
+    "corpus_stats": q_corpus_stats,
+    "domain_cap": q_domain_cap,
+    "quality_filter": q_quality_filter,
+    "inverted_index": q_inverted_index,
+    "decontaminate": q_decontaminate,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
+    "text_normalize": q_text_normalize,
+    "orders_rollup": q_orders_rollup,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "dedup_survivors": q_dedup_survivors,
+    "source_divergence": q_source_divergence,
+    "dedup_transitive": q_dedup_transitive,
+    "token_budget_batches": q_token_budget_batches,
+    "chunk_table": q_chunk_table,
+    "where_sql_filter": q_where_sql_filter,
+    "typed_filters_part": q_typed_filters_part,
+    "hard_negatives_indexed": q_hard_negatives_indexed,
+    "mp3_metadata": q_mp3_metadata,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_search_topk": q_semantic_search_topk,
+    "semantic_search_filtered": q_semantic_search_filtered,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
+    "hybrid_weighted": q_hybrid_weighted,
+    "orphan_cleanup": q_orphan_cleanup,
+    "job_hybrid_e2e": q_job_hybrid_e2e,
+    "fts_search_indexed": q_fts_search_indexed,
+    # --- positions 51-54: the four r11-evidence names deferred to
+    # r14 (least load-bearing of their families: simhash covered by
+    # simhash_neardup_pairs r12 row, frame sampling by
+    # multimodal_decode/multimodal_pipeline/mp4_frame_extract,
+    # truncation by embedding_quantize + the PQ gates, count batching
+    # by token_budget_batches) — they lead the r14 window ---
+    "dedup_simhash": q_dedup_simhash,
+    "frame_sample": q_frame_sample,
+    "embedding_truncate": q_embedding_truncate,
+    "batch_texts": q_batch_texts,
+    # --- tail: r12 driver rows (CORRECTNESS_r12.json, 50/50 green) —
+    # the freshest evidence, so they sit out the r13 window ---
     "curate_job_search_e2e": q_curate_job_search_e2e,
     "fts_multilang_stemmed": q_fts_multilang_stemmed,
-    # --- positions 3-4: freshest driver row is r9 (yielded their
-    # slots in r11; oldest evidence in the registry) ---
     "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
     "search_tokens": q_search_tokens,
-    # --- positions 5-50: freshest driver row is r10 (the r11
-    # rotated-out set returns; 4 names wait for r13 — the window is
-    # oversubscribed by the two new gates — carried on this session's
-    # full check_oracle run per the 3-round policy) ---
     "fts_search_topk": q_fts_search_topk,
     "dedup_semantic_cluster": q_dedup_semantic_cluster,
     "hard_negatives": q_hard_negatives,
@@ -2625,67 +2685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "sample_weighted": q_sample_weighted,
     "perplexity_buckets": q_perplexity_buckets,
-    # --- positions 51-54: the four r10-evidence names waiting for
-    # r13 (least load-bearing of their families: sampling covered by
-    # hash_split/sample_weighted, C4 by gopher/quality/repetition,
-    # multimodal meta by decode/pipeline, vocab by the LM logprob
-    # gates) — they lead the r13 window ---
-    "sample_exact": q_sample_exact,
-    "c4_flags": q_c4_flags,
-    "multimodal_meta": q_multimodal_meta,
-    "vocabulary_topk": q_vocabulary_topk,
-    # --- tail: r11 driver rows (CORRECTNESS_r11.json, 50/50 green) —
-    # the freshest evidence, so they sit out the r12 window ---
-    "corpus_to_shards": q_corpus_to_shards,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "json_rows": q_json_rows,
-    "collect_changed_ids": q_collect_changed_ids,
-    "hash_split": q_hash_split,
-    "token_count": q_token_count,
-    "doc_fingerprint": q_doc_fingerprint,
-    "lang_id": q_lang_id,
-    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
-    "view_join": q_view_join,
-    "dedup_exact": q_dedup_exact,
-    "record_fetch_by_ids": q_record_fetch_by_ids,
-    "embed_documents": q_embed_documents,
-    "embedding_pool": q_embedding_pool,
-    "chunked_embed_pool": q_chunked_embed_pool,
-    "knn_join": q_knn_join,
-    "multimodal_decode": q_multimodal_decode,
-    "bigram_logprob": q_bigram_logprob,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_truncate": q_embedding_truncate,
-    "embedding_quantize": q_embedding_quantize,
-    "corpus_stats": q_corpus_stats,
-    "domain_cap": q_domain_cap,
-    "quality_filter": q_quality_filter,
-    "inverted_index": q_inverted_index,
-    "decontaminate": q_decontaminate,
-    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
-    "frame_sample": q_frame_sample,
-    "text_normalize": q_text_normalize,
-    "orders_rollup": q_orders_rollup,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "dedup_survivors": q_dedup_survivors,
-    "source_divergence": q_source_divergence,
-    "dedup_transitive": q_dedup_transitive,
-    "batch_texts": q_batch_texts,
-    "token_budget_batches": q_token_budget_batches,
-    "chunk_table": q_chunk_table,
-    "where_sql_filter": q_where_sql_filter,
-    "typed_filters_part": q_typed_filters_part,
-    "hard_negatives_indexed": q_hard_negatives_indexed,
-    "mp3_metadata": q_mp3_metadata,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "semantic_search_topk": q_semantic_search_topk,
-    "semantic_search_filtered": q_semantic_search_filtered,
-    "hybrid_rrf_search": q_hybrid_rrf_search,
-    "hybrid_weighted": q_hybrid_weighted,
-    "orphan_cleanup": q_orphan_cleanup,
-    "job_hybrid_e2e": q_job_hybrid_e2e,
-    "fts_search_indexed": q_fts_search_indexed,
 }
 
 
@@ -3848,18 +3847,25 @@ _MINHASH_SIG_BANDS_CTES = f"""c AS MATERIALIZED (
 sig AS MATERIALIZED (
   SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
 ),
+grp AS MATERIALIZED (
+  SELECT signature, min(doc_id) AS rep FROM sig GROUP BY signature
+),
 bands AS (
-  SELECT s.doc_id, t.band,
+  SELECT g.rep AS doc_id, t.band,
          array_to_string(
-           list_transform(s.signature[(t.band*4 + 1):(t.band*4 + 4)],
+           list_transform(g.signature[(t.band*4 + 1):(t.band*4 + 4)],
                           x -> x::VARCHAR), ',') AS band_key
-  FROM sig s, generate_series(0, 3) AS t(band)
+  FROM grp g, generate_series(0, 3) AS t(band)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
               AND a.doc_id < b.doc_id
+  UNION
+  SELECT g.rep AS a_id, s.doc_id AS b_id
+  FROM sig s JOIN grp g ON s.signature = g.signature
+  WHERE s.doc_id <> g.rep
 )"""
 
 
@@ -4030,6 +4036,11 @@ SELECT doc_id, {_SIMHASH_FROM_HASHES} AS simhash FROM h
 
 
 def _oracle_simhash_pairs() -> str:
+    # Mirrors the duplicate-cluster collapse (operators/dedup.simhash_pairs
+    # collapse_identical=True): identical fingerprints contribute star
+    # edges (rep = min id, hamming 0); distinct fingerprints pair at the
+    # representative level (brute-force here — the Spark side's pigeonhole
+    # band join is exact, so the sets agree).
     words = f"list_distinct({O.sql_words('d.text')})"
     return f"""
 WITH h AS MATERIALIZED (
@@ -4039,11 +4050,18 @@ WITH h AS MATERIALIZED (
 ),
 s AS MATERIALIZED (
   SELECT doc_id, {_SIMHASH_FROM_HASHES} AS sh FROM h
+),
+grp AS MATERIALIZED (
+  SELECT sh, min(doc_id) AS rep FROM s GROUP BY sh
 )
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+SELECT g.rep AS a_id, s.doc_id AS b_id, 0::INT AS hamming
+FROM s JOIN grp g ON s.sh = g.sh
+WHERE s.doc_id <> g.rep
+UNION ALL
+SELECT a.rep AS a_id, b.rep AS b_id,
        bit_count(xor(a.sh, b.sh))::INT AS hamming
-FROM s a, s b
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+FROM grp a, grp b
+WHERE a.rep < b.rep AND bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 

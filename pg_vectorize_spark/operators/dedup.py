@@ -192,18 +192,12 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 4,
+def _band_rows(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band.
-
-    Band key = (band_index, the band's signature slice rendered as text).
-    Output: distinct (a_id, b_id), a_id < b_id. The band join is the scale
-    mechanism: only same-bucket pairs are generated.
-    """
-    band_rows = signatures.select(
+    """(_id, band, band_key) — one row per (doc, band), key = the band's
+    signature slice rendered as comma-joined text."""
+    return signatures.select(
         "_id",
         F.posexplode(
             F.transform(
@@ -222,18 +216,108 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_key"),
     )
-    a = band_rows.select(
-        F.col("_id").alias("a_id"), "band", "band_key"
-    )
-    b = band_rows.select(
-        F.col("_id").alias("b_id"), "band", "band_key"
-    )
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    collapse_identical: bool = True,
+    neighbor_chain: int | None = None,
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band.
+
+    Band key = (band_index, the band's signature slice rendered as text).
+    Output: distinct (a_id, b_id), a_id < b_id. The band join is the
+    cross-bucket scale mechanism: only same-bucket pairs are generated.
+
+    ``collapse_identical`` (default ON) is the WITHIN-bucket bound for
+    duplicate clusters: docs with IDENTICAL signatures are grouped first
+    and contribute (a) one star edge per non-representative member
+    (rep = min id, so rep < member) and (b) band-join pairs among the
+    representatives only. A real crawl's duplicate cluster (10^5-10^6
+    byte-identical pages sharing every band) costs n-1 star edges
+    instead of ~n^2/2 same-bucket pairs. The collapsed pair set is a
+    SUBSET of the uncapped one, and is EXACTLY equivalent for every
+    downstream consumer in this repo, all of which reduce pairs to
+    "b_id has a smaller near-dup neighbor at estimate >= tau" or to
+    connected components:
+
+    * star edges have est_jaccard = 1.0 (identical signatures agree on
+      every component), so members are dropped at any tau <= 1;
+    * for any uncapped pair (x, y), x < y, with est e and a shared
+      band: rep(x) <= x < y carries x's exact signature, so the
+      rep-level pair (rep(x), rep(y)) shares the same bands and the
+      same estimate — the "exists a smaller neighbor at >= tau"
+      predicate and the component structure are preserved verbatim
+      (proof mirrored in tests/test_dedup_cluster_bound.py against an
+      adversarial 1k-member cluster).
+
+    ``neighbor_chain`` (opt-in, int k) additionally bounds buckets that
+    are hot with DISTINCT signatures: within each (band, band_key)
+    bucket, each doc pairs only with its k id-sorted successors
+    (sorted-neighbor chaining — linear pairs per bucket). UNLIKE the
+    collapse this is approximate under downstream Jaccard thresholding
+    (a chain link below tau can disconnect a pair above tau), so it is
+    OFF by default; closure-without-threshold connectivity is preserved
+    for any k >= 1. The chain applies after the collapse when both are
+    enabled.
+    """
+    if collapse_identical:
+        grp = signatures.groupBy("signature").agg(F.min("_id").alias("_rep"))
+        # star edges: rep -> each non-rep member (rep is the group min,
+        # so a_id < b_id holds by construction). One shuffle on the
+        # 16-long signature key; min() is algebraic, so a 10^6-member
+        # cluster combines map-side and never concentrates in one task.
+        star = (
+            signatures.join(grp, "signature")
+            .filter(F.col("_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("a_id"), F.col("_id").alias("b_id"))
+        )
+        rep_sigs = grp.select(F.col("_rep").alias("_id"), "signature")
+        band_rows = _band_rows(rep_sigs, bands, rows_per_band)
+    else:
+        star = None
+        band_rows = _band_rows(signatures, bands, rows_per_band)
+
+    if neighbor_chain is not None:
+        if neighbor_chain < 1:
+            raise ValueError("neighbor_chain must be >= 1")
+        w = (
+            Window.partitionBy("band", "band_key").orderBy("_id")
+        )
+        succ = F.array(
+            *[F.lead("_id", j).over(w) for j in range(1, neighbor_chain + 1)]
+        )
+        # window exprs must resolve in their own projection before the
+        # explode (a Generate operator can't host window functions)
+        with_succ = band_rows.select(
+            F.col("_id").alias("a_id"), succ.alias("_succ")
+        )
+        pairs = (
+            with_succ.select(
+                "a_id",
+                F.explode(
+                    F.filter(F.col("_succ"), lambda x: x.isNotNull())
+                ).alias("b_id"),
+            )
+            .distinct()
+        )
+    else:
+        a = band_rows.select(F.col("_id").alias("a_id"), "band", "band_key")
+        b = band_rows.select(F.col("_id").alias("b_id"), "band", "band_key")
+        pairs = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+    if star is None:
+        return pairs
+    # star and rep-level pairs are disjoint (a star edge pairs a rep
+    # with a non-rep; rep pairs pair two reps), so a plain union —
+    # no cross-set distinct shuffle.
+    return pairs.unionByName(star)
 
 
 def minhash_jaccard_estimate(
@@ -337,6 +421,7 @@ def simhash_pairs(
     pkey: str,
     bits: int = 20,
     max_hamming: int = 3,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming — EXACT, banded.
 
@@ -348,6 +433,16 @@ def simhash_pairs(
     set as the n² compare, but the shuffle is a hash join on band keys —
     the 100-TB shape. Candidate fan-out is bounded by per-band bucket
     sizes (2^(bits/(max_hamming+1)) buckets per band).
+
+    ``collapse_identical`` (default ON) bounds the within-bucket blowup
+    of duplicate clusters exactly as in ``minhash_lsh_candidates``:
+    docs with IDENTICAL fingerprints collapse to one representative
+    (min id) before banding; members attach via star edges at
+    hamming = 0 (always <= max_hamming), and cross-group pairs keep
+    their exact hamming because hamming(x, y) = hamming(rep(x), rep(y))
+    when fingerprints are equal within groups. Drop-the-larger-id and
+    closure consumers see identical results; a 10^6-page identical
+    cluster costs n-1 edges instead of ~n^2/2.
     """
     n_bands = max_hamming + 1
     # Materialize the (id, fingerprint) frame ONCE: the simhash is an
@@ -359,6 +454,19 @@ def simhash_pairs(
     sh = df.select(
         F.col(pkey).alias("_id"), simhash_expr(F.col(text_col), bits).alias("_sh")
     ).localCheckpoint(eager=False)
+    star = None
+    if collapse_identical:
+        grp = sh.groupBy("_sh").agg(F.min("_id").alias("_rep"))
+        star = (
+            sh.join(grp, "_sh")
+            .filter(F.col("_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("a_id"),
+                F.col("_id").alias("b_id"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        sh = grp.select(F.col("_rep").alias("_id"), "_sh")
     base_w, rem = divmod(bits, n_bands)
     band_exprs = []
     lo = 0
@@ -403,7 +511,7 @@ def simhash_pairs(
         for j in range(1, i):
             no_earlier = no_earlier & ~_agree(j)
         first_band = first_band.when(F.col("_band") == i, no_earlier)
-    return (
+    pairs = (
         a.join(b, ["_band", "_bval"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(first_band.otherwise(F.lit(False)))
@@ -414,6 +522,11 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if star is None:
+        return pairs
+    # disjoint sets (star pairs a rep with a member; band pairs pair
+    # two reps) — plain union, no extra distinct.
+    return pairs.unionByName(star)
 
 
 #: cosine_neardup_pairs refuses inputs above this many rows unless the

@@ -95,7 +95,10 @@ def test_simhash_banded_equals_bruteforce(spark):
     df = _df(spark)
     banded = {
         (r["a_id"], r["b_id"], r["hamming"])
-        for r in simhash_pairs(df, "text", "doc_id", bits=20, max_hamming=3).collect()
+        for r in simhash_pairs(
+            df, "text", "doc_id", bits=20, max_hamming=3,
+            collapse_identical=False,
+        ).collect()
     }
     sh = df.select(
         F.col("doc_id").alias("_id"), simhash_expr(F.col("text"), 20).alias("_sh")
@@ -128,7 +131,10 @@ def test_simhash_pairs_one_row_per_pair(spark):
         (4, "completely different text about spark shuffles"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = simhash_pairs(df, "text", "doc_id", bits=20, max_hamming=20)
+    out = simhash_pairs(
+        df, "text", "doc_id", bits=20, max_hamming=20,
+        collapse_identical=False,
+    )
     got = [(r["a_id"], r["b_id"]) for r in out.collect()]
     assert len(got) == len(set(got)), f"duplicate pair rows: {sorted(got)}"
     # max_hamming=20 admits every pair, each exactly once

@@ -58,7 +58,12 @@ def _batch_pipeline_cross_pairs(corpus, batch):
     re-keyed as (batch_id, corpus_id, est_jaccard)."""
     both = corpus.unionByName(batch)
     sigs = minhash_signatures(both, "text", "doc_id", num_hashes=16, k=3)
-    pairs = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    # uncapped: this helper reconstructs the batch<->corpus CROSS-pair
+    # ground truth the index probe must match; the duplicate-cluster
+    # collapse would reroute member pairs through group representatives
+    pairs = minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=4, collapse_identical=False
+    )
     est = minhash_jaccard_estimate(sigs, pairs, num_hashes=16)
     batch_ids = {r[0] for r in batch.select("doc_id").collect()}
     out = set()

@@ -59,44 +59,43 @@ class TestRegistryConsistency:
     # in the comment block silently dropped fts_search_topk out of the
     # r9 gate; a mis-rotation must fail here, in pytest, not at the
     # driver).
-    R12_WINDOW = [
-        # positions 1-2: NEW in r12 (curation->job->search seam gate +
-        # the multilingual analyzer gate) — first driver rows
-        "curate_job_search_e2e", "fts_multilang_stemmed",
-        # positions 3-4: freshest driver row is r9 (yielded their
-        # slots in r11) — oldest evidence leads
-        "hybrid_rrf_indexed", "search_tokens",
-        # positions 5-50: freshest driver row is r10 — the r11
-        # rotated-out set returns minus the four deferred names
-        # (sample_exact, c4_flags, multimodal_meta, vocabulary_topk —
-        # wait for r13 on this session's check_oracle evidence)
-        "fts_search_topk", "dedup_semantic_cluster", "hard_negatives",
-        "fts_stemmed", "simhash_neardup_pairs", "dedup_embedding_cosine",
-        "ann_ivf_topk", "ann_signbit_lsh_topk", "dup_span_stats",
-        "gopher_flags", "corpus_mix", "unigram_logprob",
-        "events_windowed_agg", "sessionize_events", "asof_join_events",
-        "asof_join_bucketed", "attribution_window_join", "quality_score",
-        "repetition_score", "pii_scrub", "mp4_frame_extract",
-        "dsir_weights", "paragraph_dedup", "change_detection",
-        "append_method_scan", "quantized_search_topk", "maxsim_search_topk",
-        "pq_adc_search", "pq_rerank_search", "fts_bm25",
-        "hybrid_bm25", "fts_cover_density", "semantic_search_indexed",
-        "neardup_index_probe", "neardup_probe_local", "dedup_minhash_lsh",
-        "minhash_signatures", "cdf_apply", "incremental_scan_events",
-        "fts_search_overlay", "sequence_pack", "pack_manifest",
-        "line_dedup", "bpe_token_count", "sample_weighted",
-        "perplexity_buckets",
+    R13_WINDOW = [
+        # positions 1-4: the four names deferred from the r12 window
+        # (freshest driver row r10) — the 3-round policy says they
+        # MUST lead r13
+        "sample_exact", "c4_flags", "multimodal_meta", "vocabulary_topk",
+        # positions 5-50: freshest driver row is r11 — the r12
+        # rotated-out set returns minus four names deferred to r14
+        # (dedup_simhash, frame_sample, embedding_truncate,
+        # batch_texts — carried on this session's check_oracle run)
+        "corpus_to_shards", "tokenizer_fertility", "json_rows",
+        "collect_changed_ids", "hash_split", "token_count",
+        "doc_fingerprint", "lang_id", "minhash_jaccard_estimate",
+        "view_join", "dedup_exact", "record_fetch_by_ids",
+        "embed_documents", "embedding_pool", "chunked_embed_pool",
+        "knn_join", "multimodal_decode", "bigram_logprob",
+        "dedup_ngram_jaccard", "embedding_quantize", "corpus_stats",
+        "domain_cap", "quality_filter", "inverted_index",
+        "decontaminate", "ann_multiprobe_lsh_topk", "text_normalize",
+        "orders_rollup", "multimodal_pipeline", "dedup_survivors",
+        "source_divergence", "dedup_transitive", "token_budget_batches",
+        "chunk_table", "where_sql_filter", "typed_filters_part",
+        "hard_negatives_indexed", "mp3_metadata",
+        "semantic_decontaminate", "semantic_search_topk",
+        "semantic_search_filtered", "hybrid_rrf_search",
+        "hybrid_weighted", "orphan_cleanup", "job_hybrid_e2e",
+        "fts_search_indexed",
     ]
 
-    def test_r12_window_names(self):
+    def test_r13_window_names(self):
         names = list(entry.queries())[:50]
-        assert len(self.R12_WINDOW) == 50, (
-            f"intended window lists {len(self.R12_WINDOW)} names, not 50"
+        assert len(self.R13_WINDOW) == 50, (
+            f"intended window lists {len(self.R13_WINDOW)} names, not 50"
         )
-        assert names == self.R12_WINDOW, (
+        assert names == self.R13_WINDOW, (
             "first-50 registry window drifted from the intended "
             f"rotation; first divergence at position "
-            f"{next(i for i, (a, b) in enumerate(zip(names, self.R12_WINDOW)) if a != b) + 1}"
+            f"{next(i for i, (a, b) in enumerate(zip(names, self.R13_WINDOW)) if a != b) + 1}"
         )
 
     def test_oracles_are_nonempty_sql(self):
@@ -128,17 +127,17 @@ class TestRegistryConsistency:
         assert "bench_names = list(qs)" in src
 
 
-class TestR13Handoff:
+class TestR14Handoff:
     def test_deferred_names_lead_the_tail(self):
-        """The four r10-evidence names deferred from the r12 window
+        """The four r11-evidence names deferred from the r13 window
         (COVERAGE.md rotation record) must sit at positions 51-54 so
-        the r13 rotation picks them FIRST — silently burying them in
+        the r14 rotation picks them FIRST — silently burying them in
         the tail would let their driver evidence exceed the 3-round
         policy."""
         names = list(entry.queries())
         assert names[50:54] == [
-            "sample_exact",
-            "c4_flags",
-            "multimodal_meta",
-            "vocabulary_topk",
+            "dedup_simhash",
+            "frame_sample",
+            "embedding_truncate",
+            "batch_texts",
         ]
