@@ -2351,6 +2351,231 @@ def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: non-Latin dope rows for the r13 Unicode gates (VERDICT r12 #3): the
+#: parquet fixtures are 100% ASCII (their "zh" rows are romanized
+#: pinyin), so real Han/kana/Hangul/Cyrillic coverage is injected as
+#:  literal rows UNIONed into the gate expression on BOTH engines —
+#: the same doping trick as _C4_LINED. No single quotes in the texts
+#: (they embed directly into the oracle's VALUES list).
+_UNICODE_DOPE_ROWS: list[tuple[int, str]] = [
+    (90000001, "机器学习模型训练需要大量的数据"),
+    (90000002, "Spark 处理大规模数据 very fast"),
+    (90000003, "データ処理パイプラインの構築"),
+    (90000004, "한국어 형태소 분석 시스템"),
+    (90000005, "Обработка больших данных в распределенных системах"),
+    (90000006, "été à Paris déjà vu naïve café"),
+    (90000007, "GPU加速 deep learning 训练"),
+    (90000008, "mixed язык text with русский and english words"),
+    (90000009, "the quick brown foxes running over windows"),
+    (90000010, "las luces de las ciudades grandes brillan"),
+    (90000011, "les maisons et les journaux des villes rapidement"),
+]
+
+
+def _unicode_dope_sql() -> str:
+    values = ", ".join(
+        f"({i}, '{t}')" for i, t in _UNICODE_DOPE_ROWS
+    )
+    return f"(VALUES {values}) AS dope(doc_id, text)"
+
+
+def _oracle_fts_multilang_indexed() -> str:
+    """Full-scan ranking over the multilang token table (fixture +
+    dope rows) for the two fixed probe queries — the lossless-probe
+    oracle of q_fts_multilang_indexed."""
+    from pg_vectorize_spark.operators.search import analyze_query_for
+
+    terms_es = analyze_query_for(_ML_IDX_QUERY_ES, "multilang")
+    terms_zh = analyze_query_for(_ML_IDX_QUERY_ZH, "multilang")
+    whens = " ".join(
+        f"WHEN detected_lang = '{lng}' THEN "
+        f"{O.sql_unicode_tokens('text', True, lng)}"
+        for lng in T.STEMMED_LANGS
+    )
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_unicode_dope_sql()}
+),
+l AS MATERIALIZED (
+  SELECT doc_id, text, {O.sql_lang_id('text')} AS detected_lang FROM u
+),
+t AS MATERIALIZED (
+  SELECT doc_id,
+         CASE {whens} ELSE {O.sql_unicode_tokens('text', False)} END AS toks
+  FROM l
+),
+es AS (
+  SELECT 'es' AS branch, doc_id,
+         {O.sql_fts_score('toks', terms_es)} AS fts_score
+  FROM t WHERE {O.sql_fts_match('toks', terms_es)}
+  ORDER BY fts_score DESC, doc_id ASC LIMIT 5
+),
+zh AS (
+  SELECT 'zh' AS branch, doc_id,
+         {O.sql_fts_score('toks', terms_zh)} AS fts_score
+  FROM t WHERE {O.sql_fts_match('toks', terms_zh)}
+  ORDER BY fts_score DESC, doc_id ASC LIMIT 5
+)
+SELECT branch, doc_id, fts_score FROM es
+UNION ALL
+SELECT branch, doc_id, fts_score FROM zh
+"""
+
+
+def q_unicode_multiscript_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/CJK analyzer gate (r13 — VERDICT r12 #3): the multilang
+    analyzer over the fixture corpus PLUS real Han/kana/Hangul/Cyrillic
+    dope rows. The \\p{L}\\p{N} token split + CJK character-bigram
+    fallback (functions/text.unicode_tokens_expr) means non-Latin rows
+    produce real token arrays — under the r12 [a-z0-9] analyzer every
+    doped row came back EMPTY, which is exactly the silent corpus drop
+    this gate pins against. Script-first lang-id (zh/ja/ko/ru by
+    codepoint range) dispatches; stem rules stay [a-z]-anchored so
+    Latin stemming is unchanged and non-Latin tokens pass through."""
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doped = spark.createDataFrame(
+        _UNICODE_DOPE_ROWS, "doc_id long, text string"
+    )
+    allr = ensure_min_partitions(docs.unionByName(doped))
+    lang = T.lang_id_expr(F.col("text"))
+    toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+    return allr.select(
+        "doc_id",
+        lang.alias("detected_lang"),
+        F.array_join(F.array_sort(toks), " ").alias("search_tokens"),
+        F.size(toks).alias("n_terms"),
+    )
+
+
+#: fixed queries for the multilang POSTINGS-INDEX gate: one per-language
+#: stemmed path (es) and one CJK-bigram path (zh) through the SAME
+#: term space — terms are analyzed once at import so the oracle embeds
+#: the identical literals
+_ML_IDX_QUERY_ES = "las luces de la ciudad"
+_ML_IDX_QUERY_ZH = "机器学习模型"
+
+
+def _fts_multilang_gate_index(spark: SparkSession, sf_dir: str):
+    """Persisted postings index built from MULTILANG tokens over the
+    fixture corpus + the non-Latin dope rows — same scratch-dir +
+    source-fingerprint reuse pattern as _fts_gate_index."""
+    import os
+    import tempfile
+
+    from pg_vectorize_spark.fts_index import JobFtsIndexManager
+
+    sfname = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"pvs_gate_fts_ml_index_{sfname}"
+    )
+    index_cfg = {"term_buckets": 64}
+    mgr = JobFtsIndexManager(spark, idx_dir, index_cfg)
+    fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp += repr(sorted(index_cfg.items())) + repr(_UNICODE_DOPE_ROWS)
+    fp += "|multilang@2"
+    fp_path = os.path.join(idx_dir, "_SOURCE_FP")
+    fresh = False
+    try:
+        with open(fp_path) as fh:
+            fresh = fh.read() == fp and mgr.exists()
+    except OSError:
+        pass
+    if not fresh:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        doped = spark.createDataFrame(
+            _UNICODE_DOPE_ROWS, "doc_id long, text string"
+        )
+        allr = docs.unionByName(doped)
+        mgr.build(
+            allr.select(
+                "doc_id",
+                T.multilang_tokens_expr(F.col("text")).alias(
+                    "search_tokens"
+                ),
+            ),
+            "doc_id",
+        )
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+    return mgr
+
+
+def q_fts_multilang_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilang analyzer AT THE POSTINGS INDEX (r13 — VERDICT r12 #6):
+    the per-language stems and CJK bigrams live in ONE term space, so
+    the term-bucketed probe must serve them exactly like the inline
+    scan. Two branches through the SAME persisted index: a Spanish
+    query (detected es -> es-stemmed terms probe es-stemmed postings)
+    and a Han query (detected zh -> character-bigram terms probe bigram
+    postings). The probe is lossless by construction, so the ORACLE is
+    the full-scan ranking over the same multilang token table."""
+    from pg_vectorize_spark.operators.search import analyze_query_for
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doped = spark.createDataFrame(
+        _UNICODE_DOPE_ROWS, "doc_id long, text string"
+    )
+    base = docs.unionByName(doped).select("doc_id")
+    mgr = _fts_multilang_gate_index(spark, sf_dir)
+    out = []
+    for branch, query in (
+        ("es", _ML_IDX_QUERY_ES),
+        ("zh", _ML_IDX_QUERY_ZH),
+    ):
+        res = full_text_search(
+            base,
+            "doc_id",
+            query,
+            text_cols=["text"],
+            num_results=5,
+            analyzer="multilang",
+            fts_scored_df=mgr.probe_scores(
+                analyze_query_for(query, "multilang")
+            ),
+        )
+        out.append(res.select(F.lit(branch).alias("branch"), "doc_id", "fts_score"))
+    return out[0].unionByName(out[1])
+
+
+def q_unicode_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode word metrics gate (r13): Gopher-style word-based quality
+    signals computed with the \\p{L}\\p{N} word class
+    (gopher_flags_exprs(unicode=True)) over fixture + doped non-Latin
+    rows — word counts, mean word length, and the letter-bearing-word
+    ratio read REAL nonzero values on Han/Cyrillic text (the r12
+    [a-z0-9] class read 0 words, so every word-count rule
+    vacuous-failed on non-Latin corpora). The Gopher stop-word rule is
+    English by the paper's definition and intentionally keeps reading 0
+    on non-English rows."""
+    from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    doped = spark.createDataFrame(
+        _UNICODE_DOPE_ROWS, "doc_id long, text string"
+    )
+    allr = ensure_min_partitions(docs.unionByName(doped))
+    words = T.unicode_raw_words_expr(F.col("text"))
+    flags = T.gopher_flags_exprs(F.col("text"), unicode=True)
+    return allr.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(
+            F.filter(words, lambda w: w.rlike(r"\p{L}"))
+        ).alias("n_alpha_words"),
+        flags["ok_word_count"].alias("ok_word_count"),
+        flags["ok_mean_word_len"].alias("ok_mean_word_len"),
+        flags["ok_alpha_words"].alias("ok_alpha_words"),
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GIN-index analog (SURVEY §4): term -> document-frequency +
     sorted posting list, built by explode + groupBy."""
@@ -2573,10 +2798,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_flags": q_c4_flags,
     "multimodal_meta": q_multimodal_meta,
     "vocabulary_topk": q_vocabulary_topk,
-    # --- positions 5-50: freshest driver row is r11 (the r12
-    # rotated-out set returns, minus four names deferred to r14 —
-    # the window is oversubscribed by the four r12-deferred leads —
-    # carried on this session's full check_oracle run) ---
+    # --- positions 5-6: NEW in r13 (Unicode/CJK analyzer + unicode
+    # word metrics over doped non-Latin rows) — no driver row yet,
+    # take window slots ahead of everything with existing evidence ---
+    "unicode_multiscript_tokens": q_unicode_multiscript_tokens,
+    "unicode_word_stats": q_unicode_word_stats,
+    "fts_multilang_indexed": q_fts_multilang_indexed,
+    # --- positions 8-50: freshest driver row is r11 (the r12
+    # rotated-out set returns, minus the names deferred to r14 —
+    # the window is oversubscribed by the four r12-deferred leads
+    # plus the new r13 gates — carried on this session's full
+    # check_oracle run) ---
     "corpus_to_shards": q_corpus_to_shards,
     "tokenizer_fertility": q_tokenizer_fertility,
     "json_rows": q_json_rows,
@@ -2620,19 +2852,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_filtered": q_semantic_search_filtered,
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "hybrid_weighted": q_hybrid_weighted,
-    "orphan_cleanup": q_orphan_cleanup,
-    "job_hybrid_e2e": q_job_hybrid_e2e,
-    "fts_search_indexed": q_fts_search_indexed,
-    # --- positions 51-54: the four r11-evidence names deferred to
-    # r14 (least load-bearing of their families: simhash covered by
+    # --- positions 51+: the r11-evidence names deferred to r14 —
+    # four least load-bearing of their families (simhash covered by
     # simhash_neardup_pairs r12 row, frame sampling by
     # multimodal_decode/multimodal_pipeline/mp4_frame_extract,
     # truncation by embedding_quantize + the PQ gates, count batching
-    # by token_budget_batches) — they lead the r14 window ---
+    # by token_budget_batches) plus the names displaced by the new
+    # r13 gates (job_hybrid_e2e, fts_search_indexed — both covered by
+    # this session's check_oracle run) — they lead the r14 window ---
     "dedup_simhash": q_dedup_simhash,
     "frame_sample": q_frame_sample,
     "embedding_truncate": q_embedding_truncate,
     "batch_texts": q_batch_texts,
+    "job_hybrid_e2e": q_job_hybrid_e2e,
+    "fts_search_indexed": q_fts_search_indexed,
+    "orphan_cleanup": q_orphan_cleanup,
     # --- tail: r12 driver rows (CORRECTNESS_r12.json, 50/50 green) —
     # the freshest evidence, so they sit out the r13 window ---
     "curate_job_search_e2e": q_curate_job_search_e2e,
@@ -5017,8 +5251,8 @@ WITH l AS MATERIALIZED (
 t AS (
   SELECT doc_id, detected_lang,
          CASE
-           {' '.join(f"WHEN detected_lang = '{lng}' THEN {O.sql_tokens('text', True, lng)}" for lng in T.STEMMED_LANGS)}
-           ELSE {O.sql_tokens('text', False)}
+           {' '.join(f"WHEN detected_lang = '{lng}' THEN {O.sql_unicode_tokens('text', True, lng)}" for lng in T.STEMMED_LANGS)}
+           ELSE {O.sql_unicode_tokens('text', False)}
          END AS toks
   FROM l
 )
@@ -5026,6 +5260,50 @@ SELECT doc_id, detected_lang,
        array_to_string(list_sort(toks), ' ') AS search_tokens,
        len(toks)::INT AS n_terms
 FROM t
+""",
+    # r13 Unicode gates: fixture corpus + the doped non-Latin rows,
+    # same CASE generation as fts_multilang_stemmed but over the
+    # unicode analyzer (sql_unicode_tokens)
+    "unicode_multiscript_tokens": f"""
+WITH u AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_unicode_dope_sql()}
+),
+l AS MATERIALIZED (
+  SELECT doc_id, text, {O.sql_lang_id('text')} AS detected_lang FROM u
+),
+t AS (
+  SELECT doc_id, detected_lang,
+         CASE
+           {' '.join(f"WHEN detected_lang = '{lng}' THEN {O.sql_unicode_tokens('text', True, lng)}" for lng in T.STEMMED_LANGS)}
+           ELSE {O.sql_unicode_tokens('text', False)}
+         END AS toks
+  FROM l
+)
+SELECT doc_id, detected_lang,
+       array_to_string(list_sort(toks), ' ') AS search_tokens,
+       len(toks)::INT AS n_terms
+FROM t
+""",
+    # multilang postings-index gate: the oracle is the FULL-SCAN
+    # ranking over the same multilang token table (probe lossless);
+    # terms are the import-time _analyze results embedded as literals
+    "fts_multilang_indexed": _oracle_fts_multilang_indexed(),
+    "unicode_word_stats": f"""
+WITH u AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id, text FROM {_unicode_dope_sql()}
+)
+SELECT doc_id,
+       len({O.sql_unicode_words('text')})::INT AS n_words,
+       len(list_filter({O.sql_unicode_words('text')},
+           w -> regexp_matches(w, '\\p{{L}}')))::INT AS n_alpha_words,
+       {O.sql_gopher_flags('text', unicode=True)['ok_word_count']} AS ok_word_count,
+       {O.sql_gopher_flags('text', unicode=True)['ok_mean_word_len']} AS ok_mean_word_len,
+       {O.sql_gopher_flags('text', unicode=True)['ok_alpha_words']} AS ok_alpha_words
+FROM u
 """,
     "inverted_index": f"""
 WITH tok AS MATERIALIZED (

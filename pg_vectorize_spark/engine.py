@@ -135,6 +135,9 @@ class VectorizeSession:
         #: the configuration an incremental 100-TB deployment runs with;
         #: None keeps the single-snapshot layout (existing workspaces)
         self.storage_buckets = storage_buckets
+        #: per-job validated analyzer stamps (ADVICE r12) — avoids a
+        #: stamp-file read per search; invalidated on delete_job
+        self._stamp_ok: dict[str, str] = {}
 
     # ------------------------------------------------------------------ io
 
@@ -295,6 +298,7 @@ class VectorizeSession:
         capture serves both the update rewrite's old terms and the
         delete's bucket hint. Delete keys must be disjoint from
         ``tokens_df``'s keys (the CDF version-dedup guarantees it)."""
+        self._write_analyzer_stamp(job)
         pkey = job.primary_key
         tok_ds = self._tok_ds(job.job_name)
         mgr = self._fts_mgr(job)
@@ -459,6 +463,73 @@ class VectorizeSession:
             .select(pkey, "search_tokens")
             .localCheckpoint()
         )
+
+    # ------------------------------------------------ analyzer stamping
+
+    def _analyzer_stamp_path(self, job_name: str) -> str:
+        return os.path.join(
+            self._job_dir(job_name, "search_tokens"), "_ANALYZER"
+        )
+
+    def _expected_analyzer_stamp(self, job: JobRecord) -> str:
+        from pg_vectorize_spark.operators.search import (
+            ANALYZER_SPEC_VERSIONS,
+        )
+
+        analyzer = self._job_analyzer(job)
+        return f"{analyzer}@{ANALYZER_SPEC_VERSIONS[analyzer]}"
+
+    def _write_analyzer_stamp(self, job: JobRecord) -> None:
+        """Stamp the analyzer name + spec version into the token
+        snapshot dir at build time (ADVICE r12). Raises BEFORE a merge
+        would mix two analyzers' tokens in one snapshot."""
+        path = self._analyzer_stamp_path(job.job_name)
+        expected = self._expected_analyzer_stamp(job)
+        if os.path.exists(path):
+            with open(path) as fh:
+                current = fh.read().strip()
+            if current != expected:
+                raise VectorizeError(
+                    f"job {job.job_name!r}: token snapshot was built "
+                    f"under analyzer spec {current!r} but the job now "
+                    f"analyzes under {expected!r} — refusing to merge "
+                    "mixed-analyzer tokens. Re-ingest (delete_job + "
+                    "create_job, or drop the fts_params analyzer key "
+                    "back to the stamped one)."
+                )
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(expected)
+
+    def _check_analyzer_stamp(self, job: JobRecord) -> None:
+        """Query-time guard (ADVICE r12): the stored token snapshot /
+        postings must have been built under the job's CURRENT analyzer
+        spec. A pre-stamping snapshot (no _ANALYZER file) is legacy
+        'english@1' — fine for english jobs, a loud VectorizeError for
+        anything else (pre-r12 catalogs silently ignored the fts_params
+        analyzer key; pre-r13 'multilang' snapshots predate the
+        Unicode spec bump). Validated stamps are cached per job."""
+        expected = self._expected_analyzer_stamp(job)
+        if self._stamp_ok.get(job.job_name) == expected:
+            return
+        if not self._tok_ds(job.job_name).exists():
+            return  # nothing stored yet — inline analysis only
+        path = self._analyzer_stamp_path(job.job_name)
+        if os.path.exists(path):
+            with open(path) as fh:
+                current = fh.read().strip()
+        else:
+            current = "english@1"  # pre-stamping snapshots were english
+        if current != expected:
+            raise VectorizeError(
+                f"job {job.job_name!r}: stored search tokens were built "
+                f"under analyzer spec {current!r}; the job now analyzes "
+                f"under {expected!r}. Queries would silently lose "
+                "recall — re-ingest (delete_job + create_job) to "
+                "rebuild the token snapshot and postings index."
+            )
+        self._stamp_ok[job.job_name] = expected
 
     @staticmethod
     def _job_analyzer(job: JobRecord) -> str:
@@ -1389,6 +1460,7 @@ class VectorizeSession:
         would escape the workspace (validate.py invariant).
         """
         check_input(job_name)
+        self._stamp_ok.pop(job_name, None)
         self._emb_ds(job_name).drop()
         self._tok_ds(job_name).drop()
         import shutil
@@ -1723,6 +1795,7 @@ class VectorizeSession:
         matched documents (BM25's corpus stats stay global)."""
         job = self.catalog.get(job_name)
         self._check_rank_analyzer(job, rank)
+        self._check_analyzer_stamp(job)
         tokens_df = (
             self._tok_ds(job_name).read()
             if self._tok_ds(job_name).exists()
@@ -1777,6 +1850,7 @@ class VectorizeSession:
         live near 1/rrf_k)."""
         job = self.catalog.get(job_name)
         self._check_rank_analyzer(job, rank)
+        self._check_analyzer_stamp(job)
         if not self._emb_ds(job_name).exists():
             raise VectorizeError(f"job {job_name} has no embeddings yet")
         qv = self._query_vec(job, query, api_key)

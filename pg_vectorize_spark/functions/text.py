@@ -157,9 +157,22 @@ STOP_WORDS_BY_LANG: dict[str, list[str]] = {
 STEMMED_LANGS = tuple(sorted(LIGHT_STEM_RULES_BY_LANG))
 
 
+def _check_stem_lang(lang: str) -> None:
+    """ADVICE r12: a lang code without a rule set must fail with the
+    valid codes named (mirroring search._check_analyzer), not an opaque
+    dict KeyError — new call sites won't all guard via STEMMED_LANGS."""
+    if lang not in LIGHT_STEM_RULES_BY_LANG:
+        raise ValueError(
+            f"no light-stem rule set for lang {lang!r} (valid: "
+            f"{STEMMED_LANGS}); rule-set-less languages take the "
+            "unstemmed analyzer path"
+        )
+
+
 def light_stem(token: str, lang: str = "en") -> str:
     """Python form of the light stemmer (must match stem_token_expr /
     oracle.sql_stem rule for rule)."""
+    _check_stem_lang(lang)
     for pat, repl in LIGHT_STEM_RULES_BY_LANG[lang]:
         token = _re.sub(pat, repl, token)
     return token
@@ -189,6 +202,7 @@ def _java_stem_rules(lang: str) -> list[tuple[str, str]]:
     backrefs, so only the replacement syntax converts (\\1 -> $1)."""
     if lang == "en":
         return _JAVA_STEM_RULES
+    _check_stem_lang(lang)
     return [
         (pat, repl.replace("\\1", "$1"))
         for pat, repl in LIGHT_STEM_RULES_BY_LANG[lang]
@@ -219,6 +233,8 @@ def tokens_expr(text: Column, stem: bool = True, lang: str = "en") -> Column:
     ``lang`` selects the rule set AND stop-word list (r12 multilingual
     extension — the reference hardcodes 'english', core/src/query.rs:233,
     so 'en' stays the default everywhere)."""
+    if stem:
+        _check_stem_lang(lang)
     raw = F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+")
     nonempty = F.filter(raw, lambda t: t != "")
     stops = STOP_WORDS_BY_LANG[lang] if stem else STOP_WORDS
@@ -228,19 +244,156 @@ def tokens_expr(text: Column, stem: bool = True, lang: str = "en") -> Column:
     return F.array_distinct(kept)
 
 
+# --- Unicode / CJK tokenization (r13 — VERDICT r12 "What's missing #2") ---
+#
+# The default analyzer's [^a-z0-9]+ split mirrors the reference's
+# to_tsvector('english') contract and stays UNCHANGED; the gap it leaves
+# — any non-Latin script tokenizes to an EMPTY array, so FTS never
+# matches and word-based metrics read zero — is closed on the multilang
+# path below. Three-engine parity discipline, as with the stemmer spec:
+# only constructs with identical semantics in Java regex (Spark), RE2
+# (DuckDB), and Python re. \p{L}/\p{N} exist in Java and RE2; Python re
+# lacks them, so the Python mirror splits on [\W_]+ (\w == letters +
+# digits + underscore there; the explicit _ removal aligns the classes).
+# Script detection uses EXPLICIT codepoint ranges, never \p{IsHan}-style
+# script names (Java-only syntax).
+
+#: token split for the Java (Spark) and RE2 (DuckDB) engines
+UNICODE_SPLIT = r"[^\p{L}\p{N}]+"
+#: Python-re mirror of UNICODE_SPLIT
+UNICODE_SPLIT_PY = r"[\W_]+"
+
+#: Han (CJK Unified + Extension A) — no word boundaries
+HAN_RANGES = "一-鿿㐀-䶿"
+#: Hiragana + Katakana (incl. prolonged-sound mark)
+KANA_RANGES = "぀-ヿ"
+#: Hangul syllables
+HANGUL_RANGES = "가-힯"
+#: Cyrillic
+CYRILLIC_RANGES = "Ѐ-ӿ"
+#: scripts WITHOUT word boundaries -> character-bigram fallback
+CJK_RANGES = HAN_RANGES + KANA_RANGES + HANGUL_RANGES
+_CJK_CLASS = f"[{CJK_RANGES}]"
+_CJK_RE = _re.compile(_CJK_CLASS)
+
+
+def unicode_raw_words_expr(text: Column) -> Column:
+    """Non-empty lowercase Unicode word tokens (no stop/stem/bigram) —
+    the \\p{L}\\p{N} analog of ``raw_words_expr``. ``lower`` is
+    Unicode-aware in all three engines (simple case mapping)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), UNICODE_SPLIT),
+        lambda x: x != "",
+    )
+
+
+def cjk_bigram_expand_expr(words: Column) -> Column:
+    """Character-bigram fallback for scripts without word boundaries:
+    a token containing ANY CJK character (Han/kana/Hangul) is replaced
+    by its overlapping character bigrams (the whole token, so a mixed
+    token like 'gpu加速' contributes 'gp','pu','u加','加速' — one spec,
+    no per-script carve-outs); a single-char token stays itself; all
+    other tokens pass through. Order preserved; duplicates kept (the
+    token pipeline dedupes downstream, same as the ASCII analyzer)."""
+
+    def _bigrams(w: Column) -> Column:
+        n = F.length(w)
+        return F.when(n <= 1, F.array(w)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: w.substr(i, F.lit(2)),
+            )
+        )
+
+    return F.flatten(
+        F.transform(
+            words,
+            lambda w: F.when(
+                w.rlike(_CJK_CLASS), _bigrams(w)
+            ).otherwise(F.array(w)),
+        )
+    )
+
+
+def unicode_tokens_expr(
+    text: Column, stem: bool = True, lang: str = "en"
+) -> Column:
+    """Unicode analyzer: lower -> \\p{L}\\p{N} tokenize -> CJK bigram
+    expand -> stop-words -> stem -> distinct. Same stage order as
+    ``tokens_expr`` (array_except dedupes before the stem transform,
+    array_distinct after). The stop lists are ASCII and the stem rules
+    are [a-z]-anchored, so both are no-ops on non-Latin tokens by
+    construction — a Cyrillic token passes through unstemmed, a CJK
+    bigram is never stop-worded."""
+    if stem:
+        _check_stem_lang(lang)
+    kept0 = cjk_bigram_expand_expr(unicode_raw_words_expr(text))
+    stops = STOP_WORDS_BY_LANG[lang] if stem else STOP_WORDS
+    kept = F.array_except(kept0, F.array(*[F.lit(w) for w in stops]))
+    if stem:
+        kept = F.transform(kept, lambda t: stem_token_expr(t, lang))
+    return F.array_distinct(kept)
+
+
+def py_unicode_tokens(
+    query: str | None, stem: bool = True, lang: str = "en"
+) -> list[str]:
+    """Driver-side mirror of ``unicode_tokens_expr`` (must match row for
+    row) — the multilang QUERY analyzer runs this so a Han query
+    produces the same character bigrams its documents were indexed
+    under."""
+    if stem:
+        _check_stem_lang(lang)
+    toks = [
+        t
+        for t in _re.split(UNICODE_SPLIT_PY, (query or "").lower())
+        if t
+    ]
+    expanded: list[str] = []
+    for w in toks:
+        if _CJK_RE.search(w) and len(w) > 1:
+            expanded.extend(w[i : i + 2] for i in range(len(w) - 1))
+        else:
+            expanded.append(w)
+    stops = set(STOP_WORDS_BY_LANG[lang] if stem else STOP_WORDS)
+    deduped: list[str] = []
+    seen: set[str] = set()
+    for t in expanded:
+        if t not in stops and t not in seen:
+            seen.add(t)
+            deduped.append(t)
+    if stem:
+        deduped = [light_stem(t, lang) for t in deduped]
+    out: list[str] = []
+    seen2: set[str] = set()
+    for t in deduped:
+        if t not in seen2:
+            seen2.add(t)
+            out.append(t)
+    return out
+
+
 def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
     """Per-row language-dispatched analyzer (r12 — an LLM-data pipeline
     searching a multilingual corpus must not run English suffix rules on
     Spanish text): ``lang_id_expr`` picks the rule set + stop-word list;
-    languages WITHOUT a rule set (zh/unknown) take the unstemmed
-    'simple' analyzer — no stemming beats wrong stemming. Pass ``lang``
-    to reuse an already-computed language column."""
+    languages WITHOUT a rule set (zh/ja/ko/ru/unknown) take the
+    unstemmed path — no stemming beats wrong stemming. Pass ``lang``
+    to reuse an already-computed language column.
+
+    r13: the base tokenizer is the UNICODE analyzer (``\\p{L}\\p{N}``
+    split + CJK character-bigram fallback) — identical output on ASCII
+    text (the [a-z0-9] and \\p{L}\\p{N} classes agree after lower()),
+    and non-Latin scripts now produce real tokens instead of an empty
+    array. ANALYZER_SPEC_VERSION bumps with changes like this so stored
+    token snapshots built under an older spec fail loudly at query
+    time instead of silently losing recall."""
     if lang is None:
         lang = lang_id_expr(text)
-    out = tokens_expr(text, stem=False)
+    out = unicode_tokens_expr(text, stem=False)
     for code in STEMMED_LANGS:
         out = F.when(
-            lang == code, tokens_expr(text, stem=True, lang=code)
+            lang == code, unicode_tokens_expr(text, stem=True, lang=code)
         ).otherwise(out)
     return out
 
@@ -249,6 +402,9 @@ def detect_lang(text: str | None) -> str:
     """Driver-side ``lang_id_expr`` (must match it row for row) — used by
     the 'multilang' query analyzer to stem the QUERY with the same rule
     set its language's documents were indexed under."""
+    for lang, cls in SCRIPT_LANGS:
+        if _re.search(cls, text or ""):
+            return lang
     words = {
         t
         for t in _re.split(r"[^a-z0-9]+", (text or "").lower())
@@ -503,6 +659,7 @@ def gopher_flags_exprs(
     max_symbol_ratio: float = 0.1,
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    unicode: bool = False,
 ) -> dict[str, Column]:
     """Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1) as
     per-document boolean flags plus the conjunction ``pass_gopher``.
@@ -514,7 +671,13 @@ def gopher_flags_exprs(
     Spark and the DuckDB oracle, so the boolean cuts agree bit-for-bit.
     """
     t = F.coalesce(text, F.lit(""))
-    words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
+    # unicode=True (r13): \p{L}\p{N} word class + \p{L} alpha check, so
+    # the word-count / word-length / alpha rules read REAL values on
+    # non-Latin corpora instead of zero words; the Gopher stop-word rule
+    # stays English by its definition (Rae et al. 2021 filter English)
+    split_re = UNICODE_SPLIT if unicode else "[^a-z0-9]+"
+    alpha_re = r"\p{L}" if unicode else "[a-z]"
+    words = F.filter(F.split(F.lower(t), split_re), lambda x: x != "")
     n_words = F.size(words).cast("long")
     nw_d = n_words.cast("double")
     mean_word_len = F.when(
@@ -534,7 +697,7 @@ def gopher_flags_exprs(
         n_words > 0, n_symbols.cast("double") / nw_d
     ).otherwise(F.lit(0.0))
     n_alpha_words = F.size(
-        F.filter(words, lambda w: w.rlike("[a-z]"))
+        F.filter(words, lambda w: w.rlike(alpha_re))
     ).cast("long")
     alpha_ratio = F.when(
         n_words > 0, n_alpha_words.cast("double") / nw_d
@@ -570,11 +733,26 @@ LANG_MARKERS = {
 }
 
 
+#: (lang, char-class) script checks, in priority order — script presence
+#: beats marker words (a Han page has no ASCII markers at all; r12's
+#: 'zh' markers are romanized pinyin and only catch transliterations).
+#: Kana before Han: Japanese text mixes both, kana is the discriminator.
+SCRIPT_LANGS: list[tuple[str, str]] = [
+    ("ja", f"[{KANA_RANGES}]"),
+    ("ko", f"[{HANGUL_RANGES}]"),
+    ("zh", f"[{HAN_RANGES}]"),
+    ("ru", f"[{CYRILLIC_RANGES}]"),
+]
+
+
 def lang_id_expr(text: Column) -> Column:
-    """Argmax over per-language marker-word hits; ties broken by language code
-    order ('unknown' when zero hits everywhere)."""
+    """Script presence first (r13 — explicit codepoint-range checks,
+    identical in Java/RE2/Python), then argmax over per-language
+    marker-word hits; ties broken by language code order ('unknown'
+    when zero hits everywhere)."""
+    t = F.coalesce(text, F.lit(""))
     words = F.array_distinct(
-        F.filter(F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+        F.filter(F.split(F.lower(t), "[^a-z0-9]+"),
                  lambda x: x != "")
     )
     scores = {
@@ -590,6 +768,8 @@ def lang_id_expr(text: Column) -> Column:
         result = F.when(
             (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
         ).otherwise(result)
+    for lang, cls in reversed(SCRIPT_LANGS):
+        result = F.when(t.rlike(cls), F.lit(lang)).otherwise(result)
     return result
 
 

@@ -67,6 +67,21 @@ ANALYZERS = (
 #: per-language-dispatch analyzers are overlap-rank only
 EXPRESSION_ANALYZERS = ("english", "simple")
 
+#: analyzer SPEC versions (ADVICE r12 + r13 stamping): bump an entry
+#: whenever that analyzer's token OUTPUT changes for the same input —
+#: the engine stamps "<name>@<version>" into each job's token-snapshot
+#: dir at build time and refuses a query-time mismatch, so a stored
+#: snapshot built under an older spec fails loudly instead of silently
+#: losing recall. r13: 'multilang' -> 2 (Unicode \p{L}\p{N} split +
+#: CJK character-bigram base replaced the [a-z0-9] tokenizer).
+ANALYZER_SPEC_VERSIONS = {
+    "english": 1,
+    "simple": 1,
+    "english_porter": 1,
+    "english_stem": 1,
+    "multilang": 2,
+}
+
 
 def _check_analyzer(analyzer: str) -> None:
     if analyzer not in ANALYZERS:
@@ -90,13 +105,23 @@ def _analyze(query: str, analyzer: str) -> list[str]:
         return analyze_query(query, stem=False)
     if analyzer == "multilang":
         from pg_vectorize_spark.functions.text import (
+            SCRIPT_LANGS,
             STEMMED_LANGS,
             detect_lang,
+            py_unicode_tokens,
         )
 
+        # r13: the multilang analyzer's base tokenizer is Unicode-aware
+        # (CJK character bigrams included), so QUERY analysis runs the
+        # same py_unicode_tokens mirror — a Han query produces the
+        # bigrams its documents were indexed under; script-detected
+        # languages (zh/ja/ko/ru) have no rule set and take the
+        # unstemmed path directly.
         lang = detect_lang(query)
         if lang in STEMMED_LANGS:
-            return analyze_query(query, stem=True, lang=lang)
+            return py_unicode_tokens(query, stem=True, lang=lang)
+        if any(lang == code for code, _ in SCRIPT_LANGS):
+            return py_unicode_tokens(query, stem=False)
         # marker-free queries — which is MOST short keyword queries,
         # since the language markers are exactly the stop words users
         # omit — must still match documents stemmed under any rule
@@ -104,17 +129,29 @@ def _analyze(query: str, analyzer: str) -> list[str]:
         # language's stems). OR-semantics search matches whichever
         # stem the document's own language applied; the broadening is
         # bounded (|terms| x (1 + |rule sets|)) (review r12).
-        out: list[str] = []
-        seen: set[str] = set()
-        variants = [analyze_query(query, stem=False)] + [
-            analyze_query(query, stem=True, lang=lng)
-            for lng in STEMMED_LANGS
-        ]
-        for terms in variants:
-            for t in terms:
-                if t not in seen:
-                    seen.add(t)
-                    out.append(t)
+        # ADVICE r12: tokens that are a stop word in ANY language are
+        # excluded from CROSS-language stemming — otherwise other
+        # languages' stop words enter mangled ('the' -> 'th' via the
+        # es/fr final-e rule) and the junk stems produce spurious
+        # low-score matches. A stop word of language L is dropped by
+        # L's own variant anyway, so this only removes noise.
+        from pg_vectorize_spark.functions.text import (
+            STOP_WORDS_BY_LANG,
+            light_stem,
+        )
+
+        all_stops = set().union(*STOP_WORDS_BY_LANG.values())
+        base = py_unicode_tokens(query, stem=False)
+        out: list[str] = list(base)
+        seen: set[str] = set(base)
+        for lng in STEMMED_LANGS:
+            for t in base:
+                if t in all_stops:
+                    continue
+                s = light_stem(t, lng)
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
         return out
     return analyze_query(query)
 

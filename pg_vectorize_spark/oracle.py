@@ -21,8 +21,11 @@ from pg_vectorize_spark.functions.text import (
     LANG_MARKERS,
     LIGHT_STEM_RULES,
     LIGHT_STEM_RULES_BY_LANG,
+    SCRIPT_LANGS,
     STOP_WORDS,
     STOP_WORDS_BY_LANG,
+    UNICODE_SPLIT,
+    _CJK_CLASS,
 )
 from pg_vectorize_spark.providers.local import HASH_MOD, HASH_MULT, HASH_SEED
 
@@ -43,6 +46,49 @@ def sql_words(text: str) -> str:
         f"list_filter(string_split_regex(lower(coalesce({text}, '')), "
         f"'[^a-z0-9]+'), t -> t <> '')"
     )
+
+
+def sql_unicode_words(text: str) -> str:
+    """functions/text.unicode_raw_words_expr — \\p{L}\\p{N} token split
+    (RE2 shares Java's \\p class syntax; DuckDB lower() is
+    Unicode-aware like Spark's)."""
+    return (
+        f"list_filter(string_split_regex(lower(coalesce({text}, '')), "
+        f"'{UNICODE_SPLIT}'), t -> t <> '')"
+    )
+
+
+def sql_cjk_expand(words: str) -> str:
+    """functions/text.cjk_bigram_expand_expr — tokens containing any
+    Han/kana/Hangul character become overlapping character bigrams
+    (substring is character-based in DuckDB, as in Spark)."""
+    return (
+        f"flatten(list_transform({words}, w -> "
+        f"CASE WHEN regexp_matches(w, '{_CJK_CLASS}') THEN "
+        f"(CASE WHEN length(w) <= 1 THEN [w] "
+        f"ELSE list_transform(range(1, length(w)), "
+        f"i -> substring(w, i::INT, 2)) END) "
+        f"ELSE [w] END))"
+    )
+
+
+def sql_unicode_tokens(text: str, stem: bool = True, lang: str = "en") -> str:
+    """functions/text.unicode_tokens_expr — unicode words -> CJK bigram
+    expand -> stop-words -> stem -> distinct (same stage order as
+    sql_tokens: dedupe before the stem transform, distinct after)."""
+    stops = (
+        sql_str_array(STOP_WORDS_BY_LANG[lang]) if stem else sql_stop_words()
+    )
+    kept = (
+        f"list_filter({sql_cjk_expand(sql_unicode_words(text))}, "
+        f"t -> NOT list_contains({stops}, t))"
+    )
+    if stem:
+        kept = (
+            f"list_transform(list_distinct({kept}), "
+            f"t -> {sql_stem('t', lang)})"
+        )
+    return f"list_distinct({kept})"
 
 
 def sql_stem(tok: str, lang: str = "en") -> str:
@@ -237,7 +283,13 @@ def sql_quality_score(text: str) -> str:
 
 
 def sql_lang_id(text: str) -> str:
-    """functions/text.lang_id_expr — argmax of marker hits, tie -> first code."""
+    """functions/text.lang_id_expr — script presence first (r13), then
+    argmax of marker hits, tie -> first code."""
+    t = f"coalesce({text}, '')"
+    script_whens = " ".join(
+        f"WHEN regexp_matches({t}, '{cls}') THEN '{lang}'"
+        for lang, cls in SCRIPT_LANGS
+    )
     words = f"list_distinct({sql_words(text)})"
     scores = {
         lang: f"len(list_intersect({words}, {sql_str_array(markers)}))"
@@ -248,7 +300,7 @@ def sql_lang_id(text: str) -> str:
         f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
         for lang in sorted(LANG_MARKERS)
     )
-    return f"(CASE {whens} ELSE 'unknown' END)"
+    return f"(CASE {script_whens} {whens} ELSE 'unknown' END)"
 
 
 def sql_word_ngrams(text: str, k: int) -> str:
@@ -304,12 +356,13 @@ def sql_gopher_flags(
     max_symbol_ratio: float = 0.1,
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    unicode: bool = False,
 ) -> dict[str, str]:
     """functions/text.gopher_flags_exprs, flag by flag."""
     from pg_vectorize_spark.functions.text import GOPHER_STOPS
 
     t = f"coalesce({text}, '')"
-    words = sql_words(text)
+    words = sql_unicode_words(text) if unicode else sql_words(text)
     n_words = f"len({words})::BIGINT"
     nw_d = f"({n_words})::DOUBLE"
     sum_word_len = (
@@ -328,8 +381,10 @@ def sql_gopher_flags(
         f"(CASE WHEN {n_words} > 0 THEN ({n_symbols})::DOUBLE / {nw_d} "
         f"ELSE 0.0 END)"
     )
+    alpha_re = r"\p{L}" if unicode else "[a-z]"
     n_alpha = (
-        f"len(list_filter({words}, w -> regexp_matches(w, '[a-z]')))::BIGINT"
+        f"len(list_filter({words}, w -> regexp_matches(w, '{alpha_re}')))"
+        f"::BIGINT"
     )
     alpha_ratio = (
         f"(CASE WHEN {n_words} > 0 THEN ({n_alpha})::DOUBLE / {nw_d} "

@@ -64,10 +64,15 @@ class TestRegistryConsistency:
         # (freshest driver row r10) — the 3-round policy says they
         # MUST lead r13
         "sample_exact", "c4_flags", "multimodal_meta", "vocabulary_topk",
-        # positions 5-50: freshest driver row is r11 — the r12
-        # rotated-out set returns minus four names deferred to r14
+        # positions 5-7: NEW in r13 (Unicode/CJK analyzer gates +
+        # multilang postings-index gate) — first driver rows
+        "unicode_multiscript_tokens", "unicode_word_stats",
+        "fts_multilang_indexed",
+        # positions 8-50: freshest driver row is r11 — the r12
+        # rotated-out set returns minus seven names deferred to r14
         # (dedup_simhash, frame_sample, embedding_truncate,
-        # batch_texts — carried on this session's check_oracle run)
+        # batch_texts + displaced job_hybrid_e2e, fts_search_indexed,
+        # orphan_cleanup — carried on this session's check_oracle run)
         "corpus_to_shards", "tokenizer_fertility", "json_rows",
         "collect_changed_ids", "hash_split", "token_count",
         "doc_fingerprint", "lang_id", "minhash_jaccard_estimate",
@@ -83,8 +88,7 @@ class TestRegistryConsistency:
         "hard_negatives_indexed", "mp3_metadata",
         "semantic_decontaminate", "semantic_search_topk",
         "semantic_search_filtered", "hybrid_rrf_search",
-        "hybrid_weighted", "orphan_cleanup", "job_hybrid_e2e",
-        "fts_search_indexed",
+        "hybrid_weighted",
     ]
 
     def test_r13_window_names(self):
@@ -129,15 +133,19 @@ class TestRegistryConsistency:
 
 class TestR14Handoff:
     def test_deferred_names_lead_the_tail(self):
-        """The four r11-evidence names deferred from the r13 window
-        (COVERAGE.md rotation record) must sit at positions 51-54 so
+        """The seven r11-evidence names deferred from the r13 window
+        (COVERAGE.md rotation record: four least-load-bearing + three
+        displaced by the new r13 gates) must sit at positions 51-57 so
         the r14 rotation picks them FIRST — silently burying them in
         the tail would let their driver evidence exceed the 3-round
         policy."""
         names = list(entry.queries())
-        assert names[50:54] == [
+        assert names[50:57] == [
             "dedup_simhash",
             "frame_sample",
             "embedding_truncate",
             "batch_texts",
+            "job_hybrid_e2e",
+            "fts_search_indexed",
+            "orphan_cleanup",
         ]
