@@ -202,3 +202,77 @@ class TestIncrementalTrainerParity:
         merges = bpe_train(bpe_word_counts(docs, "text"), 60)
         with open("/root/repo/tests/fixtures/bpe_merges.json") as f:
             assert [tuple(m) for m in json.load(f)["merges"]] == merges
+
+
+class TestDistributedLearning:
+    """bpe_learn_merges (r13 — VERDICT r12 #5): executor-held symbol
+    state, per-iteration algebraic pair aggregate, driver holds only
+    the merge list — must equal the driver trainer bit-for-bit."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=7),
+            min_size=1,
+            max_size=6,
+        ),
+        a=st.text(alphabet="abc", min_size=1, max_size=2),
+        b=st.text(alphabet="abc", min_size=1, max_size=2),
+    )
+    def test_merge_pass_expr_matches_python(self, spark, words, a, b):
+        """The greedy-last fold IS the left-to-right scan, on arbitrary
+        symbol tuples including self-overlapping pairs."""
+        from pg_vectorize_spark.operators.bpe import _merge_pass_expr
+
+        rows = [(i, list(w) + [EOW]) for i, w in enumerate(words)]
+        df = spark.createDataFrame(rows, "id long, syms array<string>")
+        got = {
+            r["id"]: tuple(r["m"])
+            for r in df.select(
+                "id", _merge_pass_expr(F.col("syms"), a, b).alias("m")
+            ).collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == merge_pass(tuple(w) + (EOW,), a, b), (w, a, b)
+
+    def test_fixture_reproduced_distributed(self, spark):
+        """Self-proving gate: the committed fixture WAS generated by the
+        driver trainer over sf0.001; the distributed learner must land
+        on the identical 60 merges, tie-breaks included."""
+        import json
+
+        from pg_vectorize_spark.operators.bpe import bpe_learn_merges
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        merges = bpe_learn_merges(bpe_word_counts(docs, "text"), 60)
+        with open("/root/repo/tests/fixtures/bpe_merges.json") as f:
+            assert [tuple(m) for m in json.load(f)["merges"]] == merges
+
+    def test_second_slice_parity_with_driver_trainer(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).filter("doc_id % 3 = 1")
+        wc = bpe_word_counts(docs, "text")
+        from pg_vectorize_spark.operators.bpe import bpe_learn_merges
+
+        assert bpe_learn_merges(wc, 25) == bpe_train(wc, 25)
+
+    def test_early_stop_fully_merged(self, spark):
+        from pg_vectorize_spark.operators.bpe import bpe_learn_merges
+
+        wc = spark.createDataFrame(
+            [("ab", 3)], "word string, n long"
+        )
+        got = bpe_learn_merges(wc, 50)
+        # 'a b </w>' has 2 pairs -> 2 merges, then nothing left
+        assert len(got) == 2
+        assert got == bpe_train([("ab", 3)], 50)
+
+    def test_rejects_negative(self, spark):
+        from pg_vectorize_spark.operators.bpe import bpe_learn_merges
+
+        wc = spark.createDataFrame([("ab", 1)], "word string, n long")
+        with pytest.raises(ValueError):
+            bpe_learn_merges(wc, -1)
