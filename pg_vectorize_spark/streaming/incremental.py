@@ -74,7 +74,30 @@ class RealtimePipeline:
         if not sess.catalog.exists(self.job_name):
             return
         job = sess.catalog.get(self.job_name)
-        self._apply_batch(job, batch_df)
+        self._apply_batch(job, batch_df, retried=self._mark_attempt(batch_id))
+
+    def _mark_attempt(self, batch_id: int) -> bool:
+        """Record this batch attempt in the checkpoint dir; True when the
+        SAME batch id was already attempted — i.e. the batch is a
+        REDELIVERY after a mid-batch crash (foreachBatch is
+        at-least-once: Spark replays the failed epoch from the
+        checkpoint with the same batch_id, the R5 visibility-timeout
+        redelivery analog, worker/src/executor.rs:15-57). The marker is
+        written BEFORE the batch applies, so a crash anywhere inside
+        the apply — including between the parallel embeddings and
+        tokens branch commits — flags the replay. Steady state costs
+        one tiny driver-side file write per batch, zero Spark jobs."""
+        path = os.path.join(self.checkpoint_dir, "pvs_attempted_batch")
+        retried = False
+        try:
+            with open(path) as fh:
+                retried = int(fh.read().strip()) == batch_id
+        except (OSError, ValueError):
+            pass
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(str(batch_id))
+        return retried
 
     def _apply_batch(
         self,
@@ -83,6 +106,7 @@ class RealtimePipeline:
         emb_del: DataFrame | None = None,
         tok_del: DataFrame | None = None,
         delete_guard=None,
+        retried: bool = False,
     ) -> list:
         """One micro-batch through the full ingest pipeline — upserts
         plus (from the change-feed subclass) an in-batch delete cascade
@@ -155,9 +179,19 @@ class RealtimePipeline:
                         .localCheckpoint()
                     )
 
-            # R2 diff guard: skip rows whose fingerprint is unchanged
+            # R2 diff guard: skip rows whose fingerprint is unchanged.
+            # BYPASSED on a redelivered batch (r13 kill-resume fix): the
+            # embeddings and tokens branches commit on parallel threads,
+            # so a crash can land AFTER the embeddings merge but BEFORE
+            # the tokens write — the replayed rows then fingerprint as
+            # "unchanged" and the guard would skip them, leaving the
+            # token snapshot (and postings index) blind to them FOREVER.
+            # Re-applying the whole batch is safe (every sink is an
+            # idempotent keyed merge; the dedup ingest filter passes
+            # existing keys and re-drops new ones deterministically) and
+            # costs one batch re-embed only on the rare crash replay.
             changed = batch_df
-            if prior is not None:
+            if prior is not None and not retried:
                 changed = (
                     batch_df.withColumn(
                         "content_fp", fingerprint_expr(content)
@@ -528,6 +562,7 @@ class ChangeFeedPipeline(RealtimePipeline):
             emb_del=del_keys if n_del else None,
             tok_del=del_keys if n_del else None,
             delete_guard=_guard_refuses if n_del else None,
+            retried=self._mark_attempt(batch_id),
         )
         if any(refusals):
                 # persist the refused keys: without this the streaming
