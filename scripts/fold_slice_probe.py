@@ -40,8 +40,12 @@ def main() -> None:
 
     from pg_vectorize_spark.dedup_index import MinHashBandIndexManager
 
+    # sf1.0 holds 50k docs; the 10x decade probe (300k) reads sf10
+    src_sf = "sf1.0" if n_docs <= 50_000 else "sf10"
     docs = (
-        spark.read.parquet("/root/repo/.scaling/sf1.0/documents.parquet")
+        spark.read.parquet(
+            f"/root/repo/.scaling/{src_sf}/documents.parquet"
+        )
         .select(F.col("doc_id"), F.col("text"))
         .filter(F.col("doc_id") < n_docs)
     )
