@@ -2342,7 +2342,9 @@ def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     lang = T.lang_id_expr(F.col("text"))
-    toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+    toks = T.multilang_tokens_expr(
+        F.col("text"), lang=lang, assume_lang_id=True
+    )
     # explode-over-singleton barrier (r13 perf): search_tokens and
     # n_terms both consume the token array, and CollapseProject would
     # inline the (interpreted, per-row expensive) analyzer chain into
@@ -2451,7 +2453,9 @@ def q_unicode_multiscript_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allr = ensure_min_partitions(docs.unionByName(doped))
     lang = T.lang_id_expr(F.col("text"))
-    toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+    toks = T.multilang_tokens_expr(
+        F.col("text"), lang=lang, assume_lang_id=True
+    )
     # explode-over-singleton barrier — single analyzer evaluation per
     # row (see q_fts_multilang_stemmed)
     return allr.select(
@@ -2489,9 +2493,13 @@ def _fts_multilang_gate_index(spark: SparkSession, sf_dir: str):
     )
     index_cfg = {"term_buckets": 64}
     mgr = JobFtsIndexManager(spark, idx_dir, index_cfg)
+    from pg_vectorize_spark.operators.search import ANALYZER_SPEC_VERSIONS
+
     fp = _source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     fp += repr(sorted(index_cfg.items())) + repr(_UNICODE_DOPE_ROWS)
-    fp += "|multilang@2"
+    # spec-versioned: a future multilang tokenizer bump must invalidate
+    # the persisted gate index, not silently reuse old-spec postings
+    fp += f"|multilang@{ANALYZER_SPEC_VERSIONS['multilang']}"
     fp_path = os.path.join(idx_dir, "_SOURCE_FP")
     fresh = False
     try:
@@ -5305,20 +5313,26 @@ FROM t
     # ranking over the same multilang token table (probe lossless);
     # terms are the import-time _analyze results embedded as literals
     "fts_multilang_indexed": _oracle_fts_multilang_indexed(),
+    # words hoisted into ONE MATERIALIZED CTE (review r13): the five
+    # output expressions otherwise each re-ran the \p{{L}}\p{{N}} split
+    # per row
     "unicode_word_stats": f"""
 WITH u AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE doc_id < 200
   UNION ALL
   SELECT doc_id, text FROM {_unicode_dope_sql()}
+),
+w AS MATERIALIZED (
+  SELECT doc_id, text, {O.sql_unicode_words('text')} AS uw FROM u
 )
 SELECT doc_id,
-       len({O.sql_unicode_words('text')})::INT AS n_words,
-       len(list_filter({O.sql_unicode_words('text')},
-           w -> regexp_matches(w, '\\p{{L}}')))::INT AS n_alpha_words,
-       {O.sql_gopher_flags('text', unicode=True)['ok_word_count']} AS ok_word_count,
-       {O.sql_gopher_flags('text', unicode=True)['ok_mean_word_len']} AS ok_mean_word_len,
-       {O.sql_gopher_flags('text', unicode=True)['ok_alpha_words']} AS ok_alpha_words
-FROM u
+       len(uw)::INT AS n_words,
+       len(list_filter(uw,
+           x -> regexp_matches(x, '\\p{{L}}')))::INT AS n_alpha_words,
+       {O.sql_gopher_flags('text', unicode=True, words_expr='uw')['ok_word_count']} AS ok_word_count,
+       {O.sql_gopher_flags('text', unicode=True, words_expr='uw')['ok_mean_word_len']} AS ok_mean_word_len,
+       {O.sql_gopher_flags('text', unicode=True, words_expr='uw')['ok_alpha_words']} AS ok_alpha_words
+FROM w
 """,
     "inverted_index": f"""
 WITH tok AS MATERIALIZED (

@@ -482,25 +482,33 @@ class VectorizeSession:
     def _write_analyzer_stamp(self, job: JobRecord) -> None:
         """Stamp the analyzer name + spec version into the token
         snapshot dir at build time (ADVICE r12). Raises BEFORE a merge
-        would mix two analyzers' tokens in one snapshot."""
+        would mix two analyzers' tokens in one snapshot. A PRE-EXISTING
+        snapshot with no stamp file is legacy 'english@1' (same reading
+        as _check_analyzer_stamp — review r13: stamping it with the
+        current spec here would silently merge mixed-spec tokens, the
+        exact state the guard refuses)."""
         path = self._analyzer_stamp_path(job.job_name)
         expected = self._expected_analyzer_stamp(job)
         if os.path.exists(path):
             with open(path) as fh:
                 current = fh.read().strip()
-            if current != expected:
-                raise VectorizeError(
-                    f"job {job.job_name!r}: token snapshot was built "
-                    f"under analyzer spec {current!r} but the job now "
-                    f"analyzes under {expected!r} — refusing to merge "
-                    "mixed-analyzer tokens. Re-ingest (delete_job + "
-                    "create_job, or drop the fts_params analyzer key "
-                    "back to the stamped one)."
-                )
-            return
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as fh:
-            fh.write(expected)
+        elif self._tok_ds(job.job_name).exists():
+            current = "english@1"  # pre-stamping snapshots were english
+        else:
+            current = expected  # fresh snapshot — stamp and go
+        if current != expected:
+            raise VectorizeError(
+                f"job {job.job_name!r}: token snapshot was built "
+                f"under analyzer spec {current!r} but the job now "
+                f"analyzes under {expected!r} — refusing to merge "
+                "mixed-analyzer tokens. Re-ingest (delete_job + "
+                "create_job, or drop the fts_params analyzer key "
+                "back to the stamped one)."
+            )
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as fh:
+                fh.write(expected)
 
     def _check_analyzer_stamp(self, job: JobRecord) -> None:
         """Query-time guard (ADVICE r12): the stored token snapshot /

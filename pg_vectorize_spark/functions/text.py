@@ -373,7 +373,11 @@ def py_unicode_tokens(
     return out
 
 
-def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
+def multilang_tokens_expr(
+    text: Column,
+    lang: Column | None = None,
+    assume_lang_id: bool = False,
+) -> Column:
     """Per-row language-dispatched analyzer (r12 — an LLM-data pipeline
     searching a multilingual corpus must not run English suffix rules on
     Spanish text): ``lang_id_expr`` picks the rule set + stop-word list;
@@ -388,6 +392,12 @@ def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
     array. ANALYZER_SPEC_VERSION bumps with changes like this so stored
     token snapshots built under an older spec fail loudly at query
     time instead of silently losing recall."""
+    # the guard below is only sound when lang IS lang_id_expr(text) —
+    # a caller-supplied lang column (e.g. trusted source metadata) may
+    # dispatch a marker-free row to a stemmed branch, so the guard must
+    # stand down unless the caller asserts lang-id provenance
+    # (assume_lang_id=True; review r13)
+    guard_ok = lang is None or assume_lang_id
     if lang is None:
         lang = lang_id_expr(text)
     out = unicode_tokens_expr(text, stem=False)
@@ -395,6 +405,8 @@ def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
         out = F.when(
             lang == code, unicode_tokens_expr(text, stem=True, lang=code)
         ).otherwise(out)
+    if not guard_ok:
+        return out
     # EARLY-EXIT GUARD (r13 perf): interpreted CaseWhen re-evaluates the
     # lang expression per condition, so a marker-free row (the vast
     # majority of a real corpus — markers are exactly the stop words)
@@ -403,7 +415,8 @@ def multilang_tokens_expr(text: Column, lang: Column | None = None) -> Column:
     # dispatch to a stemmed branch (the marker argmax requires a
     # positive hit, and the script branches only yield non-stemmed
     # codes), so one cheap intersect short-circuits it — EXACTLY
-    # semantics-preserving, measured 4.5 s -> 1.3 s on a 50k-doc scan.
+    # semantics-preserving WHEN lang derives from lang_id_expr,
+    # measured 4.5 s -> 1.3 s on a 50k-doc scan.
     # (A transform()-lambda let-binding of lang was tried first and is
     # a net LOSS: expressions under an interpreted HOF lambda run ~5x
     # slower than the same tree outside one.)

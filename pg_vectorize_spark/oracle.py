@@ -357,12 +357,19 @@ def sql_gopher_flags(
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
     unicode: bool = False,
+    words_expr: str | None = None,
 ) -> dict[str, str]:
-    """functions/text.gopher_flags_exprs, flag by flag."""
+    """functions/text.gopher_flags_exprs, flag by flag. ``words_expr``
+    substitutes a precomputed word-list fragment (e.g. a MATERIALIZED
+    CTE column) so a caller using several flags doesn't re-run the
+    word split per flag per row."""
     from pg_vectorize_spark.functions.text import GOPHER_STOPS
 
     t = f"coalesce({text}, '')"
-    words = sql_unicode_words(text) if unicode else sql_words(text)
+    if words_expr is not None:
+        words = words_expr
+    else:
+        words = sql_unicode_words(text) if unicode else sql_words(text)
     n_words = f"len({words})::BIGINT"
     nw_d = f"({n_words})::DOUBLE"
     sum_word_len = (

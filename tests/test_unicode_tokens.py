@@ -73,7 +73,9 @@ class TestThreeEngineParity:
     def test_multilang_tokens_and_lang(self, engines):
         df, con = engines
         lang = T.lang_id_expr(F.col("text"))
-        toks = T.multilang_tokens_expr(F.col("text"), lang=lang)
+        toks = T.multilang_tokens_expr(
+            F.col("text"), lang=lang, assume_lang_id=True
+        )
         got_s = {
             r["id"]: (r["l"], sorted(r["t"]))
             for r in df.select(
@@ -299,3 +301,38 @@ class TestAnalyzerStamp:
         assert "del" in sess._stamp_ok
         sess.delete_job("del")
         assert "del" not in sess._stamp_ok
+
+    def test_write_path_refuses_legacy_snapshot(self, spark, tmp_path):
+        """Review r13 #1: an UNSTAMPED pre-existing snapshot must be
+        treated as legacy english@1 on the WRITE path too — stamping it
+        with the current spec would merge mixed-spec tokens."""
+        import os
+
+        from pg_vectorize_spark.errors import VectorizeError
+
+        sess = self._mk(spark, tmp_path, "multilang", name="wlegacy")
+        os.remove(sess._analyzer_stamp_path("wlegacy"))
+        job = sess.catalog.get("wlegacy")
+        with pytest.raises(VectorizeError, match="english@1"):
+            sess._write_analyzer_stamp(job)
+
+
+class TestPinyinQueryFallback:
+    def test_marker_zh_latin_query_keeps_union_broadening(self):
+        """Review r13 #2: detect_lang can return 'zh' from romanized
+        pinyin MARKERS with no Han characters; such a Latin-script
+        query must keep the union-of-variants broadening (its English
+        terms still need their en stems to match stemmed documents)."""
+        from pg_vectorize_spark.functions.text import detect_lang
+        from pg_vectorize_spark.operators.search import _analyze
+
+        q = "de shi bu zai recipes"
+        assert detect_lang(q) == "zh"  # pinyin markers, no script chars
+        terms = _analyze(q, "multilang")
+        assert "recipes" in terms  # unstemmed kept
+        assert "recip" in terms    # en stem variant kept (the r12 behavior)
+
+    def test_real_han_query_takes_direct_path(self):
+        from pg_vectorize_spark.operators.search import _analyze
+
+        assert _analyze("机器学习", "multilang") == ["机器", "器学", "学习"]
