@@ -2380,6 +2380,11 @@ _UNICODE_DOPE_ROWS: list[tuple[int, str]] = [
     (90000009, "the quick brown foxes running over windows"),
     (90000010, "las luces de las ciudades grandes brillan"),
     (90000011, "les maisons et les journaux des villes rapidement"),
+    # planted near-duplicates of 90000001 / 90000005 (one trailing
+    # token differs) — the unicode MinHash gate must pair them; under
+    # the ASCII shingle spec these rows have ZERO shingles
+    (90000012, "机器学习模型训练需要大量的数据集"),
+    (90000013, "Обработка больших данных в распределенных кластерах"),
 ]
 
 
@@ -2388,6 +2393,56 @@ def _unicode_dope_sql() -> str:
         f"({i}, '{t}')" for i, t in _UNICODE_DOPE_ROWS
     )
     return f"(VALUES {values}) AS dope(doc_id, text)"
+
+
+def _oracle_dedup_minhash_unicode() -> str:
+    """Unicode-shingle MinHash verify stage over fixture + dope rows —
+    same collapsed-cand structure as _MINHASH_SIG_BANDS_CTES, with the
+    shingle stream swapped to the CJK-bigram-expanded Unicode tokens."""
+    codes = (
+        f"list_transform({O.sql_word_shingles('u.text', 3, unicode=True)}, "
+        f"s -> {O.sql_poly_hash('s')})"
+    )
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_unicode_dope_sql()}
+),
+c AS MATERIALIZED (
+  SELECT u.doc_id, {codes} AS codes FROM u
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_MINHASH_SIG} AS signature FROM c WHERE len(codes) > 0
+),
+grp AS MATERIALIZED (
+  SELECT signature, min(doc_id) AS rep FROM sig GROUP BY signature
+),
+bands AS (
+  SELECT g.rep AS doc_id, t.band,
+         array_to_string(
+           list_transform(g.signature[(t.band*4 + 1):(t.band*4 + 4)],
+                          x -> x::VARCHAR), ',') AS band_key
+  FROM grp g, generate_series(0, 3) AS t(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  UNION
+  SELECT g.rep AS a_id, s.doc_id AS b_id
+  FROM sig s JOIN grp g ON s.signature = g.signature
+  WHERE s.doc_id <> g.rep
+)
+SELECT cand.a_id, cand.b_id,
+       len(list_filter(range(1, 17),
+           i -> sa.signature[i::INT] = sb.signature[i::INT]))::DOUBLE / 16.0
+         AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.a_id = sa.doc_id
+JOIN sig sb ON cand.b_id = sb.doc_id
+"""
 
 
 def _oracle_fts_multilang_indexed() -> str:
@@ -2562,6 +2617,35 @@ def q_fts_multilang_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.append(res.select(F.lit(branch).alias("branch"), "doc_id", "fts_score"))
     return out[0].unionByName(out[1])
+
+
+def q_dedup_minhash_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH dedup over the UNICODE shingle stream (r13): word
+    shingles are built from \\p{L}\\p{N} tokens with CJK runs expanded
+    to character bigrams, so non-Latin documents — which under the
+    ASCII spec all degenerate to ONE shared empty shingle and would be
+    marked mutual duplicates of each other — band, pair, and estimate
+    on their real content like any other row. Corpus = fixture +
+    dope rows incl. two planted CJK/Cyrillic near-duplicates; output =
+    candidate pairs with the agreement estimate (the LSH verify
+    stage). The polynomial hash is unchanged: ascii()/ord() return the
+    codepoint identically in Spark, DuckDB, and Python."""
+    from pg_vectorize_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doped = spark.createDataFrame(
+        _UNICODE_DOPE_ROWS, "doc_id long, text string"
+    )
+    allr = docs.unionByName(doped)
+    sigs = minhash_signatures(
+        allr, "text", "doc_id", num_hashes=16, k=3, unicode=True
+    )
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    return minhash_jaccard_estimate(sigs, cands, num_hashes=16)
 
 
 def q_unicode_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,7 +2911,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_multiscript_tokens": q_unicode_multiscript_tokens,
     "unicode_word_stats": q_unicode_word_stats,
     "fts_multilang_indexed": q_fts_multilang_indexed,
-    # --- positions 8-50: freshest driver row is r11 (the r12
+    "dedup_minhash_unicode": q_dedup_minhash_unicode,
+    # --- positions 9-50: freshest driver row is r11 (the r12
     # rotated-out set returns, minus the names deferred to r14 —
     # the window is oversubscribed by the four r12-deferred leads
     # plus the new r13 gates — carried on this session's full
@@ -2874,7 +2959,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_search_topk": q_semantic_search_topk,
     "semantic_search_filtered": q_semantic_search_filtered,
     "hybrid_rrf_search": q_hybrid_rrf_search,
-    "hybrid_weighted": q_hybrid_weighted,
     # --- positions 51+: the r11-evidence names deferred to r14 —
     # four least load-bearing of their families (simhash covered by
     # simhash_neardup_pairs r12 row, frame sampling by
@@ -2890,6 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "job_hybrid_e2e": q_job_hybrid_e2e,
     "fts_search_indexed": q_fts_search_indexed,
     "orphan_cleanup": q_orphan_cleanup,
+    "hybrid_weighted": q_hybrid_weighted,
     # --- tail: r12 driver rows (CORRECTNESS_r12.json, 50/50 green) —
     # the freshest evidence, so they sit out the r13 window ---
     "curate_job_search_e2e": q_curate_job_search_e2e,
@@ -5313,6 +5398,7 @@ FROM t
     # ranking over the same multilang token table (probe lossless);
     # terms are the import-time _analyze results embedded as literals
     "fts_multilang_indexed": _oracle_fts_multilang_indexed(),
+    "dedup_minhash_unicode": _oracle_dedup_minhash_unicode(),
     # words hoisted into ONE MATERIALIZED CTE (review r13): the five
     # output expressions otherwise each re-ran the \p{{L}}\p{{N}} split
     # per row

@@ -857,9 +857,27 @@ def word_ngrams_expr(words: Column, k: int) -> Column:
     return grams
 
 
-def word_shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) for Jaccard/MinHash dedup."""
-    words = raw_words_expr(text)
+def word_shingles_expr(
+    text: Column, k: int = 3, unicode: bool = False
+) -> Column:
+    """Distinct k-word shingles (space-joined) for Jaccard/MinHash dedup.
+
+    ``unicode=True`` (r13) shingles over the Unicode token stream with
+    CJK runs expanded to ORDER-PRESERVING character bigrams — the
+    shingle units a boundary-less script needs. Without it, a non-Latin
+    document tokenizes to NO words and falls into the short-doc
+    whole-text fallback as ONE EMPTY shingle — identical for every
+    such doc, so MinHash marks ALL non-Latin documents as mutual
+    duplicates of each other (worse than skipping them; pinned in
+    tests/test_unicode_tokens.py). The same gap the r13 analyzer work
+    closed for FTS.
+    The polynomial hash downstream is already Unicode-clean: Spark
+    ascii(), DuckDB ascii() and Python ord() all return the codepoint.
+    Default stays the ASCII spec — every existing gate is unchanged."""
+    if unicode:
+        words = cjk_bigram_expand_expr(unicode_raw_words_expr(text))
+    else:
+        words = raw_words_expr(text)
     shingles = F.when(
         F.size(words) >= k, word_ngrams_expr(words, k)
     ).otherwise(F.array(F.concat_ws(" ", words)))

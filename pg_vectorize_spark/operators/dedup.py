@@ -59,7 +59,11 @@ def exact_dedup(df: DataFrame, content_col: str, pkey: str) -> DataFrame:
 
 
 def shingles_exploded(
-    df: DataFrame, text_col: str, pkey: str, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    pkey: str,
+    k: int = 3,
+    unicode: bool = False,
 ) -> DataFrame:
     """Distinct k-word shingles as rows: (_id, _sh).
 
@@ -81,7 +85,9 @@ def shingles_exploded(
     df = ensure_min_partitions(df)
     return df.select(
         F.col(pkey).alias("_id"),
-        F.explode(word_shingles_expr(F.col(text_col), k)).alias("_sh"),
+        F.explode(
+            word_shingles_expr(F.col(text_col), k, unicode=unicode)
+        ).alias("_sh"),
     )
 
 
@@ -163,6 +169,7 @@ def minhash_signatures(
     pkey: str,
     num_hashes: int = 16,
     k: int = 3,
+    unicode: bool = False,
 ) -> DataFrame:
     """(pkey, signature array<long>[num_hashes]) — min over shingle codes of
     (a_i * code + b_i) mod P, a_i = 2i+3, b_i = 5i+7.
@@ -173,7 +180,7 @@ def minhash_signatures(
     per row, and the groupBy form is also the one that scales — min() is
     algebraic, so executors combine locally before the exchange.
     """
-    codes = shingles_exploded(df, text_col, pkey, k).select(
+    codes = shingles_exploded(df, text_col, pkey, k, unicode=unicode).select(
         "_id", poly_hash_expr(F.col("_sh")).alias("_code")
     )
     mins = codes.groupBy("_id").agg(

@@ -222,9 +222,14 @@ def sql_fingerprint(text: str) -> str:
     return sql_poly_hash(f"coalesce({text}, '')")
 
 
-def sql_word_shingles(text: str, k: int = 3) -> str:
-    """Distinct k-word shingles (functions/text.word_shingles_expr)."""
-    words = sql_words(text)
+def sql_word_shingles(text: str, k: int = 3, unicode: bool = False) -> str:
+    """Distinct k-word shingles (functions/text.word_shingles_expr).
+    ``unicode=True`` shingles over the CJK-bigram-expanded Unicode
+    token stream (order-preserving, duplicates kept)."""
+    if unicode:
+        words = sql_cjk_expand(sql_unicode_words(text))
+    else:
+        words = sql_words(text)
     joined_parts = " || ' ' || ".join(
         f"{words}[(i+{j}+1)::INT]" for j in range(k)
     )

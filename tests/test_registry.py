@@ -64,15 +64,17 @@ class TestRegistryConsistency:
         # (freshest driver row r10) — the 3-round policy says they
         # MUST lead r13
         "sample_exact", "c4_flags", "multimodal_meta", "vocabulary_topk",
-        # positions 5-7: NEW in r13 (Unicode/CJK analyzer gates +
-        # multilang postings-index gate) — first driver rows
+        # positions 5-8: NEW in r13 (Unicode/CJK analyzer gates +
+        # multilang postings-index gate + unicode MinHash dedup) —
+        # first driver rows
         "unicode_multiscript_tokens", "unicode_word_stats",
-        "fts_multilang_indexed",
-        # positions 8-50: freshest driver row is r11 — the r12
-        # rotated-out set returns minus seven names deferred to r14
+        "fts_multilang_indexed", "dedup_minhash_unicode",
+        # positions 9-50: freshest driver row is r11 — the r12
+        # rotated-out set returns minus eight names deferred to r14
         # (dedup_simhash, frame_sample, embedding_truncate,
         # batch_texts + displaced job_hybrid_e2e, fts_search_indexed,
-        # orphan_cleanup — carried on this session's check_oracle run)
+        # orphan_cleanup, hybrid_weighted — carried on this session's
+        # check_oracle run)
         "corpus_to_shards", "tokenizer_fertility", "json_rows",
         "collect_changed_ids", "hash_split", "token_count",
         "doc_fingerprint", "lang_id", "minhash_jaccard_estimate",
@@ -88,7 +90,6 @@ class TestRegistryConsistency:
         "hard_negatives_indexed", "mp3_metadata",
         "semantic_decontaminate", "semantic_search_topk",
         "semantic_search_filtered", "hybrid_rrf_search",
-        "hybrid_weighted",
     ]
 
     def test_r13_window_names(self):
@@ -133,14 +134,14 @@ class TestRegistryConsistency:
 
 class TestR14Handoff:
     def test_deferred_names_lead_the_tail(self):
-        """The seven r11-evidence names deferred from the r13 window
-        (COVERAGE.md rotation record: four least-load-bearing + three
-        displaced by the new r13 gates) must sit at positions 51-57 so
+        """The eight r11-evidence names deferred from the r13 window
+        (COVERAGE.md rotation record: four least-load-bearing + four
+        displaced by the new r13 gates) must sit at positions 51-58 so
         the r14 rotation picks them FIRST — silently burying them in
         the tail would let their driver evidence exceed the 3-round
         policy."""
         names = list(entry.queries())
-        assert names[50:57] == [
+        assert names[50:58] == [
             "dedup_simhash",
             "frame_sample",
             "embedding_truncate",
@@ -148,4 +149,5 @@ class TestR14Handoff:
             "job_hybrid_e2e",
             "fts_search_indexed",
             "orphan_cleanup",
+            "hybrid_weighted",
         ]

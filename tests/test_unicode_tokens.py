@@ -336,3 +336,52 @@ class TestPinyinQueryFallback:
         from pg_vectorize_spark.operators.search import _analyze
 
         assert _analyze("机器学习", "multilang") == ["机器", "器学", "学习"]
+
+
+class TestUnicodeMinhashDedup:
+    ROWS = [
+        (1, "机器学习模型训练需要大量的数据"),
+        (2, "机器学习模型训练需要大量的数据集"),   # near-dup of 1
+        (3, "обработка больших данных в распределенных системах очень быстро сегодня"),
+        (4, "обработка больших данных в распределенных системах очень быстро вчера"),
+        (5, "completely different english text about spark"),
+        (6, "another unrelated english document entirely"),
+    ]
+
+    def test_ascii_spec_degenerates_nonlatin_to_one_shared_shingle(
+        self, spark
+    ):
+        """The gap this closes is WORSE than invisibility: under the
+        ASCII spec a non-Latin doc has no words, so the short-doc
+        fallback yields ONE EMPTY shingle — identical for every such
+        doc. Docs 1-4 (two UNRELATED languages, different content) all
+        get the same signature and would be marked mutual duplicates."""
+        from pg_vectorize_spark.operators.dedup import minhash_signatures
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        sigs = {
+            r["_id"]: tuple(r["signature"])
+            for r in minhash_signatures(df, "text", "doc_id").collect()
+        }
+        assert sigs[1] == sigs[2] == sigs[3] == sigs[4]  # false dups
+        assert sigs[1] != sigs[5]
+
+    def test_unicode_spec_pairs_planted_neardups(self, spark):
+        from pg_vectorize_spark.operators.dedup import (
+            minhash_jaccard_estimate,
+            minhash_lsh_candidates,
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        sigs = minhash_signatures(df, "text", "doc_id", unicode=True)
+        ids = {r["_id"] for r in sigs.collect()}
+        assert ids == {1, 2, 3, 4, 5, 6}  # every row now has a signature
+        cands = minhash_lsh_candidates(sigs, 4, 4)
+        est = {
+            (r["a_id"], r["b_id"]): r["est_jaccard"]
+            for r in minhash_jaccard_estimate(sigs, cands).collect()
+        }
+        assert est.get((1, 2), 0.0) >= 0.5   # CJK near-dup banded + high
+        assert est.get((3, 4), 0.0) >= 0.5   # Cyrillic near-dup too
+        assert (5, 6) not in est             # unrelated docs don't pair
