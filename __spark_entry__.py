@@ -2381,8 +2381,10 @@ _UNICODE_DOPE_ROWS: list[tuple[int, str]] = [
     (90000010, "las luces de las ciudades grandes brillan"),
     (90000011, "les maisons et les journaux des villes rapidement"),
     # planted near-duplicates of 90000001 / 90000005 (one trailing
-    # token differs) — the unicode MinHash gate must pair them; under
-    # the ASCII shingle spec these rows have ZERO shingles
+    # token differs) — the unicode MinHash gate must pair them on real
+    # content; under the ASCII shingle spec every non-Latin row
+    # degenerates to ONE shared empty shingle (identical signatures,
+    # all mutual false duplicates — see word_shingles_expr)
     (90000012, "机器学习模型训练需要大量的数据集"),
     (90000013, "Обработка больших данных в распределенных кластерах"),
 ]

@@ -440,13 +440,27 @@ def multilang_tokens_expr(
     ).otherwise(out)
 
 
+def script_lang(text: str | None) -> str | None:
+    """The script-detected language of ``text`` (zh/ja/ko/ru by
+    codepoint-range presence, SCRIPT_LANGS priority order), or None
+    when no script character occurs — the ONE place the script-vs-
+    marker provenance of a detection lives (review r13: the multilang
+    query analyzer must distinguish a real-Han 'zh' from a romanized
+    pinyin-marker 'zh', and duplicating the range loop at call sites
+    lets the two drift)."""
+    for lang, cls in SCRIPT_LANGS:
+        if _re.search(cls, text or ""):
+            return lang
+    return None
+
+
 def detect_lang(text: str | None) -> str:
     """Driver-side ``lang_id_expr`` (must match it row for row) — used by
     the 'multilang' query analyzer to stem the QUERY with the same rule
     set its language's documents were indexed under."""
-    for lang, cls in SCRIPT_LANGS:
-        if _re.search(cls, text or ""):
-            return lang
+    s = script_lang(text)
+    if s is not None:
+        return s
     words = {
         t
         for t in _re.split(r"[^a-z0-9]+", (text or "").lower())

@@ -105,28 +105,27 @@ def _analyze(query: str, analyzer: str) -> list[str]:
         return analyze_query(query, stem=False)
     if analyzer == "multilang":
         from pg_vectorize_spark.functions.text import (
-            SCRIPT_LANGS,
             STEMMED_LANGS,
             detect_lang,
             py_unicode_tokens,
+            script_lang,
         )
 
         # r13: the multilang analyzer's base tokenizer is Unicode-aware
         # (CJK character bigrams included), so QUERY analysis runs the
         # same py_unicode_tokens mirror — a Han query produces the
         # bigrams its documents were indexed under. The direct
-        # unstemmed path keys on SCRIPT CHARACTERS in the query, not on
-        # the detected code (review r13): detect_lang can return 'zh'
-        # from romanized pinyin markers alone, and such a Latin-script
-        # query must keep the r12 union-of-variants broadening below —
-        # its Latin terms may match any language's stemmed documents.
-        import re as _re
-
+        # unstemmed path keys on SCRIPT CHARACTERS in the query
+        # (script_lang — the provenance helper), not on the detected
+        # code: detect_lang can return 'zh' from romanized pinyin
+        # markers alone, and such a Latin-script query must keep the
+        # r12 union-of-variants broadening below — its Latin terms may
+        # match any language's stemmed documents.
+        if script_lang(query) is not None:
+            return py_unicode_tokens(query, stem=False)
         lang = detect_lang(query)
         if lang in STEMMED_LANGS:
             return py_unicode_tokens(query, stem=True, lang=lang)
-        if any(_re.search(cls, query or "") for _, cls in SCRIPT_LANGS):
-            return py_unicode_tokens(query, stem=False)
         # marker-free queries — which is MOST short keyword queries,
         # since the language markers are exactly the stop words users
         # omit — must still match documents stemmed under any rule

@@ -367,7 +367,11 @@ def sql_gopher_flags(
     """functions/text.gopher_flags_exprs, flag by flag. ``words_expr``
     substitutes a precomputed word-list fragment (e.g. a MATERIALIZED
     CTE column) so a caller using several flags doesn't re-run the
-    word split per flag per row."""
+    word split per flag per row. The ``unicode`` flag STILL picks the
+    alpha-word regex when ``words_expr`` is supplied — the caller must
+    pass the unicode value their word list was built with, or
+    ok_alpha_words matches '[a-z]' against unicode words (silently
+    false for every non-Latin doc)."""
     from pg_vectorize_spark.functions.text import GOPHER_STOPS
 
     t = f"coalesce({text}, '')"
