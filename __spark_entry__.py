@@ -2310,12 +2310,18 @@ def q_search_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/S6: the _search_tokens_<job> table itself — analyzer output
     (sorted for order-insensitive array comparison)."""
     docs = _t(spark, sf_dir, "documents")
+    # r13 optimization round: explode-over-singleton barrier — both
+    # output columns consume the analyzer chain (split + stop-words +
+    # 7-rule stem transform per token, interpreted), and CollapseProject
+    # would inline it into each; the Generate keeps it evaluated ONCE
+    # per row (the q_fts_multilang_stemmed pattern).
     return docs.select(
         "doc_id",
-        F.array_join(F.array_sort(T.tokens_expr(F.col("text"))), " ").alias(
-            "search_tokens"
-        ),
-        F.size(T.tokens_expr(F.col("text"))).alias("n_terms"),
+        F.explode(F.array(T.tokens_expr(F.col("text")))).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.array_join(F.array_sort("_toks"), " ").alias("search_tokens"),
+        F.size("_toks").alias("n_terms"),
     )
 
 
@@ -2341,18 +2347,31 @@ def q_fts_multilang_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
     docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
-    lang = T.lang_id_expr(F.col("text"))
-    toks = T.multilang_tokens_expr(
-        F.col("text"), lang=lang, assume_lang_id=True
-    )
-    # explode-over-singleton barrier (r13 perf): search_tokens and
-    # n_terms both consume the token array, and CollapseProject would
-    # inline the (interpreted, per-row expensive) analyzer chain into
-    # BOTH output expressions — the Generate keeps it evaluated ONCE
-    # per row (2x on this gate, measured)
-    return docs.select(
+    # r13 optimization round: materialize (lang, expanded tokens) ONCE
+    # per row behind the explode barrier, then dispatch the per-language
+    # stop/stem tail on the materialized columns — the inline
+    # multilang_tokens_expr form re-derived lang_id per when-condition
+    # and the tokenize subtree per branch (all interpreted; 6.4x
+    # measured, scripts/analyzer_perf_probe.py). Mirrors the oracle's
+    # own CTE structure (detected_lang materialized, CASE dispatch).
+    mat = docs.select(
         "doc_id",
-        lang.alias("detected_lang"),
+        F.explode(F.array(T.multilang_parts_expr(F.col("text")))).alias(
+            "_p"
+        ),
+    ).select(
+        "doc_id",
+        F.col("_p.lang").alias("detected_lang"),
+        F.col("_p.expanded").alias("_expanded"),
+    )
+    toks = T.multilang_tokens_from_parts(
+        F.col("detected_lang"), F.col("_expanded")
+    )
+    # second explode barrier: search_tokens and n_terms both consume the
+    # token array; the Generate keeps the stop/stem tail evaluated ONCE
+    return mat.select(
+        "doc_id",
+        "detected_lang",
         F.explode(F.array(toks)).alias("_toks"),
     ).select(
         "doc_id",
@@ -2509,15 +2528,25 @@ def q_unicode_multiscript_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         _UNICODE_DOPE_ROWS, "doc_id long, text string"
     )
     allr = ensure_min_partitions(docs.unionByName(doped))
-    lang = T.lang_id_expr(F.col("text"))
-    toks = T.multilang_tokens_expr(
-        F.col("text"), lang=lang, assume_lang_id=True
-    )
-    # explode-over-singleton barrier — single analyzer evaluation per
-    # row (see q_fts_multilang_stemmed)
-    return allr.select(
+    # r13 optimization round: materialized (lang, expanded) dispatch —
+    # see q_fts_multilang_stemmed (6.4x measured on this gate's shape,
+    # scripts/analyzer_perf_probe.py)
+    mat = allr.select(
         "doc_id",
-        lang.alias("detected_lang"),
+        F.explode(F.array(T.multilang_parts_expr(F.col("text")))).alias(
+            "_p"
+        ),
+    ).select(
+        "doc_id",
+        F.col("_p.lang").alias("detected_lang"),
+        F.col("_p.expanded").alias("_expanded"),
+    )
+    toks = T.multilang_tokens_from_parts(
+        F.col("detected_lang"), F.col("_expanded")
+    )
+    return mat.select(
+        "doc_id",
+        "detected_lang",
         F.explode(F.array(toks)).alias("_toks"),
     ).select(
         "doc_id",
@@ -2570,12 +2599,20 @@ def _fts_multilang_gate_index(spark: SparkSession, sf_dir: str):
             _UNICODE_DOPE_ROWS, "doc_id long, text string"
         )
         allr = docs.unionByName(doped)
+        # r13 optimization round: materialized (lang, expanded) dispatch
+        # for the build scan — see q_fts_multilang_stemmed
+        mat = allr.select(
+            "doc_id",
+            F.explode(
+                F.array(T.multilang_parts_expr(F.col("text")))
+            ).alias("_p"),
+        )
         mgr.build(
-            allr.select(
+            mat.select(
                 "doc_id",
-                T.multilang_tokens_expr(F.col("text")).alias(
-                    "search_tokens"
-                ),
+                T.multilang_tokens_from_parts(
+                    F.col("_p.lang"), F.col("_p.expanded")
+                ).alias("search_tokens"),
             ),
             "doc_id",
         )
@@ -2643,9 +2680,16 @@ def q_dedup_minhash_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _UNICODE_DOPE_ROWS, "doc_id long, text string"
     )
     allr = docs.unionByName(doped)
+    # r13 optimization round: the signature pipeline (unicode shingle
+    # explode + poly hash + 16-way min agg) is referenced by FIVE
+    # consumers downstream (collapse groupBy, collapse join-back, band
+    # rows, and both sides of the estimate join) with different shuffle
+    # keys, so without a materialization each consumer re-ran the whole
+    # shingle scan. One lazy local checkpoint = one corpus pass — the
+    # same MATERIALIZED-CTE structure the oracle already uses.
     sigs = minhash_signatures(
         allr, "text", "doc_id", num_hashes=16, k=3, unicode=True
-    )
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
     return minhash_jaccard_estimate(sigs, cands, num_hashes=16)
 

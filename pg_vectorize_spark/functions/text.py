@@ -440,6 +440,51 @@ def multilang_tokens_expr(
     ).otherwise(out)
 
 
+def multilang_parts_expr(text: Column) -> Column:
+    """The per-row inputs of the multilang analyzer as ONE struct —
+    ``lang`` (lang_id_expr) and ``expanded`` (the Unicode token stream
+    after CJK bigram expansion, BEFORE stop/stem/distinct). Evaluate
+    this behind a single materialization barrier (explode-over-
+    singleton), then dispatch with ``multilang_tokens_from_parts``:
+    the expensive tokenize+expand subtree runs once per row and the
+    per-language when-chain compares a plain materialized string column
+    instead of re-deriving lang_id per condition (r13 optimization
+    round — the interpreted CaseWhen duplicated both subtrees into
+    every branch; measured 6.4x on the multilang gate shape,
+    scripts/analyzer_perf_probe.py). Value-equivalence with the inline
+    ``multilang_tokens_expr`` path is pinned by
+    tests/test_multilang_stem.py."""
+    return F.struct(
+        lang_id_expr(text).alias("lang"),
+        cjk_bigram_expand_expr(unicode_raw_words_expr(text)).alias(
+            "expanded"
+        ),
+    )
+
+
+def multilang_tokens_from_parts(lang: Column, expanded: Column) -> Column:
+    """Multilang analyzer tail over MATERIALIZED ``multilang_parts_expr``
+    columns: per-language stop-word removal + light stemming + distinct.
+    Identical output to ``multilang_tokens_expr(text)`` when ``lang`` /
+    ``expanded`` were derived from the same text (the stop lists are
+    ASCII and the stem rules [a-z]-anchored, so the dispatch equality
+    carries over unchanged)."""
+
+    def _branch(stem: bool, lng: str = "en") -> Column:
+        stops = STOP_WORDS_BY_LANG[lng] if stem else STOP_WORDS
+        kept = F.array_except(
+            expanded, F.array(*[F.lit(w) for w in stops])
+        )
+        if stem:
+            kept = F.transform(kept, lambda t: stem_token_expr(t, lng))
+        return F.array_distinct(kept)
+
+    out = _branch(False)
+    for code in STEMMED_LANGS:
+        out = F.when(lang == code, _branch(True, code)).otherwise(out)
+    return out
+
+
 def script_lang(text: str | None) -> str | None:
     """The script-detected language of ``text`` (zh/ja/ko/ru by
     codepoint-range presence, SCRIPT_LANGS priority order), or None
@@ -655,7 +700,13 @@ def whitespace_token_count_expr(text: Column) -> Column:
 
 
 def quality_metrics_exprs(text: Column) -> dict[str, Column]:
-    """Deterministic quality features: length, word stats, ratios."""
+    """Deterministic quality features: length, word stats, ratios.
+
+    (r13 optimization round: a bind_once_expr rewrite of the repeated
+    word-split subtrees was tried and REVERTED — flat-projection shapes
+    like this one measured flat-to-worse with per-entry binds; the
+    binding trick only pays around expensive conditionally-dispatched
+    subtrees. See OPTIMIZATION_r13.md.)"""
     t = F.coalesce(text, F.lit(""))
     n_chars = F.length(t).cast("long")
     words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
@@ -734,6 +785,11 @@ def gopher_flags_exprs(
     split_re = UNICODE_SPLIT if unicode else "[^a-z0-9]+"
     alpha_re = r"\p{L}" if unicode else "[a-z]"
     words = F.filter(F.split(F.lower(t), split_re), lambda x: x != "")
+
+    # (r13 optimization round: per-flag bind_once_expr binds were tried
+    # and REVERTED — this flat projection measured 0.78 -> 1.18 s best-of-5
+    # WITH the binds; the binding trick only pays around expensive
+    # conditionally-dispatched subtrees. See OPTIMIZATION_r13.md.)
     n_words = F.size(words).cast("long")
     nw_d = n_words.cast("double")
     mean_word_len = F.when(
@@ -805,28 +861,69 @@ def lang_id_expr(text: Column) -> Column:
     """Script presence first (r13 — explicit codepoint-range checks,
     identical in Java/RE2/Python), then argmax over per-language
     marker-word hits; ties broken by language code order ('unknown'
-    when zero hits everywhere)."""
+    when zero hits everywhere).
+
+    r13 optimization round: the argmax is computed from ONE evaluation
+    of the tokenize subtree per row. The original nested-when form
+    duplicated the split+distinct `words` subtree into every score
+    reference (`greatest` + two references per when-condition), and
+    interpreted evaluation — higher-order functions never enter codegen
+    — re-evaluates every duplicated subtree, so a single lang-id call
+    cost ~10 regex splits of the document. Binding `words` once via a
+    transform-over-singleton lambda and taking the argmax as an
+    array_max over (score, -order, lang) structs is value-identical
+    (max score wins; ties -> lowest order = first language in sorted
+    code order; zero hits -> 'unknown') and measured 3.2x faster on the
+    multilang gate shape (scripts/analyzer_perf_probe.py)."""
     t = F.coalesce(text, F.lit(""))
+
+    def _argmax(words: Column) -> Column:
+        langs = sorted(LANG_MARKERS)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            words,
+                            F.array(*[F.lit(w) for w in LANG_MARKERS[lng]]),
+                        )
+                    ).alias("s"),
+                    F.lit(-i).alias("o"),
+                    F.lit(lng).alias("l"),
+                )
+                for i, lng in enumerate(langs)
+            ]
+        )
+        best = F.array_max(arr)
+        return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
+
     words = F.array_distinct(
         F.filter(F.split(F.lower(t), "[^a-z0-9]+"),
                  lambda x: x != "")
     )
-    scores = {
-        lang: F.size(
-            F.array_intersect(words, F.array(*[F.lit(w) for w in markers]))
-        )
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    best_score = F.greatest(*scores.values())
-    result = F.lit("unknown")
-    # reversed so that the FIRST language in sorted order wins ties
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        result = F.when(
-            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
-        ).otherwise(result)
+    result = F.element_at(F.transform(F.array(words), _argmax), 1)
     for lang, cls in reversed(SCRIPT_LANGS):
         result = F.when(t.rlike(cls), F.lit(lang)).otherwise(result)
     return result
+
+
+def bind_once_expr(value: Column, fn) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE per row
+    and feed the result to ``fn`` as a bound lambda variable
+    (transform-over-singleton + element_at).
+
+    Why (r13 optimization round): higher-order functions are
+    CodegenFallback, so any expression tree containing them is evaluated
+    interpreted — and interpreted evaluation re-computes every duplicated
+    subtree. An expression like ``when(size(words) >= k,
+    ngrams(words)).otherwise(...)`` references ``words`` many times and
+    pays the full tokenize cost per reference. Binding through a
+    single-element ``transform`` evaluates ``value`` exactly once; the
+    lambda body sees it as a cheap variable reference. The inner ops on
+    the bound value should themselves be cheap (array ops, not regex) —
+    measured 3-6x on the analyzer/shingle shapes
+    (scripts/analyzer_perf_probe.py)."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
 
 
 def fingerprint_expr(text: Column) -> Column:
@@ -892,10 +989,20 @@ def word_shingles_expr(
         words = cjk_bigram_expand_expr(unicode_raw_words_expr(text))
     else:
         words = raw_words_expr(text)
-    shingles = F.when(
-        F.size(words) >= k, word_ngrams_expr(words, k)
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    return F.array_distinct(shingles)
+
+    # r13 optimization round: bind the word array ONCE — the shingle
+    # construction references it ~7x (size guard, k shifted slices, the
+    # short-doc fallback), and each reference re-ran the full tokenize
+    # (+ bigram-expand under unicode=True) chain in interpreted eval.
+    # The bound ops are pure array work; values are unchanged.
+    def _shingles(ws: Column) -> Column:
+        return F.array_distinct(
+            F.when(
+                F.size(ws) >= k, word_ngrams_expr(ws, k)
+            ).otherwise(F.array(F.concat_ws(" ", ws)))
+        )
+
+    return bind_once_expr(words, _shingles)
 
 
 def repetition_score_expr(text: Column, k: int = 2) -> Column:
@@ -1080,12 +1187,28 @@ def line_dedup_exprs(text: Column) -> dict[str, Column]:
     """
     t = F.coalesce(text, F.lit(""))
     lines = F.split(t, "\n")
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
-    n_lines = F.size(lines).cast("long")
-    n_kept = F.size(kept).cast("long")
+
+    # r13 optimization round: bind the line array once per entry — the
+    # direct form's first-occurrence lambda referenced `lines` INSIDE
+    # the filter body, so interpreted eval re-ran the split per element
+    # (O(lines) splits per doc on top of the O(lines^2) scan). The bound
+    # variable is a cheap reference; values unchanged.
+    def _kept(ls: Column) -> Column:
+        return F.filter(
+            ls, lambda x, i: F.array_position(ls, x) == i + 1
+        )
+
     return {
-        "n_lines": n_lines,
-        "n_kept_lines": n_kept,
-        "clean_text": F.array_join(kept, "\n"),
-        "had_dup_lines": n_kept < n_lines,
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": bind_once_expr(
+            lines, lambda ls: F.size(_kept(ls)).cast("long")
+        ),
+        "clean_text": bind_once_expr(
+            lines, lambda ls: F.array_join(_kept(ls), "\n")
+        ),
+        "had_dup_lines": bind_once_expr(
+            lines,
+            lambda ls: F.size(_kept(ls)).cast("long")
+            < F.size(ls).cast("long"),
+        ),
     }

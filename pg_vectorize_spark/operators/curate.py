@@ -930,6 +930,12 @@ def sequence_pack(
         .filter(F.col("n_tokens") > 0)
         .withColumn("_prio", sample_priority_expr(F.col(key_col), salt))
         .withColumn("_pid", F.expr(f"_prio div {width}"))
+        # r13 optimization round: base is consumed TWICE (the bucket-total
+        # collect below and the windowed output join) — without a
+        # materialization point the upstream count projection (typically a
+        # full tokenize scan) runs twice. The frame is (key, 3 longs) —
+        # narrow next to the corpus text it replaces re-reading (§2.4).
+        .localCheckpoint(eager=False)
     )
     totals = sorted(
         (r["_pid"], r["_tot"])
@@ -1102,7 +1108,12 @@ def perplexity_buckets(
     )
     base = scored.withColumn("_q9", q9).withColumn(
         "_rid", F.expr(f"(-_q9) div {rank_buckets_width}")
-    )
+    # r13 optimization round: base is consumed TWICE (the per-range count
+    # collect below and the ranked output join) — without a
+    # materialization point the ENTIRE unigram-LM pipeline (words
+    # explode, vocab aggregate, scoring join) plus the lang-id scan runs
+    # twice. The frame is one narrow row per doc (§2.4).
+    ).localCheckpoint(eager=False)
     counts = sorted(
         ((r["lang"], r["_rid"]), r["_n"])
         for r in base.groupBy("lang", "_rid")

@@ -106,6 +106,75 @@ class TestThreeEngineParity:
             assert got_s[i] == got_d[i] == (plang, py), (i, s)
 
 
+class TestMaterializedDispatch:
+    """r13 optimization round: the materialized (lang, expanded) form —
+    multilang_parts_expr behind an explode barrier +
+    multilang_tokens_from_parts — must be row-for-row identical to the
+    inline multilang_tokens_expr chain it replaced in the hot paths."""
+
+    def test_parts_dispatch_equals_inline(self, engines):
+        df, _ = engines
+        # add marker-heavy rows so every stemmed branch is exercised
+        extra = df.sparkSession.createDataFrame(
+            [
+                (100, "el que la ciudad de las luces brillaba"),
+                (101, "le chat et les maisons de la ville"),
+                (102, "der hund und die katzen von dem lehrer"),
+                (103, "the windows and the merged batches running"),
+                (104, "no markers here whatsoever keyword only"),
+            ],
+            "id int, text string",
+        )
+        allr = df.unionByName(extra)
+        inline = {
+            r["id"]: (r["l"], list(r["t"]))
+            for r in allr.select(
+                "id",
+                T.lang_id_expr(F.col("text")).alias("l"),
+                T.multilang_tokens_expr(F.col("text")).alias("t"),
+            ).collect()
+        }
+        mat = allr.select(
+            "id",
+            F.explode(
+                F.array(T.multilang_parts_expr(F.col("text")))
+            ).alias("_p"),
+        ).select(
+            "id",
+            F.col("_p.lang").alias("l"),
+            T.multilang_tokens_from_parts(
+                F.col("_p.lang"), F.col("_p.expanded")
+            ).alias("t"),
+        )
+        got = {
+            r["id"]: (r["l"], list(r["t"])) for r in mat.collect()
+        }
+        assert got == inline
+
+    def test_lang_id_rewrite_matches_python_mirror(self, spark):
+        # the argmax-over-structs rewrite must keep detect_lang parity
+        # on ties, zero-hit, and script-override rows
+        rows = [
+            (0, "de la"),            # es/fr marker tie -> 'es' (sorted first)
+            (1, "de"),               # es/fr/zh tie -> 'es'
+            (2, ""),                 # zero hits -> unknown
+            (3, None),               # null -> unknown
+            (4, "la de que y en"),   # clear es
+            (5, "der die und das"),  # clear de
+            (6, "机器 the and of"),   # script beats markers -> zh
+            (7, "данные the and of in is"),  # Cyrillic beats en markers
+        ]
+        df = spark.createDataFrame(rows, "id int, text string")
+        got = {
+            r["id"]: r["l"]
+            for r in df.select(
+                "id", T.lang_id_expr(F.col("text")).alias("l")
+            ).collect()
+        }
+        for i, t in rows:
+            assert got[i] == T.detect_lang(t), (i, t)
+
+
 class TestCjkBigramSpec:
     def test_han_run_bigrams(self):
         assert T.py_unicode_tokens("机器学习", stem=False) == [
