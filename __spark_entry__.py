@@ -1226,7 +1226,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3)
+    # r13 optimization round: the collapse references the signature
+    # pipeline from two differently-keyed exchanges (groupBy partial-agg
+    # vs plain join side), which ReuseExchange cannot unify — checkpoint
+    # so the shingle scan runs once (see q_dedup_minhash_unicode).
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, k=3
+    ).localCheckpoint(eager=False)
     return minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
 
 
@@ -1341,7 +1347,12 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, k=3)
+    # r13 optimization round: five downstream consumers (collapse
+    # groupBy/join, band rows, both estimate-join sides) — one
+    # checkpoint = one shingle scan (see q_dedup_minhash_unicode).
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, k=3
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
     return minhash_jaccard_estimate(sigs, cands, num_hashes=16)
 

@@ -787,9 +787,11 @@ def gopher_flags_exprs(
     words = F.filter(F.split(F.lower(t), split_re), lambda x: x != "")
 
     # (r13 optimization round: per-flag bind_once_expr binds were tried
-    # and REVERTED — this flat projection measured 0.78 -> 1.18 s best-of-5
-    # WITH the binds; the binding trick only pays around expensive
-    # conditionally-dispatched subtrees. See OPTIMIZATION_r13.md.)
+    # and REVERTED — the interleaved A/B (scripts/gopher_bind_probe.py)
+    # measured 0.56 s flat vs 1.24 s with six per-flag binds on the
+    # all-columns projection; binding only pays for single-consumer
+    # trees — see gopher_pass_expr — or conditional dispatch. See
+    # OPTIMIZATION_r13.md.)
     n_words = F.size(words).cast("long")
     nw_d = n_words.cast("double")
     mean_word_len = F.when(
@@ -833,6 +835,78 @@ def gopher_flags_exprs(
         passed = c if passed is None else passed & c
     flags["pass_gopher"] = passed
     return flags
+
+
+def gopher_pass_expr(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    unicode: bool = False,
+) -> Column:
+    """``pass_gopher`` alone, with the word array bound ONCE — for the
+    single-flag consumers (corpus_stats, the pipeline gopher filter).
+
+    r13 optimization round: the conjunction references the tokenize
+    subtree ~14x across the five rules; as a single output column there
+    is no cross-column sharing to preserve, so one bind_once_expr wins
+    (interleaved A/B: 0.53 s -> 0.38 s at 20k docs,
+    scripts/gopher_bind_probe.py). Values are identical to
+    ``gopher_flags_exprs(...)['pass_gopher']`` — same rule trees over
+    the bound array (equality asserted in the probe and pytest)."""
+    t = F.coalesce(text, F.lit(""))
+    split_re = UNICODE_SPLIT if unicode else "[^a-z0-9]+"
+    alpha_re = r"\p{L}" if unicode else "[a-z]"
+    words = F.filter(F.split(F.lower(t), split_re), lambda x: x != "")
+
+    def _pass(ws: Column) -> Column:
+        n_words = F.size(ws).cast("long")
+        nw_d = n_words.cast("double")
+        mean_word_len = F.when(
+            n_words > 0,
+            F.aggregate(
+                ws,
+                F.lit(0.0),
+                lambda acc, w: acc + F.length(w).cast("double"),
+            )
+            / nw_d,
+        ).otherwise(F.lit(0.0))
+        n_symbols = (
+            F.length(t)
+            - F.length(F.regexp_replace(t, "#", ""))
+            + F.size(F.split(t, r"\.\.\."))
+            - F.lit(1)
+        ).cast("long")
+        symbol_ratio = F.when(
+            n_words > 0, n_symbols.cast("double") / nw_d
+        ).otherwise(F.lit(0.0))
+        n_alpha_words = F.size(
+            F.filter(ws, lambda w: w.rlike(alpha_re))
+        ).cast("long")
+        alpha_ratio = F.when(
+            n_words > 0, n_alpha_words.cast("double") / nw_d
+        ).otherwise(F.lit(0.0))
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(ws),
+                F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+            )
+        ).cast("long")
+        return (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_word_len >= F.lit(min_mean_word_len))
+            & (mean_word_len <= F.lit(max_mean_word_len))
+            & (symbol_ratio <= F.lit(max_symbol_ratio))
+            & (alpha_ratio >= F.lit(min_alpha_ratio))
+            & (stop_hits >= min_stop_hits)
+        )
+
+    return bind_once_expr(words, _pass)
 
 
 # per-language marker words for the n-gram/stopword language-ID heuristic

@@ -219,6 +219,13 @@ def apply_change_events(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    # r13 optimization round: ev is consumed THREE times (upserts,
+    # deletes, and the base anti-join) — without a materialization point
+    # the whole event-log plan (often a many-branch union) plus the
+    # latest-version window re-ran per consumer (21 source scans on the
+    # cdf_apply gate's plan, down to 8). Change-log sized, not corpus
+    # sized (§2.4).
+    ev = ev.localCheckpoint(eager=False)
     upserts = ev.filter(ct != F.lit("delete")).drop(*drop_cols)
     if version_col is None:
         # no order to pick a "latest" by: collapse multi-upsert keys

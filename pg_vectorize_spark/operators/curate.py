@@ -175,17 +175,20 @@ def corpus_stats(
     the group keys.
     """
     from pg_vectorize_spark.functions.text import (
-        gopher_flags_exprs,
+        gopher_pass_expr,
         token_count_expr,
     )
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    flags = gopher_flags_exprs(F.col(text_col), min_words=min_words)
     per_doc = df.select(
         *group_cols,
         token_count_expr(F.col(text_col)).alias("_tok"),
         F.length(t).cast("long").alias("_chars"),
-        flags["pass_gopher"].cast("long").alias("_pass"),
+        # r13 optimization round: single-consumer conjunction -> the
+        # bound form (words tokenized once; see gopher_pass_expr)
+        gopher_pass_expr(F.col(text_col), min_words=min_words)
+        .cast("long")
+        .alias("_pass"),
     )
     agg = per_doc.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -220,8 +223,14 @@ def contamination_flags(
     sets are tiny next to a 100 TB corpus), hash-join otherwise. Never a
     cross join; never a corpus self-join.
     """
-    grams = lambda c: F.array_distinct(  # noqa: E731
-        word_ngrams_expr(raw_words_expr(c), k)
+    from pg_vectorize_spark.functions.text import bind_once_expr
+
+    # r13 optimization round: bound word array — word_ngrams_expr
+    # references it ~2k times in interpreted eval (see
+    # duplicated_span_stats)
+    grams = lambda c: bind_once_expr(  # noqa: E731
+        raw_words_expr(c),
+        lambda ws: F.array_distinct(word_ngrams_expr(ws, k)),
     )
     bench_grams = (
         bench_df.select(F.explode(grams(F.col(text_col))).alias("_gram"))
@@ -363,7 +372,14 @@ def unigram_logprob(
         )
         .localCheckpoint(eager=False)  # read twice: vocab + scoring join
     )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("_n"))
+    # r13 optimization round: vocab feeds BOTH the grand-total aggregate
+    # and the scoring join — checkpoint so the posting-stream count runs
+    # once (vocabulary-sized frame; §2.4)
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("_n").alias("_total"))
     _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
     lp = (
@@ -437,7 +453,10 @@ def bigram_logprob(
     words = ensure_min_partitions(df).select(
         F.col(pkey),
         F.posexplode(raw_words_expr(F.col(text_col))).alias("_pos", "w1"),
-    )
+    # r13 optimization round: words is consumed by BOTH the bigram
+    # window below and the vocabulary-size aggregate — checkpoint so the
+    # corpus tokenize+explode runs once (§2.4)
+    ).localCheckpoint(eager=False)
     wnd = Window.partitionBy(pkey).orderBy("_pos")
     big = (
         words.withColumn("w2", F.lead("w1").over(wnd))

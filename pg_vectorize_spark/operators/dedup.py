@@ -111,11 +111,36 @@ def ngram_jaccard_pairs(
     filtered shingle sets on BOTH the numerator and denominator, so it
     remains a true Jaccard of the reduced sets. ``None`` = exact.
     """
-    # the inverted index is read 3-4x downstream (df-count, both join sides,
-    # sizes); it is itself a windowed explode, so materialize it once with a
-    # lazy local checkpoint instead of recomputing per consumer
-    inv = shingles_exploded(df, text_col, pkey, k).localCheckpoint(eager=False)
-    if max_shingle_df is not None:
+    if max_shingle_df is None:
+        # r13 optimization round: with no df cap the per-doc set size IS
+        # the (already-distinct) shingle array's length, knowable IN-ROW
+        # at explode time — the windowed form below shuffled the whole
+        # posting table on _id just to attach it (one full Exchange of
+        # the largest pre-pair frame, deleted here; §2.4). The shingle
+        # array is projected once (multi-referenced non-cheap exprs are
+        # not inlined by CollapseProject), sized, then exploded.
+        from pg_vectorize_spark.functions.text import word_shingles_expr
+
+        arr = (
+            ensure_min_partitions(df)
+            .select(
+                F.col(pkey).alias("_id"),
+                word_shingles_expr(F.col(text_col), k).alias("_arr"),
+            )
+        )
+        inv_sized = arr.select(
+            "_id",
+            F.size("_arr").alias("_size"),
+            F.explode("_arr").alias("_sh"),
+        ).localCheckpoint(eager=False)
+    else:
+        # the inverted index is read 3-4x downstream (df-count, both
+        # join sides, sizes); it is itself a windowed explode, so
+        # materialize it once with a lazy local checkpoint instead of
+        # recomputing per consumer
+        inv = shingles_exploded(df, text_col, pkey, k).localCheckpoint(
+            eager=False
+        )
         hot = (
             inv.groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -125,17 +150,18 @@ def ngram_jaccard_pairs(
         # the hot list is tiny by construction -> broadcast anti-join,
         # no extra shuffle of the full inverted index
         inv = inv.join(F.broadcast(hot), "_sh", "left_anti")
-    # attach the (capped) per-doc set size to every posting with a window
-    # over _id, so it rides the shingle self-join and the pair aggregate
-    # needs NO size join afterwards. The pair table is the largest frame
-    # in this pipeline (4.3x the inverted index at sf0.1) — joining sizes
-    # onto it, as a first cut did, re-shuffles it twice; at a scale where
-    # per-doc sizes stop being broadcastable (1e9 docs) that is the
-    # dominant cost. One extra exchange of the index is strictly smaller,
-    # and the self-join's two reads reuse it (ReusedExchange).
-    inv_sized = inv.withColumn(
-        "_size", F.count(F.lit(1)).over(Window.partitionBy("_id"))
-    )
+        # attach the CAPPED per-doc set size to every posting with a
+        # window over _id, so it rides the shingle self-join and the
+        # pair aggregate needs NO size join afterwards. The pair table
+        # is the largest frame in this pipeline (4.3x the inverted index
+        # at sf0.1) — joining sizes onto it, as a first cut did,
+        # re-shuffles it twice; at a scale where per-doc sizes stop
+        # being broadcastable (1e9 docs) that is the dominant cost. One
+        # extra exchange of the index is strictly smaller, and the
+        # self-join's two reads reuse it (ReusedExchange).
+        inv_sized = inv.withColumn(
+            "_size", F.count(F.lit(1)).over(Window.partitionBy("_id"))
+        )
     a = inv_sized.select(
         F.col("_id").alias("a_id"), "_sh", F.col("_size").alias("_sa")
     )
@@ -990,11 +1016,18 @@ def duplicated_span_stats(
     bit-exact oracle gate.
     """
     from pg_vectorize_spark.functions.text import (
+        bind_once_expr,
         raw_words_expr,
         word_ngrams_expr,
     )
 
-    grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
+    # r13 optimization round: bind the word array once — word_ngrams_expr
+    # references it ~2k times (k shifted slices + the length bound each
+    # re-ran the regex split in interpreted eval)
+    grams = bind_once_expr(
+        raw_words_expr(F.col(text_col)),
+        lambda ws: word_ngrams_expr(ws, k),
+    )
     win = df.select(F.col(pkey), F.explode(grams).alias("gram"))
     if hash_ngrams:
         win = win.select(F.col(pkey), F.xxhash64("gram").alias("gkey"))
@@ -1071,11 +1104,16 @@ def span_instances(
     streaming filter's store fold (the dominant cost of the job; callers
     that need it twice should materialize it once)."""
     from pg_vectorize_spark.functions.text import (
+        bind_once_expr,
         raw_words_expr,
         word_ngrams_expr,
     )
 
-    grams = word_ngrams_expr(raw_words_expr(F.col(text_col)), k)
+    # r13 optimization round: bound word array — see duplicated_span_stats
+    grams = bind_once_expr(
+        raw_words_expr(F.col(text_col)),
+        lambda ws: word_ngrams_expr(ws, k),
+    )
     win = df.select(
         F.col(pkey), F.col(ts_col).alias("_ts"), F.explode(grams).alias("gram")
     )

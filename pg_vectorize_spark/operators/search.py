@@ -437,6 +437,12 @@ def cover_density_scores(
     matched = pos_words.select(
         F.col(pkey), F.col("_pos"), term_col.alias("_t")
     ).filter(F.col("_t").isin(*terms))
+    # r13 optimization round: the min-gap pair join consumes `matched`
+    # on BOTH sides — without a materialization point the posexplode +
+    # stem-prefilter corpus scan ran twice. The frame holds only the
+    # matched query-term occurrences (|docs| x |terms| upper bound),
+    # tiny next to the scan it replaces (§2.4).
+    matched = matched.localCheckpoint(eager=False)
     a = matched.select(
         F.col(pkey), F.col("_t").alias("_ta"), F.col("_pos").alias("_pa")
     )

@@ -204,10 +204,15 @@ class CorpusPipeline:
 
     def filter_gopher(self, min_words: int = 20) -> "CorpusPipeline":
         """Keep only docs passing the Gopher quality rules."""
-        from pg_vectorize_spark.functions.text import gopher_flags_exprs
+        from pg_vectorize_spark.functions.text import gopher_pass_expr
 
-        flags = gopher_flags_exprs(F.col(self.text_col), min_words=min_words)
-        return self._derive(self._df.filter(flags["pass_gopher"]))
+        # r13 optimization round: single-consumer conjunction -> the
+        # bound form (words tokenized once; see gopher_pass_expr)
+        return self._derive(
+            self._df.filter(
+                gopher_pass_expr(F.col(self.text_col), min_words=min_words)
+            )
+        )
 
     def filter_dup_spans(
         self, max_fraction: float = 0.5, k: int = 20
@@ -285,7 +290,13 @@ class CorpusPipeline:
                 self._df, self.text_col, self.pkey, threshold=threshold
             )
         if method == "minhash":
-            sigs = minhash_signatures(self._df, self.text_col, self.pkey)
+            # r13 optimization round: the banding collapse consumes the
+            # signature pipeline from multiple differently-keyed
+            # exchanges; checkpoint so the (often expression-heavy
+            # upstream) corpus scan shingles once.
+            sigs = minhash_signatures(
+                self._df, self.text_col, self.pkey
+            ).localCheckpoint(eager=False)
             return minhash_lsh_candidates(sigs)
         if method == "simhash":
             return simhash_pairs(self._df, self.text_col, self.pkey)

@@ -151,6 +151,28 @@ class TestMaterializedDispatch:
         }
         assert got == inline
 
+    @pytest.mark.parametrize("unicode", [False, True])
+    def test_gopher_pass_expr_equals_flags_conjunction(self, spark, unicode):
+        # the bound single-column form must match the flat flags' pass
+        # column row-for-row (incl. empty/null/non-Latin rows)
+        rows = [(i, s) for i, s in enumerate(SAMPLES)] + [
+            (100, "the be to of and that have with " + "word " * 60),
+            (101, "### ... ### ..."),
+        ]
+        df = spark.createDataFrame(rows, "id int, text string")
+        flags = T.gopher_flags_exprs(
+            F.col("text"), min_words=20, unicode=unicode
+        )
+        both = df.select(
+            "id",
+            flags["pass_gopher"].alias("flat"),
+            T.gopher_pass_expr(
+                F.col("text"), min_words=20, unicode=unicode
+            ).alias("bound"),
+        ).collect()
+        for r in both:
+            assert r["flat"] == r["bound"], r["id"]
+
     def test_lang_id_rewrite_matches_python_mirror(self, spark):
         # the argmax-over-structs rewrite must keep detect_lang parity
         # on ties, zero-hit, and script-override rows
