@@ -2295,12 +2295,22 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate filtering — the curation step that keeps docs above a
-    composite-score threshold."""
+    composite-score threshold.
+
+    r13 optimization round: the flat select+filter form evaluated the
+    FULL score tree twice per row (Catalyst pushes the predicate below
+    the Project, duplicating it into the Filter condition) with the
+    words subtree 4x inside each evaluation. The bound score behind an
+    explode-over-singleton barrier evaluates once per row; values are
+    bit-identical (scripts/quality_bind_probe.py asserts exact equality;
+    interleaved A/B 0.995 s -> 0.613 s)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "lang",
-        T.quality_score_expr(F.col("text")).alias("quality_score"),
+        F.explode(
+            F.array(T.quality_score_bound_expr(F.col("text")))
+        ).alias("quality_score"),
     ).filter(F.col("quality_score") >= 0.5)
 
 

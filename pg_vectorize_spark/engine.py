@@ -639,7 +639,7 @@ class VectorizeSession:
         from pg_vectorize_spark.functions.text import (
             c4_flags_exprs,
             lang_id_expr,
-            quality_score_expr,
+            quality_score_bound_expr,
             token_count_expr,
         )
 
@@ -654,8 +654,10 @@ class VectorizeSession:
                 token_count_expr(content) <= int(params["max_tokens"])
             )
         if "min_quality" in params:
+            # single-consumer filter context: bound-words variant
+            # (bit-identical values, scripts/quality_bind_probe.py)
             out = out.filter(
-                quality_score_expr(content)
+                quality_score_bound_expr(content)
                 >= float(params["min_quality"])
             )
         if "langs" in params:

@@ -753,6 +753,59 @@ def quality_score_expr(text: Column) -> Column:
     )
 
 
+def quality_score_bound_expr(text: Column) -> Column:
+    """``quality_score_expr`` with the words subtree bound ONCE — for
+    single-consumer contexts (the quality_filter gate, the engine's
+    min_quality curation filter, pipeline filter_quality/sampling).
+
+    r13 optimization round: the flat score references the tokenize
+    subtree 4x (word count, stopword-CASE condition, distinct-intersect,
+    ratio divisor) and filter placement can double the whole-tree
+    evaluation (Filter + Project). As a single output column there is no
+    cross-column sharing to preserve, so one bind_once_expr wins
+    (interleaved A/B, scripts/quality_bind_probe.py: gate shape
+    0.995 s -> 0.613 s with the explode barrier at the call site; pure
+    filter 0.464 -> 0.425 s). Values are bit-identical to
+    ``quality_score_expr`` — same term trees over the bound array
+    (equality asserted in the probe and pytest). Multi-column consumers
+    (q_quality_score) keep the flat form: whole-stage CSE already shares
+    the unconditional subtrees there and per-column binds measured 2x
+    WORSE (see quality_metrics_exprs note)."""
+    t = F.coalesce(text, F.lit(""))
+    words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
+
+    def _score(ws: Column) -> Column:
+        n_chars = F.length(t).cast("long")
+        n_words = F.size(ws).cast("long")
+        n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast(
+            "long"
+        )
+        punct_ratio = F.when(
+            n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+        ).otherwise(F.lit(0.0))
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(ws),
+                F.array(*[F.lit(w) for w in STOP_WORDS]),
+            )
+        ).cast("long")
+        stopword_ratio = F.when(
+            n_words > 0, stop_hits.cast("double") / n_words.cast("double")
+        ).otherwise(F.lit(0.0))
+        len_term = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+        word_term = F.least(n_words.cast("double") / F.lit(50.0), F.lit(1.0))
+        punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+        stop_term = F.least(stopword_ratio * 2.0, F.lit(1.0))
+        return (
+            len_term * 0.25
+            + word_term * 0.25
+            + punct_term * 0.25
+            + stop_term * 0.25
+        )
+
+    return bind_once_expr(words, _score)
+
+
 # Gopher-rule stop list (Rae et al. 2021 §A1.1: doc must contain >= 2)
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 

@@ -28,6 +28,7 @@ from pg_vectorize_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
     quality_metrics_exprs,
+    quality_score_bound_expr,
     quality_score_expr,
     token_count_expr,
     tokens_expr,
@@ -133,8 +134,15 @@ class CorpusPipeline:
     def filter_quality(self, min_score: float = 0.5) -> "CorpusPipeline":
         df = self._df
         if "quality_score" not in df.columns:
+            # bound score behind an explode-singleton barrier: one
+            # evaluation per row instead of Filter+Project duplicating
+            # the whole tree (bit-identical values,
+            # scripts/quality_bind_probe.py)
             df = df.withColumn(
-                "quality_score", quality_score_expr(F.col(self.text_col))
+                "quality_score",
+                F.explode(
+                    F.array(quality_score_bound_expr(F.col(self.text_col)))
+                ),
             )
         return self._derive(df.filter(F.col("quality_score") >= min_score))
 
@@ -352,8 +360,10 @@ class CorpusPipeline:
         df = self._df
         if weight_col is None:
             if "quality_score" not in df.columns:
+                # single-consumer weight column: bound-words variant
                 df = df.withColumn(
-                    "quality_score", quality_score_expr(F.col(self.text_col))
+                    "quality_score",
+                    quality_score_bound_expr(F.col(self.text_col)),
                 )
             weight_col = "quality_score"
         top = _sw(df, self.pkey, weight_col, k)
