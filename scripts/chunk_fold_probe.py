@@ -19,6 +19,16 @@ alternate each round) per the box-noise protocol.
 
 Usage: python scripts/chunk_fold_probe.py [rounds]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (32).
+
+RESULT (r13 optimization round): REJECTED — keep the window form.
+Equality holds everywhere, and at sf0.1 the fold reads ~4 % ahead
+(0.527 -> 0.500 s best-of-7, fixed-overhead dominated). But on a
+32x-replicated corpus (160k docs, ~8M words — the volume where shape
+matters) the fold is 76 % WORSE: window 5.718 s vs fold 10.057 s
+(best-of-5, interleaved). `aggregate` is CodegenFallback: the
+per-word interpreted fold costs more than BOTH codegen'd word-level
+exchanges it removes — the same verdict as the pool_embeddings
+one-shuffle rewrite (scripts/pool_rewrite_probe.py).
 """
 
 from __future__ import annotations
