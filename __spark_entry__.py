@@ -2659,11 +2659,20 @@ def q_fts_multilang_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.unionByName(doped).select("doc_id")
     mgr = _fts_multilang_gate_index(spark, sf_dir)
-    out = []
-    for branch, query in (
+    branches = (
         ("es", _ML_IDX_QUERY_ES),
         ("zh", _ML_IDX_QUERY_ZH),
-    ):
+    )
+    # r13 optimization round: both branches probe the SAME index — one
+    # shared pruned scan + aggregate over the union of term sets
+    # (probe_scores_multi) instead of two. Per-set conditional counts
+    # are exactly each branch's n_matched (distinct stored terms), so
+    # scores are bit-identical; plan: 2 index scans -> 1.
+    scored = mgr.probe_scores_multi(
+        [analyze_query_for(q, "multilang") for _, q in branches]
+    )
+    out = []
+    for (branch, query), branch_scores in zip(branches, scored):
         res = full_text_search(
             base,
             "doc_id",
@@ -2671,9 +2680,7 @@ def q_fts_multilang_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             text_cols=["text"],
             num_results=5,
             analyzer="multilang",
-            fts_scored_df=mgr.probe_scores(
-                analyze_query_for(query, "multilang")
-            ),
+            fts_scored_df=branch_scores,
         )
         out.append(res.select(F.lit(branch).alias("branch"), "doc_id", "fts_score"))
     return out[0].unionByName(out[1])

@@ -754,5 +754,85 @@ class JobFtsIndexManager:
             ),
         )
 
+    def probe_scores_multi(
+        self, term_sets: Sequence[Sequence[str]]
+    ) -> list[DataFrame]:
+        """One pruned index pass serving SEVERAL query-term sets — each
+        returned frame is row-identical to ``probe_scores(term_sets[i])``.
+
+        N separate ``probe_scores`` calls scan the postings N times
+        (each a pruned parquet read + keyed aggregate); for queries
+        against the SAME index the passes can share: scan once filtered
+        to the UNION of terms, aggregate once with one conditional
+        matched-term count per set, split per set afterwards. Stored
+        tokens are distinct per document, so the per-set conditional
+        count equals the per-set probe's ``n_matched`` exactly, and
+        per-set membership (>= 1 matching term) is exactly ``count_i >
+        0`` — the split is lossless. The shared aggregate output (only
+        matched documents) is lazily checkpointed so N downstream
+        consumers trigger ONE scan. Tombstone/pending overlays are
+        consulted once, identically to ``probe``."""
+        term_sets = [list(ts) if ts else [] for ts in term_sets]
+        meta = self._load_meta()
+        live = [i for i, ts in enumerate(term_sets) if ts]
+        if len(live) <= 1 or not meta.get("has_data", True):
+            # nothing to share — delegate (also covers empty index)
+            return [self.probe_scores(ts) for ts in term_sets]
+        if not self.exists():
+            raise FileNotFoundError(
+                f"no fts index at {self.index_dir} — build() first"
+            )
+        pkey = meta["pkey"]
+        union_terms = sorted({t for i in live for t in term_sets[i]})
+        buckets = self.query_buckets(union_terms)
+        idx = self.spark.read.parquet(self.index_dir)
+        hit = idx.filter(
+            F.col(self.PART_COL).isin(buckets)
+            & F.col("term").isin(union_terms)
+        )
+        tomb = self._tomb_ds()
+        if tomb.exists():
+            hit = hit.join(
+                F.broadcast(tomb.read().select(pkey)),
+                pkey,
+                "left_anti",
+            )
+        pend = self._pending_ds()
+        if pend.exists():
+            hit = hit.unionByName(
+                pend.read().filter(F.col("term").isin(union_terms))
+            )
+        counts = (
+            hit.groupBy(pkey)
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("term").isin(term_sets[i]), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    )
+                    .cast("long")
+                    .alias(f"_n_{i}")
+                    for i in live
+                ]
+            )
+            .localCheckpoint(eager=False)
+        )
+        out: list[DataFrame] = []
+        for i, ts in enumerate(term_sets):
+            if not ts:
+                out.append(self.probe_scores(ts))
+                continue
+            n_i = F.col(f"_n_{i}")
+            out.append(
+                counts.filter(n_i > 0).select(
+                    F.col(pkey),
+                    (n_i.cast("double") / F.lit(float(len(ts)))).alias(
+                        "fts_score"
+                    ),
+                )
+            )
+        return out
+
     def drop(self) -> None:
         shutil.rmtree(self.index_dir, ignore_errors=True)

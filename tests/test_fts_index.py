@@ -814,3 +814,84 @@ class TestFastupdate:
             for r in mgr.probe_scores([upd_stem]).collect()
         }
         assert hit == set(range(1, 7))
+
+
+class TestMultiProbe:
+    """probe_scores_multi: one shared pruned pass over the union of N
+    term sets must be row-identical to N separate probe_scores calls —
+    fresh-built, with fastupdate overlays pending, and after the fold
+    (the q_fts_multilang_indexed gate relies on this parity)."""
+
+    def _rows(self, df):
+        return sorted(
+            (r["doc_id"], r["fts_score"]) for r in df.collect()
+        )
+
+    def _assert_multi_equals_single(self, mgr, term_lists):
+        multi = mgr.probe_scores_multi(term_lists)
+        assert len(multi) == len(term_lists)
+        for terms, got in zip(term_lists, multi):
+            assert self._rows(got) == self._rows(
+                mgr.probe_scores(terms)
+            ), terms
+
+    def test_parity_fresh_index(self, spark, tokens, tmp_path):
+        mgr = JobFtsIndexManager(
+            spark, str(tmp_path / "fidx"), {"term_buckets": 8}
+        )
+        mgr.build(tokens, "doc_id")
+        self._assert_multi_equals_single(
+            mgr,
+            [
+                analyze_query(QUERY),          # multi-term, overlaps next
+                ["phone"],                      # subset of previous
+                ["garden"],                     # disjoint, single doc
+                ["nonexistent"],                # no matches
+                [],                             # empty set -> empty frame
+                ["lamp", "hose", "charger"],   # cross-bucket mix
+            ],
+        )
+
+    def test_single_live_set_delegates(self, spark, tokens, tmp_path):
+        mgr = JobFtsIndexManager(spark, str(tmp_path / "fidx"))
+        mgr.build(tokens, "doc_id")
+        self._assert_multi_equals_single(mgr, [["phone"], []])
+        self._assert_multi_equals_single(mgr, [[]])
+
+    def test_parity_with_overlays_and_after_fold(
+        self, spark, tokens, tmp_path
+    ):
+        mgr = JobFtsIndexManager(
+            spark,
+            str(tmp_path / "fast"),
+            {"term_buckets": 4, "fastupdate": True, "compact_every": 99},
+        )
+        mgr.build(tokens, "doc_id")
+        mgr.upsert(
+            spark.createDataFrame(
+                [(5, ["phone", "upgrad"]), (2, ["charger", "lamp"])],
+                "doc_id long, search_tokens array<string>",
+            ),
+            "doc_id",
+            None,
+        )
+        mgr.delete(
+            spark.createDataFrame([(4,)], "doc_id long"), "doc_id"
+        )
+        mgr.add(
+            spark.createDataFrame(
+                [(9, ["phone", "fresh"])],
+                "doc_id long, search_tokens array<string>",
+            ),
+            "doc_id",
+        )
+        term_lists = [
+            analyze_query(QUERY),
+            ["phone", "fresh"],
+            ["charger", "lamp", "upgrad"],
+            ["garden"],
+        ]
+        # tombstones + pending store present: shared pass consults both
+        self._assert_multi_equals_single(mgr, term_lists)
+        assert mgr.maybe_compact(force=True) > 0
+        self._assert_multi_equals_single(mgr, term_lists)
