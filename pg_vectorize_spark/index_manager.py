@@ -140,6 +140,19 @@ class JobIndexManager:
             "centroid_id int, centroid_vec array<double>",
         )
 
+    def _centroids_local(self, state: dict | None = None) -> list:
+        """The quantizer's centroids as a driver-local (id, vec) list —
+        the zero-Spark-job input to ``probe_cells`` (the centroids
+        already live in _QUANTIZER.json; wrapping them in a DataFrame
+        just to sort ~n_centroids rows cost a full Spark job per
+        search)."""
+        if state is None:
+            state = self._load_quantizer()
+        return [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(state["centroids"])
+        ]
+
     def _codebook(self):
         return self._load_quantizer()["codebook"]
 
@@ -621,7 +634,7 @@ class JobIndexManager:
             return idx.filter(F.col("bucket").isin(probes)).count()
         from pg_vectorize_spark.operators.ann import probe_cells
 
-        probed = probe_cells(self.centroids_df(), query_vec, nprobe)
+        probed = probe_cells(self._centroids_local(), query_vec, nprobe)
         cells = [int(r["centroid_id"]) for r in probed]
         return idx.filter(F.col("cell").isin(cells)).count()
 
@@ -647,7 +660,9 @@ class JobIndexManager:
     ) -> DataFrame:
         from pg_vectorize_spark.operators.ann import probe_cells
 
-        probed = probe_cells(self.centroids_df(), query_vec, nprobe)
+        # driver-local centroids: no Spark job on the probe's critical
+        # path (r13 optimization round — bit-parity probe_cells_local)
+        probed = probe_cells(self._centroids_local(), query_vec, nprobe)
         cells = [int(r["centroid_id"]) for r in probed]
         return self.spark.read.parquet(self.index_dir).filter(
             F.col("cell").isin(cells)
@@ -665,7 +680,7 @@ class JobIndexManager:
         return ivfpq_candidates(
             self.spark,
             self.index_dir,
-            self.centroids_df(),
+            self._centroids_local(state),
             state["codebook"],
             state["pkey"],
             query_vec,

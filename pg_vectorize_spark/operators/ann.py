@@ -651,7 +651,7 @@ def compact_index(
 
 
 def probe_cells(
-    centroids_df: DataFrame,
+    centroids_df: "DataFrame | Sequence[tuple]",
     query_vec: Sequence[float],
     nprobe: int,
 ) -> list:
@@ -661,7 +661,16 @@ def probe_cells(
     ties broken by lowest id, return the top-``nprobe`` rows
     (centroid_id, centroid_vec, _qsim). One definition — the probe
     ordering determines WHICH cells get scanned, so a divergence between
-    paths would silently change search results."""
+    paths would silently change search results.
+
+    Accepts either a centroids DataFrame or an already-local sequence
+    of ``(centroid_id, centroid_vec)`` pairs. The local form ranks in
+    pure Python (``probe_cells_local``) with bit-identical scores — a
+    manager whose centroids live in the quantizer JSON must not pay a
+    Spark job (createDataFrame + sort + collect, ~0.7 s of fixed
+    latency) to rank a driver-size list (guide §5)."""
+    if not isinstance(centroids_df, DataFrame):
+        return probe_cells_local(centroids_df, query_vec, nprobe)
     return (
         centroids_df.select(
             F.col("centroid_id"),
@@ -674,6 +683,43 @@ def probe_cells(
         .limit(nprobe)
         .collect()
     )
+
+
+def probe_cells_local(
+    centroids: Sequence[tuple],
+    query_vec: Sequence[float],
+    nprobe: int,
+) -> list:
+    """Pure-Python ``probe_cells`` over driver-local centroids — the
+    same left-to-right float64 folds as the Spark expression
+    (``dot_product``/``l2_norm``/``cosine_similarity_to_query``), the
+    same zero-denominator guard, the same (desc score, asc id) order:
+    scores and the selected cell set are bit-identical (property-tested
+    against the Spark path in tests/test_ann.py). Same pattern as the
+    FTS index's driver-side ``query_buckets`` xxhash."""
+    import math
+
+    from pyspark.sql import Row
+
+    # identical to cosine_similarity_to_query's driver-side qnorm fold
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    q = [float(v) for v in query_vec]
+    rows = []
+    for cid, vec in centroids:
+        v = [float(x) for x in vec]
+        ss = 0.0
+        for x in v:  # l2_norm: acc + x*x, left to right, from 0.0
+            ss = ss + x * x
+        dot = 0.0
+        for x, qx in zip(v, q):  # dot_product: acc + x*y fold
+            dot = dot + x * qx
+        denom = math.sqrt(ss) * qnorm
+        sim = (dot / denom) if denom > 0 else 0.0
+        rows.append(
+            Row(centroid_id=int(cid), centroid_vec=v, _qsim=sim)
+        )
+    rows.sort(key=lambda r: (-r["_qsim"], r["centroid_id"]))
+    return rows[:nprobe]
 
 
 def ivf_topk_indexed(

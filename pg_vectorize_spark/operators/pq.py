@@ -479,7 +479,7 @@ def _adc_score_expr(tables, codes_col: str = "pq_codes") -> Column:
 def ivfpq_candidates(
     spark,
     index_path: str,
-    centroids_df: DataFrame,
+    centroids_df: "DataFrame | Sequence[tuple]",
     codebook,
     pkey: str,
     query_vec: Sequence[float],

@@ -641,3 +641,73 @@ class TestHardNegativeMiningIndexed:
             )
         )
         assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+
+
+class TestProbeCellsLocalParity:
+    """probe_cells_local (the zero-Spark-job driver-side centroid rank)
+    must be BIT-identical to the Spark-expression path: same scores
+    (float bits), same cell selection, same tie order — the probe
+    decides WHICH cells get scanned, so any divergence silently changes
+    indexed-search results. Same parity bar as the FTS index's
+    driver-side xxhash bucketing."""
+
+    def _gen(self, rng, dim, n):
+        cents = []
+        for i in range(n):
+            cents.append(
+                (i, [rng.uniform(-10, 10) for _ in range(dim)])
+            )
+        # adversarial rows: zero vector (guard path), huge/tiny scale,
+        # an exact duplicate of row 0 (tie -> id order)
+        cents.append((n, [0.0] * dim))
+        cents.append((n + 1, [x * 1e12 for x in cents[0][1]]))
+        cents.append((n + 2, [x * 1e-12 for x in cents[0][1]]))
+        cents.append((n + 3, list(cents[0][1])))
+        return cents
+
+    def test_scores_and_selection_bit_identical(self, spark):
+        import random
+
+        from pg_vectorize_spark.operators.ann import (
+            probe_cells,
+            probe_cells_local,
+        )
+
+        rng = random.Random(20260817)
+        for dim in (3, 8, 32):
+            cents = self._gen(rng, dim, 40)
+            cdf = spark.createDataFrame(
+                cents, "centroid_id int, centroid_vec array<double>"
+            )
+            queries = [
+                [rng.uniform(-5, 5) for _ in range(dim)],
+                [0.0] * dim,           # zero query -> all-guard ties
+                cents[0][1],           # exact member vector
+            ]
+            for qv in queries:
+                for nprobe in (1, 2, len(cents)):
+                    via_spark = probe_cells(cdf, qv, nprobe)
+                    local = probe_cells_local(cents, qv, nprobe)
+                    assert [r["centroid_id"] for r in via_spark] == [
+                        r["centroid_id"] for r in local
+                    ], (dim, nprobe, qv[:3])
+                    assert [
+                        float(r["_qsim"]).hex() for r in via_spark
+                    ] == [
+                        float(r["_qsim"]).hex() for r in local
+                    ], (dim, nprobe, qv[:3])
+
+    def test_probe_cells_dispatches_local(self, spark):
+        """A plain list input must not launch any Spark job — guard the
+        type-dispatch so a refactor can't silently reintroduce the
+        per-search job."""
+        from pg_vectorize_spark.operators.ann import probe_cells
+
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        out = probe_cells(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], [1.0, 0.0], 1
+        )
+        after = tracker.getJobIdsForGroup(None)
+        assert [r["centroid_id"] for r in out] == [0]
+        assert before == after
