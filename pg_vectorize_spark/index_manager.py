@@ -614,12 +614,14 @@ class JobIndexManager:
         radius: int | None = None,
     ) -> int:
         """Row count of the pruned index scan at the given probe width —
-        the widening check's metric. count(*) over a parquet scan with
-        only partition filters resolves from row-group METADATA (no
-        vector column is read, and for ivfpq no ADC work runs), so the
-        steady-state search pays one cheap metadata job, not a second
-        full probe."""
-        idx = self.spark.read.parquet(self.index_dir)
+        the widening check's metric. The count is pure partition-level
+        metadata (no data filter), so it is read DRIVER-SIDE from the
+        probed partition directories' parquet footers — zero Spark jobs
+        on the steady-state search path (r13 optimization round; the
+        footer ``num_rows`` is exactly what Spark's metadata-only
+        count(*) resolves to over the same files). Falls back to the
+        Spark count when the index dir is not a readable local
+        partitioned layout."""
         if radius is not None:
             from pg_vectorize_spark.operators.ann import (
                 _hamming_ball,
@@ -631,12 +633,56 @@ class JobIndexManager:
                 self.nbits,
                 radius,
             )
+            local = self._partition_rows_local("bucket", probes)
+            if local is not None:
+                return local
+            idx = self.spark.read.parquet(self.index_dir)
             return idx.filter(F.col("bucket").isin(probes)).count()
         from pg_vectorize_spark.operators.ann import probe_cells
 
         probed = probe_cells(self._centroids_local(), query_vec, nprobe)
         cells = [int(r["centroid_id"]) for r in probed]
+        local = self._partition_rows_local("cell", cells)
+        if local is not None:
+            return local
+        idx = self.spark.read.parquet(self.index_dir)
         return idx.filter(F.col("cell").isin(cells)).count()
+
+    def _partition_rows_local(
+        self, part_col: str, values: Sequence[int]
+    ) -> int | None:
+        """Total rows under the given partition values, read from the
+        parquet file footers without a Spark job. An absent partition
+        dir contributes 0 rows (same as the pruned scan). Returns None
+        — caller falls back to a Spark count — when the index dir is
+        not driver-local or a partition holds something other than
+        plain parquet files. Cost is one footer read per data file in
+        the PROBED partitions only (compaction caps files per
+        partition), the same metadata Spark's count job would read."""
+        if not os.path.isdir(self.index_dir):
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow ships w/ pyspark
+            return None
+        total = 0
+        try:
+            for v in values:
+                part_dir = os.path.join(self.index_dir, f"{part_col}={v}")
+                if not os.path.isdir(part_dir):
+                    continue
+                for name in os.listdir(part_dir):
+                    if name.startswith(("_", ".")):
+                        continue  # Spark metadata/hidden sidecars
+                    path = os.path.join(part_dir, name)
+                    if not name.endswith(".parquet") or not os.path.isfile(
+                        path
+                    ):
+                        return None  # unexpected layout — let Spark decide
+                    total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+        return total
 
     def _signbit_candidates(
         self, query_vec: Sequence[float], radius: int

@@ -437,38 +437,51 @@ def bigram_logprob(
     aggregate; only the final mean divides back to float64. ``alpha``
     defaults to 0.5 (exactly representable — no literal-parsing drift).
 
-    Shape: one keyed window (lead over doc positions) forms bigrams with
-    NO self-join; bigram/context counts are two keyed aggregates; the
-    scoring join is equi on (w1, w2) with one-row V/total broadcasts.
-    Zipf-head skew is partition imbalance on the count shuffle, not
-    fanout — AQE splits it.
+    Shape: bigrams form IN-ROW from each document's word array (two
+    shifted slices zipped — adjacent words already sit adjacent in the
+    array, so pairing them needs no keyed lead window; the window form
+    exchanged AND sorted the whole corpus word stream by (pkey, pos)
+    just to look one row ahead — r13 optimization round, §2.4);
+    bigram/context counts are two keyed aggregates; the scoring join is
+    equi on (w1, w2) with one-row V/total broadcasts. Zipf-head skew is
+    partition imbalance on the count shuffle, not fanout — AQE splits
+    it.
     """
     import math as _math
-
-    from pyspark.sql import Window
 
     from pg_vectorize_spark.functions.text import raw_words_expr
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
-    words = ensure_min_partitions(df).select(
-        F.col(pkey),
-        F.posexplode(raw_words_expr(F.col(text_col))).alias("_pos", "w1"),
-    # r13 optimization round: words is consumed by BOTH the bigram
-    # window below and the vocabulary-size aggregate — checkpoint so the
-    # corpus tokenize+explode runs once (§2.4)
+    # one tokenize pass serves BOTH the bigram explode and the
+    # vocabulary-size aggregate (§2.4); the checkpointed word array is a
+    # plain attribute afterwards, so the shifted slices below re-read a
+    # materialized column, not the regex split
+    base = ensure_min_partitions(df).select(
+        F.col(pkey), raw_words_expr(F.col(text_col)).alias("_ws")
     ).localCheckpoint(eager=False)
-    wnd = Window.partitionBy(pkey).orderBy("_pos")
+    ws = F.col("_ws")
+    n_pairs_col = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    # arrays_zip, NOT zip_with: no lambda means the pair projection
+    # stays in whole-stage codegen (the zip_with+struct form is a
+    # higher-order function -> CodegenFallback, and the interpreted
+    # per-word struct build measured SLOWER than the window it
+    # replaced — scripts/bigram_shape_probe.py)
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, n_pairs_col).alias("w1"),
+        F.slice(ws, 2, n_pairs_col).alias("w2"),
+    )
     big = (
-        words.withColumn("w2", F.lead("w1").over(wnd))
-        .filter(F.col("w2").isNotNull())
-        .select(pkey, "w1", "w2")
+        base.select(F.col(pkey), F.explode(pairs).alias("_bg"))
+        .select(pkey, "_bg.w1", "_bg.w2")
         .localCheckpoint(eager=False)  # read twice: counts + scoring join
     )
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
     c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
-    vocab_size = words.agg(
-        F.countDistinct("w1").cast("long").alias("_v")
-    )
+    # in-doc dedup first: countDistinct sees |doc|-bounded rows, and the
+    # value equals the distinct count over all word positions exactly
+    vocab_size = base.select(
+        F.explode(F.array_distinct(ws)).alias("w1")
+    ).agg(F.countDistinct("w1").cast("long").alias("_v"))
     _ln = F.pandas_udf(lambda s: s.map(_math.log), "double")
     lp = (
         c12.join(c1, "w1")

@@ -711,3 +711,126 @@ class TestProbeCellsLocalParity:
         after = tracker.getJobIdsForGroup(None)
         assert [r["centroid_id"] for r in out] == [0]
         assert before == after
+
+
+class TestPrunedRowsLocal:
+    """_pruned_rows (the probe-widening check) must read the probed
+    partitions' row counts from the parquet footers DRIVER-SIDE — exact
+    parity with the Spark metadata count it replaces (the count decides
+    the probe width, which decides the scanned cell set, so any
+    divergence changes indexed-search results) and zero Spark jobs on
+    the steady-state search path."""
+
+    def _ivf_mgr(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.index_manager import JobIndexManager
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        mgr = JobIndexManager(
+            spark,
+            str(tmp_path / "ivf_index"),
+            "ivf",
+            {"n_centroids": 8, "nprobe": 2},
+        )
+        mgr.build(emb, "vec_id")
+        return mgr, emb
+
+    def _spark_count(self, spark, mgr, part_col, values):
+        import pyspark.sql.functions as F
+
+        return (
+            spark.read.parquet(mgr.index_dir)
+            .filter(F.col(part_col).isin(list(values)))
+            .count()
+        )
+
+    def test_ivf_counts_match_spark_and_launch_no_jobs(
+        self, spark, tmp_path
+    ):
+        from pg_vectorize_spark.operators.ann import probe_cells
+
+        mgr, emb = self._ivf_mgr(spark, tmp_path)
+        qv = [float(x) for x in emb.head()["embeddings"]]
+        tracker = spark.sparkContext.statusTracker()
+        for nprobe in (1, 2, 4, 8):
+            cells = [
+                int(r["centroid_id"])
+                for r in probe_cells(mgr._centroids_local(), qv, nprobe)
+            ]
+            before = tracker.getJobIdsForGroup(None)
+            local = mgr._pruned_rows(qv, nprobe=nprobe)
+            after = tracker.getJobIdsForGroup(None)
+            assert before == after, "widening check launched a Spark job"
+            assert local == self._spark_count(spark, mgr, "cell", cells)
+        # full width covers every indexed row
+        assert mgr._pruned_rows(qv, nprobe=8) == emb.count()
+
+    def test_absent_partition_counts_zero(self, spark, tmp_path):
+        mgr, _ = self._ivf_mgr(spark, tmp_path)
+        # a value with no partition dir contributes 0, same as the scan
+        assert mgr._partition_rows_local("cell", [999]) == 0
+
+    def test_unexpected_layout_falls_back_to_spark(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        mgr, emb = self._ivf_mgr(spark, tmp_path)
+        qv = [float(x) for x in emb.head()["embeddings"]]
+        # the local reader REFUSES layouts it does not understand
+        # (stray non-parquet entry in a probed partition) instead of
+        # guessing a count
+        cell_dirs = [
+            d for d in os.listdir(mgr.index_dir) if d.startswith("cell=")
+        ]
+        stray = os.path.join(mgr.index_dir, cell_dirs[0], "notes.txt")
+        with open(stray, "w") as f:
+            f.write("not parquet")
+        try:
+            cells = [int(d.split("=")[1]) for d in cell_dirs]
+            assert mgr._partition_rows_local("cell", cells) is None
+        finally:
+            os.remove(stray)
+        # and when the local reader refuses, _pruned_rows returns the
+        # Spark count unchanged (same number as the local path)
+        expected = mgr._pruned_rows(qv, nprobe=8)
+        monkeypatch.setattr(
+            mgr, "_partition_rows_local", lambda *a, **k: None
+        )
+        assert mgr._pruned_rows(qv, nprobe=8) == expected == emb.count()
+
+    def test_signbit_radius_counts_match(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pg_vectorize_spark.index_manager import JobIndexManager
+        from pg_vectorize_spark.operators.ann import (
+            _hamming_ball,
+            query_signbit_bucket,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", F.col("embedding").alias("embeddings"))
+        mgr = JobIndexManager(
+            spark,
+            str(tmp_path / "sb_index"),
+            "signbit",
+            {"nbits": 4, "probe_hamming": 1},
+        )
+        mgr.build(emb, "vec_id")
+        qv = [float(x) for x in emb.head()["embeddings"]]
+        tracker = spark.sparkContext.statusTracker()
+        for radius in (0, 1, 2, 4):
+            probes = _hamming_ball(
+                query_signbit_bucket(qv, mgr.nbits), mgr.nbits, radius
+            )
+            before = tracker.getJobIdsForGroup(None)
+            local = mgr._pruned_rows(qv, radius=radius)
+            after = tracker.getJobIdsForGroup(None)
+            assert before == after, "widening check launched a Spark job"
+            assert local == self._spark_count(
+                spark, mgr, "bucket", probes
+            )

@@ -229,9 +229,10 @@ def test_cdf_apply_keyed_exchanges_only(spark, entrymod):
 
 
 def test_bigram_logprob_keyed_shuffles_only(spark, entrymod):
-    """Bigram LM scoring: lead-window bigram formation + keyed count
-    aggregates + equi scoring join; the only broadcast is the one-row
-    vocabulary stats — no cartesian/nested-loop fan-out beyond it."""
+    """Bigram LM scoring: in-row bigram formation (zipped shifted
+    slices — no keyed window) + keyed count aggregates + equi scoring
+    join; the only broadcast is the one-row vocabulary stats — no
+    cartesian/nested-loop fan-out beyond it."""
     df = entrymod.queries()["bigram_logprob"](spark, SF_SMOKE)
     rep = plan_report(df)
     assert "CartesianProduct" not in rep.text, rep.summary()
