@@ -550,9 +550,18 @@ class MinHashBandIndexManager:
         and threads it through) — without it each step re-shuffles the
         same shingle min-agg. A passed frame may cover a superset of
         ``df``'s keys (the filter sees the whole batch; the upsert only
-        its survivors), so it is always narrowed by semi-join."""
+        its survivors), so it is always narrowed by semi-join.
+
+        The checkpoint is LAZY (r13 optimization round): the first
+        consumer's job materializes it in the same round-trip instead of
+        paying a dedicated synchronous job up front — on the probe path
+        that fuses the signature computation into the band-bucket
+        collect. Every later consumer reads the materialized frame, so
+        the shingle min-agg still runs exactly once."""
         if sigs is None:
-            return self.signatures(df, pkey, text_col).localCheckpoint()
+            return self.signatures(df, pkey, text_col).localCheckpoint(
+                eager=False
+            )
         return sigs.join(df.select(pkey).distinct(), pkey, "left_semi")
 
     # --------------------------------------------------------------- build
@@ -935,10 +944,19 @@ class MinHashBandIndexManager:
         band rows broadcast against the index scan pruned to the
         batch's band buckets (PartitionFilters IN list on ``bb`` —
         plan-locked in tests against THIS DataFrame, because probe()
-        materializes it eagerly and the checkpoint hides the scan from
-        the final plan). A key present in both sides never pairs with
-        itself."""
-        batch_rows = self._band_rows(batch_sigs, pkey).localCheckpoint()
+        materializes it and the checkpoint hides the scan from the
+        final plan). A key present in both sides never pairs with
+        itself.
+
+        The band-row checkpoint is LAZY (r13 optimization round): the
+        bucket-list collect right below is its first consumer and
+        materializes it — band rows + signatures + the collect run as
+        ONE job round-trip instead of three (the eager form paid a
+        dedicated job per checkpoint; at local task-launch latency the
+        probe's fixed cost was ~2x the work)."""
+        batch_rows = self._band_rows(batch_sigs, pkey).localCheckpoint(
+            eager=False
+        )
         buckets = [
             r[self.PART_COL]
             for r in batch_rows.select(self.PART_COL).distinct().collect()
@@ -1014,8 +1032,11 @@ class MinHashBandIndexManager:
             return empty
         # materialized: the pruned sidecar read below derives its bucket
         # IN list from these (batch-bounded) keys, and the final plan
-        # joins them again — one computation, not two
-        cand = cand.localCheckpoint()
+        # joins them again — one computation, not two. LAZY (r13
+        # optimization round): read_for_keys' bucket collect is the
+        # first consumer and materializes it in its own job — no
+        # dedicated synchronous checkpoint job first.
+        cand = cand.localCheckpoint(eager=False)
         corpus_sigs = self._sigs_ds().read_for_keys(
             cand.select(F.col(match_col).alias(pkey)), pkey
         )

@@ -713,8 +713,9 @@ class TestProbePlan:
         """The candidate stage's index scan must prune at the parquet
         source (PartitionFilters on bb) — the plan that touches |batch
         band buckets| of the corpus at 100 TB. Locked on the LAZY
-        _candidate_pairs frame: probe() materializes it eagerly, so the
-        scan is invisible in the final plan."""
+        _candidate_pairs frame: probe() materializes it (via the
+        sidecar bucket collect), so the scan is invisible in the final
+        plan."""
         mgr = _mgr(spark, tmp_path)
         mgr.build(corpus, "doc_id", "text")
         sigs = mgr.signatures(batch, "doc_id", "text")
@@ -734,6 +735,30 @@ class TestProbePlan:
         df = mgr.probe(batch, "doc_id", "text")
         plan = self._fmt(spark, df)
         assert re.search(r"PartitionFilters: \[[^\]]*_kb", plan), plan
+
+    def test_probe_construction_job_count(
+        self, spark, tmp_path, corpus, batch
+    ):
+        """probe()'s checkpoints are LAZY (r13 optimization round): the
+        signature/band-row/candidate materializations fuse into the two
+        driver collects the probe already pays (band-bucket list, then
+        sidecar key-bucket list) instead of each running a dedicated
+        synchronous job first. On this fixture the lazy form constructs
+        in 9 jobs where the eager form took 12 — pin a bound that a
+        regression to eager checkpoints (back to +3 jobs) would break.
+        The result itself is pinned bit-identical by TestProbeParity."""
+        mgr = _mgr(spark, tmp_path)
+        mgr.build(corpus, "doc_id", "text")
+        tracker = spark.sparkContext.statusTracker()
+        mgr.probe(batch, "doc_id", "text").collect()  # warm caches
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        mgr.probe(batch, "doc_id", "text")
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert len(after - before) <= 10, (
+            f"probe() construction launched {len(after - before)} jobs "
+            "— expected <= 10 (lazy-fused checkpoints measure 9; the "
+            "eager form measured 12)"
+        )
 
 
 class TestSigsBucketsDerivation:
