@@ -304,6 +304,51 @@ def full_text_search(
     cols = list(return_columns) if return_columns else list(source_df.columns)
     if rank == "cover_density":
         cand = matched_keys
+        if (
+            cand is None
+            and fts_scored_df is None
+            and analyzer in ("english", "simple")
+            and terms
+        ):
+            # Fused inline path (r13 optimization round): without a
+            # stored tokens table the overlap branch's match/score scan
+            # AND the positional pass each tokenized the whole corpus —
+            # but the overlap score is derivable from the positional
+            # matched frame itself: distinct matched terms per document
+            # == query_scoped_tokens ∩ terms (the prefilter+stem chain
+            # is the same in both passes, and _analyze never emits stop
+            # words), so fts_score = countDistinct(_t)/|terms| exactly.
+            # One corpus tokenize instead of two (§2.4 — the same
+            # fusion the bm25 inline path already does); return columns
+            # join back from a column-pruned source scan that never
+            # reads the text.
+            n_pairs = len(terms) * (len(terms) - 1) // 2
+            matched_pos = _matched_term_positions(
+                source_df, pkey, terms, text_cols, analyzer
+            )
+            per_doc = matched_pos.groupBy(pkey).agg(
+                (
+                    F.countDistinct("_t").cast("double")
+                    / float(len(terms))
+                ).alias("fts_score")
+            )
+            if n_pairs == 0:
+                fused = per_doc.withColumn("cd_score", F.lit(0.0))
+            else:
+                cd = _cd_from_positions(matched_pos, pkey, n_pairs)
+                fused = per_doc.join(cd, pkey, "left").withColumn(
+                    "cd_score", F.coalesce(F.col("cd_score"), F.lit(0.0))
+                )
+            fused = fused.withColumn(
+                "rank_cd", F.col("fts_score") + F.col("cd_score")
+            )
+            fused = source_df.join(fused, pkey, "inner")
+            if filters:
+                fused = apply_filters(fused, filters)
+            ordered = fused.orderBy(F.desc("rank_cd"), F.asc(pkey))
+            return ordered.select(
+                *cols, "fts_score", "cd_score", "rank_cd"
+            ).limit(num_results)
         cd = cover_density_scores(
             source_df, pkey, query, text_cols, analyzer, candidates=cand
         )
@@ -410,6 +455,27 @@ def cover_density_scores(
         source_df = source_df.join(
             candidates.select(pkey).distinct(), pkey, "left_semi"
         )
+    matched = _matched_term_positions(
+        source_df, pkey, terms, text_cols, analyzer
+    )
+    return _cd_from_positions(matched, pkey, n_pairs)
+
+
+def _matched_term_positions(
+    source_df: DataFrame,
+    pkey: str,
+    terms: Sequence[str],
+    text_cols: Sequence[str],
+    analyzer: str,
+) -> DataFrame:
+    """(pkey, _pos, _t): every occurrence of a query term in the word
+    stream, with its 1-based position — the positional frame the
+    cover-density rank consumes. Lazily checkpointed: the min-gap pair
+    join reads it on BOTH sides (and the fused inline path adds the
+    overlap aggregate as a third consumer), so the posexplode +
+    stem-prefilter corpus scan runs once (§2.4). The frame holds only
+    matched query-term occurrences (|docs| x |terms| upper bound), tiny
+    next to the scan it replaces."""
     concat = F.concat_ws(
         " ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols]
     )
@@ -436,13 +502,18 @@ def cover_density_scores(
     )
     matched = pos_words.select(
         F.col(pkey), F.col("_pos"), term_col.alias("_t")
-    ).filter(F.col("_t").isin(*terms))
-    # r13 optimization round: the min-gap pair join consumes `matched`
-    # on BOTH sides — without a materialization point the posexplode +
-    # stem-prefilter corpus scan ran twice. The frame holds only the
-    # matched query-term occurrences (|docs| x |terms| upper bound),
-    # tiny next to the scan it replaces (§2.4).
-    matched = matched.localCheckpoint(eager=False)
+    ).filter(F.col("_t").isin(*list(terms)))
+    return matched.localCheckpoint(eager=False)
+
+
+def _cd_from_positions(
+    matched: DataFrame, pkey: str, n_pairs: int
+) -> DataFrame:
+    """(pkey, cd_score) from the positional matched-term frame: min gap
+    per unordered distinct-term pair contributes 1/gap; the per-document
+    sum folds left-to-right over the (term_a, term_b)-sorted pair list
+    (never a shuffle-order-dependent SUM) and divides by C(|terms|, 2)
+    — the float-parity contract the DuckDB oracle reproduces."""
     a = matched.select(
         F.col(pkey), F.col("_t").alias("_ta"), F.col("_pos").alias("_pa")
     )

@@ -423,6 +423,105 @@ def test_cover_density_ranks_proximity(spark):
     assert by_id[3]["cd_score"] == 0.0
 
 
+def test_cover_density_fused_inline_parity(spark):
+    """The fused inline cover_density path (r13 optimization round: one
+    corpus tokenize instead of two) must reproduce the pre-change shape
+    bit-for-bit: overlap scored via query-scoped tokens, cd via
+    cover_density_scores, joined and ranked — on an adversarial fixture
+    (NULL/empty text, stop-word-only doc, repeated terms), for both
+    expression analyzers, a single-term query (no pairs), and with a
+    typed filter applied."""
+    from pg_vectorize_spark.filters import apply_filters
+    from pg_vectorize_spark.functions.text import (
+        fts_match_expr,
+        fts_score_expr,
+        query_scoped_tokens_expr,
+    )
+    from pg_vectorize_spark.operators.search import (
+        _analyze,
+        cover_density_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma filler filler", 5),
+            (2, "alpha filler filler beta filler gamma", 10),
+            (3, "alpha alpha beta alpha beta", 15),
+            (4, "the and of is", 20),  # stop words only
+            (5, "", 25),
+            (6, None, 30),
+            (7, "gamma beta alpha", 35),
+        ],
+        "doc_id long, body string, n int",
+    )
+
+    def old_shape(query, analyzer, filters=None):
+        terms = _analyze(query, analyzer)
+        concat = F.coalesce(F.col("body"), F.lit(""))
+        scored = docs.withColumn(
+            "search_tokens",
+            query_scoped_tokens_expr(
+                concat, terms, stem=(analyzer == "english")
+            ),
+        )
+        scored = scored.filter(
+            fts_match_expr(F.col("search_tokens"), terms)
+        ).withColumn(
+            "fts_score", fts_score_expr(F.col("search_tokens"), terms)
+        )
+        if filters:
+            scored = apply_filters(scored, filters)
+        cd = cover_density_scores(
+            docs, "doc_id", query, ["body"], analyzer
+        )
+        scored = scored.join(cd, "doc_id", "left").withColumn(
+            "cd_score", F.coalesce(F.col("cd_score"), F.lit(0.0))
+        )
+        scored = scored.withColumn(
+            "rank_cd", F.col("fts_score") + F.col("cd_score")
+        )
+        return (
+            scored.orderBy(F.desc("rank_cd"), F.asc("doc_id"))
+            .select("doc_id", "n", "fts_score", "cd_score", "rank_cd")
+            .limit(10)
+        )
+
+    cases = [
+        ("alpha beta gamma", "english", None),
+        ("alpha beta gamma", "simple", None),
+        ("alpha", "english", None),  # single term: no pairs, cd == 0
+        ("alpha beta", "english", parse_filters({"n": "gte.10"})),
+    ]
+    for query, analyzer, filters in cases:
+        got = full_text_search(
+            docs,
+            "doc_id",
+            query,
+            text_cols=["body"],
+            num_results=10,
+            return_columns=["doc_id", "n"],
+            analyzer=analyzer,
+            rank="cover_density",
+            filters=filters,
+        ).collect()
+        want = old_shape(query, analyzer, filters).collect()
+        got_rows = [
+            tuple(
+                v.hex() if isinstance(v, float) else v
+                for v in r.asDict().values()
+            )
+            for r in got
+        ]
+        want_rows = [
+            tuple(
+                v.hex() if isinstance(v, float) else v
+                for v in r.asDict().values()
+            )
+            for r in want
+        ]
+        assert got_rows == want_rows, (query, analyzer, filters)
+
+
 def test_hybrid_bm25_rank_reorders_fts_branch(spark):
     """rank='bm25' ranks the hybrid FTS branch by BM25 (tf + length norm)
     instead of plain overlap: a doc repeating the term beats a doc with a
