@@ -84,20 +84,44 @@ class LocalHashEmbedder(EmbeddingProvider):
         # the per-character hash loop runs once per DISTINCT feature per
         # worker instead of once per occurrence. Bounded by vocab size.
         self._bucket_cache: dict[str, int] = {}
+        # token -> bucket-id ARRAY memo (r13 optimization round): the
+        # per-feature cache still re-built every occurrence's n-gram
+        # STRINGS just to look their buckets up; caching the token's
+        # full bucket array ([token] + its 3-grams, hashed) skips both
+        # the slicing and the lookups for every repeat of the token —
+        # the dominant per-row cost of the Python embed path (§4.2).
+        # Bounded by the worker's token vocabulary, same as above.
+        self._token_buckets: dict[str, np.ndarray] = {}
 
     def model_dim(self) -> int:
         return self.dim
 
     def embed_one(self, text: str) -> list[float]:
-        vec = np.zeros(self.dim, dtype=np.float64)
-        cache = self._bucket_cache
         dim = self.dim
-        for feat in features(text):
-            b = cache.get(feat)
-            if b is None:
-                b = bucket(feat, dim)
-                cache[feat] = b
-            vec[b] += 1.0
+        tcache = self._token_buckets
+        fcache = self._bucket_cache
+        arrs = []
+        for tok in tokenize(text):
+            tb = tcache.get(tok)
+            if tb is None:
+                ids = []
+                for feat in (tok, *char_ngrams(tok)):
+                    b = fcache.get(feat)
+                    if b is None:
+                        b = bucket(feat, dim)
+                        fcache[feat] = b
+                    ids.append(b)
+                tb = np.array(ids, dtype=np.int64)
+                tcache[tok] = tb
+            arrs.append(tb)
+        if arrs:
+            # integer counts via one vectorized bincount — identical
+            # values to the former per-feature += 1.0 accumulation
+            vec = np.bincount(
+                np.concatenate(arrs), minlength=dim
+            ).astype(np.float64)
+        else:
+            vec = np.zeros(dim, dtype=np.float64)
         if self.normalize:
             norm = float(np.sqrt(np.dot(vec, vec)))
             if norm > 0:
