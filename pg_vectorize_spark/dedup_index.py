@@ -679,7 +679,13 @@ class MinHashBandIndexManager:
             )
         meta = self._check_meta(pkey)
         sigs = self._batch_sigs(df, pkey, text_col, sigs)
-        new_rows = self._band_rows(sigs, pkey).localCheckpoint()
+        # LAZY checkpoint (r13 optimization round): the isEmpty probe /
+        # tombstone-clear collect / clustered write materialize it on
+        # first touch instead of a dedicated synchronous job; content is
+        # batch-derived (signatures), never store-derived.
+        new_rows = self._band_rows(sigs, pkey).localCheckpoint(
+            eager=False
+        )
         if new_rows.isEmpty():
             return
         keys = df.select(pkey).distinct()
@@ -706,9 +712,15 @@ class MinHashBandIndexManager:
         old_buckets: list = []
         old_keys = None
         if meta.get("has_data", True) and sigs_ds.exists():
+            # LAZY checkpoint (r13 optimization round): the old-bucket
+            # collect right below is the first consumer and reads EVERY
+            # partition, so the frame is fully materialized before
+            # anything mutates the sidecar it was read from (the
+            # append_rows at the end of this method) — old_keys then
+            # serves from the cache.
             old_sigs = sigs_ds.read_for_keys(keys, pkey).join(
                 keys, pkey, "left_semi"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             old_keys = old_sigs.select(pkey)
             old_buckets = sorted(
                 {

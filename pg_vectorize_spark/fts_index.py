@@ -312,8 +312,19 @@ class JobFtsIndexManager:
             # compaction cadence; _overlay_live is never true while
             # has_data is false, so the probe's empty-index
             # short-circuit cannot hide pending rows.
+            # LAZY checkpoint (r13 optimization round): the pending
+            # merge's write is the first consumer and materializes the
+            # postings in its own job — one fewer synchronous round-trip
+            # per micro-batch. Content derives from the batch frame
+            # only, so the tombstone write committing first cannot
+            # change it; a compute failure then leaves keys temporarily
+            # ABSENT (masked, no pending yet) until the batch retries —
+            # the same fail-safe direction the crash ordering already
+            # guarantees.
             self._overlay_upsert(
-                new_tokens_df, postings.localCheckpoint(), pkey
+                new_tokens_df,
+                postings.localCheckpoint(eager=False),
+                pkey,
             )
             return
         self._clustered(postings).write.mode("append").partitionBy(
@@ -352,9 +363,15 @@ class JobFtsIndexManager:
                 f"no fts index at {self.index_dir} — build() first"
             )
         meta = self._check_meta(pkey)
+        # LAZY checkpoint (r13 optimization round): first consumer —
+        # the overlay pending merge, or the affected-bucket collect on
+        # the eager path — materializes it in its own job instead of a
+        # dedicated synchronous round-trip; every later consumer (the
+        # clustered append/overwrite) reads the cache. Derives from the
+        # batch frame only, never from the stores this method mutates.
         new_p = self._postings(
             new_tokens_df, pkey, tokens_col
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if (
             self.fastupdate or self._overlay_live()
         ) and meta.get("has_data", True):
@@ -456,9 +473,13 @@ class JobFtsIndexManager:
             return False
         if not (force or self.fastupdate or self._overlay_live()):
             return False
+        # LAZY checkpoint (r13 optimization round): the pending
+        # merge+delete is the first consumer — same fusion and same
+        # crash-ordering argument as upsert()'s new_p above (tombstones
+        # commit first either way; batch-derived content).
         new_p = self._postings(
             new_tokens_df, pkey, tokens_col
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         keys = (
             new_tokens_df.select(pkey)
             .unionByName(delete_keys_df.select(pkey))
@@ -577,8 +598,12 @@ class JobFtsIndexManager:
     def _fastupdate_delete(self, keys_df: DataFrame, pkey: str) -> None:
         """Tombstone the keys and drop their pending rows — two
         batch-sized writes, no main-bucket touch; the fold removes the
-        tombstoned keys' main postings at compaction."""
-        keys = keys_df.select(pkey).distinct().localCheckpoint()
+        tombstoned keys' main postings at compaction. The key frame's
+        checkpoint is LAZY (r13 optimization round): the tombstone merge
+        materializes it, the pending delete reads the cache — one fewer
+        synchronous job per delete batch (batch-derived content, both
+        consumers run before any mutation it could observe)."""
+        keys = keys_df.select(pkey).distinct().localCheckpoint(eager=False)
         self._tomb_ds().merge_upsert(keys, pkey)
         pend = self._pending_ds()
         if pend.exists():

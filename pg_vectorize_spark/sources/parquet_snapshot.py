@@ -544,7 +544,13 @@ class BucketedSnapshotDataset(SnapshotDataset):
         self._clear_crash_residue(new_dir)
         affected: list = []
         if replace_keys_df is not None:
-            replace_keys_df = replace_keys_df.select(key).localCheckpoint()
+            # LAZY checkpoint (r13 optimization round): the bucket
+            # collect right below materializes every partition before
+            # any version mutation; the kept-rows anti-join reads the
+            # cache.
+            replace_keys_df = replace_keys_df.select(key).localCheckpoint(
+                eager=False
+            )
             affected = sorted(
                 r["b"]
                 for r in replace_keys_df.select(

@@ -173,10 +173,17 @@ class RealtimePipeline:
                 # narrows the pruned SUPERSET to the exact batch-key hits
                 cur = emb_ds.read_for_keys(keys, pkey)
                 if "content_fp" in cur.columns:
+                    # LAZY checkpoint (r13 optimization round): the
+                    # diff-guard join materializes it inside the embed
+                    # job instead of a dedicated synchronous round-trip
+                    # per micro-batch. It reads the CURRENT snapshot
+                    # version's files; the batch's own merge writes a
+                    # NEW version dir and the GC keeps two, so the plan's
+                    # files outlive every consumer in this batch.
                     prior = (
                         cur.join(keys, pkey, "left_semi")
                         .select(F.col(pkey), F.col("content_fp"))
-                        .localCheckpoint()
+                        .localCheckpoint(eager=False)
                     )
 
             # R2 diff guard: skip rows whose fingerprint is unchanged.
@@ -477,8 +484,12 @@ class ChangeFeedPipeline(RealtimePipeline):
         # each re-ran it), and ONE job for both branch cardinalities
         # (the old upserts.isEmpty() + del_keys checkpoint + count were
         # three serial jobs — fixed job cost dominates at batch sizes,
-        # VERDICT r8 #1)
-        events = events.localCheckpoint()
+        # VERDICT r8 #1). LAZY (r13 optimization round): the
+        # type-counts collect right below is the first consumer and
+        # reads every partition, fusing the materialization into the
+        # count job — the branch consumers (incl. the parallel commit
+        # threads) then read a fully-populated cache.
+        events = events.localCheckpoint(eager=False)
         type_counts = {
             r["_ct"]: r["count"]
             for r in events.groupBy(ct.alias("_ct")).count().collect()
