@@ -1689,18 +1689,24 @@ class VectorizeSession:
         in a sparse cell (the reference's HNSW yields k whenever the
         corpus has them)."""
         pkey = job.primary_key
-        full = (
-            self._emb_ds(job.job_name)
-            .read()
-            .select(pkey, "embeddings")
-        )
         mgr = self._index_mgr(job)
-        if mgr is None or not mgr.exists():
-            return full
-        cand = mgr.candidates(query_vec, min_rows=num_results)
-        if "embeddings" in cand.columns:
-            return cand.select(pkey, "embeddings")
-        return full.join(cand.select(pkey), pkey, "left_semi")
+        if mgr is not None and mgr.exists():
+            cand = mgr.candidates(query_vec, min_rows=num_results)
+            if "embeddings" in cand.columns:
+                # vector-carrying probe (ivf/signbit): the snapshot read
+                # is never consumed — don't build it (r13 optimization
+                # round: each DataFrameReader.parquet costs ~0.1 s of
+                # driver/py4j layout resolution per query)
+                return cand.select(pkey, "embeddings")
+            return (
+                self._emb_ds(job.job_name)
+                .read()
+                .select(pkey, "embeddings")
+                .join(cand.select(pkey), pkey, "left_semi")
+            )
+        return (
+            self._emb_ds(job.job_name).read().select(pkey, "embeddings")
+        )
 
     def search(
         self,

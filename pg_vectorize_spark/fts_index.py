@@ -709,6 +709,23 @@ class JobFtsIndexManager:
             "n_matched bigint"
         )
 
+    def _index_scan(self) -> DataFrame:
+        """The main-postings parquet scan every probe filters — plan-
+        handle memoized behind a directory-entry mtime stamp (r13
+        optimization round; same contract as JobIndexManager._index_scan:
+        any main-bucket mutation bumps a ``tb=N`` entry's mtime or a
+        sidecar's, the overlay stores live in underscore SUBDIRS the
+        main reader never lists and are read through their own
+        version-stamped SnapshotDatasets)."""
+        from pg_vectorize_spark.plan_cache import (
+            cached_parquet_scan,
+            dir_entries_stamp,
+        )
+
+        return cached_parquet_scan(
+            self.spark, self.index_dir, dir_entries_stamp(self.index_dir)
+        )
+
     def query_buckets(self, terms: Sequence[str]) -> list[int]:
         """The term-bucket IN list for a query — computed DRIVER-SIDE
         with the pure-Python XXH64 that matches Spark's ``xxhash64``
@@ -736,8 +753,7 @@ class JobFtsIndexManager:
             return self._empty_probe()
         pkey = meta["pkey"]
         buckets = self.query_buckets(terms)
-        idx = self.spark.read.parquet(self.index_dir)
-        hit = idx.filter(
+        hit = self._index_scan().filter(
             F.col(self.PART_COL).isin(buckets)
             & F.col("term").isin(list(terms))
         )
@@ -810,8 +826,7 @@ class JobFtsIndexManager:
         pkey = meta["pkey"]
         union_terms = sorted({t for i in live for t in term_sets[i]})
         buckets = self.query_buckets(union_terms)
-        idx = self.spark.read.parquet(self.index_dir)
-        hit = idx.filter(
+        hit = self._index_scan().filter(
             F.col(self.PART_COL).isin(buckets)
             & F.col("term").isin(union_terms)
         )

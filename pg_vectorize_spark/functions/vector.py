@@ -14,6 +14,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column
@@ -77,8 +78,26 @@ def l2_normalize(a: Column) -> Column:
 
 def query_vector_lit(vec: Sequence[float]) -> Column:
     """A query vector as a literal array<double> column (plan-level constant —
-    the Spark analog of binding ``$1::vector``)."""
-    return F.array(*[F.lit(float(v)) for v in vec])
+    the Spark analog of binding ``$1::vector``).
+
+    Built as ONE SQL-string expression instead of per-element
+    ``F.lit``/``F.array`` calls: the element-wise form costs ~2 py4j
+    round-trips per dimension on the query critical path (~130 for a
+    64-dim query — measured as the bulk of ``_scored_semantic``'s plan
+    build, scripts/serving_profile.py, r13 optimization round). Python's
+    ``repr`` emits the shortest decimal that round-trips the exact
+    float64, and Spark's SQL parser (Java ``Double.parseDouble``) is
+    correctly rounded, so each parsed literal is BIT-IDENTICAL to the
+    ``F.lit`` form; both forms constant-fold to the same array literal.
+    Non-finite components (no provider emits them) and the empty vector
+    keep the element-wise form rather than relying on inf/nan SQL
+    spellings."""
+    vals = [float(v) for v in vec]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr(
+            "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+        )
+    return F.array(*[F.lit(v) for v in vals])
 
 
 # ---------------------------------------------------------------------------

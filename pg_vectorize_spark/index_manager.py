@@ -636,8 +636,11 @@ class JobIndexManager:
             local = self._partition_rows_local("bucket", probes)
             if local is not None:
                 return local
-            idx = self.spark.read.parquet(self.index_dir)
-            return idx.filter(F.col("bucket").isin(probes)).count()
+            return (
+                self._index_scan()
+                .filter(F.col("bucket").isin(probes))
+                .count()
+            )
         from pg_vectorize_spark.operators.ann import probe_cells
 
         probed = probe_cells(self._centroids_local(), query_vec, nprobe)
@@ -645,8 +648,9 @@ class JobIndexManager:
         local = self._partition_rows_local("cell", cells)
         if local is not None:
             return local
-        idx = self.spark.read.parquet(self.index_dir)
-        return idx.filter(F.col("cell").isin(cells)).count()
+        return (
+            self._index_scan().filter(F.col("cell").isin(cells)).count()
+        )
 
     def _partition_rows_local(
         self, part_col: str, values: Sequence[int]
@@ -684,6 +688,25 @@ class JobIndexManager:
             return None
         return total
 
+    def _index_scan(self) -> DataFrame:
+        """The full-index parquet scan every probe filters — memoized
+        per (session, index_dir) behind a directory-entry mtime stamp
+        (r13 optimization round): each probe was re-resolving the same
+        unchanged layout (~0.1 s of driver/py4j work per query). Every
+        index mutation creates/replaces/removes files inside a
+        partition subdir (bumping that entry's mtime) or rewrites a
+        meta/maintenance sidecar (an entry itself), so the stamp
+        changes whenever the file set can have; a non-local dir stamps
+        None and is simply never cached."""
+        from pg_vectorize_spark.plan_cache import (
+            cached_parquet_scan,
+            dir_entries_stamp,
+        )
+
+        return cached_parquet_scan(
+            self.spark, self.index_dir, dir_entries_stamp(self.index_dir)
+        )
+
     def _signbit_candidates(
         self, query_vec: Sequence[float], radius: int
     ) -> DataFrame:
@@ -697,9 +720,7 @@ class JobIndexManager:
             self.nbits,
             radius,
         )
-        return self.spark.read.parquet(self.index_dir).filter(
-            F.col("bucket").isin(probes)
-        )
+        return self._index_scan().filter(F.col("bucket").isin(probes))
 
     def _ivf_candidates(
         self, query_vec: Sequence[float], nprobe: int
@@ -710,9 +731,7 @@ class JobIndexManager:
         # path (r13 optimization round — bit-parity probe_cells_local)
         probed = probe_cells(self._centroids_local(), query_vec, nprobe)
         cells = [int(r["centroid_id"]) for r in probed]
-        return self.spark.read.parquet(self.index_dir).filter(
-            F.col("cell").isin(cells)
-        )
+        return self._index_scan().filter(F.col("cell").isin(cells))
 
     def _ivfpq_candidates(
         self,

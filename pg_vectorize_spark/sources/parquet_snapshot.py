@@ -71,7 +71,21 @@ class SnapshotDataset:
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"no current snapshot under {self.root}")
-        return self.spark.read.parquet(self._version_dir(v))
+        # plan-handle cache (r13 optimization round): version dirs are
+        # immutable after the pointer flip, so (version, dir inode,
+        # dir mtime) is an exact freshness stamp — the stat guards the
+        # drop-and-recreate case where numbering restarts at v=1
+        # (plan_cache module docstring); keyed on the ROOT so a new
+        # version replaces the entry
+        from pg_vectorize_spark.plan_cache import (
+            cached_parquet_scan,
+            version_dir_stamp,
+        )
+
+        vdir = self._version_dir(v)
+        return cached_parquet_scan(
+            self.spark, vdir, version_dir_stamp(vdir, v), key=self.root
+        )
 
     def read_for_keys(self, keys_df: DataFrame, key: str) -> DataFrame:
         """Rows that MAY match the given keys — a pruned SUPERSET read
@@ -296,7 +310,16 @@ class BucketedSnapshotDataset(SnapshotDataset):
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"no current snapshot under {self.root}")
-        return self.spark.read.parquet(self._version_dir(v))
+        # version-stamped plan cache — same contract as the base read()
+        from pg_vectorize_spark.plan_cache import (
+            cached_parquet_scan,
+            version_dir_stamp,
+        )
+
+        vdir = self._version_dir(v)
+        return cached_parquet_scan(
+            self.spark, vdir, version_dir_stamp(vdir, v), key=self.root
+        )
 
     def read_for_keys(self, keys_df: DataFrame, key: str) -> DataFrame:
         """Bucket-pruned superset read: only the partitions the given

@@ -47,7 +47,17 @@ def read_source(
         else:
             fmt = "parquet"
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        # plan-handle cache behind a RECURSIVE (externally-written
+        # sources have no version pointer) freshness stamp — repeated
+        # serving-path reads skip re-resolving an unchanged layout;
+        # non-local or oversized trees stamp None and are never cached
+        # (plan_cache module docstring; r13 optimization round)
+        from pg_vectorize_spark.plan_cache import (
+            cached_parquet_scan,
+            tree_stamp,
+        )
+
+        return cached_parquet_scan(spark, path, tree_stamp(path))
     if fmt == "csv":
         return spark.read.csv(path, header=True, inferSchema=True)
     if fmt == "json":
