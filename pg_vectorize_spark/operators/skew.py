@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 _SALT = "_salt"
 
 
+def _plan_has_exchange(df: DataFrame) -> bool:
+    """True when ``df``'s (initial) physical plan contains a shuffle.
+
+    Reads the pre-execution plan string only — physical planning is
+    driver-side work; no stage runs. Unknown/unreadable plans report
+    False so callers fall back to the plain partition-count check.
+    """
+    try:
+        return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return False
+
+
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the plan has fewer input
     partitions than ``target`` (default: the cluster's defaultParallelism).
@@ -39,9 +52,22 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     one task. At cluster scale inputs arrive in many splits and this is a
     no-op; it only fans out narrow inputs, costing one exchange of data
     that is by definition small enough to have fit in one partition.
+
+    Shuffle-bearing inputs take a pinned path: under AQE,
+    ``df.rdd.getNumPartitions()`` finalizes the adaptive plan, which
+    EXECUTES every intermediate stage — and then throws that RDD away,
+    so the consumer re-plans and re-executes the same stages (one full
+    duplicate upstream pass per call; measured as an extra job at every
+    such call site). A lazy local checkpoint pins the frame to the SAME
+    RDD the partition count is read from, so the upstream runs once and
+    every consumer drains it. Narrow-over-scan inputs keep the direct
+    check — for them the count is pure metadata (zero jobs) and a
+    checkpoint would needlessly cache scan output.
     """
     sc = df.sparkSession.sparkContext
     want = target or sc.defaultParallelism
+    if _plan_has_exchange(df):
+        df = df.localCheckpoint(eager=False)
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df

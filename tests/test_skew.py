@@ -187,3 +187,78 @@ class TestSaltedPrecap:
         }
         pre_ids = {r["doc_id"] for r in pre.collect()}
         assert survivors <= pre_ids
+
+
+class TestEnsureMinPartitions:
+    """The fan-out helper: narrow inputs keep the zero-job metadata check;
+    shuffle-bearing inputs are pinned (lazy local checkpoint) so the
+    partition-count read and the consumers drain ONE upstream execution
+    instead of two (under AQE, .rdd on a shuffle-bearing plan executes
+    every intermediate stage and then the consumer re-plans from scratch).
+    """
+
+    def _jobs(self, spark):
+        return len(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        )
+
+    def test_narrow_input_fans_out_without_checkpoint(self, spark):
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        df = spark.range(100).coalesce(1)
+        j0 = self._jobs(spark)
+        out = ensure_min_partitions(df)
+        # the narrow path stays a pure-metadata check: no job launched
+        # during construction, no pinned RDD in the plan
+        assert self._jobs(spark) == j0
+        assert "LogicalRDD" not in out._jdf.queryExecution().analyzed().toString()
+        assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+        assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+    def test_wide_enough_narrow_input_is_untouched(self, spark):
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        want = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(want + 2).selectExpr("id")
+        # repartition is itself an Exchange -> pinned path; partition
+        # count already >= want so no further fan-out is added
+        out = ensure_min_partitions(df)
+        assert out.rdd.getNumPartitions() >= want
+        assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+    def test_shuffle_input_pins_one_upstream_execution(self, spark):
+        import pg_vectorize_spark.operators.skew as skew
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        def agg_df():
+            return (
+                spark.range(2000)
+                .groupBy((F.col("id") % 7).alias("g"))
+                .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+            )
+
+        expected = sorted(map(tuple, agg_df().collect()))
+
+        # new path: construction runs the upstream map stages once and
+        # pins them; the collect drains the SAME RDD
+        j0 = self._jobs(spark)
+        out = ensure_min_partitions(agg_df())
+        assert "LogicalRDD" in out._jdf.queryExecution().analyzed().toString()
+        got = sorted(map(tuple, out.collect()))
+        new_total = self._jobs(spark) - j0
+        assert got == expected
+
+        # old behavior (forced): the .rdd partition probe executes the
+        # upstream, throws it away, and the collect re-executes it
+        orig = skew._plan_has_exchange
+        skew._plan_has_exchange = lambda df: False
+        try:
+            j0 = self._jobs(spark)
+            out_old = ensure_min_partitions(agg_df())
+            got_old = sorted(map(tuple, out_old.collect()))
+            old_total = self._jobs(spark) - j0
+        finally:
+            skew._plan_has_exchange = orig
+        assert got_old == expected
+        # the pinned path saves the duplicate upstream pass
+        assert new_total < old_total
