@@ -27,6 +27,8 @@ Scale design (100 TB notes):
 
 from __future__ import annotations
 
+import math
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -192,6 +194,9 @@ def _match_tokens(concat: Column, analyzer: str, terms: list[str]) -> Column:
     return _doc_tokens(concat, analyzer)
 
 
+_SQL_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
 def _scored_semantic(
     emb_df: DataFrame,
     pkey: str,
@@ -199,10 +204,53 @@ def _scored_semantic(
     emb_col: str = "embeddings",
     pre_normalized: bool = False,
 ) -> DataFrame:
-    """(pkey, similarity_score) for every candidate vector."""
-    score: Column
+    """(pkey, similarity_score) for every candidate vector.
+
+    The score expression is built as ONE SQL string (a single parse
+    round-trip) instead of nested Column/HOF constructors: the Column
+    form costs ~70 py4j round-trips per query — the bulk of this
+    function's ~40 ms on the serving critical path (cProfile,
+    scripts/serving_profile.py, r13 optimization round). The SQL spells
+    out the IDENTICAL expression tree — same casts, same left-to-right
+    float64 folds, same zero-denominator CASE — and ``repr`` literals
+    parse to bit-identical doubles (the query_vector_lit precedent), so
+    scores are float-bit-equal to the Column form (pinned by
+    tests/test_search.py::TestScoredSemanticSqlParity). Non-finite /
+    empty vectors and non-identifier column names keep the Column form.
+    """
+    vals = [float(v) for v in query_vec]
+    if (
+        vals
+        and all(math.isfinite(v) for v in vals)
+        # the squared-norm fold can overflow to inf even on finite
+        # components — inf has no SQL double literal, so such vectors
+        # keep the Column form (F.lit(inf) is fine there); same
+        # left-to-right sum as the qnorm fold below
+        and math.isfinite(sum(v * v for v in vals))
+        and _SQL_NAME.match(emb_col)
+    ):
+        arr = "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+        cast_e = f"transform(`{emb_col}`, x -> CAST(x AS DOUBLE))"
+        cast_q = f"transform({arr}, x -> CAST(x AS DOUBLE))"
+        dot = (
+            f"aggregate(zip_with({cast_e}, {cast_q}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        if pre_normalized:
+            # normalize-at-write parity: cosine == dot product
+            score = F.expr(dot)
+        else:
+            qnorm = math.sqrt(sum(v * v for v in vals))
+            denom = (
+                f"(sqrt(aggregate({cast_e}, 0.0D, "
+                f"(acc, x) -> acc + x * x)) * {repr(qnorm)}D)"
+            )
+            score = F.expr(
+                f"CASE WHEN {denom} > 0 THEN {dot} / {denom} "
+                "ELSE 0.0D END"
+            )
+        return emb_df.select(F.col(pkey), score.alias("similarity_score"))
     if pre_normalized:
-        # normalize-at-write parity: cosine == dot product
         score = dot_product(F.col(emb_col), query_vector_lit(query_vec))
     else:
         score = cosine_similarity_to_query(F.col(emb_col), query_vec)
@@ -882,48 +930,93 @@ def _fuse_and_project(
     the join form sort-merges even though both sides are <= window_size
     rows. The union form is one partial-aggregating shuffle, no sorts,
     and each branch contributes only its own columns so max() recovers
-    exactly the joined row. rrf_score is computed AFTER the aggregate
-    from the (integer) ranks — bit-identical to the join form.
+    exactly the joined row. rrf_score is computed over the aggregated
+    (integer) ranks — bit-identical to the join form.
+
+    Construction is SQL-string based (selectExpr / F.expr) on the fast
+    path: the Column form cost ~60 py4j round-trips per query, the
+    single biggest driver-side plan-construction item on the serving
+    critical path (cProfile, scripts/serving_profile.py, r13
+    optimization round). The strings spell the IDENTICAL expressions —
+    same NULL casts, same int rank arithmetic, same coalesce-to-0.0
+    fusion with ``repr`` float literals parsing bit-identically (the
+    query_vector_lit precedent) — and the rrf projection folds into the
+    aggregate's result expressions (the optimizer collapsed the
+    post-agg Project into the Aggregate anyway). Parity pinned by
+    tests/test_search.py::TestFuseSqlParity; a non-identifier pkey
+    keeps the Column form.
     """
-    sem_part = sem.select(
-        F.col(pkey),
-        F.col("similarity_score"),
-        F.col("semantic_rank"),
-        F.lit(None).cast("int").alias("fts_rank"),
-    )
-    fts_part = fts.select(
-        F.col(pkey),
-        F.lit(None).cast("double").alias("similarity_score"),
-        F.lit(None).cast("int").alias("semantic_rank"),
-        F.col("fts_rank"),
-    )
-    fused = (
-        sem_part.unionByName(fts_part)
-        .groupBy(pkey)
-        .agg(
-            F.max("similarity_score").alias("similarity_score"),
-            F.max("semantic_rank").alias("semantic_rank"),
-            F.max("fts_rank").alias("fts_rank"),
+    if _SQL_NAME.match(pkey):
+        qp = f"`{pkey}`"
+        sem_part = sem.selectExpr(
+            qp,
+            "similarity_score",
+            "semantic_rank",
+            "CAST(NULL AS INT) AS fts_rank",
         )
-        .select(
+        fts_part = fts.selectExpr(
+            qp,
+            "CAST(NULL AS DOUBLE) AS similarity_score",
+            "CAST(NULL AS INT) AS semantic_rank",
+            "fts_rank",
+        )
+        w_s = repr(float(semantic_weight))
+        w_f = repr(float(fts_weight))
+        k = int(rrf_k)
+        fused = (
+            sem_part.unionByName(fts_part)
+            .groupBy(pkey)
+            .agg(
+                F.expr("max(similarity_score) AS similarity_score"),
+                F.expr("max(semantic_rank) AS semantic_rank"),
+                F.expr("max(fts_rank) AS fts_rank"),
+                F.expr(
+                    f"(coalesce({w_s}D / ({k} + max(semantic_rank)), 0.0D)"
+                    f" + coalesce({w_f}D / ({k} + max(fts_rank)), 0.0D))"
+                    " AS rrf_score"
+                ),
+            )
+        )
+    else:
+        sem_part = sem.select(
             F.col(pkey),
             F.col("similarity_score"),
             F.col("semantic_rank"),
-            F.col("fts_rank"),
-            (
-                F.coalesce(
-                    F.lit(float(semantic_weight))
-                    / (F.lit(rrf_k) + F.col("semantic_rank")),
-                    F.lit(0.0),
-                )
-                + F.coalesce(
-                    F.lit(float(fts_weight))
-                    / (F.lit(rrf_k) + F.col("fts_rank")),
-                    F.lit(0.0),
-                )
-            ).alias("rrf_score"),
+            F.lit(None).cast("int").alias("fts_rank"),
         )
-    )
+        fts_part = fts.select(
+            F.col(pkey),
+            F.lit(None).cast("double").alias("similarity_score"),
+            F.lit(None).cast("int").alias("semantic_rank"),
+            F.col("fts_rank"),
+        )
+        fused = (
+            sem_part.unionByName(fts_part)
+            .groupBy(pkey)
+            .agg(
+                F.max("similarity_score").alias("similarity_score"),
+                F.max("semantic_rank").alias("semantic_rank"),
+                F.max("fts_rank").alias("fts_rank"),
+            )
+            .select(
+                F.col(pkey),
+                F.col("similarity_score"),
+                F.col("semantic_rank"),
+                F.col("fts_rank"),
+                (
+                    F.coalesce(
+                        F.lit(float(semantic_weight))
+                        / (F.lit(rrf_k) + F.col("semantic_rank")),
+                        F.lit(0.0),
+                    )
+                    + F.coalesce(
+                        F.lit(float(fts_weight))
+                        / (F.lit(rrf_k) + F.col("fts_rank")),
+                        F.lit(0.0),
+                    )
+                ).alias("rrf_score"),
+            )
+        )
 
     # --- join back to source (broadcast the tiny fused side) ---------------
     joined = source_df.join(F.broadcast(fused), pkey, "inner")

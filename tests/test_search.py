@@ -5,6 +5,7 @@ filter-order invariance — mirroring the reference's server test assertions
 
 from __future__ import annotations
 
+import re
 import math
 
 from pyspark.sql import functions as F
@@ -724,3 +725,112 @@ class TestMmrRerank:
         )
         assert len(div2) == 3
         assert all("content" in r and "id" not in r for r in div2)
+
+
+class TestScoredSemanticSqlParity:
+    """The SQL-string score construction (one parse round-trip) must be
+    float-bit-equal to the Column/HOF form it replaced on the serving
+    critical path — adversarial doubles included."""
+
+    VECS = [
+        [0.5, -0.25, 3.0],
+        [1e-12, 1e12, -1e-12],
+        [5e-324, 1.7976931348623157e308 / 1e10, -0.1],
+        [0.1, 0.2, 0.3],
+    ]
+
+    def _frames(self, spark):
+        rows = [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero norm -> score 0.0
+            (3, [-1e-300, 1e300, 0.5]),
+            (4, [0.1, 0.2, 0.3]),
+            (5, None),
+        ]
+        return spark.createDataFrame(
+            rows, "id long, embeddings array<double>"
+        )
+
+    def test_sql_form_bit_equal_to_column_form(self, spark):
+        import pg_vectorize_spark.operators.search as S
+
+        df = self._frames(spark)
+        for qv in self.VECS:
+            for pre in (False, True):
+                new = S._scored_semantic(df, "id", qv, "embeddings", pre)
+                # force the Column fallback (the pre-change construction)
+                orig = S._SQL_NAME
+                S._SQL_NAME = re.compile(r"(?!x)x")  # matches nothing
+                try:
+                    old = S._scored_semantic(
+                        df, "id", qv, "embeddings", pre
+                    )
+                finally:
+                    S._SQL_NAME = orig
+                got = {
+                    r["id"]: r["similarity_score"] for r in new.collect()
+                }
+                want = {
+                    r["id"]: r["similarity_score"] for r in old.collect()
+                }
+                assert set(got) == set(want)
+                for k in want:
+                    a, b = got[k], want[k]
+                    if a is None or b is None:
+                        assert a is b
+                    else:
+                        assert a.hex() == b.hex(), (qv, pre, k, a, b)
+
+    def test_empty_and_nonfinite_vectors_take_fallback(self, spark):
+        import pg_vectorize_spark.operators.search as S
+
+        df = self._frames(spark)
+        out = S._scored_semantic(df, "id", [], "embeddings", False)
+        assert out.columns == ["id", "similarity_score"]
+        nf = S._scored_semantic(
+            df, "id", [float("nan"), 1.0, 2.0], "embeddings", False
+        )
+        assert nf.columns == ["id", "similarity_score"]
+
+
+class TestFuseSqlParity:
+    """The selectExpr/F.expr fusion construction must reproduce the
+    Column form's rows bit-for-bit, including NULL-rank coalesce and
+    non-trivial weights."""
+
+    def test_fusion_bit_equal(self, spark):
+        import pg_vectorize_spark.operators.search as S
+
+        src = spark.createDataFrame(
+            [(i, f"doc {i}", i % 3) for i in range(1, 9)],
+            "id long, body string, grp int",
+        )
+        sem = spark.createDataFrame(
+            [(1, 0.9, 1), (2, 0.8, 2), (3, 0.7, 3), (7, 0.6, 4)],
+            "id long, similarity_score double, semantic_rank int",
+        )
+        fts = spark.createDataFrame(
+            [(2, 5), (3, 1), (4, 2), (5, 3)],
+            "id long, fts_rank int",
+        )
+        for w_s, w_f, k in [(1.0, 1.0, 60), (0.7, 0.3, 60), (2.5, 0.1, 7)]:
+            new = S._fuse_and_project(
+                src, sem, fts, "id", 10, k, w_s, w_f, None, None, None
+            )
+            orig = S._SQL_NAME
+            S._SQL_NAME = re.compile(r"(?!x)x")
+            try:
+                old = S._fuse_and_project(
+                    src, sem, fts, "id", 10, k, w_s, w_f, None, None, None
+                )
+            finally:
+                S._SQL_NAME = orig
+            rn = new.collect()
+            ro = old.collect()
+            assert [r["id"] for r in rn] == [r["id"] for r in ro]
+            for a, b in zip(rn, ro):
+                assert a["rrf_score"].hex() == b["rrf_score"].hex()
+                assert a["semantic_rank"] == b["semantic_rank"]
+                assert a["fts_rank"] == b["fts_rank"]
+                sa, sb = a["similarity_score"], b["similarity_score"]
+                assert (sa is None and sb is None) or sa.hex() == sb.hex()
