@@ -94,10 +94,17 @@ def query_vector_lit(vec: Sequence[float]) -> Column:
     spellings."""
     vals = [float(v) for v in vec]
     if vals and all(math.isfinite(v) for v in vals):
-        return F.expr(
-            "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
-        )
+        return F.expr(vector_sql_literal(vals))
     return F.array(*[F.lit(v) for v in vals])
+
+
+def vector_sql_literal(vals: Sequence[float]) -> str:
+    """The SQL text of an array<double> literal — the one place the
+    repr-literal rendering lives (query_vector_lit and the search
+    operators' one-parse score expressions share it, so a parser edge
+    case gets fixed once). Callers must ensure every value is finite:
+    inf/nan have no SQL double spelling."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
 
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,7 @@ from pg_vectorize_spark.functions.vector import (
     cosine_similarity_to_query,
     dot_product,
     query_vector_lit,
+    vector_sql_literal,
 )
 
 DEFAULT_LIMIT = 10
@@ -229,7 +230,7 @@ def _scored_semantic(
         and math.isfinite(sum(v * v for v in vals))
         and _SQL_NAME.match(emb_col)
     ):
-        arr = "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+        arr = vector_sql_literal(vals)
         cast_e = f"transform(`{emb_col}`, x -> CAST(x AS DOUBLE))"
         cast_q = f"transform({arr}, x -> CAST(x AS DOUBLE))"
         dot = (
@@ -946,7 +947,16 @@ def _fuse_and_project(
     tests/test_search.py::TestFuseSqlParity; a non-identifier pkey
     keeps the Column form.
     """
-    if _SQL_NAME.match(pkey):
+    if (
+        _SQL_NAME.match(pkey)
+        # inf/nan weights have no SQL double spelling, and a non-integral
+        # rrf_k would be truncated by the {k} rendering — both keep the
+        # Column form (which handles them via F.lit)
+        and math.isfinite(float(semantic_weight))
+        and math.isfinite(float(fts_weight))
+        and math.isfinite(float(rrf_k))
+        and float(rrf_k) == int(rrf_k)
+    ):
         qp = f"`{pkey}`"
         sem_part = sem.selectExpr(
             qp,

@@ -20,6 +20,7 @@ reproducible.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -28,15 +29,32 @@ from pyspark.sql import functions as F
 _SALT = "_salt"
 
 
+_SHUFFLE_NODE = re.compile(
+    # a SHUFFLE exchange node, not BroadcastExchange (\b rejects the
+    # embedded match) and not a column/table that merely contains the
+    # word (those never print with a partitioning argument)
+    r"\bExchange (hashpartitioning|rangepartitioning"
+    r"|RoundRobinPartitioning|SinglePartition)"
+)
+
+
 def _plan_has_exchange(df: DataFrame) -> bool:
     """True when ``df``'s (initial) physical plan contains a shuffle.
 
     Reads the pre-execution plan string only — physical planning is
-    driver-side work; no stage runs. Unknown/unreadable plans report
-    False so callers fall back to the plain partition-count check.
+    driver-side work; no stage runs. Only SHUFFLE exchanges count:
+    BroadcastExchange does not make ``.rdd`` re-execute map stages, and
+    identifiers that merely contain the word (an `ExchangeRate` column)
+    never print with a partitioning argument. Unknown/unreadable plans
+    report False so callers fall back to the plain partition-count
+    check.
     """
     try:
-        return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+        return bool(
+            _SHUFFLE_NODE.search(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        )
     except Exception:
         return False
 
@@ -62,11 +80,22 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     RDD the partition count is read from, so the upstream runs once and
     every consumer drains it. Narrow-over-scan inputs keep the direct
     check — for them the count is pure metadata (zero jobs) and a
-    checkpoint would needlessly cache scan output.
+    checkpoint would needlessly cache scan output. With AQE OFF the
+    finalize-executes hazard does not exist (``.rdd`` stays lazy), so
+    the pin is skipped there too. The checkpoint trades lineage for the
+    saved duplicate pass (repo-wide localCheckpoint convention): blocks
+    live until the session GCs the frame, and an executor lost before
+    the consumers drain it fails the action instead of recomputing —
+    acceptable for the per-query/per-micro-batch frames this helper
+    sees, whose consumers run immediately.
     """
     sc = df.sparkSession.sparkContext
     want = target or sc.defaultParallelism
-    if _plan_has_exchange(df):
+    if (
+        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+        == "true"
+        and _plan_has_exchange(df)
+    ):
         df = df.localCheckpoint(eager=False)
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)

@@ -834,3 +834,31 @@ class TestFuseSqlParity:
                 assert a["fts_rank"] == b["fts_rank"]
                 sa, sb = a["similarity_score"], b["similarity_score"]
                 assert (sa is None and sb is None) or sa.hex() == sb.hex()
+
+    def test_nonfinite_weights_and_fractional_k_take_fallback(self, spark):
+        import pg_vectorize_spark.operators.search as S
+
+        src = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, body string"
+        )
+        sem = spark.createDataFrame(
+            [(1, 0.9, 1), (2, 0.8, 2)],
+            "id long, similarity_score double, semantic_rank int",
+        )
+        fts = spark.createDataFrame([(2, 1), (3, 2)], "id long, fts_rank int")
+        # inf/nan weights and a fractional rrf_k have no SQL literal /
+        # would truncate — they must take the Column form, not raise
+        out = S._fuse_and_project(
+            src, sem, fts, "id", 10, 60, float("inf"), 1.0, None, None, None
+        ).collect()
+        assert len(out) == 3
+        out = S._fuse_and_project(
+            src, sem, fts, "id", 10, 60, float("nan"), 1.0, None, None, None
+        ).collect()
+        assert len(out) == 3
+        frac = S._fuse_and_project(
+            src, sem, fts, "id", 10, 60.5, 1.0, 1.0, None, None, None
+        ).collect()
+        # fractional k must actually divide by 60.5, not a truncated 60
+        r1 = [r for r in frac if r["id"] == 1][0]
+        assert r1["rrf_score"] == 1.0 / (60.5 + 1)

@@ -262,3 +262,31 @@ class TestEnsureMinPartitions:
         assert got_old == expected
         # the pinned path saves the duplicate upstream pass
         assert new_total < old_total
+
+    def test_broadcast_only_plan_is_not_pinned(self, spark):
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        big = spark.range(500).selectExpr("id", "id % 5 AS k")
+        small = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5)], "k long, v string"
+        )
+        df = big.join(F.broadcast(small), "k")
+        # BroadcastExchange is not a shuffle: the pin predicate must
+        # reject it (createDataFrame's own LogicalRDD makes a plan-text
+        # probe on the OUTPUT ambiguous, so assert the predicate itself)
+        import pg_vectorize_spark.operators.skew as skew
+
+        assert not skew._plan_has_exchange(df)
+        out = ensure_min_partitions(df)
+        assert out.count() == 500
+
+    def test_exchange_like_column_name_is_not_pinned(self, spark):
+        from pg_vectorize_spark.operators.skew import ensure_min_partitions
+
+        import pg_vectorize_spark.operators.skew as skew
+
+        df = spark.range(100).selectExpr("id", "id * 2 AS ExchangeRate")
+        assert not skew._plan_has_exchange(df)
+        out = ensure_min_partitions(df)
+        assert "LogicalRDD" not in out._jdf.queryExecution().analyzed().toString()
+        assert out.count() == 100
