@@ -166,12 +166,18 @@ _HEADLINE_SUBSET = (
 )
 
 
-def _detail_path() -> str:
+def _detail_path(cpus: str = "32") -> str:
     """Round-stamped detail file next to bench.py: BENCH_DETAIL_r<N>.json.
 
     Round number from $SPARK_GRAFT_ROUND when the driver exports it, else
     1 + the highest committed BENCH_r<N>.json (the driver writes that
     artifact at the END of round N, so during round N the max is N-1).
+
+    Non-canonical core counts get a ``_c<cpus>`` suffix (VERDICT r13 #9):
+    the driver's low-core scaling sweep runs the same bench with
+    SPARK_GRAFT_CPUS=8, and without the suffix that sweep overwrote (or,
+    under the fallback inference, squatted) the canonical 32-core detail
+    file of the round.
     """
     import glob
     import re
@@ -185,7 +191,8 @@ def _detail_path() -> str:
             if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
         ]
         rnd = str(max(seen, default=0) + 1)
-    return os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}.json")
+    suffix = "" if str(cpus) == "32" else f"_c{int(cpus)}"
+    return os.path.join(here, f"BENCH_DETAIL_r{int(rnd):02d}{suffix}.json")
 
 
 def main() -> None:
@@ -274,7 +281,7 @@ def main() -> None:
     # query count, a small fixed headline subset of per-query timings
     # (satisfies the driver's `queries` schema without unbounded growth),
     # and the detail-file pointer.
-    detail_path = _detail_path()
+    detail_path = _detail_path(cpus)
     with open(detail_path, "w") as fh:
         json.dump(
             {

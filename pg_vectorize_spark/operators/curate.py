@@ -240,7 +240,7 @@ def contamination_flags(
         bench_grams = F.broadcast(bench_grams)
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
-    postings = ensure_min_partitions(corpus_df).select(
+    postings = ensure_min_partitions(corpus_df, pin=False).select(
         F.col(pkey), F.explode(grams(F.col(text_col))).alias("_gram")
     )
     return (
@@ -321,7 +321,7 @@ def vocabulary(
     from pg_vectorize_spark.functions.text import raw_words_expr
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
-    words = ensure_min_partitions(df).select(
+    words = ensure_min_partitions(df, pin=False).select(
         F.col(pkey), F.explode(raw_words_expr(F.col(text_col))).alias("word")
     )
     vocab = words.groupBy("word").agg(
@@ -366,7 +366,7 @@ def unigram_logprob(
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
     words = (
-        ensure_min_partitions(df)
+        ensure_min_partitions(df, pin=False)  # batch corpus path
         .select(
             F.col(pkey), F.explode(raw_words_expr(F.col(text_col))).alias("word")
         )
@@ -456,7 +456,7 @@ def bigram_logprob(
     # vocabulary-size aggregate (§2.4); the checkpointed word array is a
     # plain attribute afterwards, so the shifted slices below re-read a
     # materialized column, not the regex split
-    base = ensure_min_partitions(df).select(
+    base = ensure_min_partitions(df, pin=False).select(
         F.col(pkey), raw_words_expr(F.col(text_col)).alias("_ws")
     ).localCheckpoint(eager=False)
     ws = F.col("_ws")
@@ -599,7 +599,7 @@ def source_divergence(
     from pg_vectorize_spark.functions.text import raw_words_expr
     from pg_vectorize_spark.operators.skew import ensure_min_partitions
 
-    words = ensure_min_partitions(df).select(
+    words = ensure_min_partitions(df, pin=False).select(
         F.col(strata_col).alias("_s"),
         F.explode(raw_words_expr(F.col(text_col))).alias("word"),
     )
@@ -700,7 +700,7 @@ def dsir_log_weights(
     spark = raw_df.sparkSession
 
     def _bucket_counts(df: DataFrame) -> DataFrame:
-        words = ensure_min_partitions(df).select(
+        words = ensure_min_partitions(df, pin=False).select(
             F.explode(raw_words_expr(F.col(text_col))).alias("_w")
         )
         return (
@@ -725,7 +725,7 @@ def dsir_log_weights(
         # one corpus text read: the per-doc bucket histogram feeds BOTH
         # the raw distribution and the final per-doc score
         docbuckets = (
-            ensure_min_partitions(raw_df)
+            ensure_min_partitions(raw_df, pin=False)  # batch corpus path
             .select(
                 F.col(pkey),
                 F.explode(raw_words_expr(F.col(text_col))).alias("_w"),
@@ -802,7 +802,7 @@ def dsir_log_weights(
                 ).alias("log_weight"),
             )
         )
-    postings = ensure_min_partitions(raw_df).select(
+    postings = ensure_min_partitions(raw_df, pin=False).select(
         F.col(pkey),
         F.explode(raw_words_expr(F.col(text_col))).alias("_w"),
     ).select(

@@ -82,7 +82,7 @@ def shingles_exploded(
     # Small-input parallelism guard: with no shuffle in this build, the
     # downstream per-shingle hashing inherits the scan's partitioning
     # (see skew.ensure_min_partitions).
-    df = ensure_min_partitions(df)
+    df = ensure_min_partitions(df, pin=False)  # batch corpus path (ADVICE r13)
     return df.select(
         F.col(pkey).alias("_id"),
         F.explode(
@@ -122,7 +122,7 @@ def ngram_jaccard_pairs(
         from pg_vectorize_spark.functions.text import word_shingles_expr
 
         arr = (
-            ensure_min_partitions(df)
+            ensure_min_partitions(df, pin=False)  # batch corpus path
             .select(
                 F.col(pkey).alias("_id"),
                 word_shingles_expr(F.col(text_col), k).alias("_arr"),

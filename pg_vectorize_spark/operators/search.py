@@ -204,6 +204,7 @@ def _scored_semantic(
     query_vec: Sequence[float],
     emb_col: str = "embeddings",
     pre_normalized: bool = False,
+    _force_column_form: bool = False,
 ) -> DataFrame:
     """(pkey, similarity_score) for every candidate vector.
 
@@ -221,7 +222,8 @@ def _scored_semantic(
     """
     vals = [float(v) for v in query_vec]
     if (
-        vals
+        not _force_column_form
+        and vals
         and all(math.isfinite(v) for v in vals)
         # the squared-norm fold can overflow to inf even on finite
         # components — inf has no SQL double literal, so such vectors
@@ -923,6 +925,7 @@ def _fuse_and_project(
     return_columns: Sequence[str] | None,
     filters: dict[str, FilterValue] | None,
     where_sql: str | None,
+    _force_column_form: bool = False,
 ) -> DataFrame:
     """Rank fusion (J3 + A3) + join back to source.
 
@@ -948,7 +951,8 @@ def _fuse_and_project(
     keeps the Column form.
     """
     if (
-        _SQL_NAME.match(pkey)
+        not _force_column_form
+        and _SQL_NAME.match(pkey)
         # inf/nan weights have no SQL double spelling, and a non-integral
         # rrf_k would be truncated by the {k} rendering — both keep the
         # Column form (which handles them via F.lit)

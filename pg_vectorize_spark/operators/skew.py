@@ -20,6 +20,7 @@ reproducible.
 
 from __future__ import annotations
 
+import logging
 import re
 from collections.abc import Sequence
 
@@ -27,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SALT = "_salt"
+
+_log = logging.getLogger(__name__)
 
 
 _SHUFFLE_NODE = re.compile(
@@ -50,16 +53,29 @@ def _plan_has_exchange(df: DataFrame) -> bool:
     check.
     """
     try:
-        return bool(
-            _SHUFFLE_NODE.search(
-                df._jdf.queryExecution().executedPlan().toString()
-            )
-        )
-    except Exception:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception as exc:  # py4j / analysis errors only — plan text
+        # unreadable; fall back to the plain partition-count check
+        # (ADVICE r13: fall back LOUDLY, not silently)
+        _log.debug("_plan_has_exchange: plan unreadable (%s)", exc)
         return False
+    found = bool(_SHUFFLE_NODE.search(plan))
+    if not found and "Exchange" in plan:
+        # a node spelled "Exchange ..." that the regex does not know —
+        # e.g. a Spark version renaming partitioning nodes would
+        # silently disable the pin (perf regression with no signal).
+        # BroadcastExchange is expected and fine; log anything else.
+        if not re.search(r"\bBroadcastExchange\b", plan):
+            _log.debug(
+                "_plan_has_exchange: plan contains 'Exchange' but no "
+                "known shuffle-partitioning form — regex may be stale"
+            )
+    return found
 
 
-def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, target: int | None = None, pin: bool = True
+) -> DataFrame:
     """Round-robin repartition ONLY when the plan has fewer input
     partitions than ``target`` (default: the cluster's defaultParallelism).
 
@@ -71,7 +87,7 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     no-op; it only fans out narrow inputs, costing one exchange of data
     that is by definition small enough to have fit in one partition.
 
-    Shuffle-bearing inputs take a pinned path: under AQE,
+    Shuffle-bearing inputs take a pinned path (``pin=True``): under AQE,
     ``df.rdd.getNumPartitions()`` finalizes the adaptive plan, which
     EXECUTES every intermediate stage — and then throws that RDD away,
     so the consumer re-plans and re-executes the same stages (one full
@@ -82,17 +98,31 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     check — for them the count is pure metadata (zero jobs) and a
     checkpoint would needlessly cache scan output. With AQE OFF the
     finalize-executes hazard does not exist (``.rdd`` stays lazy), so
-    the pin is skipped there too. The checkpoint trades lineage for the
-    saved duplicate pass (repo-wide localCheckpoint convention): blocks
+    the pin is skipped there too.
+
+    The checkpoint trades lineage for the saved duplicate pass: blocks
     live until the session GCs the frame, and an executor lost before
-    the consumers drain it fails the action instead of recomputing —
-    acceptable for the per-query/per-micro-batch frames this helper
-    sees, whose consumers run immediately.
+    the consumers drain it fails the action instead of recomputing. It
+    also inserts a LogicalRDD barrier that blocks downstream filter
+    pushdown into the upstream plan. That trade is right for PER-QUERY /
+    PER-MICRO-BATCH frames (serving probes, streaming ingest), whose
+    consumers run immediately and whose upstreams are small. BATCH
+    corpus pipelines (multi-hour jobs at 100 TB) should pass
+    ``pin=False`` (ADVICE r13): there, losing recompute-on-failure for
+    the whole upstream is a robustness regression that outweighs one
+    duplicate pass — and in practice those call sites feed on raw scans
+    (no shuffle below), so the pin never fired for them anyway;
+    ``pin=False`` makes that contract explicit rather than incidental.
     """
     sc = df.sparkSession.sparkContext
     want = target or sc.defaultParallelism
     if (
-        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+        pin
+        # Spark accepts TRUE/True for boolean confs (ADVICE r13) — the
+        # case-sensitive compare silently skipped the pin there
+        and str(
+            df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+        ).strip().lower()
         == "true"
         and _plan_has_exchange(df)
     ):

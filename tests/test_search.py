@@ -759,14 +759,11 @@ class TestScoredSemanticSqlParity:
             for pre in (False, True):
                 new = S._scored_semantic(df, "id", qv, "embeddings", pre)
                 # force the Column fallback (the pre-change construction)
-                orig = S._SQL_NAME
-                S._SQL_NAME = re.compile(r"(?!x)x")  # matches nothing
-                try:
-                    old = S._scored_semantic(
-                        df, "id", qv, "embeddings", pre
-                    )
-                finally:
-                    S._SQL_NAME = orig
+                # via the explicit kwarg (ADVICE r13: no global swapping)
+                old = S._scored_semantic(
+                    df, "id", qv, "embeddings", pre,
+                    _force_column_form=True,
+                )
                 got = {
                     r["id"]: r["similarity_score"] for r in new.collect()
                 }
@@ -817,14 +814,10 @@ class TestFuseSqlParity:
             new = S._fuse_and_project(
                 src, sem, fts, "id", 10, k, w_s, w_f, None, None, None
             )
-            orig = S._SQL_NAME
-            S._SQL_NAME = re.compile(r"(?!x)x")
-            try:
-                old = S._fuse_and_project(
-                    src, sem, fts, "id", 10, k, w_s, w_f, None, None, None
-                )
-            finally:
-                S._SQL_NAME = orig
+            old = S._fuse_and_project(
+                src, sem, fts, "id", 10, k, w_s, w_f, None, None, None,
+                _force_column_form=True,
+            )
             rn = new.collect()
             ro = old.collect()
             assert [r["id"] for r in rn] == [r["id"] for r in ro]
