@@ -784,35 +784,29 @@ def q_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages 1-3 are per-row expressions (zero shuffle); the dedup is the
     banded equi-join (never all-pairs); the pack is the distributed
     prefix sum — the same plans the standalone gates lock."""
-    from pg_vectorize_spark.operators.curate import pack_blocks, sequence_pack
+    from pg_vectorize_spark.operators.curate import pack_blocks
     from pg_vectorize_spark.pipelines import CorpusPipeline
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_LINE_DEDUP_LINED).alias("text")
     )
-    # lazy checkpoint after the per-row stages: the MinHash dedup reads
-    # its input twice (signature pass + survivor join-back) and the pack
-    # re-reads the survivors — without the checkpoints that is THREE
-    # full re-evaluations of the documents scan (3x corpus I/O at
-    # 100 TB); with them the corpus is scanned once
-    cleaned = (
+    # r14 optimization round: the fused dedup_pack stage materializes the
+    # cleaned corpus ONCE — (doc_id, text, n_tokens) behind one lazy
+    # checkpoint feeding both the MinHash signature pass and the
+    # survivor anti-join, with the pack consuming narrow (doc_id,
+    # n_tokens) rows. The previous two-step chain checkpointed the
+    # SURVIVORS with full text a second time and re-tokenized them
+    # (guide §2.3: decide with small rows, move big rows once).
+    # Row-identical to dedup("minhash") + pack (same token counts over
+    # the same text, same anti-join key set) — pinned by the oracle
+    # hash and tests/test_pipelines.py::TestDedupPackParity.
+    packed = (
         CorpusPipeline(spark, docs, pkey="doc_id", text_col="text")
         .filter_quality(min_score=0.5)
         .dedup_lines()
         .normalize_text(strip_html=False)
-        .df()
-        .localCheckpoint(eager=False)
+        .dedup_pack(PACK_BLOCK, method="minhash", order_buckets=64)
     )
-    curated = (
-        CorpusPipeline(spark, cleaned, pkey="doc_id", text_col="text")
-        .dedup("minhash")
-        .df()
-        .localCheckpoint(eager=False)
-    )
-    base = curated.select(
-        "doc_id", T.token_count_expr(F.col("text")).alias("n_tokens")
-    )
-    packed = sequence_pack(base, "doc_id", "n_tokens", PACK_BLOCK, order_buckets=64)
     return _block_manifest(pack_blocks(packed, PACK_BLOCK))
 
 

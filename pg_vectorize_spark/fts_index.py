@@ -40,11 +40,28 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# SQL-literal-safe term: no quote/backslash/control chars, so a probe
+# filter can be built as ONE parsed SQL string (r14 optimization round:
+# the Column/isin form costs one py4j round-trip per literal — ~200
+# round-trips ≈ 40 ms per probe on the serving critical path; the
+# construction class r13 already moved for the score/fusion
+# expressions). Terms failing the check keep the Column form.
+_SQL_SAFE_TERM = re.compile(r"\A[^'\\\x00-\x1f\x7f]*\Z")
+_SQL_IDENT = re.compile(r"\A[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _sql_term_list(terms: Sequence[str]) -> str | None:
+    """``'a','b','c'`` when every term is literal-safe, else None."""
+    if all(isinstance(t, str) and _SQL_SAFE_TERM.match(t) for t in terms):
+        return ",".join(f"'{t}'" for t in terms)
+    return None
 
 # --------------------------------------------------------------- xxhash64
 # Pure-Python XXH64 (public spec, Yann Collet) matching Spark's
@@ -753,10 +770,19 @@ class JobFtsIndexManager:
             return self._empty_probe()
         pkey = meta["pkey"]
         buckets = self.query_buckets(terms)
-        hit = self._index_scan().filter(
-            F.col(self.PART_COL).isin(buckets)
-            & F.col("term").isin(list(terms))
-        )
+        lits = _sql_term_list(terms)
+        if lits is not None:
+            # one-parse fast path: IDENTICAL predicate (partition IN +
+            # term IN), one py4j round-trip instead of one per literal
+            hit = self._index_scan().where(
+                f"`{self.PART_COL}` IN ({','.join(str(int(b)) for b in buckets)})"
+                f" AND term IN ({lits})"
+            )
+        else:
+            hit = self._index_scan().filter(
+                F.col(self.PART_COL).isin(buckets)
+                & F.col("term").isin(list(terms))
+            )
         # overlay: main minus tombstoned keys (their current terms live
         # in pending), union the pending store's matches. Consulted
         # whenever the stores EXIST — fastupdate mode or the adaptive
@@ -774,21 +800,35 @@ class JobFtsIndexManager:
             )
         pend = self._pending_ds()
         if pend.exists():
-            hit = hit.unionByName(
-                pend.read().filter(F.col("term").isin(list(terms)))
+            pend_hit = (
+                pend.read().where(f"term IN ({lits})")
+                if lits is not None
+                else pend.read().filter(F.col("term").isin(list(terms)))
             )
+            hit = hit.unionByName(pend_hit)
         return hit.groupBy(pkey).agg(
-            F.count(F.lit(1)).alias("n_matched")
+            F.expr("count(1) AS n_matched")
         )
 
     def probe_scores(self, terms: Sequence[str]) -> DataFrame:
         """(pkey, fts_score) — the overlap rank straight off the index:
         matched-term count over |query terms| (``fts_score_expr``
-        parity)."""
+        parity). The division is built as one SQL parse when the pkey is
+        a plain identifier — ``repr`` double literals parse
+        bit-identically (the query_vector_lit precedent), so scores are
+        float-bit-equal to the Column form (parity-pinned in
+        tests/test_fts_index.py)."""
         meta = self._load_meta()
         pkey = meta["pkey"]
         denom = float(len(terms)) if terms else 1.0
-        return self.probe(terms).select(
+        probe = self.probe(terms)
+        if _SQL_IDENT.match(pkey):
+            return probe.selectExpr(
+                f"`{pkey}`",
+                "CAST(n_matched AS DOUBLE) / "
+                f"{repr(denom)}D AS fts_score",
+            )
+        return probe.select(
             F.col(pkey),
             (F.col("n_matched").cast("double") / F.lit(denom)).alias(
                 "fts_score"
@@ -826,10 +866,17 @@ class JobFtsIndexManager:
         pkey = meta["pkey"]
         union_terms = sorted({t for i in live for t in term_sets[i]})
         buckets = self.query_buckets(union_terms)
-        hit = self._index_scan().filter(
-            F.col(self.PART_COL).isin(buckets)
-            & F.col("term").isin(union_terms)
-        )
+        ulits = _sql_term_list(union_terms)
+        if ulits is not None:
+            hit = self._index_scan().where(
+                f"`{self.PART_COL}` IN ({','.join(str(int(b)) for b in buckets)})"
+                f" AND term IN ({ulits})"
+            )
+        else:
+            hit = self._index_scan().filter(
+                F.col(self.PART_COL).isin(buckets)
+                & F.col("term").isin(union_terms)
+            )
         tomb = self._tomb_ds()
         if tomb.exists():
             hit = hit.join(
@@ -839,23 +886,36 @@ class JobFtsIndexManager:
             )
         pend = self._pending_ds()
         if pend.exists():
-            hit = hit.unionByName(
-                pend.read().filter(F.col("term").isin(union_terms))
+            pend_hit = (
+                pend.read().where(f"term IN ({ulits})")
+                if ulits is not None
+                else pend.read().filter(F.col("term").isin(union_terms))
             )
+            hit = hit.unionByName(pend_hit)
+
+        def _count_i(i: int):
+            lits_i = _sql_term_list(term_sets[i])
+            if lits_i is not None:
+                # identical expression, one parse: SUM(CASE WHEN ...)
+                # is what the Column form resolves to; the cast keeps
+                # the Column form's explicit LongType
+                return F.expr(
+                    "CAST(sum(CASE WHEN term IN "
+                    f"({lits_i}) THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias(f"_n_{i}")
+            return (
+                F.sum(
+                    F.when(
+                        F.col("term").isin(term_sets[i]), F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"_n_{i}")
+            )
+
         counts = (
             hit.groupBy(pkey)
-            .agg(
-                *[
-                    F.sum(
-                        F.when(
-                            F.col("term").isin(term_sets[i]), F.lit(1)
-                        ).otherwise(F.lit(0))
-                    )
-                    .cast("long")
-                    .alias(f"_n_{i}")
-                    for i in live
-                ]
-            )
+            .agg(*[_count_i(i) for i in live])
             .localCheckpoint(eager=False)
         )
         out: list[DataFrame] = []

@@ -720,7 +720,13 @@ class JobIndexManager:
             self.nbits,
             radius,
         )
-        return self._index_scan().filter(F.col("bucket").isin(probes))
+        if not probes:  # empty IN () does not parse — keep Column form
+            return self._index_scan().filter(F.col("bucket").isin(probes))
+        # one-parse IN list (r14): integer literals, no fallback needed —
+        # the Column isin form costs one py4j round-trip per element
+        return self._index_scan().where(
+            f"bucket IN ({','.join(str(int(p)) for p in probes)})"
+        )
 
     def _ivf_candidates(
         self, query_vec: Sequence[float], nprobe: int
@@ -731,7 +737,12 @@ class JobIndexManager:
         # path (r13 optimization round — bit-parity probe_cells_local)
         probed = probe_cells(self._centroids_local(), query_vec, nprobe)
         cells = [int(r["centroid_id"]) for r in probed]
-        return self._index_scan().filter(F.col("cell").isin(cells))
+        if not cells:  # empty IN () does not parse — keep Column form
+            return self._index_scan().filter(F.col("cell").isin(cells))
+        # one-parse IN list (r14) — same predicate, one py4j round-trip
+        return self._index_scan().where(
+            f"cell IN ({','.join(str(c) for c in cells)})"
+        )
 
     def _ivfpq_candidates(
         self,

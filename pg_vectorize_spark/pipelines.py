@@ -384,6 +384,51 @@ class CorpusPipeline:
         )
         return sequence_pack(base, self.pkey, "n_tokens", block_size)
 
+    def dedup_pack(
+        self,
+        block_size: int = 2048,
+        method: str = "minhash",
+        threshold: float = 0.8,
+        order_buckets: int = 1024,
+    ) -> DataFrame:
+        """Fused ``dedup(method)`` + ``pack(block_size)`` — row-identical
+        to the two-step chain, one corpus materialization instead of two
+        (r14 optimization round, guide §2.3/§2.4 "shuffle keys and
+        metadata instead of payloads").
+
+        The two-step chain materializes the corpus TWICE: the dedup
+        checkpoint carries full text into the survivor join-back, and the
+        pack then re-tokenizes every surviving document. But packing only
+        needs ``(pkey, n_tokens)`` — so this computes the token count IN
+        the same pass that feeds the dedup's signatures (one tokenize,
+        amortized into the single text materialization) and carries the
+        survivors as narrow key/count rows. The survivor anti-join and
+        everything downstream never touch text again. ``n_tokens`` is the
+        same expression over the same text, and the survivor key set is
+        the same anti-join — bit-identical output (pinned by
+        tests/test_pipelines.py parity).
+
+        Terminal; returns the ``sequence_pack`` frame.
+        """
+        from pg_vectorize_spark.functions.text import token_count_expr
+        from pg_vectorize_spark.operators.curate import sequence_pack
+
+        base_all = self._df.select(
+            F.col(self.pkey),
+            F.col(self.text_col),
+            token_count_expr(F.col(self.text_col)).alias("n_tokens"),
+        ).localCheckpoint(eager=False)
+        pairs = CorpusPipeline(
+            self.spark, base_all, self.pkey, self.text_col
+        ).duplicate_pairs(method, threshold)
+        base = dedup_survivors(
+            base_all.select(self.pkey, "n_tokens"), self.pkey, pairs
+        )
+        return sequence_pack(
+            base, self.pkey, "n_tokens", block_size,
+            order_buckets=order_buckets,
+        )
+
     def write_shards(
         self,
         path: str,

@@ -204,6 +204,7 @@ class TestIncrementalTrainerParity:
             assert [tuple(m) for m in json.load(f)["merges"]] == merges
 
 
+@pytest.mark.slow
 class TestDistributedLearning:
     """bpe_learn_merges (r13 — VERDICT r12 #5): executor-held symbol
     state, per-iteration algebraic pair aggregate, driver holds only

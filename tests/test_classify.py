@@ -49,6 +49,7 @@ def model_and_frames(spark):
     return model, curated, raw
 
 
+@pytest.mark.slow
 class TestQualityClassifier:
     def test_separates_clean_from_garble(self, spark, model_and_frames):
         model, curated, raw = model_and_frames
@@ -138,6 +139,7 @@ def test_pipeline_classifier_filter(spark, model_and_frames):
     assert kept.columns == ["doc_id", "text"]
 
 
+@pytest.mark.slow
 class TestQualityEvidence:
     """VERDICT r10 #5: a committed quality metric, not just cost — the
     classifier must SEPARATE held-out clean text from word-salad built

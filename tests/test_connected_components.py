@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pg_vectorize_spark.operators.dedup import (
@@ -158,6 +160,7 @@ class TestLocalPathParity:
             sorted((r["id"], r["component"]) for r in dist.collect()),
         )
 
+    @pytest.mark.slow
     def test_random_graphs(self, spark):
         rng = random.Random(99)
         for trial in range(3):

@@ -168,6 +168,7 @@ class TestClassifierGate:
     """curate_params classifier_path: a trained linear quality model at
     the ingest seam (scored on the gate content, keyed semi-join back)."""
 
+    @pytest.mark.slow
     def test_classifier_gates_ingest(self, spark, tmp_path):
         from pg_vectorize_spark.engine import VectorizeSession
         from pg_vectorize_spark.operators.classify import (

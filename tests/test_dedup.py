@@ -3,6 +3,7 @@ candidates must cover true high-Jaccard pairs, survivors resolve correctly."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pg_vectorize_spark.operators.dedup import (
@@ -452,6 +453,7 @@ class TestSemanticClusterAutoSize:
         assert m == a
 
 
+@pytest.mark.slow
 class TestSemanticClusterGemmParity:
     """pair_mode='gemm' (applyInPandas GEMM prefilter + exact sequential
     rescore) must return the exact row set of pair_mode='join' (the

@@ -254,6 +254,7 @@ class TestMaintenance:
         res = mgr.probe(corpus.filter("doc_id = 1"), "doc_id", "text")
         assert {r["match_doc_id"] for r in res.collect()} == set()
 
+    @pytest.mark.slow
     def test_tombstoned_key_reinsert_before_fold(
         self, spark, tmp_path, corpus
     ):
@@ -949,6 +950,7 @@ class TestLocalReadCap:
         assert idx.filter("id in (1, 2)").count() == 0
 
 
+@pytest.mark.slow
 class TestDeferralEquivalence:
     def test_probe_with_tombstones_equals_eager_delete(
         self, spark, tmp_path, corpus, batch

@@ -347,6 +347,7 @@ class TestCombinedDeleteParity:
         assert mgr._sigs_ds().read().filter("id = 1").count() == 0
 
 
+@pytest.mark.slow
 class TestEnginePathParity:
     """The filter's drop decisions and the ingested corpus must be
     IDENTICAL whether the engine takes the driver-side path (default)

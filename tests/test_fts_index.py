@@ -247,6 +247,7 @@ class TestEngineIntegration:
         b = s_raw.hybrid_search("p", QUERY, num_results=5)
         assert a == b and len(a) > 0
 
+    @pytest.mark.slow
     def test_freshness_insert_update_delete(
         self, spark, tmp_path, products_path, products_df
     ):
@@ -652,6 +653,7 @@ class TestFastupdate:
             )
         return out
 
+    @pytest.mark.slow
     def test_mixed_ops_equivalence_and_fold(self, spark, tokens, tmp_path):
         from pg_vectorize_spark.functions.text import analyze_query
 

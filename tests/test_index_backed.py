@@ -151,6 +151,7 @@ class TestIndexedSearchParity:
             )
 
 
+@pytest.mark.slow
 class TestIndexFreshness:
     """VERDICT r5 #2 done-criterion: a stream of insert/update/delete
     micro-batches leaves the indexed search identical to the exact
@@ -248,6 +249,7 @@ class TestIndexFreshness:
         assert not any(i % 7 == 0 for i in idx_ids)
 
 
+@pytest.mark.slow
 class TestIvfPqIncrementalMaintenance:
     """Operator-level IVF-PQ maintenance (VERDICT r5 #3), mirroring
     TestIvfIncrementalMaintenance: add lands in the frozen quantizer's
@@ -543,6 +545,7 @@ class TestCompactionCadence:
         assert got == set(range(35))
 
 
+@pytest.mark.slow
 class TestDriftRetrain:
     """Quantizer drift: the compaction cadence OBSERVES (per-cell count
     aggregate, growth + skew vs the build-time baseline), the next

@@ -409,3 +409,48 @@ def test_write_shards_unimax_epochs_and_determinism(spark, tmp_path):
     assert validate_shards(spark, str(tmp_path / "u1")).count() == 0
     blocks = read_training_shard(spark, str(tmp_path / "u1"), m1[0]["shard"])
     assert blocks.count() >= 1
+
+
+class TestDedupPackParity:
+    """dedup_pack must be row-identical to the two-step
+    dedup(method) + pack(block_size) chain (r14 optimization round:
+    the fusion carries n_tokens through the survivor anti-join instead
+    of re-tokenizing the surviving text — same expression, same keys)."""
+
+    def _docs(self, spark):
+        rows = [
+            (i, f"document number {i} with some shared words and body "
+                + ("alpha beta gamma " * (i % 5 + 1)))
+            for i in range(1, 31)
+        ]
+        # exact duplicate cluster + a near-dup pair so both the star and
+        # band-join branches of the LSH produce pairs
+        rows += [(100, rows[2][1]), (101, rows[2][1]), (102, rows[2][1])]
+        rows += [(110, rows[4][1] + " tail"), (111, rows[4][1] + " tails")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("method", ["minhash", "simhash"])
+    def test_fused_equals_chain(self, spark, method):
+        df = self._docs(spark)
+        pipe = CorpusPipeline(spark, df)
+        chain = pipe.dedup(method).pack(block_size=32)
+        fused = pipe.dedup_pack(
+            block_size=32, method=method, order_buckets=1024
+        )
+        cols = sorted(chain.columns)
+        assert sorted(fused.columns) == cols
+        a = sorted(map(tuple, chain.select(*cols).collect()))
+        b = sorted(map(tuple, fused.select(*cols).collect()))
+        assert a == b and len(a) > 0
+
+    def test_order_buckets_passthrough(self, spark):
+        df = self._docs(spark)
+        pipe = CorpusPipeline(spark, df)
+        a = sorted(
+            map(tuple, pipe.dedup_pack(32, order_buckets=4).collect())
+        )
+        b = sorted(
+            map(tuple, pipe.dedup_pack(32, order_buckets=1024).collect())
+        )
+        # bucket count is a layout knob, never a semantics knob
+        assert a == b

@@ -291,6 +291,7 @@ def test_ivfpq_end_to_end(spark, tmp_path):
     ), rep.read_schemas
 
 
+@pytest.mark.slow
 def test_residual_recall_uplift(spark, tmp_path):
     """Residual IVF-PQ (VERDICT r5 #6): codebook trained on residuals
     from the assigned cell centroid quantizes tighter at the same m,k —

@@ -9,6 +9,8 @@ from __future__ import annotations
 import math
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -569,6 +571,7 @@ class TestNtileClosedForm:
         assert tiles == want
 
 
+@pytest.mark.slow
 class TestSpanRemovalProperties:
     @given(
         word_docs=st.lists(

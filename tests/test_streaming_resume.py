@@ -104,6 +104,7 @@ B2 = [
 ]
 
 
+@pytest.mark.slow
 def test_crash_between_branch_commits(spark, tmp_path):
     """Regression pin for the redelivery fix: embeddings commit, tokens
     branch crashes, restart from the checkpoint — tokens must converge

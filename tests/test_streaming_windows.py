@@ -197,6 +197,7 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     assert len(got) == 30
 
 
+@pytest.mark.slow
 class TestStreamingDupSpanFilter:
     """Ingest-time exact-substring filter (streaming_dup_span_filter):
     stream == batch agreement under the arrival-order rule, independence
@@ -377,6 +378,7 @@ class TestStreamingDupSpanFilter:
         assert kept == [1]  # the late copy was dropped, not double-kept
 
 
+@pytest.mark.slow
 class TestDupSpanStoreBucketed:
     """VERDICT r5 #7: the span store is hash-bucketed — a micro-batch's
     fold rewrites only the buckets its new spans land in and hard-links
